@@ -1,0 +1,89 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** The universal event record of the engine — a row-oriented,
+  * schema-flexible CDC/event envelope.
+  *
+  * Semantics derived from the reference's envelope
+  * (reference: src/main/java/com/streamforge/core/model/StreamEnvelop.java:19-30):
+  * `payloadJson` is the raw business payload as a JSON string; typed fields are
+  * projected on demand with `get_json_object`/`from_json` so Catalyst can prune.
+  */
+case class StreamEnvelop(
+    operation: String,
+    source: String,
+    payloadJson: String,
+    eventTime: Timestamp,
+    processedTime: Timestamp,
+    traceId: String,
+    primaryKey: String,
+    metadata: Map[String, String]
+)
+
+object StreamEnvelop {
+  val Insert = "insert"
+  val Update = "update"
+  val Delete = "delete"
+  val Unknown = "unknown"
+}
+
+/** Dead-letter record. Rather than a side-channel producer (reference:
+  * core/dlq/DLQPublisher.java:18-97), DLQ is a first-class second output:
+  * validation stages return (good, bad) dataset pairs.
+  * Error-type catalog mirrors reference core/config/ErrorCodes.java:7-11.
+  */
+case class DlqEvent(
+    errorType: String,
+    errorMessage: String,
+    source: String,
+    timestamp: Timestamp,
+    rawEvent: String,
+    stacktrace: String
+)
+
+object ErrorCodes {
+  val ParsingError = "PARSING_ERROR"
+  val SourceParsingError = "SOURCE_PARSING_ERROR"
+  val SchemaViolation = "SCHEMA_VIOLATION"
+  val ConstraintViolation = "CONSTRAINT_VIOLATION"
+  val SinkError = "SINK_ERROR"
+  val ProcessingError = "PROCESSING_ERROR"
+}
+
+/** Changelog/CDC output row (Debezium-style before/after).
+  * reference: pattern/materialization/ChangelogEvent.java:6-14.
+  */
+case class ChangelogEvent(
+    changeType: String, // INSERT | UPDATE | DELETE
+    key: String,
+    before: Option[String], // payload JSON before (None for INSERT)
+    after: Option[String], // payload JSON after (None for DELETE)
+    timestamp: Timestamp
+)
+
+/** Session-window aggregate output.
+  * reference: pattern/session/SessionResult.java:7-14.
+  */
+case class SessionResult[R](
+    key: String,
+    sessionStart: Timestamp,
+    sessionEnd: Timestamp,
+    eventCount: Long,
+    durationMs: Long,
+    result: R
+)
+
+/** Raw CDC change event, pre-parse — the shape produced by a Mongo-style
+  * change stream (reference: connector/mongo/MongoChangeStreamSource.java:226-239).
+  * Document payloads are JSON strings (schemaless), keys extracted on demand.
+  */
+case class CdcEvent(
+    op: String, // insert|update|replace|delete|c|u|d|...
+    db: String,
+    collection: String,
+    documentKey: String, // JSON string {"_id": ...}
+    fullDocument: String, // JSON string or null (delete)
+    updatedFields: String, // JSON string or null
+    eventTime: Timestamp
+)

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Headline relational queries over the TPC-H-ish corpus.
+  *
+  * Determinism strategy (must hash-match a DuckDB oracle): money columns are
+  * converted to integer cents (`round(x*100)::long`) before aggregation so sums
+  * are order-independent exact integers; a single final cast/division to double
+  * is IEEE-deterministic in both engines. Never sum raw doubles.
+  *
+  * Scale notes: every query is a single shuffle (groupBy on the grouped keys)
+  * over a filtered+pruned parquet scan; dimension joins are broadcast.
+  */
+object Relational {
+
+  /** Integer cents: exact, order-independent under aggregation. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Percent units (discount/tax 0.00-0.99 -> 0-99). */
+  private def pct(c: Column): Column = round(c * 100).cast("long")
+
+  private def asDouble(c: Column): Column = c.cast("double")
+
+  /** TPC-H Q1-style pricing summary. One partial-agg + final-agg shuffle. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        (asDouble(sum(cents($"l_quantity"))) / 100.0).as("sum_qty"),
+        (asDouble(sum(cents($"l_extendedprice"))) / 100.0).as("sum_base_price"),
+        (asDouble(sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount")))) / 10000.0)
+          .as("sum_disc_price"),
+        (asDouble(
+          sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount")) * (lit(100) + pct($"l_tax")))
+        ) / 1000000.0).as("sum_charge"),
+        (asDouble(sum(cents($"l_quantity"))) / count(lit(1)) / 100.0).as("avg_qty"),
+        (asDouble(sum(cents($"l_extendedprice"))) / count(lit(1)) / 100.0).as("avg_price"),
+        count(lit(1)).as("count_order")
+      )
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))*(100+CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000.0 AS sum_charge,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/COUNT(*)/100.0 AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top-10 open orders by revenue for one market segment.
+    * customer is broadcast; ties broken by orderkey for determinism.
+    */
+  def q3TopRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables
+      .customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = Tables
+      .orders(spark, dir)
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+    val li = Tables
+      .lineitem(spark, dir)
+      .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount"))).as("rev_e4"))
+      .orderBy($"rev_e4".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select(
+        $"o_orderkey",
+        (asDouble($"rev_e4") / 10000.0).as("revenue"),
+        unix_micros($"o_orderdate".cast("timestamp")).as("o_orderdate_us")
+      )
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(rev_e4 AS DOUBLE)/10000.0 AS revenue,
+      |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us
+      |FROM (
+      |  SELECT o_orderkey, o_orderdate,
+      |    SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS rev_e4
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'
+      |    AND l_shipdate > TIMESTAMP '1998-01-01'
+      |  GROUP BY o_orderkey, o_orderdate
+      |  ORDER BY rev_e4 DESC, o_orderkey ASC
+      |  LIMIT 10
+      |)""".stripMargin
+
+  /** TPC-H Q5-style: revenue by nation where customer and supplier share the
+    * nation. All dimension tables broadcast; single shuffle on the fact agg.
+    */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dims = Tables
+      .customer(spark, dir)
+      .select($"c_custkey", $"c_nationkey")
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val nat = Tables.nation(spark, dir).select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = Tables.region(spark, dir).select($"r_regionkey", $"r_name")
+    val ord = Tables
+      .orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp"))
+      .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    Tables
+      .lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(
+        (asDouble(sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount")))) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** Event-stream rollup by type (the batch view of the observability agg). */
+  def eventsByType(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        (asDouble(sum(cents($"value"))) / 100.0).as("sum_value"),
+        countDistinct($"user_id").as("n_users")
+      )
+  }
+
+  val eventsByTypeSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q5_local_supplier_volume" -> q5LocalSupplierVolume,
+    "events_by_type" -> eventsByType
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_top_revenue" -> q3Sql,
+    "q5_local_supplier_volume" -> q5Sql,
+    "events_by_type" -> eventsByTypeSql
+  )
+}

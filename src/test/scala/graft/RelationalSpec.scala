@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1 pricing summary: 6 flag/status groups, totals positive") {
+    val rows = Relational.q1PricingSummary(spark, sf).collect()
+    assert(rows.length === 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 1000)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("avg_price") > 0)
+    }
+  }
+
+  test("q3 top revenue: 10 rows, strictly ordered by revenue desc") {
+    val rows = Relational.q3TopRevenue(spark, sf).collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q5 local supplier volume: nation revenue non-negative") {
+    val rows = Relational.q5LocalSupplierVolume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("revenue") >= 0))
+  }
+
+  test("events by type: 5 types, counts sum to table size") {
+    val rows = Relational.eventsByType(spark, sf).collect()
+    assert(rows.length === 5)
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n === graft.core.Tables.events(spark, sf).count())
+  }
+
+  test("q1 plan: filter pushed to parquet scan, aggregate is partial+final") {
+    val plan = Relational.q1PricingSummary(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
+  }
+}
