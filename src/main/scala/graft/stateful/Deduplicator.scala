@@ -1,0 +1,70 @@
+package graft.stateful
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.StreamEnvelop
+
+/** First-seen-wins dedup by key within a TTL.
+  * Reference pattern/dedup/Deduplicator.java:18-72: ValueState<Boolean> "seen"
+  * with StateTtlConfig; duplicates are dropped.
+  *
+  * Three faces:
+  *  - `batch`: global first-seen per key (TTL = ∞) via row_number — one
+  *    shuffle on the key, the classic distributed dedup.
+  *  - `streamingWithinWatermark`: `dropDuplicatesWithinWatermark` — Spark's
+  *    built-in state-TTL dedup, state evicted by watermark (TTL → watermark
+  *    delay). Scale path: state size is bounded by keys-per-TTL-window.
+  *  - `streamingExact`: flatMapGroupsWithState replica of the reference
+  *    (processing-time TTL like Flink's StateTtlConfig).
+  */
+final case class Deduplicator(keyCols: Seq[String], ttlMs: Long = 10 * 60 * 1000) {
+
+  /** Keep the first row per key, ordered by (tsCol, tieCol). */
+  def batch(df: DataFrame, tsCol: String, tieCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Built-in streaming dedup: requires an upstream withWatermark on tsCol. */
+  def streamingWithinWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Exact replica of the reference semantics on the envelope stream:
+    * processing-time TTL'd "seen" state per key.
+    *
+    * ttlMs <= 0 disables the timeout (state lives forever). NOTE:
+    * ProcessingTimeTimeout makes Spark run micro-batches continuously so
+    * timers can fire — pair it with a real trigger interval in production
+    * queries (the jobs do), and use ttlMs=0 in synchronous tests.
+    */
+  def streamingExact(
+      ds: Dataset[StreamEnvelop],
+      key: StreamEnvelop => String
+  ): Dataset[StreamEnvelop] = {
+    import ds.sparkSession.implicits._
+    val ttl = ttlMs
+    val conf =
+      if (ttl > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, conf)(
+        (_: String, events: Iterator[StreamEnvelop], state: GroupState[Boolean]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val fresh = !state.exists
+            state.update(true)
+            if (ttl > 0) state.setTimeoutDuration(ttl)
+            if (fresh && events.hasNext) Iterator.single(events.next())
+            else Iterator.empty
+          }
+        }
+      )
+  }
+}
