@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.PatternQueries.queries ++
-      graft.queries.StatefulQueries.queries
+      graft.queries.StatefulQueries.queries ++
+      graft.queries.JoinQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -26,5 +27,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.PatternQueries.oracles ++
-      graft.queries.StatefulQueries.oracles
+      graft.queries.StatefulQueries.oracles ++
+      graft.queries.JoinQueries.oracles
 }

@@ -1,0 +1,58 @@
+package graft.joins
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed stream-stream equi-join, N:M within a time window (TTL).
+  * Reference pattern/enrich/DynamicJoiner.java:22-328: both sides buffered in
+  * TTL'd MapState; every arrival joins against ALL buffered opposite rows
+  * (N:M product); INNER/LEFT/RIGHT/FULL_OUTER; outer rows emitted when an
+  * unmatched buffered row's TTL expires.
+  *
+  * Spark-first mapping: the TTL window is a join-time range condition —
+  * `rTs BETWEEN lTs - ttl AND lTs + ttl` — which is exactly the set of pairs
+  * the reference's mutual buffers can ever match (each side waits ttl for the
+  * other). In streaming, watermarks bound the buffer like the reference TTL
+  * and outer rows emit on watermark expiry (reference: on timer expiry); the
+  * reference's axis is processing/arrival time — for strict fidelity stamp an
+  * arrival-time column at ingest and join on it (SURVEY §2.5 J1).
+  *
+  * Scale: this is Spark's native stream-stream join (state-store backed,
+  * partitioned by key); in batch it is a plain range-condition equi-join the
+  * planner executes as a hash join on the equi-part with the range as a
+  * post-filter — one shuffle per side, skew handled by AQE.
+  */
+final case class DynamicJoiner(
+    leftKey: String,
+    rightKey: String,
+    leftTs: String,
+    rightTs: String,
+    ttlMs: Long,
+    joinType: String = "inner" // inner | left_outer | right_outer | full_outer
+) {
+  require(
+    Set("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
+    s"unsupported join type $joinType"
+  )
+
+  private def condition(l: DataFrame, r: DataFrame) = {
+    val ttlUs = ttlMs * 1000L
+    l(leftKey) === r(rightKey) &&
+    unix_micros(r(rightTs)) >= unix_micros(l(leftTs)) - ttlUs &&
+    unix_micros(r(rightTs)) <= unix_micros(l(leftTs)) + ttlUs
+  }
+
+  /** Batch face: range-condition equi-join. */
+  def batch(left: DataFrame, right: DataFrame): DataFrame =
+    left.join(right, condition(left, right), joinType)
+
+  /** Streaming face: watermarked stream-stream join. `delay` bounds state
+    * retention on both sides (the reference's TTL); must cover ttl plus
+    * out-of-orderness.
+    */
+  def streaming(left: DataFrame, right: DataFrame, delay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r, condition(l, r), joinType)
+  }
+}
