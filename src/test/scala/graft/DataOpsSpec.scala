@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data._
+
+class DataOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup groups identical texts, keep_id = min id") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(df, "doc_id", "text")
+    val got = out.select("doc_id", "keep_id", "n_copies").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("shingles: distinct word 3-grams, short docs collapse to one shingle") {
+    val df = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("text")
+    val got = df.select(Dedup.shingles(TextAnalysis.tokens($"text"), 3).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq("a b"))
+  }
+
+  test("jaccardPairs finds near-identical docs, not dissimilar ones") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("minhashPairs recovers the high-jaccard pair via banded LSH") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today and more padding words"),
+      (2L, "the quick brown fox jumps over the lazy dog today and more padding word"),
+      (3L, "completely different text with other tokens that share nothing at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts equal, near texts close in hamming distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val m = Dedup.simhash(df, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(m(1L) === m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("cosine: orthogonal=0, identical=1") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 2f), Seq(1f, 2f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0)) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteTopK ranks by cosine desc and excludes self") {
+    val df = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteTopK(df, df.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+    val got = out.select("n_id", "rank").as[(Long, Int)].collect().toSet
+    assert(got === Set((1L, 1), (2L, 2)))
+  }
+
+  test("langId picks dominant profile; und for no hits") {
+    val df = Seq("the cat and the dog is", "el que la de y", "zzz qqq").toDF("text")
+    val got = df.select(TextAnalysis.langId(TextAnalysis.tokens($"text"))).as[String].collect()
+    assert(got === Array("en", "es", "und"))
+  }
+
+  test("multimodal decodeStub: deterministic features through mapPartitions") {
+    val payload = "hello world, this is a long enough media payload to sample frames from"
+    val df = Seq((7L, payload)).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "doc_id", "text", "application/octet-stream")
+    val feats = Multimodal.decodeStub(media).collect()
+    assert(feats.length === 1)
+    val f = feats.head
+    assert(f.doc_id === 7L)
+    assert(f.byte_len === payload.getBytes.length)
+    assert(f.header_hex === payload.take(16).getBytes.map("%02x".format(_)).mkString)
+    assert(f.fingerprint.length === 32)
+    // column-expr metadata agrees with the typed decode on shared fields
+    val meta = Multimodal.metadata(df.withColumn("bin", $"text".cast("binary")), "doc_id", "bin")
+      .select("byte_len", "header_hex", "fingerprint").as[(Int, String, String)].head()
+    assert(meta === ((f.byte_len, f.header_hex, f.fingerprint)))
+  }
+}
