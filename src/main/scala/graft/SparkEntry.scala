@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.PatternQueries.queries ++
       graft.queries.StatefulQueries.queries ++
       graft.queries.JoinQueries.queries ++
-      graft.queries.DataQueries.queries
+      graft.queries.DataQueries.queries ++
+      graft.queries.JobQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.PatternQueries.oracles ++
       graft.queries.StatefulQueries.oracles ++
       graft.queries.JoinQueries.oracles ++
-      graft.queries.DataQueries.oracles
+      graft.queries.DataQueries.oracles ++
+      graft.queries.JobQueries.oracles
 }

@@ -1,0 +1,55 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dead-letter-queue as a first-class second output.
+  *
+  * The reference publishes DLQ events from a singleton side-channel Kafka
+  * producer inside operators (core/dlq/DLQPublisher.java:18-97). In Spark,
+  * side-channel producers inside executors fight the execution model; instead
+  * every validation/parse stage returns (good, bad) and the bad frames are
+  * unioned into one DLQ stream written by its own sink — same delivery
+  * guarantees as the data path, testable, replayable.
+  */
+object Dlq {
+
+  val columns: Seq[String] =
+    Seq("errorType", "errorMessage", "source", "timestamp", "rawEvent", "stacktrace")
+
+  /** Normalize an arbitrary bad-rows frame into the DlqEvent schema. */
+  def toDlq(
+      bad: DataFrame,
+      errorType: String,
+      errorMessage: Column,
+      source: String,
+      rawEvent: Column,
+      clock: Column = current_timestamp()
+  ): DataFrame =
+    bad.select(
+      lit(errorType).as("errorType"),
+      errorMessage.as("errorMessage"),
+      lit(source).as("source"),
+      clock.cast("timestamp").as("timestamp"),
+      rawEvent.cast("string").as("rawEvent"),
+      lit(null).cast("string").as("stacktrace")
+    )
+
+  /** Union several DLQ frames into the single dead-letter stream. */
+  def union(frames: Seq[DataFrame]): Option[DataFrame] =
+    frames.reduceOption(_.unionByName(_))
+}
+
+/** Map-column helpers. */
+object MapOps {
+  import org.apache.spark.sql.functions._
+
+  /** Upsert (k -> v) into a map column: existing key replaced, null map
+    * treated as empty — no dependency on spark.sql.mapKeyDedupPolicy.
+    */
+  def upsert(m: Column, k: String, v: Column): Column =
+    map_concat(
+      map_filter(coalesce(m, map()), (key, _) => key =!= k),
+      map(lit(k), v)
+    )
+}

@@ -1,0 +1,332 @@
+package graft.jobs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.connectors.{CdcSource, EsSink, KafkaConnectors, UpsertSink}
+import graft.core.{Dlq, PipelineBuilder, Tables}
+import graft.joins.{DynamicJoiner, StaticJoiner}
+import graft.parsers.{CdcParser, EnvelopeParser}
+import graft.patterns._
+import graft.stateful._
+
+/** The 7 pre-composed jobs (the reference's "queries", SURVEY §2.11), as
+  * batch-face compositions over envelope frames. Each job also runs as a
+  * streaming pipeline by feeding it streaming frames — every operator in the
+  * chain works in both modes (Spark's unified Dataset API).
+  *
+  * Determinism: jobs take an injectable `clock` so the correctness harness
+  * can replay them; production entry points pass current_timestamp().
+  */
+trait GraftJob {
+  def name: String
+
+  /** Batch face on the driver fixture corpus: returns the primary output. */
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame
+}
+
+/** CDC → Kafka: the flagship pipeline.
+  * reference job/cdc/MongoToKafkaJob.java:38-99:
+  * MultiCDC → parse → flow-disruption → filter(op≠unknown) →
+  * dedup(pk+eventTime) → change-suppression → schema(_id required) →
+  * latency → observer → metadata → processor(traceId+processedTime) →
+  * keyed Kafka sink.
+  */
+object MongoToKafkaJob extends GraftJob {
+  val name = "MongoToKafka"
+
+  def build(cdc: DataFrame, clock: Column): (DataFrame, Option[DataFrame]) = {
+    val parsed = CdcParser.parse(cdc, clock)
+    val enforcer = SchemaEnforcer(
+      "payloadJson",
+      Seq(SchemaVersion(1, Seq(FieldSpec("_id", FieldType.ANY))))
+    )
+    val pb = PipelineBuilder
+      .from(parsed)
+      .apply(FilterInterceptor("known-ops", col("operation") =!= "unknown"))
+      .apply(df => Deduplicator(Seq("primaryKey", "eventTime")).batch(df, "eventTime", "payloadJson"))
+      .apply(df =>
+        StatefulMerger(Seq("primaryKey"), "payloadJson", Seq("updatedAt", "modifiedAt"))
+          .batch(df, "eventTime", "payloadJson"))
+      .applySplit { df =>
+        val (good, bad) = enforcer.enforce(df)
+        (
+          good.drop("matched_version"),
+          Dlq.toDlq(bad, graft.model.ErrorCodes.SchemaViolation, col("violations"), name, col("payloadJson"), clock)
+        )
+      }
+      .apply(LatencyDetector("e2e", "eventTime", 30000, clock))
+      .apply(OnlineObserver("health", Seq(
+        QualityCheck("null_payloads", col("payloadJson").isNull),
+        QualityCheck("null_keys", col("primaryKey").isNull)
+      )))
+      .apply(MetadataDecorator("pre-sink", name, clock = clock, subtask = lit(0)))
+      .process(df =>
+        df.withColumn(
+          "traceId",
+          coalesce(col("traceId"), concat(lit("trace-"), col("primaryKey"), lit("-"), unix_micros(col("eventTime"))))
+        ).withColumn("processedTime", clock.cast("timestamp")))
+    (pb.df, pb.deadLetters)
+  }
+
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val cdc = JobFixtures.cdcFromEvents(spark, sfDir)
+    val (out, dlq) = build(cdc, JobFixtures.fixedClock)
+    val projected = KafkaConnectors.keyedProjection(out, compacted = false)
+    projected.write.mode("overwrite").parquet(s"$outDir/$name/out")
+    dlq.foreach(_.write.mode("overwrite").parquet(s"$outDir/$name/dlq"))
+    projected
+  }
+}
+
+/** Kafka → keyed store upsert with optional broadcast reference enrichment.
+  * reference job/cdc/KafkaToMongoJob.java:37-92.
+  */
+object KafkaToMongoJob extends GraftJob {
+  val name = "KafkaToMongo"
+
+  def build(
+      raw: DataFrame,
+      refs: Seq[(String, DataFrame)],
+      clock: Column
+  ): (DataFrame, Option[DataFrame]) = {
+    val (envelopes, parseDlq) = EnvelopeParser.parse(raw, "value", clock, source = name)
+    val enriched = refs.zipWithIndex.foldLeft(envelopes) { case (df, ((refName, ref), i)) =>
+      val compact = StaticJoiner("primaryKey", "r_key")
+        .latestPerKey(ref.select(col("primaryKey").as("r_key"), col("payloadJson").as("r_payload"),
+          col("eventTime").as("r_ts"), col("traceId").as("r_tie")), "r_ts", "r_tie")
+        .select(col("r_key"), col("r_payload"))
+      df.join(broadcast(compact), df("primaryKey") === compact("r_key"), "left")
+        .withColumn(
+          "metadata",
+          when(col("r_payload").isNotNull,
+            map_concat(coalesce(col("metadata"), map()), map(lit(s"enriched$refName"), col("r_payload"))))
+            .otherwise(col("metadata"))
+        )
+        .drop("r_key", "r_payload")
+    }
+    val withId = enriched.withColumn("_id_check", get_json_object(col("payloadJson"), "$._id"))
+    val (good, bad) = ConstraintEnforcer(Seq(NotNullRule("_id_check"))).enforce(withId)
+    val dlq = Dlq.toDlq(bad, graft.model.ErrorCodes.ConstraintViolation, col("violations"), name, col("payloadJson"), clock)
+    (good.drop("_id_check"), Some(Dlq.union(Seq(parseDlq, dlq)).get))
+  }
+
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val raw = JobFixtures.rawEnvelopes(spark, sfDir)
+    val ref = Tables.eventsAsEnvelopes(spark, sfDir).filter(col("source") === "signup")
+    val (good, dlq) = build(raw, Seq("Ref1" -> ref), JobFixtures.fixedClock)
+    val table = UpsertSink.applyBatch(UpsertSink.emptyTable(spark), good, "eventTime", "traceId")
+    table.write.mode("overwrite").parquet(s"$outDir/$name/table")
+    dlq.foreach(_.write.mode("overwrite").parquet(s"$outDir/$name/dlq"))
+    table
+  }
+}
+
+/** Order/payment stream join: payment payload lands in order metadata.
+  * reference job/join/OrderPaymentJoinJob.java:32-78.
+  */
+object OrderPaymentJoinJob extends GraftJob {
+  val name = "OrderPaymentJoin"
+
+  def build(orders: DataFrame, payments: DataFrame, ttlMs: Long): DataFrame = {
+    val l = orders.select(
+      col("operation"), col("source"), col("payloadJson"), col("eventTime"),
+      col("processedTime"), col("traceId"), col("primaryKey"), col("metadata"))
+    val r = payments.select(
+      col("primaryKey").as("p_key"), col("payloadJson").as("p_payload"),
+      col("source").as("p_source"), col("eventTime").as("p_ts"))
+    DynamicJoiner("primaryKey", "p_key", "eventTime", "p_ts", ttlMs, "left_outer")
+      .batch(l, r)
+      .withColumn(
+        "metadata",
+        when(col("p_payload").isNotNull,
+          map_concat(
+            coalesce(col("metadata"), map()),
+            map(lit("paymentPayload"), col("p_payload"), lit("paymentSource"), col("p_source"))))
+          .otherwise(col("metadata"))
+      )
+      .drop("p_key", "p_payload", "p_source", "p_ts")
+  }
+
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, sfDir)
+    val out = build(
+      env.filter(col("source") === "click"),
+      env.filter(col("source") === "purchase"),
+      ttlMs = 30 * 60 * 1000)
+    out.write.mode("overwrite").parquet(s"$outDir/$name/out")
+    out
+  }
+}
+
+/** Watermark-aligned multi-topic ingest. reference job/ingest/MergedIngestJob.java:32-69. */
+object MergedIngestJob extends GraftJob {
+  val name = "MergedIngest"
+
+  def build(sources: Seq[(String, DataFrame)]): DataFrame =
+    WatermarkAlignedFanIn("eventTime", "5 seconds")(sources)
+      .withColumn(
+        "metadata",
+        graft.core.MapOps.upsert(col("metadata"), "ingestSource", col("ingestSource")))
+      .drop("ingestSource")
+
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, sfDir)
+    val out = build(Seq(
+      "clicks" -> env.filter(col("source") === "click"),
+      "views" -> env.filter(col("source") === "view")))
+    out.write.mode("overwrite").parquet(s"$outDir/$name/out")
+    out
+  }
+}
+
+/** Predicate routing to per-route sinks. reference job/route/EventRouterJob.java:27-52.
+  * Streaming: one input, persist per micro-batch, N writes (foreachBatch) —
+  * the side-output pattern without re-reading the source.
+  */
+object EventRouterJob extends GraftJob {
+  val name = "EventRouter"
+
+  val routes = Seq(
+    Route("orders", col("source") === "purchase"),
+    Route("payments", col("source") === "signup"))
+
+  def splitter = ParallelSplitter(routes)
+
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, sfDir)
+    val routed = splitter.routed(env).persist()
+    try {
+      (routes.map(_.name) :+ "main").foreach { r =>
+        EsSink.writer(s"$outDir/$name/$r")(routed.filter(col("route") === r), 0L)
+      }
+      routed.groupBy(col("route")).count()
+    } finally { routed.unpersist(); () }
+  }
+}
+
+/** Latest-state materialization → compacted changelog topic.
+  * reference job/materialize/UserStateMaterializeJob.java:35-90.
+  */
+object UserStateMaterializeJob extends GraftJob {
+  val name = "UserStateMaterialize"
+
+  /** ChangelogEvent frame → changelog envelope (reference toEnvelop :65-90). */
+  def toEnvelop(changelog: DataFrame, clock: Column): DataFrame =
+    changelog.select(
+      concat(lit("CHANGELOG_"), col("change_type")).as("operation"),
+      lit(name).as("source"),
+      to_json(struct(
+        col("key").as("_id"),
+        col("change_type").as("changeType"),
+        col("before"),
+        col("after"))).as("payloadJson"),
+      col("ts").cast("timestamp").as("eventTime"),
+      clock.cast("timestamp").as("processedTime"),
+      concat(lit("trace-"), col("key"), lit("-"), unix_micros(col("ts").cast("timestamp"))).as("traceId"),
+      col("key").as("primaryKey"),
+      map(lit("changelog"), lit("true")).as("metadata"))
+
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, sfDir)
+    val changelog = Materializer("primaryKey", "payloadJson", col("operation") === "delete")
+      .batchChangelog(env, "eventTime", "event_id")
+    val envelopes = toEnvelop(changelog, JobFixtures.fixedClock)
+    val compacted = KafkaConnectors.keyedProjection(envelopes, compacted = true)
+    compacted.write.mode("overwrite").parquet(s"$outDir/$name/out")
+    compacted
+  }
+}
+
+/** Session analytics → session envelopes.
+  * reference job/session/UserSessionAnalysisJob.java:40-95.
+  */
+object UserSessionAnalysisJob extends GraftJob {
+  val name = "UserSessionAnalysis"
+
+  def toEnvelop(sessions: DataFrame, clock: Column): DataFrame =
+    sessions.select(
+      lit("SESSION_CLOSED").as("operation"),
+      lit(name).as("source"),
+      to_json(struct(
+        col("key").as("_id"),
+        col("actions"),
+        col("event_count").as("count"))).as("payloadJson"),
+      timestamp_micros(col("session_end_us")).as("eventTime"),
+      clock.cast("timestamp").as("processedTime"),
+      concat(lit("trace-"), col("key"), lit("-"), col("session_start_us")).as("traceId"),
+      col("key").cast("string").as("primaryKey"),
+      map(
+        lit("sessionStart"), col("session_start_us").cast("string"),
+        lit("sessionEnd"), col("session_end_us").cast("string"),
+        lit("eventCount"), col("event_count").cast("string"),
+        lit("duration"), col("duration_ms").cast("string")).as("metadata"))
+
+  def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    val sessions = SessionAnalyzer("user_id", "ts", "4 hours")
+      .analyze(Tables.events(spark, sfDir), "event_type", "event_id")
+    val out = toEnvelop(sessions, JobFixtures.fixedClock)
+    out.write.mode("overwrite").parquet(s"$outDir/$name/out")
+    out
+  }
+}
+
+/** Deterministic fixture inputs shared by job batch faces. */
+object JobFixtures {
+  val fixedClock: Column = lit("2024-07-01 00:00:00").cast("timestamp")
+
+  /** CDC frame derived from events (same derivation as the p2 query). */
+  def cdcFromEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val cents = round(col("value") * 100).cast("long")
+    val ops = array(lit("c"), lit("update"), lit("d"), lit("replace"), lit("zz"))
+    val op = element_at(ops, (col("event_id") % 5 + 1).cast("int"))
+    e.select(
+      op.as("op"),
+      lit("testdb").as("db"),
+      col("event_type").as("collection"),
+      concat(lit("{\"_id\": "), col("user_id"), lit("}")).as("documentKey"),
+      when(op === "d", lit(null).cast("string"))
+        .otherwise(concat(lit("{\"_id\": "), col("user_id"), lit(", \"v\": "), cents, lit("}")))
+        .as("fullDocument"),
+      when(op === "update", concat(lit("{\"v\": "), cents, lit("}")))
+        .otherwise(lit(null).cast("string")).as("updatedFields"),
+      col("ts").as("eventTime"))
+  }
+
+  /** Raw envelope JSON strings; payloads carry `_id` (the upsert key). */
+  def rawEnvelopes(spark: SparkSession, sfDir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, sfDir).withColumn(
+      "payloadJson",
+      concat(
+        lit("{\"_id\": \""), col("primaryKey"), lit("\", \"k\": "),
+        get_json_object(col("payloadJson"), "$.k"), lit("}")))
+    env.select(
+      to_json(
+        struct(col("operation"), col("source"), col("payloadJson"), col("eventTime"),
+          col("traceId"), col("primaryKey")),
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")).as("value"))
+  }
+}
+
+/** Job SPI: name → job (reference core/launcher/JobRegistry.java + Launcher.java). */
+object JobRegistry {
+  val jobs: Map[String, GraftJob] = Seq(
+    MongoToKafkaJob, KafkaToMongoJob, OrderPaymentJoinJob, MergedIngestJob,
+    EventRouterJob, UserStateMaterializeJob, UserSessionAnalysisJob
+  ).map(j => j.name -> j).toMap
+}
+
+object Launcher {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, s"usage: Launcher <job> [sfDir] [outDir]; jobs: ${JobRegistry.jobs.keys.mkString(", ")}")
+    val job = JobRegistry.jobs.getOrElse(
+      args(0),
+      throw new IllegalArgumentException(s"unknown job ${args(0)}; jobs: ${JobRegistry.jobs.keys.mkString(", ")}"))
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val outDir = if (args.length > 2) args(2) else "/tmp/graft-jobs"
+    val spark = graft.core.GraftSession.getOrCreate(s"graft-${job.name}")
+    val out = job.runBatch(spark, sfDir, outDir)
+    println(s"[${job.name}] rows=${out.count()}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.jobs._
+
+/** The 7 job compositions as oracle-verified queries (SURVEY §2.11 — these
+  * ARE the reference's "queries"). Each oracle re-derives the whole pipeline
+  * in SQL: parse → filter → dedup → change-suppression → … end-to-end.
+  */
+object JobQueries {
+
+  private val envCte = s"WITH env AS (${Tables.envelopesSql})"
+
+  // ------------------------------------------------------- MongoToKafka
+  def jobMongoToKafka(spark: SparkSession, dir: String): DataFrame = {
+    val (out, _) = MongoToKafkaJob.build(JobFixtures.cdcFromEvents(spark, dir), JobFixtures.fixedClock)
+    out.select(
+      col("primaryKey"),
+      col("operation"),
+      get_json_object(col("payloadJson"), "$.v").as("v"),
+      unix_micros(col("eventTime")).as("ev_us"),
+      col("traceId")
+    )
+  }
+
+  val jobMongoToKafkaSql: String =
+    """WITH cdc AS (
+      |  SELECT
+      |    CASE CAST(event_id % 5 AS INT)
+      |      WHEN 0 THEN 'insert' WHEN 1 THEN 'update' WHEN 2 THEN 'delete'
+      |      WHEN 3 THEN 'update' ELSE 'unknown' END AS operation,
+      |    CAST(user_id AS VARCHAR) AS pk,
+      |    CASE WHEN event_id % 5 = 2 THEN NULL
+      |         ELSE CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) END AS v,
+      |    CAST(ts AS TIMESTAMP) AS et
+      |  FROM events),
+      |f AS (SELECT * FROM cdc WHERE operation <> 'unknown'),
+      |m AS (
+      |  SELECT *,
+      |    LAG(v) OVER (PARTITION BY pk ORDER BY et) AS pv,
+      |    ROW_NUMBER() OVER (PARTITION BY pk ORDER BY et) AS rn
+      |  FROM f)
+      |SELECT pk AS primaryKey, operation, v, epoch_us(et) AS ev_us,
+      |  'trace-' || pk || '-' || CAST(epoch_us(et) AS VARCHAR) AS traceId
+      |FROM m
+      |WHERE rn = 1 OR v IS DISTINCT FROM pv""".stripMargin
+
+  // ------------------------------------------------------- KafkaToMongo
+  def jobKafkaToMongo(spark: SparkSession, dir: String): DataFrame = {
+    val raw = JobFixtures.rawEnvelopes(spark, dir)
+    val ref = Tables.eventsAsEnvelopes(spark, dir).filter(col("source") === "signup")
+    val (good, _) = KafkaToMongoJob.build(raw, Seq("Ref1" -> ref), JobFixtures.fixedClock)
+    graft.connectors.UpsertSink
+      .applyBatch(graft.connectors.UpsertSink.emptyTable(spark), good, "eventTime", "traceId")
+      .select(col("_id"), col("doc"), unix_micros(col("updated_at")).as("up_us"))
+  }
+
+  val jobKafkaToMongoSql: String =
+    s"""$envCte,
+       |u AS (
+       |  SELECT primaryKey, operation, eventTime,
+       |    '{"_id": "' || primaryKey || '", "k": ' || json_extract_string(payloadJson, '$$.k') || '}' AS doc,
+       |    ROW_NUMBER() OVER (PARTITION BY primaryKey ORDER BY eventTime DESC) AS rn
+       |  FROM env)
+       |SELECT primaryKey AS _id, doc, epoch_us(eventTime) AS up_us
+       |FROM u WHERE rn = 1 AND upper(operation) <> 'DELETE'""".stripMargin
+
+  // --------------------------------------------------- OrderPaymentJoin
+  def jobOrderPaymentJoin(spark: SparkSession, dir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, dir)
+    OrderPaymentJoinJob
+      .build(
+        env.filter(col("source") === "click"),
+        env.filter(col("source") === "purchase"),
+        ttlMs = 30 * 60 * 1000)
+      .select(
+        col("traceId"),
+        element_at(col("metadata"), "paymentPayload").as("payment_payload"),
+        element_at(col("metadata"), "paymentSource").as("payment_source")
+      )
+  }
+
+  val jobOrderPaymentJoinSql: String =
+    s"""$envCte,
+       |l AS (SELECT traceId, primaryKey, eventTime FROM env WHERE source = 'click'),
+       |r AS (SELECT primaryKey AS r_key, payloadJson AS r_payload, eventTime AS r_ts
+       |      FROM env WHERE source = 'purchase')
+       |SELECT traceId, r_payload AS payment_payload,
+       |  CASE WHEN r_payload IS NOT NULL THEN 'purchase' END AS payment_source
+       |FROM l LEFT JOIN r
+       |  ON primaryKey = r_key
+       | AND epoch_us(r_ts) >= epoch_us(eventTime) - 1800000000
+       | AND epoch_us(r_ts) <= epoch_us(eventTime) + 1800000000""".stripMargin
+
+  // ------------------------------------------------------- MergedIngest
+  def jobMergedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, dir)
+    MergedIngestJob
+      .build(Seq(
+        "clicks" -> env.filter(col("source") === "click"),
+        "views" -> env.filter(col("source") === "view")))
+      .select(
+        col("traceId"),
+        element_at(col("metadata"), "ingestSource").as("ingest"),
+        unix_micros(col("eventTime")).as("ev_us")
+      )
+  }
+
+  val jobMergedIngestSql: String =
+    s"""$envCte
+       |SELECT traceId,
+       |  CASE WHEN source = 'click' THEN 'clicks' ELSE 'views' END AS ingest,
+       |  epoch_us(eventTime) AS ev_us
+       |FROM env WHERE source IN ('click', 'view')""".stripMargin
+
+  // -------------------------------------------------------- EventRouter
+  def jobEventRouter(spark: SparkSession, dir: String): DataFrame =
+    EventRouterJob.splitter
+      .routed(Tables.eventsAsEnvelopes(spark, dir))
+      .groupBy(col("route"))
+      .agg(count(lit(1)).as("n"))
+
+  val jobEventRouterSql: String =
+    s"""$envCte
+       |SELECT CASE WHEN source = 'purchase' THEN 'orders'
+       |            WHEN source = 'signup' THEN 'payments'
+       |            ELSE 'main' END AS route,
+       |  COUNT(*) AS n
+       |FROM env GROUP BY 1""".stripMargin
+
+  // ----------------------------------------------- UserStateMaterialize
+  def jobMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, dir)
+    val changelog = graft.stateful.Materializer("primaryKey", "payloadJson", col("operation") === "delete")
+      .batchChangelog(env, "eventTime", "event_id")
+    val envelopes = UserStateMaterializeJob.toEnvelop(changelog, JobFixtures.fixedClock)
+    graft.connectors.KafkaConnectors
+      .keyedProjection(envelopes, compacted = true)
+      .select(col("key").cast("string").as("k"), col("value").isNull.as("tomb"))
+  }
+
+  val jobMaterializeSql: String =
+    s"""$envCte, s AS (
+       |  SELECT primaryKey AS key, operation, eventTime, event_id,
+       |    CASE WHEN operation = 'delete' THEN NULL ELSE payloadJson END AS after_p,
+       |    LAG(CASE WHEN operation = 'delete' THEN NULL ELSE payloadJson END) OVER (
+       |      PARTITION BY primaryKey ORDER BY eventTime, event_id) AS before_p
+       |  FROM env)
+       |SELECT key AS k,
+       |  (change_type = 'DELETE') AS tomb
+       |FROM (
+       |  SELECT key,
+       |    CASE WHEN operation = 'delete' AND before_p IS NOT NULL THEN 'DELETE'
+       |         WHEN operation = 'delete' THEN NULL
+       |         WHEN before_p IS NULL THEN 'INSERT'
+       |         ELSE 'UPDATE' END AS change_type
+       |  FROM s)
+       |WHERE change_type IS NOT NULL""".stripMargin
+
+  // ---------------------------------------------------- UserSessionAnalysis
+  def jobSessions(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = graft.stateful.SessionAnalyzer("user_id", "ts", "4 hours")
+      .analyze(Tables.events(spark, dir), "event_type", "event_id")
+    UserSessionAnalysisJob
+      .toEnvelop(sessions, JobFixtures.fixedClock)
+      .select(
+        col("primaryKey"),
+        get_json_object(col("payloadJson"), "$.actions").as("actions"),
+        get_json_object(col("payloadJson"), "$.count").cast("long").as("cnt"),
+        element_at(col("metadata"), "duration").as("duration_ms")
+      )
+  }
+
+  val jobSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+      |                   OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM g)
+      |SELECT CAST(user_id AS VARCHAR) AS primaryKey,
+      |  string_agg(event_type, ',' ORDER BY ts, event_id) AS actions,
+      |  COUNT(*) AS cnt,
+      |  CAST((epoch_us(MAX(ts) + INTERVAL 4 HOUR) - epoch_us(MIN(ts))) // 1000 AS VARCHAR) AS duration_ms
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "job_mongo_to_kafka" -> jobMongoToKafka,
+    "job_kafka_to_mongo" -> jobKafkaToMongo,
+    "job_order_payment_join" -> jobOrderPaymentJoin,
+    "job_merged_ingest" -> jobMergedIngest,
+    "job_event_router" -> jobEventRouter,
+    "job_materialize" -> jobMaterialize,
+    "job_sessions" -> jobSessions
+  )
+
+  val oracles: Map[String, String] = Map(
+    "job_mongo_to_kafka" -> jobMongoToKafkaSql,
+    "job_kafka_to_mongo" -> jobKafkaToMongoSql,
+    "job_order_payment_join" -> jobOrderPaymentJoinSql,
+    "job_merged_ingest" -> jobMergedIngestSql,
+    "job_event_router" -> jobEventRouterSql,
+    "job_materialize" -> jobMaterializeSql,
+    "job_sessions" -> jobSessionsSql
+  )
+}
