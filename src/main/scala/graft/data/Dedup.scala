@@ -76,6 +76,15 @@ object Dedup {
       .select(col("i"), col("j"), floor(col("jaccard") * 1e6).cast("long").as("jac_e6"))
   }
 
+  /** MinHash universe prime (2^31 - 1) and affine mixing constants: each of
+    * the k hash functions is `(a_i * h + b_i) mod P` over ONE base md5 hash
+    * per shingle — 1 md5 instead of k, the classic cheap-family trick.
+    * Constants are deterministic so the oracle replays them.
+    */
+  val MinhashP = 2147483647L
+  def minhashA(i: Int): Long = ((2L * i + 1) * 2654435761L) % MinhashP
+  def minhashB(i: Int): Long = (i.toLong * 40503L * 65537L) % MinhashP
+
   /** k-hash MinHash signature per doc: one explode + one groupBy (k min
     * aggregates). Returns (id, h0..h{k-1}).
     */
@@ -87,7 +96,9 @@ object Dedup {
       k: Int = 16
   ): DataFrame = {
     val s = shingleRows(df, idCol, textCol, n)
-    val aggs = (0 until k).map(i => min(Hashing.hash60Seeded(i, col("sh"))).as(s"h$i"))
+      .withColumn("_h", Hashing.hash60(col("sh")) % MinhashP)
+    val aggs = (0 until k).map(i =>
+      min((lit(minhashA(i)) * col("_h") + lit(minhashB(i))) % MinhashP).as(s"h$i"))
     s.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -122,12 +133,21 @@ object Dedup {
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"))
       .distinct()
-    // verify candidates with true Jaccard
-    val verified = jaccardPairs(df, idCol, textCol, n, threshold)
-      .withColumnRenamed("jac_e6", "jac_e6_v")
-    candidates
-      .join(verified, Seq("i", "j"))
-      .select(col("i"), col("j"), col("jac_e6_v").as("jac_e6"))
+    // verify ONLY the candidates with true Jaccard (two-phase LSH: the
+    // quadratic verifier runs on the collided fraction, not all pairs)
+    val sets = df.select(
+      col(idCol).as("sid"),
+      shingles(TextAnalysis.tokens(col(textCol)), n).as("sset"))
+    val withSets = candidates
+      .join(sets.select(col("sid").as("i"), col("sset").as("si")), Seq("i"))
+      .join(sets.select(col("sid").as("j"), col("sset").as("sj")), Seq("j"))
+    withSets
+      .withColumn("c", size(array_intersect(col("si"), col("sj"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("c").cast("double") / (size(col("si")) + size(col("sj")) - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), floor(col("jaccard") * 1e6).cast("long").as("jac_e6"))
   }
 
   /** 60-bit SimHash of the token multiset, as one per-row expression

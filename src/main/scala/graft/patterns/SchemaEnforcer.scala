@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is pure Catalyst expressions over the Spark 4 VARIANT type
   * (`try_parse_json` + `variant_get` + `schema_of_variant`) — no UDF, fully
-  * codegen-friendly, so validation rides the same whole-stage pipeline as the
-  * scan at any scale.
+  * codegen-friendly. The payload is parsed to VARIANT ONCE per row
+  * (`enforce` materializes it in a temp column); every field/type/version
+  * check then probes the parsed value, so validation cost is one JSON parse
+  * plus cheap variant probes regardless of schema width.
   */
 object FieldType extends Enumeration {
   val STRING, NUMBER, BOOLEAN, MAP, LIST, ANY = Value
@@ -36,25 +38,24 @@ final case class SchemaEnforcer(payloadCol: String, versionsNewestFirst: Seq[Sch
 
   private def payload: Column = col(payloadCol)
 
-  private def fieldVariant(f: FieldSpec): Column =
-    try_variant_get(try_parse_json(payload), s"$$.${f.name}", "variant")
-
   private def typeOk(f: FieldSpec, v: Column): Column = f.ftype match {
     case FieldType.ANY => lit(true)
     case FieldType.STRING => schema_of_variant(v) === "STRING"
     case FieldType.NUMBER =>
       schema_of_variant(v).rlike("^(BIGINT|INT|SMALLINT|TINYINT|DOUBLE|FLOAT|DECIMAL)")
     case FieldType.BOOLEAN => schema_of_variant(v) === "BOOLEAN"
-    case FieldType.MAP => schema_of_variant(v).startsWith("OBJECT") || schema_of_variant(v).startsWith("STRUCT")
+    case FieldType.MAP =>
+      schema_of_variant(v).startsWith("OBJECT") || schema_of_variant(v).startsWith("STRUCT")
     case FieldType.LIST => schema_of_variant(v).startsWith("ARRAY")
   }
 
-  /** Violations of one version as an array<string> column. Message format:
-    * `missing:<field>`, `type:<field>`, `unknown:<key>` (keys sorted).
+  /** Violations of one version as an array<string> column, probing the
+    * pre-parsed variant `pv`. Message format: `missing:<field>`,
+    * `type:<field>`, `unknown:<key>` (keys sorted).
     */
-  def violations(v: SchemaVersion): Column = {
+  def violations(v: SchemaVersion, pv: Column): Column = {
     val fieldChecks: Seq[Column] = v.fields.flatMap { f =>
-      val ext = fieldVariant(f)
+      val ext = try_variant_get(pv, s"$$.${f.name}", "variant")
       val missing =
         if (f.required) Seq(when(ext.isNull, lit(s"missing:${f.name}"))) else Seq.empty
       val badType =
@@ -63,7 +64,7 @@ final case class SchemaEnforcer(payloadCol: String, versionsNewestFirst: Seq[Sch
     }
     val base = filter(array(fieldChecks: _*), x => x.isNotNull)
     val invalidJson = when(
-      try_parse_json(payload).isNull || !payload.startsWith("{"),
+      pv.isNull || !payload.startsWith("{"),
       array(lit("invalid:payload"))
     )
     val withStrict =
@@ -83,29 +84,38 @@ final case class SchemaEnforcer(payloadCol: String, versionsNewestFirst: Seq[Sch
     coalesce(invalidJson, withStrict)
   }
 
-  def passes(v: SchemaVersion): Column = size(violations(v)) === 0
+  def passes(v: SchemaVersion, pv: Column): Column = size(violations(v, pv)) === 0
 
   /** Version number of the first (newest) passing version, else null. */
-  def matchedVersion: Column =
+  def matchedVersion(pv: Column): Column =
     versionsNewestFirst.foldLeft(lit(null).cast("int")) { (acc, v) =>
-      coalesce(acc, when(passes(v), lit(v.version)))
+      coalesce(acc, when(passes(v, pv), lit(v.version)))
     }
 
   /** Aggregated violation summary across all versions (for DLQ rows):
     * `v<N>:[a,b];v<M>:[c]`.
     */
-  def allViolations: Column =
+  def allViolations(pv: Column): Column =
     concat_ws(
       ";",
       versionsNewestFirst.map(v =>
-        concat(lit(s"v${v.version}:["), concat_ws(",", violations(v)), lit("]"))
+        concat(lit(s"v${v.version}:["), concat_ws(",", violations(v, pv)), lit("]"))
       ): _*
     )
 
-  /** Split into (passing rows + matched_version column, DLQ rows + violations). */
+  /** Split into (passing rows + matched_version column, DLQ rows + violations).
+    * The payload is parsed once into `_pv`; both outputs drop it.
+    */
   def enforce(df: DataFrame): (DataFrame, DataFrame) = {
-    val good = df.withColumn("matched_version", matchedVersion).filter(col("matched_version").isNotNull)
-    val bad = df.filter(matchedVersion.isNull).withColumn("violations", allViolations)
+    val parsed = df.withColumn("_pv", try_parse_json(payload))
+    val good = parsed
+      .withColumn("matched_version", matchedVersion(col("_pv")))
+      .filter(col("matched_version").isNotNull)
+      .drop("_pv")
+    val bad = parsed
+      .filter(matchedVersion(col("_pv")).isNull)
+      .withColumn("violations", allViolations(col("_pv")))
+      .drop("_pv")
     (good, bad)
   }
 }

@@ -133,13 +133,16 @@ object DataQueries {
 
   private val K = 16
   private val mhCte: String = {
+    val p = Dedup.MinhashP
     val mins = (0 until K)
-      .map(i => s"min(${hash60Sql(s"$i || '#' || sh")}) AS h$i")
+      .map(i => s"min((${Dedup.minhashA(i)} * bh + ${Dedup.minhashB(i)}) % $p) AS h$i")
       .mkString(",\n    ")
-    s"""sig AS (
+    s"""hashed_sh AS (
+       |  SELECT doc_id, ${hash60Sql("sh")} % $p AS bh FROM sh),
+       |sig AS (
        |  SELECT doc_id AS sid,
        |    $mins
-       |  FROM sh GROUP BY 1)""".stripMargin
+       |  FROM hashed_sh GROUP BY 1)""".stripMargin
   }
 
   val dMinhashSigSql: String =
