@@ -1,0 +1,171 @@
+package graft.stateful
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+import graft.model.{ChangelogEvent, StreamEnvelop}
+
+/** Spark-4-native stateful operators on `transformWithState`
+  * (`StatefulProcessor` + per-key state with built-in TTL + timers) — the
+  * direct replacement for Flink's `KeyedProcessFunction` + `StateTtlConfig`
+  * the reference uses (SURVEY §4.2). These are the production streaming faces
+  * of the same operators whose flatMapGroupsWithState fallbacks live in
+  * Deduplicator/Materializer/FlowDisruptionDetector (the fallback exists
+  * because transformWithState requires the RocksDB state store).
+  *
+  * Use with:
+  * {{{
+  * spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+  *   "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  * }}}
+  */
+object Processors {
+
+  private def ttlConfig(ttlMs: Long): TTLConfig =
+    if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
+
+  /** First-seen-wins dedup: ValueState[Boolean] "seen" with native state TTL
+    * (reference pattern/dedup/Deduplicator.java:18-72).
+    */
+  class DedupProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, StreamEnvelop, StreamEnvelop] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, ttlConfig(ttlMs))
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEnvelop],
+        timerValues: TimerValues
+    ): Iterator[StreamEnvelop] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        if (rows.hasNext) Iterator.single(rows.next()) else Iterator.empty
+      }
+    }
+  }
+
+  def dedup(
+      ds: Dataset[StreamEnvelop],
+      key: StreamEnvelop => String,
+      ttlMs: Long
+  ): Dataset[StreamEnvelop] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(key)
+      .transformWithState(
+        new DedupProcessor(ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
+  /** Latest-value-per-key changelog materialization: ValueState[String]
+    * payload with native TTL (reference pattern/materialization/
+    * Materializer.java:19-166). LWW merge; delete clears state.
+    */
+  class MaterializeProcessor(ttlMs: Long, isDelete: StreamEnvelop => Boolean)
+      extends StatefulProcessor[String, StreamEnvelop, ChangelogEvent] {
+    @transient private var current: ValueState[String] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      current = getHandle.getValueState[String]("current", Encoders.STRING, ttlConfig(ttlMs))
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEnvelop],
+        timerValues: TimerValues
+    ): Iterator[ChangelogEvent] =
+      rows.flatMap { e =>
+        val existing = if (current.exists()) Option(current.get()) else None
+        if (isDelete(e)) {
+          current.clear()
+          existing.map(b => ChangelogEvent("DELETE", key, Some(b), None, e.eventTime))
+        } else {
+          current.update(e.payloadJson)
+          existing match {
+            case None => Some(ChangelogEvent("INSERT", key, None, Some(e.payloadJson), e.eventTime))
+            case Some(b) => Some(ChangelogEvent("UPDATE", key, Some(b), Some(e.payloadJson), e.eventTime))
+          }
+        }
+      }
+  }
+
+  def materialize(
+      ds: Dataset[StreamEnvelop],
+      isDelete: StreamEnvelop => Boolean,
+      ttlMs: Long
+  ): Dataset[ChangelogEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.primaryKey)
+      .transformWithState(
+        new MaterializeProcessor(ttlMs, isDelete),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
+  /** Per-key silence detector with REAL timers: every event re-arms a
+    * processing-time timer; expiry emits DISRUPTED, the next event after a
+    * disruption emits RECOVERED (reference pattern/observability/
+    * FlowDisruptionDetector.java:17-91 — registerTimer is the exact
+    * `ctx.timerService().registerProcessingTimeTimer` analogue).
+    */
+  class FlowProcessor(timeoutMs: Long)
+      extends StatefulProcessor[String, StreamEnvelop, FlowSignal] {
+    @transient private var st: ValueState[FlowState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FlowState](
+        "flow",
+        Encoders.product[FlowState],
+        TTLConfig.NONE
+      )
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEnvelop],
+        timerValues: TimerValues
+    ): Iterator[FlowSignal] = {
+      val wasDisrupted = st.exists() && st.get().disrupted
+      val lastTs = rows.foldLeft(0L)((acc, e) => math.max(acc, e.eventTime.getTime))
+      // re-arm: drop old timers, register a fresh one
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+      st.update(FlowState(lastTs, disrupted = false))
+      if (wasDisrupted)
+        Iterator.single(
+          FlowSignal(key, new Timestamp(lastTs),
+            new Timestamp(timerValues.getCurrentProcessingTimeInMs()), "RECOVERED"))
+      else Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo
+    ): Iterator[FlowSignal] = {
+      val s = if (st.exists()) st.get() else FlowState(0L, disrupted = false)
+      st.update(s.copy(disrupted = true))
+      Iterator.single(
+        FlowSignal(key, new Timestamp(s.lastEventMs),
+          new Timestamp(timerValues.getCurrentProcessingTimeInMs()), "DISRUPTED"))
+    }
+  }
+
+  def flowDisruption(
+      ds: Dataset[StreamEnvelop],
+      key: StreamEnvelop => String,
+      timeoutMs: Long
+  ): Dataset[FlowSignal] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(key)
+      .transformWithState(
+        new FlowProcessor(timeoutMs),
+        TimeMode.ProcessingTime(),
+        OutputMode.Append()
+      )
+  }
+}
