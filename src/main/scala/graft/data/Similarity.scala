@@ -15,11 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double with a
-    * fixed left-to-right fold — bit-identical to the DuckDB oracle's
-    * list_reduce replay.
+  /** Cosine similarity of two float/double-array columns — the native
+    * codegen'd [[graft.functions.CosineSimilarity]] expression (one fused
+    * primitive loop). Accumulation order is left-to-right, bit-identical to
+    * the DuckDB oracle's list_reduce replay (and to [[cosineHof]]).
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosine_sim(a, b)
+
+  /** The higher-order-function formulation (kept as the portable fallback
+    * and for cross-checking the native expression in tests).
+    */
+  def cosineHof(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.data.Similarity
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim is bit-identical to the HOF formulation on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sf).limit(50)
+    val a = emb.select($"vec_id".as("i"), $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("j"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b).filter($"i" < $"j")
+    val diff = pairs
+      .withColumn("c1", Similarity.cosine($"va", $"vb"))
+      .withColumn("c2", Similarity.cosineHof($"va", $"vb"))
+      .filter($"c1" =!= $"c2") // exact comparison: any ULP difference fails
+    assert(diff.count() === 0)
+  }
+
+  test("cosine_sim registered for SQL") {
+    GraftFunctions.register(spark)
+    val got = spark
+      .sql("SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c")
+      .as[Double]
+      .head()
+    assert(math.abs(got - 1.0) < 1e-15)
+  }
+
+  test("cosine_sim null input yields null, type mismatch rejected") {
+    val df = Seq((Seq(1f, 2f), null.asInstanceOf[Seq[Float]])).toDF("a", "b")
+    val got = df.select(GraftFunctions.cosine_sim($"a", $"b")).collect()
+    assert(got.head.isNullAt(0))
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      Seq((1, "x")).toDF("a", "b").select(GraftFunctions.cosine_sim($"a", $"b")).collect()
+    }
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val plan = emb
+      .select(GraftFunctions.cosine_sim($"embedding", $"embedding").as("c"))
+      .queryExecution.executedPlan.toString
+    // no CodegenFallback marker: expression compiles into the stage
+    assert(!plan.contains("CodegenFallback"), plan.take(800))
+  }
+}
