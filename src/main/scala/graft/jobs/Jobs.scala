@@ -68,6 +68,34 @@ object MongoToKafkaJob extends GraftJob {
     (pb.df, pb.deadLetters)
   }
 
+  /** Streaming face: parse → fused dedup+change-suppression (ONE
+    * transformWithState pass — see CdcPipelineProcessor) → schema gate →
+    * decoration → processor. Returns the envelope stream, ready for
+    * KafkaConnectors.sink / keyedProjection. Requires the RocksDB state
+    * store provider.
+    */
+  def buildStreaming(cdcStream: DataFrame, ttlMs: Long = 10 * 60 * 1000): DataFrame = {
+    import cdcStream.sparkSession.implicits._
+    val parsed = CdcParser
+      .parse(cdcStream)
+      .filter(col("operation") =!= "unknown")
+      .as[graft.model.StreamEnvelop]
+    val deduped = graft.stateful.Processors
+      .cdcPipeline(parsed, ttlMs, Set("updatedAt", "modifiedAt"))
+      .toDF()
+    val enforcer = SchemaEnforcer(
+      "payloadJson",
+      Seq(SchemaVersion(1, Seq(FieldSpec("_id", FieldType.ANY)))))
+    val (good, _) = enforcer.enforce(deduped)
+    good
+      .drop("matched_version")
+      .transform(MetadataDecorator("pre-sink", name))
+      .withColumn(
+        "traceId",
+        coalesce(col("traceId"), concat(lit("trace-"), col("primaryKey"), lit("-"), unix_micros(col("eventTime")))))
+      .withColumn("processedTime", current_timestamp())
+  }
+
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val cdc = JobFixtures.cdcFromEvents(spark, sfDir)
     val (out, dlq) = build(cdc, JobFixtures.fixedClock)

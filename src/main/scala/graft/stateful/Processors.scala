@@ -107,6 +107,58 @@ object Processors {
       )
   }
 
+  /** Fused CDC pipeline state: dedup-by-(key,eventTime) AND payload
+    * change-suppression in ONE keyed state pass — what MongoToKafka's
+    * Deduplicator→StatefulMerger chain becomes when productionized (one
+    * shuffle, one state lookup per event, instead of two stateful hops;
+    * chaining arbitrary flatMapGroupsWithState operators is also not
+    * supported by the engine, so fusing is the correct streaming shape).
+    * MapState tracks seen event-times per key, ValueState the last payload
+    * hash, both with native TTL.
+    */
+  class CdcPipelineProcessor(ttlMs: Long, excludedFields: Set[String])
+      extends StatefulProcessor[String, StreamEnvelop, StreamEnvelop] {
+    @transient private var seenTs: MapState[Long, Boolean] = _
+    @transient private var lastHash: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seenTs = getHandle.getMapState[Long, Boolean](
+        "seenTs", Encoders.scalaLong, Encoders.scalaBoolean, ttlConfig(ttlMs))
+      lastHash = getHandle.getValueState[Long]("lastHash", Encoders.scalaLong, ttlConfig(ttlMs))
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEnvelop],
+        timerValues: TimerValues
+    ): Iterator[StreamEnvelop] =
+      rows.filter { e =>
+        val ts = e.eventTime.getTime
+        if (seenTs.containsKey(ts)) false // duplicate (key, eventTime)
+        else {
+          seenTs.updateValue(ts, true)
+          val h = StatefulMerger.hashPayload(e.payloadJson, excludedFields)
+          val changed = !lastHash.exists() || lastHash.get() != h
+          if (changed) lastHash.update(h)
+          changed
+        }
+      }.toVector.iterator
+  }
+
+  def cdcPipeline(
+      ds: Dataset[StreamEnvelop],
+      ttlMs: Long,
+      excludedFields: Set[String]
+  ): Dataset[StreamEnvelop] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.primaryKey)
+      .transformWithState(
+        new CdcPipelineProcessor(ttlMs, excludedFields),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append()
+      )
+  }
+
   /** Per-key silence detector with REAL timers: every event re-arms a
     * processing-time timer; expiry emits DISRUPTED, the next event after a
     * disruption emits RECOVERED (reference pattern/observability/

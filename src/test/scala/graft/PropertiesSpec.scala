@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.stateful.StatefulMerger
+
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def holds(p: Prop): Boolean =
+    SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p).passed
+
+  private val fieldGen = Gen.oneOf("a", "b", "c", "updatedAt", "modifiedAt")
+  private val payloadGen: Gen[Map[String, String]] =
+    Gen.mapOf(Gen.zip(fieldGen, Gen.choose(0, 9).map(_.toString)))
+
+  private def renderJson(m: Map[String, String], order: Seq[String]): String =
+    order.filter(m.contains).map(k => s""""$k": ${m(k)}""").mkString("{", ", ", "}")
+
+  test("property: payload hash is invariant under key order and excluded-field noise") {
+    val excluded = Set("updatedAt", "modifiedAt")
+    val p = Prop.forAll(payloadGen, Gen.choose(0, 999)) { (m, noise) =>
+      val base = m -- excluded
+      val orders = base.keys.toSeq.permutations.take(3).toSeq
+      val noisy = base + ("updatedAt" -> noise.toString)
+      val h0 = StatefulMerger.hashPayload(renderJson(base, base.keys.toSeq.sorted), excluded)
+      orders.forall { o =>
+        StatefulMerger.hashPayload(renderJson(noisy, o :+ "updatedAt"), excluded) == h0
+      }
+    }
+    assert(holds(p))
+  }
+
+  test("property: payloads differing on a kept field hash differently") {
+    val p = Prop.forAll(payloadGen.suchThat(_.contains("a"))) { m =>
+      val base = renderJson(m, m.keys.toSeq.sorted)
+      val changed = m.updated("a", (m("a").toInt + 1).toString)
+      StatefulMerger.hashPayload(base, Set.empty) !=
+        StatefulMerger.hashPayload(renderJson(changed, changed.keys.toSeq.sorted), Set.empty)
+    }
+    assert(holds(p))
+  }
+
+  // Spark-level properties on seeded random frames (few cases, real plans)
+  private def randomEvents(seed: Long, n: Int) = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(20).toLong, i.toLong, s"""{"v": ${rnd.nextInt(3)}}""")
+    }.toDF("k", "sec", "tie", "payload").withColumn("ts", timestamp_seconds($"sec"))
+  }
+
+  test("property: dedup is idempotent and keeps exactly one row per key") {
+    Seq(1L, 7L, 42L).foreach { seed =>
+      val df = randomEvents(seed, 60)
+      val d = graft.stateful.Deduplicator(Seq("k"))
+      val once = d.batch(df, "ts", "tie")
+      val twice = d.batch(once, "ts", "tie")
+      assert(once.count() === df.select("k").distinct().count(), s"seed=$seed")
+      assert(
+        once.select("k", "tie").as[(String, Long)].collect().toSet ===
+          twice.select("k", "tie").as[(String, Long)].collect().toSet,
+        s"seed=$seed")
+    }
+  }
+
+  test("property: merger output never has two consecutive equal payloads per key") {
+    Seq(3L, 9L, 99L).foreach { seed =>
+      val df = randomEvents(seed, 80)
+      val kept = StatefulMerger(Seq("k"), "payload").batch(df, "ts", "tie")
+      val seqs = kept
+        .select($"k", unix_micros($"ts"), $"tie", $"payload").as[(String, Long, Long, String)]
+        .collect().groupBy(_._1).values
+      seqs.foreach { rows =>
+        val ordered = rows.sortBy(r => (r._2, r._3)).map(_._4)
+        ordered.sliding(2).foreach {
+          case Array(a, b) => assert(a !== b, s"seed=$seed")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("property: upsert applyBatch is idempotent (replay converges)") {
+    Seq(5L, 13L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val updates = (1 to 40).map { i =>
+        val op = if (rnd.nextInt(4) == 0) "DELETE" else "insert"
+        (s"k${rnd.nextInt(8)}", op, s"""{"v": $i}""",
+          new java.sql.Timestamp(1000L * rnd.nextInt(100)), s"t$i")
+      }.toDF("primaryKey", "operation", "payloadJson", "eventTime", "traceId")
+      val empty = graft.connectors.UpsertSink.emptyTable(spark)
+      val once = graft.connectors.UpsertSink.applyBatch(empty, updates, "eventTime", "traceId")
+      val twice = graft.connectors.UpsertSink.applyBatch(once, updates, "eventTime", "traceId")
+      assert(
+        once.select("_id", "doc").as[(String, String)].collect().toSet ===
+          twice.select("_id", "doc").as[(String, String)].collect().toSet,
+        s"seed=$seed")
+    }
+  }
+}

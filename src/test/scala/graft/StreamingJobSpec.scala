@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.connectors.CdcSource
+import graft.jobs.MongoToKafkaJob
+
+/** End-to-end streaming flagship: file-backed change stream (hash-mod
+  * splits, checkpoint = resume token) → fused transformWithState pipeline →
+  * memory sink.
+  */
+class StreamingJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MongoToKafka streaming: CDC files flow through the fused pipeline") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("cdc-stream").toString
+      // change-log fixture: insert, duplicate insert (same key+ts), update
+      // with same payload (suppressed), update with new payload, delete
+      Files.writeString(
+        java.nio.file.Paths.get(s"$dir/batch1.json"),
+        Seq(
+          """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:00:00.000Z"}""",
+          """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:00:00.000Z"}""",
+          """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:01:00.000Z"}""",
+          """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 20}","updatedFields":null,"eventTime":"2024-01-01T00:02:00.000Z"}""",
+          """{"op":"delete","db":"d","collection":"c","documentKey":"{\"_id\": 2}","fullDocument":null,"updatedFields":null,"eventTime":"2024-01-01T00:03:00.000Z"}"""
+        ).mkString("\n"))
+      val cdc = CdcSource.multi(spark, dir, numSplits = 2)
+      val out = MongoToKafkaJob.buildStreaming(cdc, ttlMs = 0)
+      val q = out.writeStream.format("memory").queryName("m2k_stream").outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val rows = spark.table("m2k_stream")
+          .select($"operation", $"primaryKey", get_json_object($"payloadJson", "$.v").as("v"))
+          .as[(String, String, Option[String])].collect().toSet
+        // duplicate insert dropped; unchanged update suppressed;
+        // changed update and delete flow through
+        assert(rows === Set(
+          ("insert", "1", Some("10")),
+          ("update", "1", Some("20")),
+          ("delete", "2", None)))
+        // metadata decoration + trace id stamped
+        val meta = spark.table("m2k_stream")
+          .select(element_at($"metadata", "stage.pre-sink.taskName")).as[String].collect()
+        assert(meta.forall(_ == "MongoToKafka"))
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+}
