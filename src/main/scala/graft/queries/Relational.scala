@@ -170,7 +170,80 @@ object Relational {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** TPC-H Q6-style forecasting filter-agg: the pure pushdown/codegen probe. */
+  def q6Forecast(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .lineitem(spark, dir)
+      .filter(
+        $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+      .agg(
+        (asDouble(sum(cents($"l_extendedprice") * pct($"l_discount"))) / 10000.0).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  val q6Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/10000.0 AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  /** Top-3 line items per order by price — ranking window coverage. */
+  def qTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey")
+      .orderBy($"price_c".desc, $"l_linenumber".asc)
+    Tables
+      .lineitem(spark, dir)
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey", $"l_linenumber", cents($"l_extendedprice").as("price_c"))
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+  }
+
+  val qTopPerGroupSql: String =
+    """SELECT l_orderkey, l_linenumber, price_c, rnk FROM (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY CAST(round(l_extendedprice*100) AS BIGINT) DESC, l_linenumber ASC) AS rnk
+      |  FROM lineitem WHERE l_orderkey % 50 = 0)
+      |WHERE rnk <= 3""".stripMargin
+
+  /** Tumbling event-time window rollup over the event stream (the batch face
+    * of the streaming windowed aggregation).
+    */
+  def qTumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"), (asDouble(sum(cents($"value"))) / 100.0).as("sum_value"))
+      .select(
+        unix_micros($"window.start").as("w_start_us"),
+        $"event_type",
+        $"n",
+        $"sum_value")
+  }
+
+  val qTumblingWindowSql: String =
+    """SELECT
+      |  epoch_us(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))) AS w_start_us,
+      |  event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast" -> q6Forecast,
+    "q_top_per_group" -> qTopPerGroup,
+    "q_tumbling_window" -> qTumblingWindow,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
@@ -178,6 +251,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast" -> q6Sql,
+    "q_top_per_group" -> qTopPerGroupSql,
+    "q_tumbling_window" -> qTumblingWindowSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_revenue" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,
