@@ -150,25 +150,14 @@ object Dedup {
       .select(col("i"), col("j"), floor(col("jaccard") * 1e6).cast("long").as("jac_e6"))
   }
 
-  /** 60-bit SimHash of the token multiset, as one per-row expression
-    * (nested higher-order functions; zero shuffle). Token hashes are
-    * materialized once in `_hs`, then each bit position folds over them
-    * (the Scala `shiftright(Column, Int)` signature can't take a column bit
-    * index, so the bit fold is SQL text — same Catalyst expressions).
+  /** 60-bit SimHash of the token multiset: token hashes materialized once,
+    * then the native codegen'd [[graft.functions.SimHash60]] expression does
+    * the bit-count loop (zero shuffle; bit-identical to the HOF/oracle
+    * formulation).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.withColumn("_hs", transform(TextAnalysis.tokens(col(textCol)), t => Hashing.hash60(t)))
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, b) ->
-            |  acc + IF(
-            |    aggregate(_hs, CAST(0 AS BIGINT),
-            |              (a, h) -> a + CAST(shiftright(h, b) % 2 AS BIGINT) * 2 - 1) > 0,
-            |    shiftleft(CAST(1 AS BIGINT), b),
-            |    CAST(0 AS BIGINT)))""".stripMargin
-        )
-      )
+      .withColumn("simhash", graft.functions.SimHash60(col("_hs")))
       .select(col(idCol), col("simhash"))
 
   /** Embedding-cosine near-dup pairs within a blocking key (coarse bucket:
