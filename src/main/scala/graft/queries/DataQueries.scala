@@ -23,11 +23,12 @@ object DataQueries {
 
   private val shCte =
     """sh AS (
-      |  SELECT doc_id,
-      |    unnest(list_distinct(list_transform(
-      |      range(1, greatest(len(t)-2, 1)+1),
-      |      i -> array_to_string(list_slice(t, i, i+2), ' ')))) AS sh
-      |  FROM toks)""".stripMargin
+      |  SELECT doc_id, CAST(('0x'||substr(md5(s),1,15)) AS BIGINT) AS sh FROM (
+      |    SELECT doc_id,
+      |      unnest(list_distinct(list_transform(
+      |        range(1, greatest(len(t)-2, 1)+1),
+      |        i -> array_to_string(list_slice(t, i, i+2), ' ')))) AS s
+      |    FROM toks))""".stripMargin
 
   private val hash60Sql = (e: String) => s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
 
@@ -138,7 +139,7 @@ object DataQueries {
       .map(i => s"min((${Dedup.minhashA(i)} * bh + ${Dedup.minhashB(i)}) % $p) AS h$i")
       .mkString(",\n    ")
     s"""hashed_sh AS (
-       |  SELECT doc_id, ${hash60Sql("sh")} % $p AS bh FROM sh),
+       |  SELECT doc_id, sh % $p AS bh FROM sh),
        |sig AS (
        |  SELECT doc_id AS sid,
        |    $mins
