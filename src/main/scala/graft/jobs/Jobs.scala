@@ -175,6 +175,33 @@ object OrderPaymentJoinJob extends GraftJob {
       .drop("p_key", "p_payload", "p_source", "p_ts")
   }
 
+  /** Streaming face: watermarked stream-stream join + the same metadata
+    * merge. `delay` bounds both sides' state (>= TTL + out-of-orderness).
+    */
+  def buildStreaming(
+      orders: DataFrame,
+      payments: DataFrame,
+      ttlMs: Long,
+      delay: String
+  ): DataFrame = {
+    val l = orders.select(
+      col("operation"), col("source"), col("payloadJson"), col("eventTime"),
+      col("processedTime"), col("traceId"), col("primaryKey"), col("metadata"))
+    val r = payments.select(
+      col("primaryKey").as("p_key"), col("payloadJson").as("p_payload"),
+      col("source").as("p_source"), col("eventTime").as("p_ts"))
+    DynamicJoiner("primaryKey", "p_key", "eventTime", "p_ts", ttlMs, "left_outer")
+      .streaming(l, r, delay)
+      .withColumn(
+        "metadata",
+        when(col("p_payload").isNotNull,
+          map_concat(
+            coalesce(col("metadata"), map()),
+            map(lit("paymentPayload"), col("p_payload"), lit("paymentSource"), col("p_source"))))
+          .otherwise(col("metadata")))
+      .drop("p_key", "p_payload", "p_source", "p_ts")
+  }
+
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val env = Tables.eventsAsEnvelopes(spark, sfDir)
     val out = build(
@@ -254,6 +281,24 @@ object UserStateMaterializeJob extends GraftJob {
       col("key").as("primaryKey"),
       map(lit("changelog"), lit("true")).as("metadata"))
 
+  /** Streaming face: transformWithState materialization → changelog
+    * envelopes → compacted keyed projection (tombstones for deletes).
+    * Requires the RocksDB state store.
+    */
+  def buildStreaming(envelopes: org.apache.spark.sql.Dataset[graft.model.StreamEnvelop],
+      ttlMs: Long = 24 * 3600 * 1000): DataFrame = {
+    val changelog = graft.stateful.Processors
+      .materialize(envelopes, _.operation == "delete", ttlMs)
+      .toDF()
+      .select(
+        col("changeType").as("change_type"),
+        col("key"),
+        col("before"),
+        col("after"),
+        col("timestamp").as("ts"))
+    KafkaConnectors.keyedProjection(toEnvelop(changelog, current_timestamp()), compacted = true)
+  }
+
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val env = Tables.eventsAsEnvelopes(spark, sfDir)
     val changelog = Materializer("primaryKey", "payloadJson", col("operation") === "delete")
@@ -288,6 +333,15 @@ object UserSessionAnalysisJob extends GraftJob {
         lit("sessionEnd"), col("session_end_us").cast("string"),
         lit("eventCount"), col("event_count").cast("string"),
         lit("duration"), col("duration_ms").cast("string")).as("metadata"))
+
+  /** Streaming face: watermarked session_window aggregation (sessions emit
+    * on close, once the watermark passes start+gap) → session envelopes.
+    */
+  def buildStreaming(envelopes: DataFrame, gap: String, outOfOrderness: String = "0 seconds"): DataFrame = {
+    val sessions = SessionAnalyzer("primaryKey", "eventTime", gap, outOfOrderness)
+      .analyze(envelopes, actionCol = "operation", tieCol = "traceId")
+    toEnvelop(sessions, current_timestamp())
+  }
 
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val sessions = SessionAnalyzer("user_id", "ts", "4 hours")

@@ -36,10 +36,13 @@ final case class DynamicJoiner(
   )
 
   private def condition(l: DataFrame, r: DataFrame) = {
-    val ttlUs = ttlMs * 1000L
+    // raw timestamp +- interval (NOT unix_micros arithmetic): Spark's
+    // streaming-join watermark extraction must see the bare event-time
+    // columns in the range condition to bound state / emit outer rows
+    val ttl = expr(s"INTERVAL $ttlMs MILLISECOND")
     l(leftKey) === r(rightKey) &&
-    unix_micros(r(rightTs)) >= unix_micros(l(leftTs)) - ttlUs &&
-    unix_micros(r(rightTs)) <= unix_micros(l(leftTs)) + ttlUs
+    r(rightTs) >= l(leftTs) - ttl &&
+    r(rightTs) <= l(leftTs) + ttl
   }
 
   /** Batch face: range-condition equi-join. */

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.MetricsCollector
+import graft.patterns.{FilterInterceptor, LatencyDetector, OnlineObserver, QualityCheck}
+
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MetricsCollector harvests filter/observer/latency observation metrics") {
+    val collector = new MetricsCollector
+    spark.listenerManager.register(collector.listener)
+    try {
+      val df = Seq((1, 10.0), (2, 200.0), (3, 300.0)).toDF("id", "v")
+        .withColumn("eventTime", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val piped = df
+        .transform(FilterInterceptor("gt100", col("v") > 100))
+        .transform(OnlineObserver("checks", Seq(QualityCheck("big", col("v") > 250))))
+        .transform(LatencyDetector("lat", "eventTime", thresholdMs = 1,
+          clock = lit("2024-01-01 00:00:01").cast("timestamp")))
+      piped.collect() // action triggers QueryExecutionListener (async)
+      val deadline = System.currentTimeMillis() + 10000
+      while (collector.get("filter.gt100/dropped").isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(collector.get("filter.gt100/in") === Some(3L))
+      assert(collector.get("filter.gt100/passed") === Some(2L))
+      assert(collector.get("filter.gt100/dropped") === Some(1L))
+      assert(collector.get("observer.checks/total") === Some(2L))
+      assert(collector.get("observer.checks/big") === Some(1L))
+      assert(collector.get("latency.lat/alert_count") === Some(2L))
+      assert(collector.get("latency.lat/e2e_latency_max_ms") === Some(1000L))
+    } finally spark.listenerManager.unregister(collector.listener)
+  }
+}
