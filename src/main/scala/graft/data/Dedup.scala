@@ -164,6 +164,46 @@ object Dedup {
       .withColumn("simhash", graft.functions.SimHash60(col("_hs")))
       .select(col(idCol), col("simhash"))
 
+  /** Connected-component duplicate clusters from a near-dup pair list:
+    * every document in a component gets the component's minimum doc id as
+    * `cluster_id` (the canonical "keep one per cluster" assignment).
+    *
+    * Min-label propagation to fixpoint: each iteration is one join+groupBy
+    * (label <- min(label, neighbors' labels)), driver loop bounded by
+    * `maxIter`. Near-dup components are tiny (pairs/triples), so this
+    * converges in ~log(diameter) rounds — the standard large-scale
+    * connected-components shape (no driver-side graph).
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("i").as("src"), col("j").as("dst"))
+      .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nlabel")).as("nmin"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Embedding-cosine near-dup pairs within a blocking key (coarse bucket:
     * cluster id / LSH bucket), cosine >= threshold. The block join bounds the
     * quadratic blow-up — the IVF-style scale path.

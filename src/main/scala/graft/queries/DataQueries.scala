@@ -168,6 +168,33 @@ object DataQueries {
        |WHERE jaccard >= 0.8""".stripMargin
   }
 
+  def dDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text"))
+
+  /** Recursive-CTE connected components over the (oracle-replayed) LSH
+    * pair list: cluster id = min reachable doc id.
+    */
+  val dDupClustersSql: String = {
+    val bandSelects = (0 until K / 2)
+      .map(b => s"SELECT sid, $b AS band, h${2 * b} || '_' || h${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $toksCte, $shCte, $mhCte, $jaccardPairsSql,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.sid AS i, b.sid AS j
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid),
+       |pairs AS (
+       |  SELECT c.i, c.j FROM cand c JOIN jac ON c.i = jac.i AND c.j = jac.j
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+       |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
+  }
+
   def dSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -277,6 +304,7 @@ object DataQueries {
     "d_minhash_sig" -> dMinhashSig,
     "d_minhash_pairs" -> dMinhashPairs,
     "d_simhash" -> dSimhash,
+    "d_dup_clusters" -> dDupClusters,
     "d_embed_pairs" -> dEmbedPairs,
     "s_ann_brute" -> sAnnBrute,
     "s_ann_ivf" -> sAnnIvf,
@@ -292,6 +320,7 @@ object DataQueries {
     "d_minhash_sig" -> dMinhashSigSql,
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_simhash" -> dSimhashSql,
+    "d_dup_clusters" -> dDupClustersSql,
     "d_embed_pairs" -> dEmbedPairsSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_ivf" -> sAnnIvfSql,
