@@ -49,6 +49,9 @@ object EnvelopeParser {
       when(looksLikeJson(raw), from_json(raw, envelopeSchema))
     )
     val ok = parsed.filter(col("_env").isNotNull)
+    // NOTE: filter pushdown substitutes the from_json alias into downstream
+    // predicates (the plan prints several copies); whole-stage codegen's
+    // subexpression elimination evaluates the parse once per row at runtime.
     val good = ok.select(
       col("_env.operation").as("operation"),
       col("_env.source").as("source"),
