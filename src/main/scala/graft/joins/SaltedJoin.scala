@@ -1,0 +1,33 @@
+package graft.joins
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for pathologically skewed keys.
+  *
+  * AQE's skew-join splitting handles most skew at runtime (enabled in
+  * GraftSession); salting is the static escape hatch when one key dominates
+  * so heavily that even split partitions won't fit: the big (skewed) side
+  * gets a deterministic salt in [0, n), the small side is replicated n
+  * times, and the join key becomes (key, salt) — fanning one hot partition
+  * out to n.
+  */
+object SaltedJoin {
+
+  /** `skewed` ⋈ `other` on `key`, with `other` replicated `n` times.
+    * `saltBy` picks the salt deterministically (e.g. a row id column);
+    * results are identical to the unsalted join, partitioning is not.
+    */
+  def join(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      saltBy: Column,
+      n: Int,
+      joinType: String = "inner"
+  ): DataFrame = {
+    val l = skewed.withColumn("_salt", pmod(hash(saltBy), lit(n)))
+    val r = other.withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
+    l.join(r, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

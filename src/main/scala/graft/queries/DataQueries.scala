@@ -226,6 +226,66 @@ object DataQueries {
        |SELECT i, j, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
        |FROM scored WHERE cosv >= 0.40""".stripMargin
 
+  /** Corpus-wide term frequency, top 100 (count desc, term asc). */
+  def tTermFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(100)
+
+  val tTermFreqSql: String =
+    s"""WITH $toksCte
+       |SELECT term, COUNT(*) AS n
+       |FROM (SELECT unnest(t) AS term FROM toks)
+       |GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""".stripMargin
+
+  /** The full dedup story: retained corpus after exact dedup (keep min id
+    * per content hash) AND near-dup cluster pruning (keep each LSH
+    * cluster's min id).
+    */
+  def dCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactKeep = Dedup
+      .exactDedup(docs, "doc_id", "text")
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"))
+    val nearDupLosers = Dedup
+      .duplicateClusters(Dedup.minhashPairs(docs, "doc_id", "text"))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
+  }
+
+  val dCleanCorpusSql: String = {
+    val bandSelects = (0 until K / 2)
+      .map(b => s"SELECT sid, $b AS band, h${2 * b} || '_' || h${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $toksCte, $shCte, $mhCte, $jaccardPairsSql,
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.sid AS i, b.sid AS j
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.sid < b.sid),
+       |pairs AS (
+       |  SELECT c.i, c.j FROM cand c JOIN jac ON c.i = jac.i AND c.j = jac.j
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+       |clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |exact_keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents)
+       |  WHERE doc_id = keep_id)
+       |SELECT doc_id FROM exact_keep
+       |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
+  }
+
   // ------------------------------------------------------------- similarity
   private def annQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") % 25 === 0)
@@ -299,6 +359,8 @@ object DataQueries {
     "t_quality" -> tQuality,
     "t_langid" -> tLangId,
     "t_fingerprint" -> tFingerprint,
+    "t_term_freq" -> tTermFreq,
+    "d_clean_corpus" -> dCleanCorpus,
     "d_dedup_exact" -> dExact,
     "d_ngram_jaccard" -> dJaccard,
     "d_minhash_sig" -> dMinhashSig,
@@ -315,6 +377,8 @@ object DataQueries {
     "t_quality" -> tQualitySql,
     "t_langid" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
+    "t_term_freq" -> tTermFreqSql,
+    "d_clean_corpus" -> dCleanCorpusSql,
     "d_dedup_exact" -> dExactSql,
     "d_ngram_jaccard" -> dJaccardSql,
     "d_minhash_sig" -> dMinhashSigSql,

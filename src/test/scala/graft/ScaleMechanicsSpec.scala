@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.joins.SaltedJoin
+
+/** Partitioning mechanics for the 100 TB path: salting and bucketing. */
+class ScaleMechanicsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SaltedJoin: identical results to plain join, key fan-out by salt") {
+    // 90% of rows share one hot key
+    val skewed = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i.toLong)).toDF("k", "id")
+    val dim = Seq(("HOT", "hot-val"), ("k10", "v10"), ("k20", "v20")).toDF("k", "v")
+    val plain = skewed.join(dim, Seq("k")).select("id", "v").as[(Long, String)].collect().toSet
+    val salted = SaltedJoin.join(skewed, dim, "k", saltBy = $"id", n = 8)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(salted === plain)
+    // salt actually spreads the hot key across distinct join partitions
+    val saltSpread = skewed.withColumn("_salt", pmod(hash($"id"), lit(8)))
+      .filter($"k" === "HOT").select("_salt").distinct().count()
+    assert(saltSpread === 8)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // warehouse.dir is a static conf — tables land in ./spark-warehouse
+    // (gitignored) and are dropped below
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+      val ord = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+      ord.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_bucketed")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(1200)}")
+      assert(joined.count() === li.count()) // every lineitem has its order
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+}
