@@ -31,4 +31,30 @@ class MetricsSpec extends SparkSpec {
       assert(collector.get("latency.lat/e2e_latency_max_ms") === Some(1000L))
     } finally spark.listenerManager.unregister(collector.listener)
   }
+
+  test("MetricsCollector harvests streaming observation metrics per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val collector = new MetricsCollector
+    val listener = collector.streamingListener
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[Int]
+      val observed = mem.toDF()
+        .transform(OnlineObserver("stream_health", Seq(QualityCheck("big", col("value") > 10))))
+      val q = observed.writeStream.format("memory").queryName("metrics_stream").outputMode("append").start()
+      try {
+        mem.addData(1, 5, 20)
+        q.processAllAvailable()
+        mem.addData(30)
+        q.processAllAvailable()
+        val deadline = System.currentTimeMillis() + 10000
+        while (collector.get("observer.stream_health/total") != Some(4L) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(100)
+        // counters accumulate across micro-batches
+        assert(collector.get("observer.stream_health/total") === Some(4L))
+        assert(collector.get("observer.stream_health/big") === Some(2L))
+      } finally q.stop()
+    } finally spark.streams.removeListener(listener)
+  }
 }
