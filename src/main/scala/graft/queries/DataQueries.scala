@@ -286,6 +286,40 @@ object DataQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
   }
 
+  /** Embedding vector ops: norm, normalization, int8 quantization quality —
+    * scalar projections so the oracle compares exact doubles.
+    */
+  def eEmbedStats(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding")
+    Tables
+      .embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        Embeddings.l2Norm(v).as("norm"),
+        element_at(Embeddings.l2Normalize(v), 1).as("n1"),
+        Embeddings.quantizeInt8(v).getField("scale").as("q_scale"),
+        element_at(Embeddings.quantizeInt8(v).getField("q"), 1).as("q1"),
+        Embeddings.reconstructionError(v).as("max_err")
+      )
+  }
+
+  val eEmbedStatsSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, v,
+      |    sqrt(list_reduce(list_transform(v, x -> x*x), (a,b) -> a+b)) AS norm,
+      |    list_reduce(list_transform(v, x -> abs(x)), (a,b) -> greatest(a,b)) / 127.0 AS q_scale
+      |  FROM e)
+      |SELECT vec_id, norm,
+      |  CASE WHEN norm = 0 THEN 0.0 ELSE v[1]/norm END AS n1,
+      |  q_scale,
+      |  CASE WHEN q_scale = 0 THEN 0 ELSE CAST(round(v[1]/q_scale) AS INT) END AS q1,
+      |  list_reduce(
+      |    list_transform(range(1, len(v)+1),
+      |      k -> abs(v[k] - (CASE WHEN q_scale = 0 THEN 0 ELSE CAST(round(v[k]/q_scale) AS INT) END * q_scale))),
+      |    (a,b) -> greatest(a,b)) AS max_err
+      |FROM m""".stripMargin
+
   // ------------------------------------------------------------- similarity
   private def annQueries(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") % 25 === 0)
@@ -361,6 +395,7 @@ object DataQueries {
     "t_fingerprint" -> tFingerprint,
     "t_term_freq" -> tTermFreq,
     "d_clean_corpus" -> dCleanCorpus,
+    "e_embed_stats" -> eEmbedStats,
     "d_dedup_exact" -> dExact,
     "d_ngram_jaccard" -> dJaccard,
     "d_minhash_sig" -> dMinhashSig,
@@ -379,6 +414,7 @@ object DataQueries {
     "t_fingerprint" -> tFingerprintSql,
     "t_term_freq" -> tTermFreqSql,
     "d_clean_corpus" -> dCleanCorpusSql,
+    "e_embed_stats" -> eEmbedStatsSql,
     "d_dedup_exact" -> dExactSql,
     "d_ngram_jaccard" -> dJaccardSql,
     "d_minhash_sig" -> dMinhashSigSql,
