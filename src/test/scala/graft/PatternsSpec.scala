@@ -136,6 +136,26 @@ class PatternsSpec extends SparkSpec {
     assert(rows("5") === ("unknown", Some("50")))
   }
 
+  test("PipelineBuilder: compose stages, accumulate DLQ from split stages") {
+    val df = Seq((1, "{\"k\": 1}"), (2, "nope"), (3, "{\"k\": \"s\"}")).toDF("id", "payloadJson")
+    val enforcer = SchemaEnforcer("payloadJson", Seq(
+      SchemaVersion(1, Seq(FieldSpec("k", FieldType.NUMBER)))))
+    val pb = graft.core.PipelineBuilder
+      .from(df)
+      .apply(FilterInterceptor("all", lit(true)))
+      .applySplit { d =>
+        val (good, bad) = enforcer.enforce(d)
+        (good.drop("matched_version"),
+          graft.core.Dlq.toDlq(bad, "SCHEMA_VIOLATION", col("violations"), "test",
+            col("payloadJson"), lit("2024-01-01").cast("timestamp")))
+      }
+      .process(_.withColumn("processed", lit(true)))
+    assert(pb.df.select("id").as[Int].collect().sorted === Array(1))
+    val dlq = pb.deadLetters.get
+    assert(dlq.count() === 2)
+    assert(dlq.columns.toSeq === graft.core.Dlq.columns)
+  }
+
   test("WatermarkAlignedFanIn requires >=2 sources and tags each") {
     val a = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts")
     val b = Seq((2, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"))).toDF("id", "ts")
