@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
 object Hashing {
 
   def hash60(c: Column): Column =
+    graft.functions.Md5Hash60(c)
+
+  /** The builtin-only formulation (kept for cross-checking the native
+    * expression; bit-identical).
+    */
+  def hash60Builtin(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   def hash60Seeded(seed: Int, c: Column): Column =
