@@ -138,6 +138,24 @@ object KafkaToMongoJob extends GraftJob {
     (good.drop("_id_check"), Some(Dlq.union(Seq(parseDlq, dlq)).get))
   }
 
+  /** Streaming face: parse → stream-static broadcast enrichment →
+    * constraint gate → foreachBatch keyed upsert into `tablePath`.
+    * Returns the started query.
+    */
+  def startStreaming(
+      raw: DataFrame,
+      refs: Seq[(String, DataFrame)],
+      tablePath: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val (good, _) = build(raw, refs, current_timestamp())
+    good.writeStream
+      .foreachBatch(graft.connectors.UpsertSink.writer(tablePath) _)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+  }
+
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val raw = JobFixtures.rawEnvelopes(spark, sfDir)
     val ref = Tables.eventsAsEnvelopes(spark, sfDir).filter(col("source") === "signup")
@@ -246,6 +264,29 @@ object EventRouterJob extends GraftJob {
     Route("payments", col("source") === "signup"))
 
   def splitter = ParallelSplitter(routes)
+
+  /** Streaming face — the side-output pattern: ONE source read per
+    * micro-batch, batch persisted, N per-route writes (reference OutputTag
+    * fan-out; SURVEY §7.3.3). Returns the started query.
+    */
+  def startStreaming(
+      envelopes: DataFrame,
+      outDir: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    envelopes.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val routed = splitter.routed(batch).persist()
+        try
+          (routes.map(_.name) :+ "main").foreach { r =>
+            routed.filter(col("route") === r).drop("route")
+              .write.mode("append").parquet(s"$outDir/$r")
+          }
+        finally { routed.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val env = Tables.eventsAsEnvelopes(spark, sfDir)

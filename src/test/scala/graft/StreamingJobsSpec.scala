@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.jobs.{OrderPaymentJoinJob, UserSessionAnalysisJob, UserStateMaterializeJob}
+import graft.jobs.{KafkaToMongoJob, OrderPaymentJoinJob, UserSessionAnalysisJob, UserStateMaterializeJob}
 import graft.model.StreamEnvelop
 
 /** Streaming faces of the remaining jobs. */
@@ -51,6 +51,60 @@ class StreamingJobsSpec extends SparkSpec {
         .select(get_json_object($"payloadJson", "$.actions"), element_at($"metadata", "eventCount"))
         .as[(String, String)].collect()
       assert(rows.contains(("login,click", "2")))
+    } finally q.stop()
+  }
+
+  test("KafkaToMongo streaming: foreachBatch upsert maintains the keyed table") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("k2m").toString
+    val mem = MemoryStream[String]
+    def rawJson(op: String, pk: String, k: Int) =
+      s"""{"operation":"$op","source":"s","payloadJson":"{\\"_id\\": \\"$pk\\", \\"k\\": $k}","primaryKey":"$pk","traceId":"t-$pk-$k"}"""
+    val q = KafkaToMongoJob.startStreaming(
+      mem.toDF().toDF("value"), refs = Seq.empty,
+      tablePath = s"$dir/table", checkpoint = s"$dir/ckpt")
+    try {
+      mem.addData(rawJson("insert", "a", 1), rawJson("insert", "b", 2))
+      q.processAllAvailable()
+      mem.addData(rawJson("update", "a", 10), rawJson("delete", "b", 0))
+      q.processAllAvailable()
+      val table = graft.connectors.UpsertSink.readTable(spark, s"$dir/table")
+        .select($"_id", get_json_object($"doc", "$.k").cast("int")).as[(String, Int)].collect().toMap
+      assert(table === Map("a" -> 10)) // a replaced, b deleted
+    } finally q.stop()
+  }
+
+  test("EventRouter streaming: one read per batch fans out to per-route sinks") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("router").toString
+    val mem = MemoryStream[StreamEnvelop]
+    val q = graft.jobs.EventRouterJob.startStreaming(
+      mem.toDS().toDF(), outDir = s"$dir/routes", checkpoint = s"$dir/ckpt")
+    try {
+      mem.addData(
+        mkEnv("i", "u1", "{}", 1, src = "purchase"),
+        mkEnv("i", "u2", "{}", 2, src = "signup"),
+        mkEnv("i", "u3", "{}", 3, src = "view"))
+      q.processAllAvailable()
+      def n(route: String) = spark.read.parquet(s"$dir/routes/$route").count()
+      assert(n("orders") === 1 && n("payments") === 1 && n("main") === 1)
+    } finally q.stop()
+  }
+
+  test("MergedIngest streaming: watermark-aligned union tags both sources") {
+    implicit val sc = spark.sqlContext
+    val a = MemoryStream[StreamEnvelop]
+    val b = MemoryStream[StreamEnvelop]
+    val out = graft.jobs.MergedIngestJob.build(Seq(
+      "alpha" -> a.toDS().toDF(), "beta" -> b.toDS().toDF()))
+    val q = out.writeStream.format("memory").queryName("ingest_stream").outputMode("append").start()
+    try {
+      a.addData(mkEnv("i", "u1", "{}", 1))
+      b.addData(mkEnv("i", "u2", "{}", 2))
+      q.processAllAvailable()
+      val tags = spark.table("ingest_stream")
+        .select(element_at($"metadata", "ingestSource")).as[String].collect().sorted
+      assert(tags === Array("alpha", "beta"))
     } finally q.stop()
   }
 
