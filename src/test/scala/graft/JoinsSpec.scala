@@ -44,6 +44,36 @@ class JoinsSpec extends SparkSpec {
     assert(out === Set((1, Some(10)), (1, Some(11)), (2, None), (3, None)))
   }
 
+  test("DynamicJoiner.streaming left outer: unmatched left emits once watermark expires its window") {
+    implicit val sc = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val lMem = MemoryStream[(String, Int, Timestamp)]
+    val rMem = MemoryStream[(String, Int, Timestamp)]
+    val joined = DynamicJoiner("l_key", "r_key", "l_ts", "r_ts", ttlMs = 10 * 1000, joinType = "left_outer")
+      .streaming(
+        lMem.toDF().toDF("l_key", "l_id", "l_ts"),
+        rMem.toDF().toDF("r_key", "r_id", "r_ts"),
+        delay = "10 seconds")
+      .select("l_id", "r_id")
+    val q = joined.writeStream.format("memory").queryName("ss_outer").outputMode("append").start()
+    try {
+      lMem.addData(("k", 1, ts(100))) // never matched
+      rMem.addData(("x", 99, ts(100)))
+      q.processAllAvailable()
+      // no emission yet: watermark hasn't passed the join window
+      assert(spark.table("ss_outer").count() === 0)
+      // advance watermark on BOTH inputs far past 100s+ttl+delay
+      lMem.addData(("k2", 2, ts(1000)))
+      rMem.addData(("x2", 98, ts(1000)))
+      q.processAllAvailable()
+      lMem.addData(("k3", 3, ts(1100)))
+      rMem.addData(("x3", 97, ts(1100)))
+      q.processAllAvailable()
+      val got = spark.table("ss_outer").as[(Int, Option[Int])].collect().toSet
+      assert(got.contains((1, None)), s"unmatched left not emitted: $got")
+    } finally q.stop()
+  }
+
   test("DynamicJoiner.streaming: watermarked stream-stream inner join matches within window") {
     implicit val sc = spark.sqlContext
     def ts(s: Long) = new Timestamp(s * 1000)
