@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.StatefulQueries.queries ++
       graft.queries.JoinQueries.queries ++
       graft.queries.DataQueries.queries ++
-      graft.queries.JobQueries.queries
+      graft.queries.JobQueries.queries ++
+      graft.queries.SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.StatefulQueries.oracles ++
       graft.queries.JoinQueries.oracles ++
       graft.queries.DataQueries.oracles ++
-      graft.queries.JobQueries.oracles
+      graft.queries.JobQueries.oracles ++
+      graft.queries.SourceQueries.oracles
 }

@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.jobs.JobFixtures
+
+/** Driver-gate coverage for the custom DataSource V2 change-stream source
+  * (SURVEY §2.1 S3/S4): the events-derived CDC fixture is materialized once
+  * as a JSONL change log, then read back through `format("graft-cdc")` with
+  * 4 hash-mod splits — the oracle derives the same rows from `events`
+  * directly, so a hash-match proves the source (partitioning, JSON decode,
+  * timestamp micros) is lossless and exactly-once across splits.
+  */
+object SourceQueries {
+
+  private def changeLogDir(spark: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft-cdclog-${math.abs(dir.hashCode)}"
+    val marker = new java.io.File(s"$tmp/log.jsonl")
+    if (!marker.exists()) {
+      val stage = s"$tmp.stage"
+      JobFixtures
+        .cdcFromEvents(spark, dir)
+        .orderBy("event_id")
+        .select(
+          to_json(
+            struct(
+              col("op"), col("db"), col("collection"), col("documentKey"),
+              col("fullDocument"), col("updatedFields"), col("eventTime")),
+            Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+          ).as("value"))
+        .coalesce(1)
+        .write.mode("overwrite").text(stage)
+      new java.io.File(tmp).mkdirs()
+      val part = new java.io.File(stage).listFiles().filter(_.getName.startsWith("part-")).head
+      java.nio.file.Files.move(part.toPath, marker.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+    }
+    tmp
+  }
+
+  def s3CdcV2Source(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .format("graft-cdc")
+      .option("path", changeLogDir(spark, dir))
+      .option("numSplits", "4")
+      .load()
+      .select(
+        col("op"),
+        get_json_object(col("documentKey"), "$._id").as("id"),
+        get_json_object(col("fullDocument"), "$.v").as("v"),
+        unix_micros(col("eventTime")).as("ev_us"))
+
+  val s3Sql: String =
+    """SELECT
+      |  CASE CAST(event_id % 5 AS INT)
+      |    WHEN 0 THEN 'c' WHEN 1 THEN 'update' WHEN 2 THEN 'd'
+      |    WHEN 3 THEN 'replace' ELSE 'zz' END AS op,
+      |  CAST(user_id AS VARCHAR) AS id,
+      |  CASE WHEN event_id % 5 = 2 THEN NULL
+      |       ELSE CAST(CAST(round(value*100) AS BIGINT) AS VARCHAR) END AS v,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS ev_us
+      |FROM events""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_cdcv2_source" -> s3CdcV2Source
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s3_cdcv2_source" -> s3Sql
+  )
+}
