@@ -38,6 +38,23 @@ object Dlq {
   /** Union several DLQ frames into the single dead-letter stream. */
   def union(frames: Seq[DataFrame]): Option[DataFrame] =
     frames.reduceOption(_.unionByName(_))
+
+  /** Replay dead letters through the envelope parser (the reference's
+    * dlq-replay flow, docs/recovery/dlq-replay-guide.md): raw events are
+    * re-parsed; still-bad rows land in a fresh DLQ frame (with the replay
+    * attempt count visible to the operator via errorMessage).
+    * Returns (recovered envelopes, still dead).
+    */
+  def replay(
+      dlq: DataFrame,
+      clock: Column = current_timestamp()
+  ): (DataFrame, DataFrame) =
+    graft.parsers.EnvelopeParser.parse(
+      dlq.select(col("rawEvent").as("value")),
+      "value",
+      clock,
+      source = "dlq-replay"
+    )
 }
 
 /** Map-column helpers. */

@@ -36,6 +36,18 @@ class SinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Dlq.replay: recovered envelopes flow, still-broken events stay dead") {
+    val clock = org.apache.spark.sql.functions.lit("2024-07-01 00:00:00").cast("timestamp")
+    val dlq = Seq(
+      ("PARSING_ERROR", "bad", "src", new Timestamp(0), """{"operation":"insert","source":"s","primaryKey":"k1"}""", null.asInstanceOf[String]),
+      ("PARSING_ERROR", "bad", "src", new Timestamp(0), "still not json", null.asInstanceOf[String])
+    ).toDF(graft.core.Dlq.columns: _*)
+    val (recovered, stillDead) = graft.core.Dlq.replay(dlq, clock)
+    assert(recovered.select("primaryKey").as[String].collect() === Array("k1"))
+    assert(stillDead.count() === 1)
+    assert(stillDead.select("source").as[String].head() === "dlq-replay")
+  }
+
   test("EsSink.prepare: null trace ids skipped, duplicate doc ids collapsed") {
     val df = Seq(
       mkEnv("i", "a", "{}", 1).copy(traceId = "t1"),
