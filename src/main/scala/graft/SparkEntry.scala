@@ -10,9 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The flagship is the end-to-end MongoToKafka CDC pipeline (parse →
+    * filter → dedup → change-suppression → schema gate → observe →
+    * decorate → trace stamping).
+    */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+    graft.queries.JobQueries.jobMongoToKafka(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

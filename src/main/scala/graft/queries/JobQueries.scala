@@ -15,7 +15,7 @@ object JobQueries {
 
   // ------------------------------------------------------- MongoToKafka
   def jobMongoToKafka(spark: SparkSession, dir: String): DataFrame = {
-    val (out, _) = MongoToKafkaJob.build(JobFixtures.cdcFromEvents(spark, dir), JobFixtures.fixedClock)
+    val (out, _) = MongoToKafkaJob.build(JobFixtures.cdcFromEventsCached(spark, dir), JobFixtures.fixedClock)
     out.select(
       col("primaryKey"),
       col("operation"),
@@ -49,7 +49,7 @@ object JobQueries {
 
   // ------------------------------------------------------- KafkaToMongo
   def jobKafkaToMongo(spark: SparkSession, dir: String): DataFrame = {
-    val raw = JobFixtures.rawEnvelopes(spark, dir)
+    val raw = JobFixtures.rawEnvelopesCached(spark, dir)
     val ref = Tables.eventsAsEnvelopes(spark, dir).filter(col("source") === "signup")
     val (good, _) = KafkaToMongoJob.build(raw, Seq("Ref1" -> ref), JobFixtures.fixedClock)
     graft.connectors.UpsertSink

@@ -19,8 +19,7 @@ object SourceQueries {
     if (!marker.exists()) {
       val stage = s"$tmp.stage"
       JobFixtures
-        .cdcFromEvents(spark, dir)
-        .orderBy("event_id")
+        .cdcFromEventsCached(spark, dir)
         .select(
           to_json(
             struct(
