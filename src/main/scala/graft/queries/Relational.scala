@@ -240,7 +240,25 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** HyperLogLog sketch cardinalities — the 100 TB path for distinct counts
+    * (exact countDistinct shuffles every value; HLL ships fixed-size
+    * sketches). No DuckDB oracle (different sketch algorithm) — driver
+    * records the weaker rows-only check; the spec bounds sketch error
+    * against the exact count.
+    */
+  def qSketchCardinality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .events(spark, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
+        countDistinct($"user_id").as("exact_users")
+      )
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sketch_cardinality" -> qSketchCardinality,
     "q6_forecast" -> q6Forecast,
     "q_top_per_group" -> qTopPerGroup,
     "q_tumbling_window" -> qTumblingWindow,

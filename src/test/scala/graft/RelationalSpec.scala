@@ -35,6 +35,15 @@ class RelationalSpec extends SparkSpec {
     assert(n === graft.core.Tables.events(spark, sf).count())
   }
 
+  test("sketch cardinality: HLL within 5% of exact") {
+    val rows = Relational.qSketchCardinality(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05, s"$approx vs $exact")
+    }
+  }
+
   test("q1 plan: filter pushed to parquet scan, aggregate is partial+final") {
     val plan = Relational.q1PricingSummary(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
