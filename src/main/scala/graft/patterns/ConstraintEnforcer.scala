@@ -32,7 +32,9 @@ final case class NotNullRule(column: String) extends ConstraintRule {
 final case class RangeRule(column: String, min: Double, max: Double) extends ConstraintRule {
   val name = s"range_$column"
   def violation: Column = {
-    val v = col(column).cast("double")
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes cast THROW on
+    // malformed input instead of yielding null
+    val v = expr(s"try_cast(`$column` AS DOUBLE)")
     when(col(column).isNotNull && v.isNull, lit(s"$column is not a number"))
       .when(v < min || v > max, lit(s"$column out of range"))
   }

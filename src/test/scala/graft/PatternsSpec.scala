@@ -61,6 +61,28 @@ class PatternsSpec extends SparkSpec {
     assert(b(4).contains("invalid:payload"))
   }
 
+  test("SchemaEnforcer: optional fields may be absent but must type-check when present") {
+    val df = Seq(
+      (1, """{"k": 1}"""), // opt absent -> ok
+      (2, """{"k": 1, "opt": "s"}"""), // opt present+string -> ok
+      (3, """{"k": 1, "opt": [1]}""") // opt present wrong type -> violation
+    ).toDF("id", "payloadJson")
+    val enf = SchemaEnforcer("payloadJson", Seq(SchemaVersion(1, Seq(
+      FieldSpec("k", FieldType.NUMBER),
+      FieldSpec("opt", FieldType.STRING, required = false)
+    ))))
+    val (good, bad) = enf.enforce(df)
+    assert(good.select("id").as[Int].collect().sorted === Array(1, 2))
+    assert(bad.select("violations").as[String].head() === "v1:[type:opt]")
+  }
+
+  test("RangeRule: non-numeric string values are violations") {
+    val df = Seq(("1", "5"), ("2", "abc"), ("3", null.asInstanceOf[String])).toDF("id", "n")
+    val (good, bad) = ConstraintEnforcer(Seq(RangeRule("n", 0, 10))).enforce(df)
+    assert(good.select("id").as[String].collect().sorted === Array("1", "3")) // null passes range (NotNull is a separate rule)
+    assert(bad.select("violations").as[String].head() === "n is not a number")
+  }
+
   test("SchemaEnforcer: BOOLEAN/MAP/LIST type gates") {
     val df = Seq(
       (1, """{"b": true, "m": {"x":1}, "l": [1,2]}"""),
