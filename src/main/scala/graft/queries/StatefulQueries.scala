@@ -102,7 +102,7 @@ object StatefulQueries {
       |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
       |g AS (
       |  SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
-      |                   OR ts - LAG(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      |                   OR ts - LAG(ts) OVER w > INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT *, SUM(new_s) OVER (

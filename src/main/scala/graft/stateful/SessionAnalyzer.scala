@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * `allowedLateness` has no direct Spark knob: fold it into the watermark
   * delay (documented delta, SURVEY §7.3.6).
+  *
+  * Boundary delta: an event arriving EXACTLY at lastEvent+gap merges into
+  * the session in Spark (touching windows merge); Flink's
+  * EventTimeSessionWindows splits there. Measure-zero on continuous
+  * timestamps; oracles use the Spark (touch-merge) semantics.
   */
 final case class SessionAnalyzer(
     keyCol: String,

@@ -80,6 +80,51 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: session_window matches an independent gaps-and-islands reference") {
+    val gapSec = 60L
+    Seq(11L, 23L, 77L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 120).map(i => (s"u${rnd.nextInt(4)}", rnd.nextInt(2000).toLong, i.toLong))
+      // independent reference: sort per user, split where gap >= gapSec
+      val expected = events.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map(e => (e._2, e._3)).sortBy(identity)
+        val sessions = sorted.foldLeft(Vector.empty[Vector[(Long, Long)]]) { (acc, e) =>
+          if (acc.nonEmpty && e._1 - acc.last.last._1 <= gapSec) acc.init :+ (acc.last :+ e)
+          else acc :+ Vector(e)
+        }
+        sessions.map(s => (u, s.head._1 * 1000000L, (s.last._1 + gapSec) * 1000000L, s.size.toLong))
+      }.toSet
+      val df = events.toDF("user", "sec", "tie")
+        .withColumn("ts", timestamp_seconds($"sec"))
+      val got = graft.stateful.SessionAnalyzer("user", "ts", "60 seconds")
+        .analyze(df, "user", "tie")
+        .select("key", "session_start_us", "session_end_us", "event_count")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
+  test("property: DynamicJoiner batch matches an independent nested-loop reference") {
+    Seq(2L, 31L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      def side(n: Int, idBase: Int) =
+        (1 to n).map(i => (s"k${rnd.nextInt(6)}", idBase + i, rnd.nextInt(500).toLong))
+      val ls = side(40, 0)
+      val rs = side(40, 1000)
+      val ttlSec = 30L
+      val expected: Set[(Int, Option[Int])] = ls.flatMap { l =>
+        val matches = rs.filter(r => r._1 == l._1 && math.abs(r._3 - l._3) <= ttlSec)
+        if (matches.isEmpty) Seq((l._2, None)) else matches.map(r => (l._2, Some(r._2)))
+      }.toSet
+      val lDf = ls.toDF("l_key", "l_id", "sec").withColumn("l_ts", timestamp_seconds($"sec"))
+      val rDf = rs.toDF("r_key", "r_id", "sec").withColumn("r_ts", timestamp_seconds($"sec"))
+      val got = graft.joins.DynamicJoiner("l_key", "r_key", "l_ts", "r_ts", ttlSec * 1000, "left_outer")
+        .batch(lDf, rDf)
+        .select("l_id", "r_id").as[(Int, Option[Int])].collect().toSet
+      assert(got === expected, s"seed=$seed")
+    }
+  }
+
   test("property: upsert applyBatch is idempotent (replay converges)") {
     Seq(5L, 13L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
