@@ -59,3 +59,19 @@ final case class DynamicJoiner(
     l.join(r, condition(l, r), joinType)
   }
 }
+
+object DynamicJoiner {
+
+  /** Stamp an ingest/arrival-time column. The reference's join TTL runs on
+    * PROCESSING-time arrival distance (DynamicJoiner.java:206-229), not
+    * event time — for strict fidelity stamp both streams at ingest and pass
+    * the stamped column as the join's time axis:
+    * {{{
+    * val l = DynamicJoiner.stampArrival(orders, "arrivalTs")
+    * val r = DynamicJoiner.stampArrival(payments, "arrivalTs")
+    * DynamicJoiner("k", "k2", "arrivalTs", "arrivalTs2", ttl).streaming(l, r, delay)
+    * }}}
+    */
+  def stampArrival(df: DataFrame, colName: String): DataFrame =
+    df.withColumn(colName, current_timestamp())
+}
