@@ -240,6 +240,50 @@ object Relational {
       |FROM events
       |GROUP BY 1, 2""".stripMargin
 
+  /** TPC-H Q7-style bi-nation shipping volume: supplier nation ↔ customer
+    * nation pairs, revenue by year. Dimension chain broadcast; one shuffle
+    * for the final (nation, nation, year) aggregate.
+    */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n1 = Tables.nation(spark, dir).select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = Tables.nation(spark, dir).select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    val sup = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+    val cust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+    val ord = Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+    Tables
+      .lineitem(spark, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount", $"l_shipdate")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .filter(
+        ($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate".cast("timestamp")).as("l_year"))
+      .agg(
+        (asDouble(sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount")))) / 10000.0)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q7Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** HyperLogLog sketch cardinalities — the 100 TB path for distinct counts
     * (exact countDistinct shuffles every value; HLL ships fixed-size
     * sketches). No DuckDB oracle (different sketch algorithm) — driver
@@ -260,6 +304,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_cardinality" -> qSketchCardinality,
     "q6_forecast" -> q6Forecast,
+    "q7_nation_volume" -> q7NationVolume,
     "q_top_per_group" -> qTopPerGroup,
     "q_tumbling_window" -> qTumblingWindow,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -270,6 +315,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q6_forecast" -> q6Sql,
+    "q7_nation_volume" -> q7Sql,
     "q_top_per_group" -> qTopPerGroupSql,
     "q_tumbling_window" -> qTumblingWindowSql,
     "q1_pricing_summary" -> q1Sql,
