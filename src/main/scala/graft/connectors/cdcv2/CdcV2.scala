@@ -139,8 +139,14 @@ class CdcReaderFactory extends PartitionReaderFactory {
 class CdcPartitionReader(files: Seq[String], splitIndex: Int, numSplits: Int)
     extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
+  // Track the open segment so each file handle is closed when the next
+  // segment opens (and in close()) — a lazy fromFile chain would leak one
+  // descriptor per segment per partition per micro-batch.
+  private var openSource: scala.io.Source = _
   private val lines: Iterator[String] = files.iterator.flatMap { f =>
-    scala.io.Source.fromFile(f, "UTF-8").getLines()
+    if (openSource != null) openSource.close()
+    openSource = scala.io.Source.fromFile(f, "UTF-8")
+    openSource.getLines()
   }
   private var current: InternalRow = _
 
@@ -185,7 +191,11 @@ class CdcPartitionReader(files: Seq[String], splitIndex: Int, numSplits: Int)
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (openSource != null) {
+      openSource.close()
+      openSource = null
+    }
 }
 
 private[cdcv2] object CdcLog {

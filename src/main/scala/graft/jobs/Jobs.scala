@@ -45,7 +45,8 @@ object MongoToKafkaJob extends GraftJob {
       .apply(FilterInterceptor("known-ops", col("operation") =!= "unknown"))
       .apply(df => Deduplicator(Seq("primaryKey", "eventTime")).batch(df, "eventTime", "payloadJson"))
       .apply(df =>
-        StatefulMerger(Seq("primaryKey"), "payloadJson", Seq("updatedAt", "modifiedAt"))
+        StatefulMerger(Seq("primaryKey"), "payloadJson", Seq("updatedAt", "modifiedAt"),
+          opCol = Some("operation"))
           .batch(df, "eventTime", "payloadJson"))
       .applySplit { df =>
         val (good, bad) = enforcer.enforce(df)

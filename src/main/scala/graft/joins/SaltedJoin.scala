@@ -17,6 +17,11 @@ object SaltedJoin {
   /** `skewed` ⋈ `other` on `key`, with `other` replicated `n` times.
     * `saltBy` picks the salt deterministically (e.g. a row id column);
     * results are identical to the unsalted join, partitioning is not.
+    *
+    * Only `inner` and `left_outer` (skewed side preserved) are supported:
+    * under `right_outer`/`full_outer` the replicated small side would emit
+    * each unmatched right row n times, so those are rejected rather than
+    * silently wrong.
     */
   def join(
       skewed: DataFrame,
@@ -26,6 +31,11 @@ object SaltedJoin {
       n: Int,
       joinType: String = "inner"
   ): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(
+      jt == "inner" || jt == "left" || jt == "leftouter",
+      s"SaltedJoin supports inner/left_outer only (got $joinType): replicating the small side " +
+        "n times would duplicate unmatched right-side rows under right/full outer joins")
     val l = skewed.withColumn("_salt", pmod(hash(saltBy), lit(n)))
     val r = other.withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")

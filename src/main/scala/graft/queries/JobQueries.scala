@@ -39,13 +39,14 @@ object JobQueries {
       |f AS (SELECT * FROM cdc WHERE operation <> 'unknown'),
       |m AS (
       |  SELECT *,
+      |    LAG(operation) OVER (PARTITION BY pk ORDER BY et) AS pop,
       |    LAG(v) OVER (PARTITION BY pk ORDER BY et) AS pv,
       |    ROW_NUMBER() OVER (PARTITION BY pk ORDER BY et) AS rn
       |  FROM f)
       |SELECT pk AS primaryKey, operation, v, epoch_us(et) AS ev_us,
       |  'trace-' || pk || '-' || CAST(epoch_us(et) AS VARCHAR) AS traceId
       |FROM m
-      |WHERE rn = 1 OR v IS DISTINCT FROM pv""".stripMargin
+      |WHERE rn = 1 OR operation IS DISTINCT FROM pop OR v IS DISTINCT FROM pv""".stripMargin
 
   // ------------------------------------------------------- KafkaToMongo
   def jobKafkaToMongo(spark: SparkSession, dir: String): DataFrame = {

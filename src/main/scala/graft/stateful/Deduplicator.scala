@@ -58,9 +58,15 @@ final case class Deduplicator(keyCols: Seq[String], ttlMs: Long = 10 * 60 * 1000
             state.remove()
             Iterator.empty
           } else {
+            // Write state + arm the TTL only on first sight: suppressed
+            // duplicates leave state untouched (reference StateTtlConfig
+            // OnCreateAndWrite — the TTL runs from the accepted write, so
+            // duplicates arriving faster than the TTL can't postpone expiry).
             val fresh = !state.exists
-            state.update(true)
-            if (ttl > 0) state.setTimeoutDuration(ttl)
+            if (fresh) {
+              state.update(true)
+              if (ttl > 0) state.setTimeoutDuration(ttl)
+            }
             if (fresh && events.hasNext) Iterator.single(events.next())
             else Iterator.empty
           }

@@ -137,7 +137,10 @@ object Processors {
         if (seenTs.containsKey(ts)) false // duplicate (key, eventTime)
         else {
           seenTs.updateValue(ts, true)
-          val h = StatefulMerger.hashPayload(e.payloadJson, excludedFields)
+          // __op joins the composite (reference MongoToKafkaJob buildChain):
+          // a DELETE whose payload canonicalizes equal to the prior event's
+          // payload must still reach the sink.
+          val h = StatefulMerger.hashPayload(e.payloadJson, excludedFields, Some(e.operation))
           val changed = !lastHash.exists() || lastHash.get() != h
           if (changed) lastHash.update(h)
           changed

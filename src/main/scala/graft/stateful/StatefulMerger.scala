@@ -11,12 +11,18 @@ import graft.model.StreamEnvelop
   * Reference pattern/merge/StatefulMerger.java:25-122: per-key ValueState of a
   * composite payload hash, excluded fields removed before hashing; equal hash
   * → suppress, else update state + emit. TTL default 24h.
+  *
+  * `opCol`: include this column in the hashed composite as a `__op` entry —
+  * the reference's MongoToKafka chain adds "__op" to the merged map
+  * (job/cdc/MongoToKafkaJob.java buildChain) so a DELETE whose payload
+  * canonicalizes equal to the prior event's payload is still emitted.
   */
 final case class StatefulMerger(
     keyCols: Seq[String],
     payloadCol: String,
     excludedFields: Seq[String] = Seq.empty,
-    ttlMs: Long = 24 * 3600 * 1000
+    ttlMs: Long = 24 * 3600 * 1000,
+    opCol: Option[String] = None
 ) {
 
   /** Batch face: keep rows whose canonical payload differs from the previous
@@ -24,20 +30,28 @@ final case class StatefulMerger(
     */
   def batch(df: DataFrame, tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieCol))
-    val canon = PayloadNorm.canonical(col(payloadCol), excludedFields)
+    val payloadCanon = PayloadNorm.canonical(col(payloadCol), excludedFields)
+    val canon = opCol.fold(payloadCanon)(o => concat(lit("__op="), col(o), lit("|"), payloadCanon))
     df.withColumn("_canon", canon)
       .withColumn("_prev", lag(col("_canon"), 1).over(w))
       .filter(col("_prev").isNull || col("_canon") =!= col("_prev"))
       .drop("_canon", "_prev")
   }
 
-  /** Streaming face: per-key last-hash state with processing-time TTL. */
+  /** Streaming face: per-key last-hash state with processing-time TTL.
+    * State is written and the TTL re-armed ONLY when an event is accepted
+    * (hash changed) — suppressed duplicates leave state untouched so the TTL
+    * runs from the last accepted write, matching the reference's
+    * StateTtlConfig OnCreateAndWrite semantics (duplicates arriving faster
+    * than the TTL do not postpone expiry/re-emission).
+    */
   def streaming(
       ds: Dataset[StreamEnvelop],
       key: StreamEnvelop => String
   ): Dataset[StreamEnvelop] = {
     import ds.sparkSession.implicits._
     val excluded = excludedFields.toSet
+    val includeOp = opCol.isDefined
     val ttl = ttlMs
     val conf =
       if (ttl > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
@@ -50,13 +64,16 @@ final case class StatefulMerger(
           } else {
             var last = state.getOption
             val out = events.filter { e =>
-              val h = StatefulMerger.hashPayload(e.payloadJson, excluded)
+              val h = StatefulMerger.hashPayload(
+                e.payloadJson, excluded, if (includeOp) Some(e.operation) else None)
               val changed = !last.contains(h)
               if (changed) last = Some(h)
               changed
             }.toVector
-            last.foreach(state.update)
-            if (ttl > 0) state.setTimeoutDuration(ttl)
+            if (out.nonEmpty) {
+              last.foreach(state.update)
+              if (ttl > 0) state.setTimeoutDuration(ttl)
+            }
             out.iterator
           }
         }
@@ -69,11 +86,12 @@ object StatefulMerger {
   /** JVM-side canonical payload hash, mirroring [[PayloadNorm.canonical]]:
     * parse the flat JSON object to string pairs, drop excluded keys, sort,
     * hash the `k=v|k=v` rendering. Deterministic across JVMs (no
-    * Object.hashCode).
+    * Object.hashCode). `op` joins the composite as a `__op` entry (the
+    * reference's MongoToKafka "__op" map key).
     */
-  def hashPayload(payload: String, excluded: Set[String]): Long = {
-    val canonical = JsonFlat.parse(payload)
-      .filterNot { case (k, _) => excluded.contains(k) }
+  def hashPayload(payload: String, excluded: Set[String], op: Option[String] = None): Long = {
+    val canonical = (JsonFlat.parse(payload)
+      .filterNot { case (k, _) => excluded.contains(k) } ++ op.map("__op" -> _))
       .toSeq
       .sortBy(_._1)
       .map { case (k, v) => s"$k=${Option(v).getOrElse("∅")}" }

@@ -19,13 +19,16 @@ class StreamingJobSpec extends SparkSpec {
     try {
       val dir = Files.createTempDirectory("cdc-stream").toString
       // change-log fixture: insert, duplicate insert (same key+ts), update
-      // with same payload (suppressed), update with new payload, delete
+      // with same payload (op changed → emitted: __op joins the hash
+      // composite like the reference), second update with the same op and
+      // payload as the first (suppressed), update with new payload, delete
       Files.writeString(
         java.nio.file.Paths.get(s"$dir/batch1.json"),
         Seq(
           """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:00:00.000Z"}""",
           """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:00:00.000Z"}""",
           """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:01:00.000Z"}""",
+          """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:01:30.000Z"}""",
           """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 20}","updatedFields":null,"eventTime":"2024-01-01T00:02:00.000Z"}""",
           """{"op":"delete","db":"d","collection":"c","documentKey":"{\"_id\": 2}","fullDocument":null,"updatedFields":null,"eventTime":"2024-01-01T00:03:00.000Z"}"""
         ).mkString("\n"))
@@ -37,10 +40,12 @@ class StreamingJobSpec extends SparkSpec {
         val rows = spark.table("m2k_stream")
           .select($"operation", $"primaryKey", get_json_object($"payloadJson", "$.v").as("v"))
           .as[(String, String, Option[String])].collect().toSet
-        // duplicate insert dropped; unchanged update suppressed;
-        // changed update and delete flow through
+        // duplicate insert dropped; first update emitted (op changed even
+        // though payload didn't); second same-op-same-payload update
+        // suppressed; changed update and delete flow through
         assert(rows === Set(
           ("insert", "1", Some("10")),
+          ("update", "1", Some("10")),
           ("update", "1", Some("20")),
           ("delete", "2", None)))
         // metadata decoration + trace id stamped
