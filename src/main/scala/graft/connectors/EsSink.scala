@@ -1,6 +1,6 @@
 package graft.connectors
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Search-index sink shape (the Elasticsearch-sink analogue).
@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * skipped, flush per action.
   *
   * `prepare` is the engine-grade projection: drop id-less rows, last write
-  * per doc id wins (idempotent upsert semantics); `writer` appends the
-  * prepared frame per micro-batch (fixture backend — swap for an ES bulk
-  * client in `foreachBatch` against a live cluster).
+  * per doc id wins; `writer` maintains the index as a keyed last-write-wins
+  * merge (same bucketed shape as [[UpsertSink]]) — indexing by id is an
+  * overwrite in ES, so a REPLAYED micro-batch converges to byte-identical
+  * index state instead of appending duplicate doc ids. Swap the merge for an
+  * ES bulk client in `foreachBatch` against a live cluster.
   */
 object EsSink {
 
@@ -26,6 +28,23 @@ object EsSink {
       )
       .dropDuplicates("_doc_id")
 
-  def writer(path: String)(batch: DataFrame, batchId: Long): Unit =
-    prepare(batch).write.mode("append").parquet(path)
+  def emptyIndex(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("_doc_id", StringType), StructField("doc", StringType)))
+    )
+  }
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    KeyedParquetTable(path, "_doc_id").readOr(spark, emptyIndex(spark))
+
+  def writer(path: String, numBuckets: Int = UpsertSink.DefaultBuckets)(
+      batch: DataFrame,
+      batchId: Long
+  ): Unit = {
+    val docs = prepare(batch)
+    KeyedParquetTable(path, "_doc_id", numBuckets)
+      .mergeBatch(docs, docs.select(col("_doc_id")).limit(0), batchId)
+  }
 }

@@ -1,23 +1,109 @@
 package graft.connectors
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Hash-bucketed keyed parquet table: parquet files under `bucket=K`
+  * directories of `path`, bucket = `pmod(hash(key), numBuckets)`.
+  *
+  * A micro-batch merge rewrites ONLY the buckets its keys hash into and swaps
+  * them with Hadoop `FileSystem.rename` — O(touched buckets × bucket size)
+  * per batch, never O(table), and no `java.io.File` (works on HDFS;
+  * object stores get copy-on-rename, the standard caveat — swap for a
+  * table-format MERGE there). This is the scale shape of the reference's
+  * idempotent `replaceOne(_id, doc, upsert=true)` bulkWrite
+  * (connector/mongo/MongoSinkBuilder.java:105-139).
+  */
+final case class KeyedParquetTable(path: String, keyCol: String, numBuckets: Int = 64) {
+
+  def bucketOf(key: Column): Column = pmod(hash(key), lit(numBuckets))
+
+  /** Read the table (bucket partition column dropped); `empty` supplies the
+    * schema when the table doesn't exist yet.
+    */
+  def readOr(spark: SparkSession, empty: => DataFrame): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+      spark.read.parquet(path).drop("bucket")
+    else empty
+  }
+
+  /** Merge one batch: rows in `upserts` replace-or-insert by key, keys in
+    * `deleteKeys` are removed. Caller guarantees one row per key in
+    * `upserts` and that the two frames' keys are disjoint (last op per key
+    * already decided). Untouched buckets are not read, not rewritten, not
+    * renamed. Replaying the same batch converges to the same table state
+    * (idempotent — what makes checkpointed at-least-once effectively
+    * exactly-once end-to-end).
+    */
+  def mergeBatch(upserts: DataFrame, deleteKeys: DataFrame, batchId: Long): Unit = {
+    val spark = upserts.sparkSession
+    val touched = upserts.select(bucketOf(col(keyCol)).as("_b"))
+      .unionByName(deleteKeys.select(bucketOf(col(keyCol)).as("_b")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    // current rows of the touched buckets only — the isin filter prunes to
+    // the bucket=K directories, untouched buckets are never scanned
+    val current =
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+        spark.read.parquet(path)
+          .filter(col("bucket").isin(touched: _*))
+          .drop("bucket")
+      else upserts.limit(0)
+    val touchedKeys = upserts.select(col(keyCol))
+      .unionByName(deleteKeys.select(col(keyCol)))
+      .distinct()
+    val merged = current
+      .join(touchedKeys, Seq(keyCol), "left_anti")
+      .unionByName(upserts)
+      .withColumn("bucket", bucketOf(col(keyCol)))
+    val stage = new Path(path + s".stage-$batchId")
+    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+    // atomic per-bucket swap; a bucket whose rows were all deleted has no
+    // staged directory and is simply removed
+    fs.mkdirs(root)
+    touched.foreach { b =>
+      val dst = new Path(root, s"bucket=$b")
+      val src = new Path(stage, s"bucket=$b")
+      val old = new Path(path + s".old-$b")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(dst)) fs.rename(dst, old)
+      if (fs.exists(src)) fs.rename(src, dst)
+      fs.delete(old, true)
+    }
+    fs.delete(stage, true)
+  }
+}
 
 /** Keyed upsert sink (the Mongo-sink analogue, fixture-backed).
   *
   * Reference connector/mongo/MongoSinkBuilder.java:37-230: batches of 500 or
   * a 1 s flush, DELETE → DeleteOneModel(_id), everything else idempotent
-  * `replaceOne(_id, doc, upsert=true)`, unordered bulkWrite.
+  * `replaceOne(_id, doc, upsert=true)`, unordered bulkWrite; individual
+  * write failures route to the DLQ (:158-191).
   *
   * Spark mapping: micro-batches ARE the batching (no hand-rolled timer);
-  * each `foreachBatch` applies the same replace-or-delete merge to a keyed
-  * parquet table. `applyBatch` is the pure merge (unit-tested, engine-grade);
-  * `writer` wires it to a directory. Idempotence: replaying a micro-batch
-  * converges to the same table state (upsert-by-key), which is what makes
-  * checkpointed at-least-once effectively exactly-once end-to-end.
+  * each `foreachBatch` applies the replace-or-delete merge to a
+  * [[KeyedParquetTable]] — touched buckets only, Hadoop-FS renames.
+  * `applyBatch` is the pure merge (unit-tested, engine-grade);
+  * `splitWritable` is the per-row failure channel (rows the store would
+  * reject go to a DLQ frame instead of failing the batch or silently
+  * merging); `writer` wires both to a directory.
   */
 object UpsertSink {
+
+  /** Buckets per table. Sized so a bucket stays a few GB at the target
+    * scale; 64 is right for the fixture tables — a 100 TB deployment sizes
+    * this as table_size / desired_partition_size.
+    */
+  val DefaultBuckets = 64
 
   /** Pure merge: apply `updates` (envelope frame: primaryKey, operation,
     * payloadJson, eventTime, ...) onto `current` keyed by `_id`.
@@ -25,6 +111,18 @@ object UpsertSink {
     * DELETE removes the key.
     */
   def applyBatch(current: DataFrame, updates: DataFrame, tsCol: String, tieCol: String): DataFrame = {
+    val (upserts, deletes) = lastOpPerKey(updates, tsCol, tieCol)
+    val touched = upserts.select(col("_id")).unionByName(deletes).distinct()
+    current
+      .join(touched, Seq("_id"), "left_anti") // untouched rows
+      .unionByName(upserts) // replaced/inserted rows
+  }
+
+  /** Decide the surviving operation per key within a batch: one upsert row
+    * per non-deleted key (projected to the table schema) and the set of
+    * deleted keys.
+    */
+  private def lastOpPerKey(updates: DataFrame, tsCol: String, tieCol: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("primaryKey")).orderBy(col(tsCol).desc, col(tieCol).desc)
     val lastPerKey = updates
       .withColumn("_rn", row_number().over(w))
@@ -38,11 +136,25 @@ object UpsertSink {
         col(tsCol).cast("timestamp").as("updated_at")
       )
     val deletes = lastPerKey.filter(upper(col("operation")) === "DELETE").select(col("primaryKey").as("_id"))
-    val touched = lastPerKey.select(col("primaryKey").as("_id"))
-    current
-      .join(touched, Seq("_id"), "left_anti") // untouched rows
-      .unionByName(upserts) // replaced/inserted rows
-      .join(deletes, Seq("_id"), "left_anti") // minus deletions
+    (upserts, deletes)
+  }
+
+  /** Per-row failure channel, mirroring the reference's per-write DLQ
+    * routing (MongoSinkBuilder.java:158-191): rows the keyed store would
+    * reject — null/empty key, or a non-delete whose payload is not a JSON
+    * object — split into a rejected frame (with `_reject_reason`) instead
+    * of failing the batch or silently merging garbage.
+    */
+  def splitWritable(batch: DataFrame): (DataFrame, DataFrame) = {
+    val isDelete = upper(col("operation")) === "DELETE"
+    val payloadObj = from_json(col("payloadJson"), MapType(StringType, StringType))
+    val reason = when(col("primaryKey").isNull || length(col("primaryKey")) === 0, "null_key")
+      .when(!isDelete && (col("payloadJson").isNull || payloadObj.isNull), "malformed_payload")
+    val tagged = batch.withColumn("_reject_reason", reason)
+    (
+      tagged.filter(col("_reject_reason").isNull).drop("_reject_reason"),
+      tagged.filter(col("_reject_reason").isNotNull)
+    )
   }
 
   def emptyTable(spark: SparkSession): DataFrame = {
@@ -58,27 +170,31 @@ object UpsertSink {
   }
 
   def readTable(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists()) spark.read.parquet(path) else emptyTable(spark)
+    KeyedParquetTable(path, "_id").readOr(spark, emptyTable(spark))
 
-  /** foreachBatch writer maintaining the keyed table at `path`. */
-  def writer(path: String, tsCol: String = "eventTime", tieCol: String = "traceId")(
-      batch: DataFrame,
-      batchId: Long
-  ): Unit = {
-    val spark = batch.sparkSession
-    val merged = applyBatch(readTable(spark, path), batch, tsCol, tieCol).cache()
-    merged.count() // materialize before overwrite (source is the target dir)
-    val tmp = path + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    merged.unpersist()
-    val dst = new java.io.File(path)
-    if (dst.exists()) {
-      val old = new java.io.File(path + ".old")
-      if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
-      dst.renameTo(old)
+  /** foreachBatch writer maintaining the keyed table at `path`: per-row DLQ
+    * split, then a touched-buckets-only merge (see [[KeyedParquetTable]]).
+    * Rejected rows append to `dlqPath` as DlqEvent frames when set.
+    */
+  def writer(
+      path: String,
+      tsCol: String = "eventTime",
+      tieCol: String = "traceId",
+      numBuckets: Int = DefaultBuckets,
+      dlqPath: Option[String] = None
+  )(batch: DataFrame, batchId: Long): Unit = {
+    val (writable, rejected) = splitWritable(batch)
+    dlqPath.foreach { p =>
+      graft.core.Dlq
+        .toDlq(
+          rejected,
+          graft.model.ErrorCodes.ConstraintViolation,
+          col("_reject_reason"),
+          "UpsertSink",
+          col("payloadJson"))
+        .write.mode("append").parquet(p)
     }
-    new java.io.File(tmp).renameTo(dst)
-    val old = new java.io.File(path + ".old")
-    if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    val (upserts, deletes) = lastOpPerKey(writable, tsCol, tieCol)
+    KeyedParquetTable(path, "_id", numBuckets).mergeBatch(upserts, deletes, batchId)
   }
 }

@@ -175,13 +175,18 @@ object Dedup {
     * connected-components shape (no driver-side graph).
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Materialize the pair list ONCE and truncate its lineage (the input is
+    // typically the whole LSH pipeline): without this, every iteration — and
+    // any evicted cached partition — cascades recomputation through the full
+    // upstream plan. localCheckpoint is eager; the edge list is 2×|pairs|
+    // rows of two longs, trivially resident.
     val edges = pairs
       .select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
-      .cache()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -189,18 +194,20 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
+      // One real job per iteration: the eager localCheckpoint materializes
+      // the joined labels (lineage truncated, so iteration N+1 starts from
+      // stored blocks, not a 2N-deep plan); carrying `old` through lets the
+      // convergence test read the checkpointed blocks instead of re-running
+      // the join as a second full job.
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels.unpersist()
-      labels = next
+        .select(col("id"), col("label").as("old"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

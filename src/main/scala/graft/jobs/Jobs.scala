@@ -140,7 +140,9 @@ object KafkaToMongoJob extends GraftJob {
   }
 
   /** Streaming face: parse → stream-static broadcast enrichment →
-    * constraint gate → foreachBatch keyed upsert into `tablePath`.
+    * constraint gate → foreachBatch keyed upsert into `tablePath` (touched
+    * buckets only; rows the store would reject route to `tablePath_dlq` —
+    * the reference's per-write DLQ, MongoSinkBuilder.java:158-191).
     * Returns the started query.
     */
   def startStreaming(
@@ -151,7 +153,8 @@ object KafkaToMongoJob extends GraftJob {
   ): org.apache.spark.sql.streaming.StreamingQuery = {
     val (good, _) = build(raw, refs, current_timestamp())
     good.writeStream
-      .foreachBatch(graft.connectors.UpsertSink.writer(tablePath) _)
+      .foreachBatch(
+        graft.connectors.UpsertSink.writer(tablePath, dlqPath = Some(tablePath + "_dlq")) _)
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
@@ -397,6 +400,15 @@ object UserSessionAnalysisJob extends GraftJob {
 /** Deterministic fixture inputs shared by job batch faces. */
 object JobFixtures {
   val fixedClock: Column = lit("2024-07-01 00:00:00").cast("timestamp")
+
+  /** Prebuild every /tmp fixture (harness work — Bench calls this before
+    * starting any timer so fixture construction never pollutes query times).
+    */
+  def warm(spark: SparkSession, sfDir: String): Unit = {
+    cdcFromEventsCached(spark, sfDir)
+    rawEnvelopesCached(spark, sfDir)
+    ()
+  }
 
   /** Materialize a derived fixture frame once per (name, sfDir) under /tmp
     * and read it back — fixture construction (JSON string building) is test

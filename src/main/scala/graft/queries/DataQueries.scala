@@ -15,11 +15,13 @@ import graft.data._
   */
 object DataQueries {
 
-  private val toksCte =
-    """toks AS (
-      |  SELECT doc_id, lang, source, n_chars, text,
-      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents)""".stripMargin
+  private def toksCteWhere(where: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, lang, source, n_chars, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents$where)""".stripMargin
+
+  private val toksCte = toksCteWhere("")
 
   private val shCte =
     """sh AS (
@@ -126,6 +128,21 @@ object DataQueries {
 
   val dJaccardSql: String =
     s"""WITH $toksCte, $shCte, $jaccardPairsSql
+       |SELECT i, j, CAST(floor(jaccard * 1e6) AS BIGINT) AS jac_e6
+       |FROM jac WHERE jaccard >= 0.8""".stripMargin
+
+  /** The all-pairs verifier on a deterministic 40% id slice (`doc_id % 5 <
+    * 2`). [[dJaccard]] is quadratic BY DESIGN — it is the ground-truth
+    * oracle for the LSH path and is excluded from the bench loop; this
+    * entry keeps an honest benched (and oracle-checked) number for the
+    * verifier shape at bounded cost.
+    */
+  def dJaccardScoped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(
+      Tables.documents(spark, dir).filter(col("doc_id") % 5 < 2), "doc_id", "text")
+
+  val dJaccardScopedSql: String =
+    s"""WITH ${toksCteWhere(" WHERE doc_id % 5 < 2")}, $shCte, $jaccardPairsSql
        |SELECT i, j, CAST(floor(jaccard * 1e6) AS BIGINT) AS jac_e6
        |FROM jac WHERE jaccard >= 0.8""".stripMargin
 
@@ -398,6 +415,7 @@ object DataQueries {
     "e_embed_stats" -> eEmbedStats,
     "d_dedup_exact" -> dExact,
     "d_ngram_jaccard" -> dJaccard,
+    "d_ngram_jaccard_scoped" -> dJaccardScoped,
     "d_minhash_sig" -> dMinhashSig,
     "d_minhash_pairs" -> dMinhashPairs,
     "d_simhash" -> dSimhash,
@@ -417,6 +435,7 @@ object DataQueries {
     "e_embed_stats" -> eEmbedStatsSql,
     "d_dedup_exact" -> dExactSql,
     "d_ngram_jaccard" -> dJaccardSql,
+    "d_ngram_jaccard_scoped" -> dJaccardScopedSql,
     "d_minhash_sig" -> dMinhashSigSql,
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_simhash" -> dSimhashSql,

@@ -68,6 +68,37 @@ object JobQueries {
        |SELECT primaryKey AS _id, doc, epoch_us(eventTime) AS up_us
        |FROM u WHERE rn = 1 AND upper(operation) <> 'DELETE'""".stripMargin
 
+  /** Per-write DLQ routing at the sink boundary (reference
+    * MongoSinkBuilder.java:158-191): a deterministic slice of envelopes is
+    * corrupted the way a store rejects writes — null key, malformed doc —
+    * and `UpsertSink.splitWritable` must route exactly those rows, with
+    * reasons, to the DLQ frame instead of failing the batch or silently
+    * merging garbage.
+    */
+  def jobKafkaToMongoDlq(spark: SparkSession, dir: String): DataFrame = {
+    val raw = JobFixtures.rawEnvelopesCached(spark, dir)
+    val (envelopes, _) =
+      graft.parsers.EnvelopeParser.parse(raw, "value", JobFixtures.fixedClock, source = "KafkaToMongo")
+    val pk = col("primaryKey").cast("long")
+    val mangled = envelopes
+      .withColumn("payloadJson",
+        when(pk % 37 === 0, concat(lit("}{"), col("payloadJson"))).otherwise(col("payloadJson")))
+      .withColumn("primaryKey",
+        when(pk % 41 === 0, lit(null).cast("string")).otherwise(col("primaryKey")))
+    val (_, rejected) = graft.connectors.UpsertSink.splitWritable(mangled)
+    rejected.select(col("traceId"), col("_reject_reason").as("reason"))
+  }
+
+  val jobKafkaToMongoDlqSql: String =
+    s"""$envCte
+       |SELECT traceId,
+       |  CASE WHEN CAST(primaryKey AS BIGINT) % 41 = 0 THEN 'null_key'
+       |       WHEN upper(operation) <> 'DELETE' AND CAST(primaryKey AS BIGINT) % 37 = 0
+       |         THEN 'malformed_payload' END AS reason
+       |FROM env
+       |WHERE CAST(primaryKey AS BIGINT) % 41 = 0
+       |   OR (upper(operation) <> 'DELETE' AND CAST(primaryKey AS BIGINT) % 37 = 0)""".stripMargin
+
   // --------------------------------------------------- OrderPaymentJoin
   def jobOrderPaymentJoin(spark: SparkSession, dir: String): DataFrame = {
     val env = Tables.eventsAsEnvelopes(spark, dir)
@@ -194,6 +225,7 @@ object JobQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "job_mongo_to_kafka" -> jobMongoToKafka,
     "job_kafka_to_mongo" -> jobKafkaToMongo,
+    "job_kafka_to_mongo_dlq" -> jobKafkaToMongoDlq,
     "job_order_payment_join" -> jobOrderPaymentJoin,
     "job_merged_ingest" -> jobMergedIngest,
     "job_event_router" -> jobEventRouter,
@@ -204,6 +236,7 @@ object JobQueries {
   val oracles: Map[String, String] = Map(
     "job_mongo_to_kafka" -> jobMongoToKafkaSql,
     "job_kafka_to_mongo" -> jobKafkaToMongoSql,
+    "job_kafka_to_mongo_dlq" -> jobKafkaToMongoDlqSql,
     "job_order_payment_join" -> jobOrderPaymentJoinSql,
     "job_merged_ingest" -> jobMergedIngestSql,
     "job_event_router" -> jobEventRouterSql,

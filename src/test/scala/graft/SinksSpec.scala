@@ -36,6 +36,67 @@ class SinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("UpsertSink.writer rewrites ONLY the buckets a batch touches") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("upsert-bkt").toString + "/table"
+    val batch1 = Seq(
+      mkEnv("insert", "k1", """{"v":1}""", 1), mkEnv("insert", "k2", """{"v":2}""", 1),
+      mkEnv("insert", "k3", """{"v":3}""", 1), mkEnv("insert", "k4", """{"v":4}""", 1),
+      mkEnv("insert", "k5", """{"v":5}""", 1), mkEnv("insert", "k6", """{"v":6}""", 1)
+    ).toDF()
+    UpsertSink.writer(path)(batch1, 0L)
+    val before = new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    // second batch touches only k1's bucket
+    Thread.sleep(1100) // mtime granularity
+    UpsertSink.writer(path)(Seq(mkEnv("update", "k1", """{"v":10}""", 2)).toDF(), 1L)
+    val k1Bucket = spark.range(1)
+      .select(pmod(hash(lit("k1")), lit(UpsertSink.DefaultBuckets))).head().getInt(0)
+    val after = new java.io.File(path).listFiles().filter(_.getName.startsWith("bucket="))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    val untouchedBefore = before.filterNot(_._1.contains(s"bucket=$k1Bucket/"))
+    assert(untouchedBefore.nonEmpty)
+    untouchedBefore.foreach { case (f, m) =>
+      assert(after.get(f).contains(m), s"untouched bucket file rewritten: $f")
+    }
+    val t = UpsertSink.readTable(spark, path)
+      .select("_id", "doc").as[(String, String)].collect().toMap
+    assert(t("k1") === """{"v":10}""" && t.size === 6)
+  }
+
+  test("UpsertSink.splitWritable: null keys and malformed non-delete payloads route to DLQ") {
+    val batch = Seq(
+      mkEnv("insert", "ok", """{"v":1}""", 1),
+      mkEnv("insert", null, """{"v":2}""", 2), // null key -> rejected
+      mkEnv("insert", "bad", """}{"v": 3}""", 3), // malformed doc -> rejected
+      mkEnv("DELETE", "gone", """not json""", 4) // delete: payload irrelevant -> writable
+    ).toDF()
+    val (writable, rejected) = UpsertSink.splitWritable(batch)
+    assert(writable.select("primaryKey").as[String].collect().toSet === Set("ok", "gone"))
+    val reasons = rejected
+      .select("traceId", "_reject_reason").as[(String, String)].collect().toMap
+    assert(reasons === Map("t-null-2" -> "null_key", "t-bad-3" -> "malformed_payload"))
+  }
+
+  test("EsSink.writer: a replayed micro-batch converges to identical index state") {
+    val path = Files.createTempDirectory("es-idx").toString + "/index"
+    val batch = Seq(
+      mkEnv("insert", "a", """{"v":1}""", 1).copy(traceId = "t1"),
+      mkEnv("insert", "b", """{"v":2}""", 2).copy(traceId = "t2")
+    ).toDF()
+    EsSink.writer(path)(batch, 0L)
+    val first = EsSink.readIndex(spark, path)
+      .select("_doc_id", "doc").as[(String, String)].collect().sorted
+    EsSink.writer(path)(batch, 0L) // replay after a failure: same batch again
+    val second = EsSink.readIndex(spark, path)
+      .select("_doc_id", "doc").as[(String, String)].collect().sorted
+    assert(second === first) // no duplicate doc ids, byte-identical state
+    // a later write for an existing id overwrites (ES index-by-id semantics)
+    EsSink.writer(path)(Seq(mkEnv("update", "a", """{"v":9}""", 3).copy(traceId = "t1")).toDF(), 1L)
+    val t = EsSink.readIndex(spark, path).select("_doc_id", "doc").as[(String, String)].collect().toMap
+    assert(t.size === 2 && t("t1").contains("\"operation\":\"update\""))
+  }
+
   test("Dlq.replay: recovered envelopes flow, still-broken events stay dead") {
     val clock = org.apache.spark.sql.functions.lit("2024-07-01 00:00:00").cast("timestamp")
     val dlq = Seq(
