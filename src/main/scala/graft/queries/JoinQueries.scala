@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.joins.{DynamicJoiner, StaticJoiner}
+import graft.joins.{DynamicJoiner, SaltedJoin, StaticJoiner}
 
 /** Verification queries for the join operators (SURVEY §2.5 J1/J2). */
 object JoinQueries {
@@ -122,7 +122,37 @@ object JoinQueries {
        | AND epoch_us(r_ts) >= epoch_us(l_ts) - 600000000
        | AND epoch_us(r_ts) <= epoch_us(l_ts) + 600000000""".stripMargin
 
+  // ------------------------------------------------------ J3 skew-salted join
+  /** Worst-case key distribution: two-thirds of ALL events collapse onto ONE
+    * join key ("hot"), then enrich against a per-key dim through
+    * [[SaltedJoin]] — the static escape hatch when even AQE skew splitting
+    * can't save a single dominant key. The oracle replays the plain
+    * (unsalted) join, proving salting changes partitioning, never results;
+    * ScaleMechanicsSpec asserts the exchange actually fans the hot key out
+    * across salt partitions.
+    */
+  def j3SkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, dir)
+    val hotKey = when(col("primaryKey").cast("long") % 3 =!= 0, lit("hot"))
+      .otherwise(col("primaryKey"))
+    val skewed = env.select(hotKey.as("k"), col("traceId"), col("event_id"))
+    val dim = skewed.select(col("k")).distinct()
+      .withColumn("dim_tag", concat(lit("ref:"), col("k")))
+    SaltedJoin.join(skewed, dim, "k", saltBy = col("event_id"), n = 8, joinType = "left_outer")
+      .select(col("traceId"), col("k"), col("dim_tag"))
+  }
+
+  val j3SkewSaltedSql: String =
+    s"""$envCte,
+       |sk AS (
+       |  SELECT CASE WHEN CAST(primaryKey AS BIGINT) % 3 <> 0 THEN 'hot'
+       |              ELSE primaryKey END AS k,
+       |         traceId
+       |  FROM env)
+       |SELECT traceId, k, 'ref:' || k AS dim_tag FROM sk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j3_skew_salted" -> j3SkewSalted,
     "j2_static_enrich" -> j2StaticEnrich,
     "j2_ref_lww" -> j2RefLww,
     "j1_dynamic_join" -> j1DynamicJoin,
@@ -130,6 +160,7 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "j3_skew_salted" -> j3SkewSaltedSql,
     "j2_static_enrich" -> j2Sql,
     "j2_ref_lww" -> j2LwwSql,
     "j1_dynamic_join" -> j1Sql,

@@ -286,9 +286,16 @@ object Relational {
 
   /** HyperLogLog sketch cardinalities — the 100 TB path for distinct counts
     * (exact countDistinct shuffles every value; HLL ships fixed-size
-    * sketches). No DuckDB oracle (different sketch algorithm) — driver
-    * records the weaker rows-only check; the spec bounds sketch error
-    * against the exact count.
+    * sketches).
+    *
+    * DuckDB can't replay Spark's HLL bit-for-bit, so the oracle is an
+    * error-band contract instead of a value match: Spark emits
+    * `hll_ok = |approx − exact| ≤ ε·exact` (ε = 3×rsd) next to the exact
+    * count, and the oracle asserts the same rows with `hll_ok = TRUE` — an
+    * out-of-band sketch flips the flag and fails the hash match, so the
+    * entry is a real pass/fail signal, not a rows-only check. (The exact
+    * count exists only to feed the band; the production 100 TB path is the
+    * sketch alone.)
     */
   def qSketchCardinality(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -299,7 +306,16 @@ object Relational {
         approx_count_distinct($"user_id", rsd = 0.02).as("approx_users"),
         countDistinct($"user_id").as("exact_users")
       )
+      .select(
+        $"event_type",
+        $"exact_users",
+        (abs($"approx_users" - $"exact_users") <= lit(0.06) * $"exact_users").as("hll_ok")
+      )
   }
+
+  val qSketchCardinalitySql: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
+      |FROM events GROUP BY 1""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_cardinality" -> qSketchCardinality,
@@ -314,6 +330,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_sketch_cardinality" -> qSketchCardinalitySql,
     "q6_forecast" -> q6Sql,
     "q7_nation_volume" -> q7Sql,
     "q_top_per_group" -> qTopPerGroupSql,

@@ -21,6 +21,27 @@ class ScaleMechanicsSpec extends SparkSpec {
     assert(saltSpread === 8)
   }
 
+  test("j3_skew_salted: exchange partitions on (key, salt), hot key fans out") {
+    val q = graft.queries.JoinQueries.j3SkewSalted(spark, sf)
+    // the join exchange must include the salt column — that's the whole
+    // point: the hot key no longer lands in one partition
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salted exchange missing from plan:\n$plan")
+    // and results match the plain unsalted join
+    val env = graft.core.Tables.eventsAsEnvelopes(spark, sf)
+    val hotKey = org.apache.spark.sql.functions
+      .when($"primaryKey".cast("long") % 3 =!= 0, org.apache.spark.sql.functions.lit("hot"))
+      .otherwise($"primaryKey")
+    val skewed = env.select(hotKey.as("k"), $"traceId", $"event_id")
+    val dim = skewed.select($"k").distinct()
+      .withColumn("dim_tag", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("ref:"), $"k"))
+    val plain = skewed.join(dim, Seq("k"), "left_outer")
+      .select($"traceId", $"dim_tag").as[(String, String)].collect().toSet
+    val salted = q.select($"traceId", $"dim_tag").as[(String, String)].collect().toSet
+    assert(salted === plain)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     // warehouse.dir is a static conf — tables land in ./spark-warehouse
     // (gitignored) and are dropped below

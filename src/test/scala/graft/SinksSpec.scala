@@ -120,6 +120,38 @@ class SinksSpec extends SparkSpec {
     assert(out.select("_doc_id").as[String].head() === "t1")
   }
 
+  test("exactly-once contract: replayed micro-batch + compaction view converge") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // The documented EO story: Spark's Kafka sink has no producer
+    // transactions; the guarantee is checkpointed at-least-once + keyed
+    // idempotent writes + log compaction. Contract: re-emitting a
+    // checkpointed micro-batch (failure replay) must leave the compacted
+    // view of the topic byte-identical.
+    val b1 = Seq(mkEnv("insert", "a", """{"v":1}""", 1), mkEnv("insert", "b", """{"v":2}""", 2)).toDF()
+    val b2 = Seq(mkEnv("update", "a", """{"v":9}""", 3), mkEnv("DELETE", "b", null, 4)).toDF()
+    // the "topic": an append log of keyed projections, offset = append order
+    def topicLog(batches: Seq[DataFrame]): DataFrame =
+      batches.zipWithIndex
+        .map { case (b, i) =>
+          KafkaConnectors.keyedProjection(b, compacted = true).withColumn("_off", lit(i))
+        }
+        .reduce(_.unionByName(_))
+    // log-compaction view: newest record per key wins, tombstones drop the key
+    def compactedView(log: DataFrame): Set[(String, String)] = {
+      val w = Window.partitionBy(col("key")).orderBy(col("_off").desc)
+      log.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("value").isNotNull)
+        .select(col("key").cast("string"), col("value").cast("string"))
+        .as[(String, String)].collect().toSet
+    }
+    val clean = compactedView(topicLog(Seq(b1, b2)))
+    val replay = compactedView(topicLog(Seq(b1, b2, b2))) // b2 re-emitted after failure
+    assert(replay === clean)
+    assert(clean.map(_._1) === Set("a")) // b tombstoned away in both
+  }
+
   test("Kafka keyedProjection roundtrips the envelope through JSON") {
     val df = Seq(mkEnv("insert", "k1", """{"v":1}""", 1).copy(metadata = Map("m" -> "x"))).toDF()
     val proj = KafkaConnectors.keyedProjection(df, compacted = false)
