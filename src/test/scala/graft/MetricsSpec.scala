@@ -57,4 +57,28 @@ class MetricsSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.streams.removeListener(listener)
   }
+
+  test("Prometheus exposition: text format and localhost scrape endpoint") {
+    val collector = new MetricsCollector
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+      Array[Any](3L, 1L),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("in", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dropped", org.apache.spark.sql.types.LongType))))
+    collector.record("filter.ops", row)
+    val text = collector.prometheusText
+    assert(text.contains("# TYPE graft_filter_ops counter"))
+    assert(text.contains("""graft_filter_ops{column="in"} 3"""))
+    assert(text.contains("""graft_filter_ops{column="dropped"} 1"""))
+    // one TYPE line per metric family, even with several labeled series
+    assert(text.linesIterator.count(_.startsWith("# TYPE graft_filter_ops ")) === 1)
+    val ep = new graft.core.MetricsEndpoint(collector, port = 0)
+    try {
+      val url = java.net.URI.create(s"http://127.0.0.1:${ep.boundPort}/metrics").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getResponseCode === 200)
+      assert(body === text)
+    } finally ep.close()
+  }
 }

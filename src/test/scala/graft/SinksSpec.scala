@@ -152,6 +152,35 @@ class SinksSpec extends SparkSpec {
     assert(clean.map(_._1) === Set("a")) // b tombstoned away in both
   }
 
+  test("file-broker contract: sink projection roundtrips through the source parse path") {
+    import org.apache.spark.sql.functions._
+    // Zero-egress stand-in for the reference's Testcontainers e2e
+    // (BaseIntegrationTest.java:31-98): the "topic" is a parquet dir of
+    // (key, value) records. Producer side = keyedProjection; consumer side =
+    // the value-only string contract of KafkaConnectors.source, fed through
+    // EnvelopeParser. Every field must survive, nothing may land in the DLQ.
+    val topic = Files.createTempDirectory("file-broker").toString + "/topic"
+    val envs = Seq(
+      mkEnv("insert", "k1", """{"v": 1}""", 1).copy(metadata = Map("m" -> "x")),
+      mkEnv("update", "k2", """{"v": 2}""", 2),
+      mkEnv("delete", "k3", null, 3)
+    ).toDF()
+    KafkaConnectors.keyedProjection(envs, compacted = false)
+      .write.mode("overwrite").parquet(topic)
+    val raw = spark.read.parquet(topic).selectExpr("CAST(value AS STRING) AS value")
+    val clock = lit("2024-07-01 00:00:00").cast("timestamp")
+    val (parsed, dlq) = graft.parsers.EnvelopeParser.parse(raw, "value", clock, source = "file-broker")
+    assert(dlq.count() === 0)
+    val got = parsed
+      .select($"operation", $"primaryKey", $"payloadJson", unix_micros($"eventTime"), $"traceId",
+        element_at($"metadata", "m"))
+      .as[(String, String, String, Long, String, Option[String])].collect().toSet
+    assert(got === Set(
+      ("insert", "k1", """{"v": 1}""", 1000000L, "t-k1-1", Some("x")),
+      ("update", "k2", """{"v": 2}""", 2000000L, "t-k2-2", None),
+      ("delete", "k3", null, 3000000L, "t-k3-3", None)))
+  }
+
   test("Kafka keyedProjection roundtrips the envelope through JSON") {
     val df = Seq(mkEnv("insert", "k1", """{"v":1}""", 1).copy(metadata = Map("m" -> "x"))).toDF()
     val proj = KafkaConnectors.keyedProjection(df, compacted = false)
