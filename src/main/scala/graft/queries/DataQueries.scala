@@ -304,19 +304,22 @@ object DataQueries {
   }
 
   /** Embedding vector ops: norm, normalization, int8 quantization quality —
-    * scalar projections so the oracle compares exact doubles.
+    * scalar projections so the oracle compares exact doubles. Computed by
+    * the fused codegen'd [[graft.functions.EmbedStats]] expression (two
+    * tight loops per row); EmbeddingsSpec cross-checks it element-wise
+    * against the HOF formulations in [[Embeddings]].
     */
   def eEmbedStats(spark: SparkSession, dir: String): DataFrame = {
-    val v = col("embedding")
+    val s = graft.functions.EmbedStats(col("embedding"))
     Tables
       .embeddings(spark, dir)
       .select(
         col("vec_id"),
-        Embeddings.l2Norm(v).as("norm"),
-        element_at(Embeddings.l2Normalize(v), 1).as("n1"),
-        Embeddings.quantizeInt8(v).getField("scale").as("q_scale"),
-        element_at(Embeddings.quantizeInt8(v).getField("q"), 1).as("q1"),
-        Embeddings.reconstructionError(v).as("max_err")
+        s.getField("norm").as("norm"),
+        s.getField("n1").as("n1"),
+        s.getField("q_scale").as("q_scale"),
+        s.getField("q1").as("q1"),
+        s.getField("max_err").as("max_err")
       )
   }
 
