@@ -44,13 +44,17 @@ object Dedup {
   /** (id, shingle-hash) exploded view. Shingles travel as 60-bit longs —
     * an 8-byte shuffle key instead of a ~20-char string (the joins below are
     * shuffle-bound; hash collisions are identical in the oracle's replay of
-    * the same hash, so results still bit-match).
+    * the same hash, so results still bit-match). The fused
+    * [[graft.functions.ShingleHash60]] expression builds+hashes the distinct
+    * shingles in one pass so the explode never materializes shingle strings
+    * (bit-parity with the HOF [[shingles]]+hash formulation asserted in
+    * FunctionsSpec).
     */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(
       col(idCol).as("sid"),
-      explode(shingles(TextAnalysis.tokens(col(textCol)), n)).as("s")
-    ).select(col("sid"), Hashing.hash60(col("s")).as("sh"))
+      explode(graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n)).as("sh")
+    )
 
   /** All-pairs n-gram Jaccard >= threshold via shingle co-occurrence join.
     * Quadratic in colliding docs — verification-grade; use [[minhashPairs]]
@@ -132,16 +136,27 @@ object Dedup {
       .select(col("sid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("sid").as("i"))
     val r = banded.select(col("band"), col("bucket"), col("sid").as("j"))
+    // materialize the (tiny) candidate list once — it feeds the id semi-join
+    // and both sides of the verify join below
     val candidates = l
       .join(r, Seq("band", "bucket"))
       .filter(col("i") < col("j"))
       .select(col("i"), col("j"))
       .distinct()
+      .localCheckpoint()
     // verify ONLY the candidates with true Jaccard (two-phase LSH: the
-    // quadratic verifier runs on the collided fraction, not all pairs)
+    // quadratic verifier runs on the collided fraction, not all pairs) —
+    // and build shingle sets ONLY for candidate docs (semi-join), not the
+    // whole corpus; sets carry 60-bit hashes (one per distinct shingle
+    // string), so intersection/size counts equal the string formulation
+    // modulo md5-60 collisions, which the oracle replays identically.
+    val candIds = candidates.select(col("i").as("sid"))
+      .unionByName(candidates.select(col("j").as("sid")))
+      .distinct()
     val sets = df.select(
       col(idCol).as("sid"),
-      shingles(TextAnalysis.tokens(col(textCol)), n).as("sset"))
+      graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n).as("sset"))
+      .join(candIds, Seq("sid"), "left_semi")
     val withSets = candidates
       .join(sets.select(col("sid").as("i"), col("sset").as("si")), Seq("i"))
       .join(sets.select(col("sid").as("j"), col("sset").as("sj")), Seq("j"))

@@ -19,6 +19,25 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("ShingleHash60 is bit-identical to the HOF shingles+hash formulation on real docs") {
+    val toks = graft.data.TextAnalysis.tokens($"text")
+    val hof = transform(graft.data.Dedup.shingles(toks, 3), s => graft.data.Hashing.hash60(s))
+    val diff = graft.core.Tables.documents(spark, sf)
+      .withColumn("fused", graft.functions.ShingleHash60(toks, 3))
+      .withColumn("hof", hof)
+      .filter($"fused" =!= $"hof") // element AND order equality
+    assert(diff.count() === 0)
+    // degenerate shapes: shorter-than-n docs collapse to one shingle,
+    // empty text to the empty-string shingle — same as the HOF path
+    val edge = Seq("a b", "a", "").toDF("text")
+      .withColumn("fused", graft.functions.ShingleHash60(graft.data.TextAnalysis.tokens($"text"), 3))
+      .withColumn("hof", transform(
+        graft.data.Dedup.shingles(graft.data.TextAnalysis.tokens($"text"), 3),
+        s => graft.data.Hashing.hash60(s)))
+      .filter($"fused" =!= $"hof")
+    assert(edge.count() === 0)
+  }
+
   test("cosine_sim registered for SQL") {
     GraftFunctions.register(spark)
     val got = spark
