@@ -44,6 +44,26 @@ class ProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("Processors.cdcPipeline: DELETE after a payload-equal update is not suppressed") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[StreamEnvelop]
+      val out = Processors.cdcPipeline(mem.toDS(), ttlMs = 0, Set("updatedAt"))
+      val q = out.writeStream.format("memory").queryName("tws_cdc_op").outputMode("append").start()
+      try {
+        // update canonicalizes to {"_id": 1} after exclusion — equal to the
+        // delete's documentKey payload; __op in the composite keeps the
+        // DELETE flowing (ADVICE r1 high)
+        mem.addData(
+          mkEnv("update", "1", """{"_id": 1, "updatedAt": 100}""", 1),
+          mkEnv("delete", "1", """{"_id": 1}""", 2))
+        q.processAllAvailable()
+        val got = spark.table("tws_cdc_op").select("operation").as[String].collect().sorted
+        assert(got === Array("delete", "update"))
+      } finally q.stop()
+    }
+  }
+
   test("Processors.materialize (transformWithState): changelog with delete reset") {
     withRocksDb {
       implicit val sc = spark.sqlContext

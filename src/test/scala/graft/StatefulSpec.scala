@@ -39,6 +39,26 @@ class StatefulSpec extends SparkSpec {
     assert(out.select("tie").as[Long].collect().sorted === Array(1L, 3L))
   }
 
+  test("StatefulMerger with opCol: a DELETE after a payload-equal update still flows") {
+    // the reference hashes __op + payload: an update touching only excluded
+    // fields canonicalizes to {"_id": X}, equal to the delete's documentKey
+    // payload — without the op in the composite the DELETE is suppressed and
+    // downstream stores keep deleted documents (ADVICE r1, high)
+    val df = Seq(
+      ("1", 1L, "insert", """{"_id": 1, "updatedAt": 100}"""),
+      ("1", 2L, "update", """{"_id": 1, "updatedAt": 200}"""), // canon equal, op differs -> emitted
+      ("1", 3L, "update", """{"_id": 1, "updatedAt": 300}"""), // canon AND op equal -> suppressed
+      ("1", 4L, "delete", """{"_id": 1}""") // canon equal to prior, op differs -> MUST emit
+    ).toDF("k", "tie", "operation", "payload")
+      .withColumn("ts", timestamp_seconds($"tie"))
+    val withOp = StatefulMerger(Seq("k"), "payload", Seq("updatedAt"), opCol = Some("operation"))
+      .batch(df, "ts", "tie")
+    assert(withOp.select("tie").as[Long].collect().sorted === Array(1L, 2L, 4L))
+    // without opCol the delete IS suppressed — pins why opCol exists
+    val withoutOp = StatefulMerger(Seq("k"), "payload", Seq("updatedAt")).batch(df, "ts", "tie")
+    assert(withoutOp.select("tie").as[Long].collect().sorted === Array(1L))
+  }
+
   test("Materializer.batchChangelog: INSERT/UPDATE/DELETE lifecycle with state reset") {
     val df = Seq(
       ("k1", 1L, "ins", """{"v": 1}"""),
