@@ -60,10 +60,15 @@ final case class KeyedParquetTable(path: String, keyCol: String, numBuckets: Int
     val touchedKeys = upserts.select(col(keyCol))
       .unionByName(deleteKeys.select(col(keyCol)))
       .distinct()
+    // repartition by bucket before the partitioned write: without it every
+    // task writes a sliver of every touched bucket (tasks × buckets small
+    // files — the classic compaction killer at scale); with it each bucket's
+    // rows land in one task (AQE coalesces the tiny ones)
     val merged = current
       .join(touchedKeys, Seq(keyCol), "left_anti")
       .unionByName(upserts)
       .withColumn("bucket", bucketOf(col(keyCol)))
+      .repartition(col("bucket"))
     val stage = new Path(path + s".stage-$batchId")
     merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
     // atomic per-bucket swap; a bucket whose rows were all deleted has no
