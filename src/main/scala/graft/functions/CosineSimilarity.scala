@@ -94,10 +94,26 @@ object GraftFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register `cosine_sim` for SQL use on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register graft's native expressions for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction("simhash60", exprs => SimHash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("md5_hash60", exprs => Md5Hash60(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("embed_stats", exprs => EmbedStats(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hash60",
+      exprs => {
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other =>
+            throw new IllegalArgumentException(s"shingle_hash60 n must be an int literal, got $other")
+        }
+        ShingleHash60(exprs.head, n)
+      },
+      "built-in")
+  }
 }

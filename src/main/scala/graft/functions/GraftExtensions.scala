@@ -37,5 +37,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("md5_hash60", "md5_hash60(s) - first 60 bits of md5 as bigint"),
       (exprs: Seq[Expression]) => Md5Hash60(exprs.head)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("embed_stats"),
+      info("embed_stats",
+        "embed_stats(v) - struct(norm, n1, q_scale, q1, max_err) of a float/double array"),
+      (exprs: Seq[Expression]) => EmbedStats(exprs.head)
+    ))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash60"),
+      info("shingle_hash60",
+        "shingle_hash60(tokens, n) - distinct n-gram shingle md5-60 hashes of a token array"),
+      (exprs: Seq[Expression]) => {
+        val n = exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(s"shingle_hash60 n must be an int literal, got $other")
+        }
+        ShingleHash60(exprs.head, n)
+      }
+    ))
   }
 }

@@ -34,5 +34,12 @@ class Md5Hash60Spec extends SparkSpec {
     graft.functions.GraftFunctions.register(spark)
     val got = spark.sql("SELECT cosine_sim(array(1.0F,0.0F), array(0.0F,1.0F)) AS c").as[Double].head()
     assert(math.abs(got) < 1e-15)
+    val sh = spark.sql(
+      "SELECT size(shingle_hash60(array('a','b','c','d'), 3)) AS n, embed_stats(array(3.0D,4.0D)).norm AS nrm")
+      .as[(Int, Double)].head()
+    assert(sh === ((2, 5.0)))
+    val md = spark.sql("SELECT md5_hash60('') AS h, simhash60(array(CAST(7 AS BIGINT))) AS s")
+      .as[(Long, Long)].head()
+    assert(md._1 === graft.functions.Md5Hash60.hash(Array.emptyByteArray) && md._2 === 7L)
   }
 }

@@ -71,6 +71,17 @@ class StreamingJobsSpec extends SparkSpec {
       val table = graft.connectors.UpsertSink.readTable(spark, s"$dir/table")
         .select($"_id", get_json_object($"doc", "$.k").cast("int")).as[(String, Int)].collect().toMap
       assert(table === Map("a" -> 10)) // a replaced, b deleted
+      // a row the keyed store would reject (empty key — passes the upstream
+      // payload-_id gate) routes to the sink DLQ instead of failing the batch
+      mem.addData(
+        """{"operation":"insert","source":"s","payloadJson":"{\"_id\": \"c\", \"k\": 3}","primaryKey":"","traceId":"t-c-3"}""")
+      q.processAllAvailable()
+      val dlq = spark.read.parquet(s"$dir/table_dlq")
+        .select($"errorMessage", $"rawEvent").as[(String, String)].collect()
+      assert(dlq.toSeq === Seq(("null_key", """{"_id": "c", "k": 3}""")))
+      val after = graft.connectors.UpsertSink.readTable(spark, s"$dir/table")
+        .select($"_id").as[String].collect().toSet
+      assert(after === Set("a")) // rejected row never reached the table
     } finally q.stop()
   }
 
