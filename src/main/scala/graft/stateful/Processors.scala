@@ -162,6 +162,151 @@ object Processors {
       )
   }
 
+  /** One update of one session window (a changelog of session results):
+    * `firing` = 1 for the on-close emission, 2+ for allowedLateness
+    * re-firings caused by late events.
+    */
+  final case class SessionUpdate(
+      key: String,
+      sessionStartUs: Long,
+      sessionEndUs: Long,
+      eventCount: Long,
+      durationMs: Long,
+      actions: String,
+      firing: Int
+  )
+
+  private[stateful] final case class SessEvent(tsUs: Long, tie: String, action: String)
+  private[stateful] final case class SessWindow(
+      startUs: Long,
+      endUs: Long, // last event + gap
+      events: Seq[SessEvent],
+      firings: Int // 0 = not yet fired
+  )
+  private[stateful] final case class SessState(windows: Seq[SessWindow])
+
+  /** Event-time session windows WITH Flink's `allowedLateness` re-firing
+    * (reference pattern/session/SessionAnalyzer.java:76-78): the built-in
+    * `session_window` fires once on close (append-only), so this face keeps
+    * session buffers in transformWithState state with event-time timers.
+    *
+    * Spark drops input rows older than the stream's watermark before they
+    * reach a stateful operator, so the engine watermark is DELAYED by the
+    * lateness (withWatermark delay = out-of-orderness + lateness — late
+    * rows within the lateness pass the filter) and the timers compensate by
+    * firing `lateness` early: with flinkWm = sparkWm + lateness,
+    *
+    *  - close timer at (end − lateness) ⇔ flinkWm ≥ end → session fires
+    *    (firing 1) exactly when Flink's on-watermark firing would
+    *  - a late event that passed the filter and lands in a FIRED session
+    *    merges into the kept buffer and RE-FIRES immediately (firing 2, 3…)
+    *  - cleanup timer at `end` ⇔ flinkWm ≥ end + lateness — Flink's state
+    *    cleanup horizon
+    *  - boundary delta: Spark's filter drops rows with ts < flinkWm −
+    *    lateness; Flink keeps a row while its WINDOW is within lateness
+    *    (ts + gap + lateness > flinkWm) — a gap-width sliver of very-late
+    *    rows Flink would still absorb is filtered here (they'd go to the
+    *    late-output tag → route to a DLQ upstream if needed)
+    *
+    * Emits an update stream (append sink of session-result versions keyed
+    * by (key, sessionStartUs); downstream compacts last-firing-wins).
+    */
+  class SessionLatenessProcessor(gapMs: Long, latenessMs: Long)
+      extends StatefulProcessor[String, StreamEnvelop, SessionUpdate] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sessions", Encoders.product[SessState], TTLConfig.NONE)
+
+    private def result(key: String, w: SessWindow): SessionUpdate = {
+      val sorted = w.events.sortBy(e => (e.tsUs, e.tie))
+      SessionUpdate(
+        key, w.startUs, w.endUs, w.events.size.toLong,
+        (w.endUs - w.startUs) / 1000L,
+        sorted.map(_.action).mkString(","),
+        w.firings)
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[StreamEnvelop],
+        timerValues: TimerValues
+    ): Iterator[SessionUpdate] = {
+      val gapUs = gapMs * 1000L
+      var windows = if (st.exists()) st.get().windows else Seq.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+      rows.foreach { e =>
+        val tsUs = e.eventTime.getTime * 1000L
+        val ev = SessEvent(tsUs, e.traceId, e.operation)
+        // touch-merge every window overlapping [ts, ts+gap] (same boundary
+        // semantics as session_window / the batch face)
+        val (overlapping, rest) = windows.partition(w =>
+          tsUs <= w.endUs && tsUs + gapUs >= w.startUs)
+        val merged = SessWindow(
+          startUs = (tsUs +: overlapping.map(_.startUs)).min,
+          endUs = ((tsUs + gapUs) +: overlapping.map(_.endUs)).max,
+          events = overlapping.flatMap(_.events) :+ ev,
+          firings = overlapping.map(_.firings).sum
+        )
+        if (merged.firings > 0) {
+          // late event into an already-fired session: re-fire NOW
+          val refired = merged.copy(firings = merged.firings + 1)
+          out += result(key, refired)
+          windows = rest :+ refired
+          getHandle.registerTimer(refired.endUs / 1000L) // fresh cleanup horizon
+        } else {
+          windows = rest :+ merged
+          getHandle.registerTimer(merged.endUs / 1000L - latenessMs) // close (lateness-early)
+        }
+      }
+      st.update(SessState(windows))
+      out.iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo
+    ): Iterator[SessionUpdate] = {
+      val expiry = expiredTimerInfo.getExpiryTimeInMs()
+      if (!st.exists()) return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+      var windows = st.get().windows
+      // first firing: flink-watermark passed lastEvent+gap
+      windows = windows.map { w =>
+        if (w.firings == 0 && w.endUs / 1000L - latenessMs <= expiry) {
+          val fired = w.copy(firings = 1)
+          out += result(key, fired)
+          getHandle.registerTimer(w.endUs / 1000L) // cleanup (= end+lateness in flink time)
+          fired
+        } else w
+      }
+      // cleanup: flink-watermark passed end + lateness
+      windows = windows.filterNot(w => w.firings > 0 && w.endUs / 1000L <= expiry)
+      if (windows.isEmpty) st.clear() else st.update(SessState(windows))
+      out.iterator
+    }
+  }
+
+  /** See [[SessionLatenessProcessor]]. Applies the lateness-delayed
+    * watermark itself; requires the RocksDB state store provider.
+    */
+  def sessionsWithLateness(
+      ds: Dataset[StreamEnvelop],
+      gapMs: Long,
+      latenessMs: Long,
+      outOfOrdernessMs: Long = 0
+  ): Dataset[SessionUpdate] = {
+    import ds.sparkSession.implicits._
+    ds.withWatermark("eventTime", s"${outOfOrdernessMs + latenessMs} milliseconds")
+      .groupByKey(_.primaryKey)
+      .transformWithState(
+        new SessionLatenessProcessor(gapMs, latenessMs),
+        TimeMode.EventTime(),
+        OutputMode.Append()
+      )
+  }
+
   /** Per-key silence detector with REAL timers: every event re-arms a
     * processing-time timer; expiry emits DISRUPTED, the next event after a
     * disruption emits RECOVERED (reference pattern/observability/

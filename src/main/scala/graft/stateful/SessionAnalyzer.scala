@@ -38,6 +38,17 @@ final case class SessionAnalyzer(
     */
   def analyze(df: DataFrame, actionCol: String, tieCol: String): DataFrame = {
     val in = if (df.isStreaming) df.withWatermark(tsCol, outOfOrderness) else df
+    aggSessions(in, actionCol, tieCol)
+  }
+
+  /** Flink `allowedLateness` parity (reference SessionAnalyzer.java:76-78:
+    * a closed window re-fires an UPDATED result for each late event within
+    * the lateness) lives in [[Processors.sessionsWithLateness]] — Spark's
+    * built-in session_window only supports append mode (one firing on
+    * close), so the re-firing face is a transformWithState processor with
+    * event-time timers emitting an update stream.
+    */
+  private def aggSessions(in: DataFrame, actionCol: String, tieCol: String): DataFrame =
     in.groupBy(col(keyCol), session_window(col(tsCol), gap))
       .agg(
         count(lit(1)).as("event_count"),
@@ -63,5 +74,4 @@ final case class SessionAnalyzer(
           .as("duration_ms"),
         col("actions")
       )
-  }
 }

@@ -85,6 +85,36 @@ class ProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("Processors.sessionsWithLateness: late event within allowedLateness re-fires the session") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[StreamEnvelop]
+      val out = Processors.sessionsWithLateness(mem.toDS(), gapMs = 10000, latenessMs = 60000)
+      val q = out.writeStream.format("memory").queryName("sess_late").outputMode("append").start()
+      try {
+        mem.addData(mkEnv("a1", "u1", "{}", 100), mkEnv("a2", "u1", "{}", 104))
+        q.processAllAvailable() // watermark after this batch: 104
+        mem.addData(mkEnv("x", "u2", "{}", 150))
+        q.processAllAvailable() // watermark -> 150; u1 timer (114) not yet eligible in-batch
+        mem.addData(mkEnv("y", "u2", "{}", 151))
+        q.processAllAvailable() // batch runs at wm=150 >= 114 -> u1 session FIRES (count 2)
+        mem.addData(mkEnv("a3", "u1", "{}", 106))
+        q.processAllAvailable() // late (106 < wm 151) but within 60 s lateness -> RE-FIRE (count 3)
+        val u1 = spark.table("sess_late").filter($"key" === "u1")
+          .select("firing", "eventCount", "actions").as[(Int, Long, String)].collect().toSet
+        assert(u1.contains((1, 2L, "a1,a2")), s"initial firing missing: $u1")
+        assert(u1.contains((2, 3L, "a1,a2,a3")), s"lateness re-fire missing: $u1")
+        // an event BEYOND the lateness horizon is dropped, no further firing
+        mem.addData(mkEnv("z", "u2", "{}", 400)) // wm -> 400
+        q.processAllAvailable()
+        mem.addData(mkEnv("a4", "u1", "{}", 107)) // 107+10+60=177 < 400 -> dropped
+        q.processAllAvailable()
+        val after = spark.table("sess_late").filter($"key" === "u1").count()
+        assert(after === 2)
+      } finally q.stop()
+    }
+  }
+
   test("Processors.flowDisruption (transformWithState): timer fires DISRUPTED, next event RECOVERED") {
     withRocksDb {
       implicit val sc = spark.sqlContext
