@@ -93,8 +93,11 @@ object Dedup {
   def minhashA(i: Int): Long = ((2L * i + 1) * 2654435761L) % MinhashP
   def minhashB(i: Int): Long = (i.toLong * 40503L * 65537L) % MinhashP
 
-  /** k-hash MinHash signature per doc: one explode + one groupBy (k min
-    * aggregates). Returns (id, h0..h{k-1}).
+  /** k-hash MinHash signature per doc — per-row pure compute via the fused
+    * [[graft.functions.MinHashSig]] expression (ZERO shuffle: signatures
+    * live in the scan; the old explode+groupBy shape shuffled every shingle
+    * row to run k min-aggregates). Returns (id, h0..h{k-1}); bit-parity
+    * with the aggregate formulation asserted in FunctionsSpec.
     */
   def minhashSignatures(
       df: DataFrame,
@@ -103,11 +106,12 @@ object Dedup {
       n: Int = 3,
       k: Int = 16
   ): DataFrame = {
-    val s = shingleRows(df, idCol, textCol, n)
-      .withColumn("_h", col("sh") % MinhashP)
-    val aggs = (0 until k).map(i =>
-      min((lit(minhashA(i)) * col("_h") + lit(minhashB(i))) % MinhashP).as(s"h$i"))
-    s.groupBy(col("sid")).agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.MinHashSig(
+      graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n),
+      MinhashP,
+      (0 until k).map(i => (minhashA(i), minhashB(i))))
+    df.select(col(idCol).as("sid"), sig.as("_sig"))
+      .select(col("sid") +: (0 until k).map(i => element_at(col("_sig"), i + 1).as(s"h$i")): _*)
   }
 
   /** LSH candidate pairs: signatures banded (bands of `rows` hashes), docs

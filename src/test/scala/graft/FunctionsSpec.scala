@@ -38,6 +38,26 @@ class FunctionsSpec extends SparkSpec {
     assert(edge.count() === 0)
   }
 
+  test("MinHashSig (shuffle-free) matches the explode+groupBy aggregate formulation") {
+    import graft.data.{Dedup, TextAnalysis}
+    val docs = graft.core.Tables.documents(spark, sf)
+    val fused = Dedup.minhashSignatures(docs, "doc_id", "text")
+    // the original shuffle shape: explode shingle hashes, k min-aggregates
+    val rows = docs.select(
+      $"doc_id".as("sid"),
+      explode(graft.functions.ShingleHash60(TextAnalysis.tokens($"text"), 3)).as("sh"))
+      .withColumn("_h", $"sh" % Dedup.MinhashP)
+    val aggs = (0 until 16).map(i =>
+      min((lit(Dedup.minhashA(i)) * $"_h" + lit(Dedup.minhashB(i))) % Dedup.MinhashP).as(s"h$i"))
+    val shuffled = rows.groupBy($"sid").agg(aggs.head, aggs.tail: _*)
+    val cols = (0 until 16).map(i => s"h$i")
+    val joined = fused.as("f").join(shuffled.as("s"), "sid")
+    val mismatched = cols.map(c => (col(s"f.$c") =!= col(s"s.$c")).cast("int"))
+      .reduce(_ + _)
+    assert(joined.filter(mismatched > 0).count() === 0)
+    assert(fused.count() === shuffled.count())
+  }
+
   test("cosine_sim registered for SQL") {
     GraftFunctions.register(spark)
     val got = spark
