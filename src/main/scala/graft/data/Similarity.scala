@@ -62,6 +62,40 @@ object Similarity {
       )
   }
 
+  /** Deterministic random hyperplanes for sign-LSH bucketing: component
+    * (i, j) = (md5_60("i_j") mod 2001 − 1000) / 1000 ∈ [−1, 1]. Derived
+    * from the cross-engine hash family, so the planes are identical
+    * constants everywhere (the oracle inlines the same literals).
+    */
+  def hyperplanes(nbits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nbits).map { i =>
+      (0 until dim).map { j =>
+        val h = graft.functions.Md5Hash60.hash(s"${i}_$j".getBytes("UTF-8"))
+        (h % 2001 - 1000) / 1000.0
+      }
+    }
+
+  /** Left-to-right dot product against a constant plane (HOF: bit-identical
+    * to the oracle's list_reduce replay — per row it's nbits × dim
+    * multiply-adds over a handful of planes, scan-fused).
+    */
+  private def dotPlane(v: Column, plane: Seq[Double]): Column =
+    aggregate(
+      zip_with(transform(v, x => x.cast("double")), array(plane.map(lit): _*), (a, b) => a * b),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Sign-LSH bucket id: bit i set iff dot(v, plane_i) > 0 — the
+    * data-independent bucketing for [[bucketedTopK]] when no natural coarse
+    * column exists (the "swap label for learned/LSH buckets" scale path).
+    * Same-bucket vectors agree on all nbits hyperplane sides, so cosine
+    * neighbors collide with high probability.
+    */
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex
+      .map { case (p, i) => when(dotPlane(v, p) > 0.0, lit(1 << i)).otherwise(lit(0)) }
+      .reduce(_ + _)
+
   /** IVF-style ANN: candidates restricted to the query's coarse bucket. */
   def bucketedTopK(
       corpus: DataFrame,

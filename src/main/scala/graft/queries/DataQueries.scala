@@ -403,6 +403,51 @@ object DataQueries {
        |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** Sign-LSH ANN: the label-free scale path — buckets from 8 deterministic
+    * hyperplanes (no natural coarse column needed), then the same bucket
+    * equi-join as the IVF query. The oracle inlines the identical plane
+    * constants and replays the dot products left-to-right, so bucket
+    * assignments and scores hash-match exactly.
+    */
+  private val AnnNbits = 8
+  private val AnnDim = 64
+  private lazy val annPlanes = Similarity.hyperplanes(AnnNbits, AnnDim)
+
+  def sAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .embeddings(spark, dir)
+      .withColumn("_bk", Similarity.lshBucket(col("embedding"), annPlanes))
+    Similarity.bucketedTopK(docs, docs.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", "_bk", k = 10)
+  }
+
+  lazy val sAnnLshSql: String = {
+    val planeArrs = annPlanes.zipWithIndex
+      .map { case (p, i) => p.map(_.toString).mkString("[", ",", "]") + s"::DOUBLE[] AS p$i" }
+      .mkString(",\n    ")
+    val dotSql = (i: Int) =>
+      s"list_reduce(list_transform(range(1, len(v)+1), k -> v[k] * p$i[k]), (x,y) -> x+y)"
+    val bucketSql = (0 until AnnNbits)
+      .map(i => s"(CASE WHEN ${dotSql(i)} > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("\n      + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes AS (SELECT
+       |    $planeArrs),
+       |b AS (
+       |  SELECT vec_id, v,
+       |    $bucketSql AS bk
+       |  FROM e CROSS JOIN planes),
+       |q AS (SELECT vec_id AS q_id, bk AS q_bk, v AS qv FROM b WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q_id, b.vec_id AS n_id, ${cosSql("qv", "b.v")} AS cosv
+       |  FROM b JOIN q ON b.bk = q_bk AND b.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosv,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosv DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -440,6 +485,7 @@ object DataQueries {
     "d_embed_pairs" -> dEmbedPairs,
     "s_ann_brute" -> sAnnBrute,
     "s_ann_ivf" -> sAnnIvf,
+    "s_ann_lsh" -> sAnnLsh,
     "m_multimodal" -> mMultimodal
   )
 
@@ -460,6 +506,7 @@ object DataQueries {
     "d_embed_pairs" -> dEmbedPairsSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_ivf" -> sAnnIvfSql,
+    "s_ann_lsh" -> sAnnLshSql,
     "m_multimodal" -> mMultimodalSql
   )
 }
