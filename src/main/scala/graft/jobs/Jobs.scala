@@ -388,6 +388,41 @@ object UserSessionAnalysisJob extends GraftJob {
     toEnvelop(sessions, current_timestamp())
   }
 
+  /** Streaming face with Flink `allowedLateness` parity
+    * ([[graft.stateful.Processors.sessionsWithLateness]]): the first firing
+    * maps to a SESSION_CLOSED envelope, late-event re-firings to
+    * SESSION_UPDATED — an update changelog downstream compacts by
+    * (primaryKey, sessionStart) last-firing-wins. Requires the RocksDB
+    * state store provider.
+    */
+  def buildStreamingWithLateness(
+      envelopes: org.apache.spark.sql.Dataset[graft.model.StreamEnvelop],
+      gapMs: Long,
+      latenessMs: Long,
+      outOfOrdernessMs: Long = 0
+  ): DataFrame =
+    graft.stateful.Processors
+      .sessionsWithLateness(envelopes, gapMs, latenessMs, outOfOrdernessMs)
+      .toDF()
+      .select(
+        when(col("firing") === 1, "SESSION_CLOSED").otherwise("SESSION_UPDATED").as("operation"),
+        lit(name).as("source"),
+        to_json(struct(
+          col("key").as("_id"),
+          col("actions"),
+          col("eventCount").as("count"),
+          col("firing"))).as("payloadJson"),
+        timestamp_micros(col("sessionEndUs")).as("eventTime"),
+        current_timestamp().as("processedTime"),
+        concat(lit("trace-"), col("key"), lit("-"), col("sessionStartUs")).as("traceId"),
+        col("key").as("primaryKey"),
+        map(
+          lit("sessionStart"), col("sessionStartUs").cast("string"),
+          lit("sessionEnd"), col("sessionEndUs").cast("string"),
+          lit("eventCount"), col("eventCount").cast("string"),
+          lit("duration"), col("durationMs").cast("string"),
+          lit("firing"), col("firing").cast("string")).as("metadata"))
+
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val sessions = SessionAnalyzer("user_id", "ts", "4 hours")
       .analyze(Tables.events(spark, sfDir), "event_type", "event_id")

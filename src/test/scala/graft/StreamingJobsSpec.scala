@@ -54,6 +54,34 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("UserSessionAnalysis streaming with lateness: late event emits SESSION_UPDATED") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[StreamEnvelop]
+      val out = UserSessionAnalysisJob.buildStreamingWithLateness(
+        mem.toDS(), gapMs = 10000, latenessMs = 60000)
+      val q = out.writeStream.format("memory").queryName("sess_late_job").outputMode("append").start()
+      try {
+        mem.addData(mkEnv("login", "u1", "{}", 100), mkEnv("click", "u1", "{}", 104))
+        q.processAllAvailable()
+        mem.addData(mkEnv("x", "u2", "{}", 150))
+        q.processAllAvailable()
+        mem.addData(mkEnv("y", "u2", "{}", 151)) // timer batch: u1 closes
+        q.processAllAvailable()
+        mem.addData(mkEnv("late", "u1", "{}", 106)) // within lateness: re-fire
+        q.processAllAvailable()
+        val u1 = spark.table("sess_late_job").filter($"primaryKey" === "u1")
+          .select($"operation", get_json_object($"payloadJson", "$.count").cast("long"),
+            element_at($"metadata", "firing"))
+          .as[(String, Long, String)].collect().toSet
+        assert(u1.contains(("SESSION_CLOSED", 2L, "1")))
+        assert(u1.contains(("SESSION_UPDATED", 3L, "2")))
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
+
   test("KafkaToMongo streaming: foreachBatch upsert maintains the keyed table") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("k2m").toString
