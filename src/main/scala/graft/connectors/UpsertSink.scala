@@ -21,12 +21,35 @@ final case class KeyedParquetTable(path: String, keyCol: String, numBuckets: Int
 
   def bucketOf(key: Column): Column = pmod(hash(key), lit(numBuckets))
 
+  /** Crash recovery: a batch that died between `rename(dst → old)` and
+    * `rename(src → dst)` leaves bucket b's only copy in `.old-b`. Restore
+    * any orphaned `.old-b` whose bucket directory is missing; an `.old-b`
+    * sitting next to a committed bucket is stale and is deleted. Runs before
+    * every read/merge so a replay after a mid-swap crash never sees a table
+    * with a silently missing bucket.
+    */
+  private def recoverOrphans(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val root = new Path(path)
+    val parent = root.getParent
+    if (parent == null || !fs.exists(parent)) return
+    val prefix = root.getName + ".old-"
+    fs.listStatus(parent).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(prefix)) {
+        val dst = new Path(root, s"bucket=${n.stripPrefix(prefix)}")
+        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
+        else fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Read the table (bucket partition column dropped); `empty` supplies the
     * schema when the table doesn't exist yet.
     */
   def readOr(spark: SparkSession, empty: => DataFrame): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    recoverOrphans(fs)
     if (fs.exists(root) && fs.listStatus(root).nonEmpty)
       spark.read.parquet(path).drop("bucket")
     else empty
@@ -42,48 +65,62 @@ final case class KeyedParquetTable(path: String, keyCol: String, numBuckets: Int
     */
   def mergeBatch(upserts: DataFrame, deleteKeys: DataFrame, batchId: Long): Unit = {
     val spark = upserts.sparkSession
-    val touched = upserts.select(bucketOf(col(keyCol)).as("_b"))
-      .unionByName(deleteKeys.select(bucketOf(col(keyCol)).as("_b")))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    if (touched.isEmpty) return
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    // current rows of the touched buckets only — the isin filter prunes to
-    // the bucket=K directories, untouched buckets are never scanned
-    val current =
-      if (fs.exists(root) && fs.listStatus(root).nonEmpty)
-        spark.read.parquet(path)
-          .filter(col("bucket").isin(touched: _*))
-          .drop("bucket")
-      else upserts.limit(0)
-    val touchedKeys = upserts.select(col(keyCol))
-      .unionByName(deleteKeys.select(col(keyCol)))
-      .distinct()
-    // repartition by bucket before the partitioned write: without it every
-    // task writes a sliver of every touched bucket (tasks × buckets small
-    // files — the classic compaction killer at scale); with it each bucket's
-    // rows land in one task (AQE coalesces the tiny ones)
-    val merged = current
-      .join(touchedKeys, Seq(keyCol), "left_anti")
-      .unionByName(upserts)
-      .withColumn("bucket", bucketOf(col(keyCol)))
-      .repartition(col("bucket"))
-    val stage = new Path(path + s".stage-$batchId")
-    merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
-    // atomic per-bucket swap; a bucket whose rows were all deleted has no
-    // staged directory and is simply removed
-    fs.mkdirs(root)
-    touched.foreach { b =>
-      val dst = new Path(root, s"bucket=$b")
-      val src = new Path(stage, s"bucket=$b")
-      val old = new Path(path + s".old-$b")
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(dst)) fs.rename(dst, old)
-      if (fs.exists(src)) fs.rename(src, dst)
-      fs.delete(old, true)
+    recoverOrphans(fs)
+    // persist both frames: their lineage (typically the lastOpPerKey window
+    // over the micro-batch) would otherwise be evaluated twice — once for
+    // the touched-bucket probe, once for the merged write. At 100 TB/batch
+    // that is 2× sink-side CPU.
+    val up = upserts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val del = deleteKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = up.select(bucketOf(col(keyCol)).as("_b"))
+        .unionByName(del.select(bucketOf(col(keyCol)).as("_b")))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (touched.isEmpty) return
+      // current rows of the touched buckets only — the isin filter prunes to
+      // the bucket=K directories, untouched buckets are never scanned
+      val current =
+        if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+          spark.read.parquet(path)
+            .filter(col("bucket").isin(touched: _*))
+            .drop("bucket")
+        else up.limit(0)
+      val touchedKeys = up.select(col(keyCol))
+        .unionByName(del.select(col(keyCol)))
+        .distinct()
+      // repartition by bucket before the partitioned write: without it every
+      // task writes a sliver of every touched bucket (tasks × buckets small
+      // files — the classic compaction killer at scale); with it each bucket's
+      // rows land in one task (AQE coalesces the tiny ones)
+      val merged = current
+        .join(touchedKeys, Seq(keyCol), "left_anti")
+        .unionByName(up)
+        .withColumn("bucket", bucketOf(col(keyCol)))
+        .repartition(col("bucket"))
+      val stage = new Path(path + s".stage-$batchId")
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(stage.toString)
+      // per-bucket swap; a bucket whose rows were all deleted has no staged
+      // directory and is simply removed. `.old-b` is deleted only AFTER the
+      // new bucket directory is committed — if the driver dies mid-swap the
+      // bucket's data survives in `.old-b` and recoverOrphans restores it.
+      fs.mkdirs(root)
+      touched.foreach { b =>
+        val dst = new Path(root, s"bucket=$b")
+        val src = new Path(stage, s"bucket=$b")
+        val old = new Path(path + s".old-$b")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(dst)) fs.rename(dst, old)
+        if (fs.exists(src)) fs.rename(src, dst)
+        fs.delete(old, true)
+      }
+      fs.delete(stage, true)
+    } finally {
+      up.unpersist()
+      del.unpersist()
     }
-    fs.delete(stage, true)
   }
 }
 

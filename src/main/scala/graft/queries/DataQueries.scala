@@ -172,14 +172,22 @@ object DataQueries {
     * what a production dedup pipeline does (materialize the candidate pair
     * list once, feed clustering and corpus pruning from it) instead of
     * re-deriving the whole LSH pipeline in each consumer (VERDICT r1 item 3).
-    * Keyed by session identity so a fresh session never sees another
-    * session's checkpointed blocks.
+    * Keyed by the session object itself through a weak reference — a plain
+    * identity hash could be reused after GC and hand a fresh session another
+    * session's checkpointed blocks, and a strong key would pin dead sessions
+    * (and their frames) forever. Weak keys give identity without reuse and
+    * auto-evict once the session is collected.
     */
-  private val pairsMemo = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate(
-      s"${System.identityHashCode(spark)}|$dir",
+  private val pairsMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = pairsMemo.synchronized {
+      pairsMemo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate(
+      dir,
       Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text").localCheckpoint())
+  }
 
   def dMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsShared(spark, dir)

@@ -38,6 +38,14 @@ final case class Deduplicator(keyCols: Seq[String], ttlMs: Long = 10 * 60 * 1000
   /** Exact replica of the reference semantics on the envelope stream:
     * processing-time TTL'd "seen" state per key.
     *
+    * State holds the expiry DEADLINE (epoch ms) anchored to the accepted
+    * write. Spark's GroupState contract clears a stored timeout whenever the
+    * function runs for a key without re-setting it, so the timeout must be
+    * re-armed on EVERY invocation — including ones that only suppress
+    * duplicates — with the remaining time to the stored deadline. The
+    * deadline itself never moves (reference StateTtlConfig OnCreateAndWrite:
+    * duplicates arriving faster than the TTL can't postpone expiry).
+    *
     * ttlMs <= 0 disables the timeout (state lives forever). NOTE:
     * ProcessingTimeTimeout makes Spark run micro-batches continuously so
     * timers can fire — pair it with a real trigger interval in production
@@ -48,29 +56,39 @@ final case class Deduplicator(keyCols: Seq[String], ttlMs: Long = 10 * 60 * 1000
       key: StreamEnvelop => String
   ): Dataset[StreamEnvelop] = {
     import ds.sparkSession.implicits._
-    val ttl = ttlMs
     val conf =
-      if (ttl > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     ds.groupByKey(key)
-      .flatMapGroupsWithState(OutputMode.Append, conf)(
-        (_: String, events: Iterator[StreamEnvelop], state: GroupState[Boolean]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            // Write state + arm the TTL only on first sight: suppressed
-            // duplicates leave state untouched (reference StateTtlConfig
-            // OnCreateAndWrite — the TTL runs from the accepted write, so
-            // duplicates arriving faster than the TTL can't postpone expiry).
-            val fresh = !state.exists
-            if (fresh) {
-              state.update(true)
-              if (ttl > 0) state.setTimeoutDuration(ttl)
-            }
-            if (fresh && events.hasNext) Iterator.single(events.next())
-            else Iterator.empty
-          }
-        }
-      )
+      .flatMapGroupsWithState(OutputMode.Append, conf)(stateFunc _)
+  }
+
+  /** State function behind [[streamingExact]], named so the TTL contract can
+    * be pinned with [[org.apache.spark.sql.streaming.TestGroupState]].
+    */
+  private[graft] def stateFunc(
+      key: String,
+      events: Iterator[StreamEnvelop],
+      state: GroupState[Long]
+  ): Iterator[StreamEnvelop] = {
+    val ttl = ttlMs
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val fresh = !state.exists
+      if (fresh) {
+        val deadline =
+          if (ttl > 0) state.getCurrentProcessingTimeMs() + ttl else Long.MaxValue
+        state.update(deadline)
+      }
+      // Re-arm from the stored deadline on every invocation, or the
+      // duplicate-only invocation would silently cancel the TTL.
+      if (ttl > 0) {
+        val remaining = math.max(1L, state.get - state.getCurrentProcessingTimeMs())
+        state.setTimeoutDuration(remaining)
+      }
+      if (fresh && events.hasNext) Iterator.single(events.next())
+      else Iterator.empty
+    }
   }
 }

@@ -31,7 +31,11 @@ final case class StatefulMerger(
   def batch(df: DataFrame, tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol), col(tieCol))
     val payloadCanon = PayloadNorm.canonical(col(payloadCol), excludedFields)
-    val canon = opCol.fold(payloadCanon)(o => concat(lit("__op="), col(o), lit("|"), payloadCanon))
+    // coalesce: a null op would null the whole concat, making the =!= compare
+    // evaluate to null and unconditionally suppress the row. "∅" matches
+    // hashPayload's null rendering so the batch and streaming faces agree.
+    val canon = opCol.fold(payloadCanon)(o =>
+      concat(lit("__op="), coalesce(col(o), lit("∅")), lit("|"), payloadCanon))
     df.withColumn("_canon", canon)
       .withColumn("_prev", lag(col("_canon"), 1).over(w))
       .filter(col("_prev").isNull || col("_canon") =!= col("_prev"))
@@ -39,45 +43,62 @@ final case class StatefulMerger(
   }
 
   /** Streaming face: per-key last-hash state with processing-time TTL.
-    * State is written and the TTL re-armed ONLY when an event is accepted
-    * (hash changed) — suppressed duplicates leave state untouched so the TTL
-    * runs from the last accepted write, matching the reference's
-    * StateTtlConfig OnCreateAndWrite semantics (duplicates arriving faster
-    * than the TTL do not postpone expiry/re-emission).
+    * State carries (hash, expiry deadline). The deadline is re-anchored to
+    * now+ttl on every ACCEPTED write (reference StateTtlConfig
+    * OnCreateAndWrite — a suppressed duplicate does not postpone expiry),
+    * but the timeout itself must be re-armed on EVERY invocation: Spark's
+    * GroupState contract clears a stored timeout whenever the function runs
+    * for a key without re-setting it, so a duplicate-only micro-batch that
+    * skipped setTimeoutDuration would silently cancel the pending TTL and
+    * pin the last-hash state forever.
     */
   def streaming(
       ds: Dataset[StreamEnvelop],
       key: StreamEnvelop => String
   ): Dataset[StreamEnvelop] = {
     import ds.sparkSession.implicits._
+    val conf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    ds.groupByKey(key)
+      .flatMapGroupsWithState(OutputMode.Append, conf)(stateFunc _)
+  }
+
+  /** State function behind [[streaming]], named so the TTL contract can be
+    * pinned with [[org.apache.spark.sql.streaming.TestGroupState]].
+    */
+  private[graft] def stateFunc(
+      key: String,
+      events: Iterator[StreamEnvelop],
+      state: GroupState[(Long, Long)]
+  ): Iterator[StreamEnvelop] = {
     val excluded = excludedFields.toSet
     val includeOp = opCol.isDefined
     val ttl = ttlMs
-    val conf =
-      if (ttl > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
-    ds.groupByKey(key)
-      .flatMapGroupsWithState(OutputMode.Append, conf)(
-        (_: String, events: Iterator[StreamEnvelop], state: GroupState[Long]) => {
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var last = state.getOption
-            val out = events.filter { e =>
-              val h = StatefulMerger.hashPayload(
-                e.payloadJson, excluded, if (includeOp) Some(e.operation) else None)
-              val changed = !last.contains(h)
-              if (changed) last = Some(h)
-              changed
-            }.toVector
-            if (out.nonEmpty) {
-              last.foreach(state.update)
-              if (ttl > 0) state.setTimeoutDuration(ttl)
-            }
-            out.iterator
-          }
-        }
-      )
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var last = state.getOption.map(_._1)
+      val out = events.filter { e =>
+        val h = StatefulMerger.hashPayload(
+          e.payloadJson, excluded, if (includeOp) Some(e.operation) else None)
+        val changed = !last.contains(h)
+        if (changed) last = Some(h)
+        changed
+      }.toVector
+      if (out.nonEmpty) {
+        val deadline =
+          if (ttl > 0) state.getCurrentProcessingTimeMs() + ttl else Long.MaxValue
+        last.foreach(h => state.update((h, deadline)))
+      }
+      // Re-arm from the stored deadline even when this invocation only
+      // suppressed duplicates — skipping it would clear the pending TTL.
+      if (ttl > 0 && state.exists) {
+        val remaining = math.max(1L, state.get._2 - state.getCurrentProcessingTimeMs())
+        state.setTimeoutDuration(remaining)
+      }
+      out.iterator
+    }
   }
 }
 

@@ -64,6 +64,62 @@ class SinksSpec extends SparkSpec {
     assert(t("k1") === """{"v":10}""" && t.size === 6)
   }
 
+  test("KeyedParquetTable: mid-swap crash leaves bucket only in .old-N; recovery restores it") {
+    // Simulates a driver death between rename(dst -> old) and
+    // rename(src -> dst): the bucket's only copy lives in `.old-N`. Without
+    // recovery the next read sees a table with that bucket silently missing
+    // and the next merge deletes `.old-N` — permanent data loss (ADVICE r2,
+    // medium).
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("upsert-crash").toString + "/table"
+    val keys = Seq("k1", "k2", "k3", "k4", "k5", "k6")
+    UpsertSink.writer(path)(keys.map(k => mkEnv("insert", k, s"""{"k":"$k"}""", 1)).toDF(), 0L)
+    // crash simulation: k1's bucket was renamed aside but never replaced
+    val k1Bucket = spark.range(1)
+      .select(pmod(hash(lit("k1")), lit(UpsertSink.DefaultBuckets))).head().getInt(0)
+    val root = new java.io.File(path)
+    val bucketDir = new java.io.File(root, s"bucket=$k1Bucket")
+    assert(bucketDir.exists())
+    val orphan = new java.io.File(path + s".old-$k1Bucket")
+    assert(bucketDir.renameTo(orphan))
+    // a plain read recovers the orphan instead of returning a partial table
+    assert(UpsertSink.readTable(spark, path).count() === keys.size)
+    assert(bucketDir.exists() && !orphan.exists())
+    // and a merge after a crash (replay) also recovers before reading current
+    assert(bucketDir.renameTo(orphan))
+    UpsertSink.writer(path)(Seq(mkEnv("update", "k2", """{"k":"k2b"}""", 2)).toDF(), 1L)
+    val t = UpsertSink.readTable(spark, path)
+      .select("_id", "doc").as[(String, String)].collect().toMap
+    assert(t.size === keys.size && t("k1") === """{"k":"k1"}""" && t("k2") === """{"k":"k2b"}""")
+    // a STALE .old-N (crash after commit, before cleanup) is discarded, not restored
+    val stale = new java.io.File(path + s".old-$k1Bucket")
+    stale.mkdirs()
+    new java.io.File(stale, "junk.parquet").createNewFile()
+    assert(UpsertSink.readTable(spark, path).count() === keys.size)
+    assert(!stale.exists())
+  }
+
+  test("KeyedParquetTable.mergeBatch evaluates the batch lineage once (persisted)") {
+    // The touched-bucket probe and the merged write both consume
+    // upserts/deletes; without the persist the lastOpPerKey window lineage
+    // runs twice — 2x sink-side CPU per batch at scale (VERDICT r2 #4).
+    // Count source-row evaluations with an accumulator: the probe job scans
+    // the source once per branch (upserts, deletes) = 2n; the write must hit
+    // the cache, adding zero. Unpersisted it re-runs both branches = 4n.
+    val acc = spark.sparkContext.longAccumulator("source-evals")
+    val envs = Seq(
+      mkEnv("insert", "a", """{"v":1}""", 1),
+      mkEnv("update", "b", """{"v":2}""", 2),
+      mkEnv("DELETE", "c", null, 3))
+    val rdd = spark.sparkContext.parallelize(envs, 2).map { e => acc.add(1); e }
+    val df = spark.createDataFrame(rdd)
+    val path = Files.createTempDirectory("upsert-once").toString + "/table"
+    UpsertSink.writer(path)(df, 0L)
+    assert(UpsertSink.readTable(spark, path).count() === 2)
+    assert(acc.value <= 2L * envs.size,
+      s"batch lineage evaluated ${acc.value / envs.size}x; expected <=2 passes over the source")
+  }
+
   test("UpsertSink.splitWritable: null keys and malformed non-delete payloads route to DLQ") {
     val batch = Seq(
       mkEnv("insert", "ok", """{"v":1}""", 1),

@@ -181,6 +181,83 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // ------------------------------------------------- GroupState TTL contract
+  //
+  // Spark clears a stored timeout whenever the function runs for a key
+  // without re-setting it (FlatMapGroupsWithStateExec writes NO_TIMESTAMP),
+  // so a duplicate-only invocation that skips setTimeoutDuration silently
+  // cancels the pending TTL: state never expires, the key never re-emits
+  // (ADVICE r2, high ×2). Pinned with TestGroupState.
+
+  import org.apache.spark.api.java.Optional
+  import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+  private def mkState[S](init: Option[S], nowMs: Long, timedOut: Boolean = false): TestGroupState[S] =
+    TestGroupState.create[S](
+      init.map(Optional.of[S]).getOrElse(Optional.empty[S]()),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      nowMs,
+      Optional.empty[Long](),
+      timedOut)
+
+  test("Deduplicator TTL: duplicate-only invocation re-arms timeout without moving the deadline") {
+    val d = Deduplicator(Seq("k"), ttlMs = 10000)
+    // first sight at t=1000 -> emit, deadline 11000, timer armed
+    val s1 = mkState[Long](None, 1000)
+    assert(d.stateFunc("k", Iterator(mkEnv("i", "k", "{}", 1)), s1).size === 1)
+    assert(s1.get === 11000L)
+    assert(s1.getTimeoutTimestampMs.get === 11000L)
+    // duplicate at t=5000 -> suppressed, but timer MUST be re-armed to the
+    // same deadline (the bug: skipping this cancels the TTL outright)
+    val s2 = mkState[Long](Some(s1.get), 5000)
+    assert(d.stateFunc("k", Iterator(mkEnv("i", "k", "{}", 2)), s2).isEmpty)
+    assert(s2.getTimeoutTimestampMs.isPresent, "duplicate-only invocation cancelled the TTL")
+    assert(s2.getTimeoutTimestampMs.get === 11000L, "duplicate postponed the expiry deadline")
+    // timer fires -> state removed; the key then re-emits as fresh
+    val s3 = mkState[Long](Some(s1.get), 12000, timedOut = true)
+    assert(d.stateFunc("k", Iterator.empty, s3).isEmpty && s3.isRemoved)
+    val s4 = mkState[Long](None, 13000)
+    assert(d.stateFunc("k", Iterator(mkEnv("i", "k", "{}", 3)), s4).size === 1)
+  }
+
+  test("StatefulMerger TTL: suppressed batch re-arms; accepted write re-anchors the deadline") {
+    val m = StatefulMerger(Seq("k"), "payloadJson", ttlMs = 10000)
+    // accepted write at t=1000 -> deadline 11000
+    val s1 = mkState[(Long, Long)](None, 1000)
+    assert(m.stateFunc("k", Iterator(mkEnv("u", "k", """{"x":1}""", 1)), s1).size === 1)
+    assert(s1.get._2 === 11000L && s1.getTimeoutTimestampMs.get === 11000L)
+    // all-suppressed batch at t=5000 -> out.isEmpty, but the pending TTL
+    // keeps running from the stored deadline instead of being cleared
+    val s2 = mkState[(Long, Long)](Some(s1.get), 5000)
+    assert(m.stateFunc("k", Iterator(mkEnv("u", "k", """{"x":1}""", 2)), s2).isEmpty)
+    assert(s2.getTimeoutTimestampMs.isPresent, "suppressed-only batch cancelled the 24h TTL")
+    assert(s2.getTimeoutTimestampMs.get === 11000L)
+    // a CHANGED payload at t=7000 is an accepted write -> OnCreateAndWrite
+    // re-anchors the deadline to now+ttl
+    val s3 = mkState[(Long, Long)](Some(s1.get), 7000)
+    assert(m.stateFunc("k", Iterator(mkEnv("u", "k", """{"x":2}""", 3)), s3).size === 1)
+    assert(s3.getTimeoutTimestampMs.get === 17000L)
+    // expiry removes state; the same payload then re-emits
+    val s4 = mkState[(Long, Long)](Some(s3.get), 18000, timedOut = true)
+    assert(m.stateFunc("k", Iterator.empty, s4).isEmpty && s4.isRemoved)
+    val s5 = mkState[(Long, Long)](None, 19000)
+    assert(m.stateFunc("k", Iterator(mkEnv("u", "k", """{"x":2}""", 4)), s5).size === 1)
+  }
+
+  test("StatefulMerger.batch with opCol: null operation does not null-suppress the row") {
+    // concat(null) nulls _canon, and `null =!= null` is null -> filter drops
+    // the row unconditionally (ADVICE r2, low); coalesce to "∅" keeps the
+    // payload comparison live
+    val df = Seq(
+      ("k", 1L, null.asInstanceOf[String], """{"a": 1}"""),
+      ("k", 2L, null.asInstanceOf[String], """{"a": 1}"""), // same payload -> suppressed
+      ("k", 3L, null.asInstanceOf[String], """{"a": 2}""") // changed payload -> MUST emit
+    ).toDF("k", "tie", "operation", "payload")
+      .withColumn("ts", timestamp_seconds($"tie"))
+    val out = StatefulMerger(Seq("k"), "payload", opCol = Some("operation")).batch(df, "ts", "tie")
+    assert(out.select("tie").as[Long].collect().sorted === Array(1L, 3L))
+  }
+
   test("FlowDisruptionDetector.streaming: no signals while flow is healthy") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[StreamEnvelop]
