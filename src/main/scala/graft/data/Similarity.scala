@@ -76,14 +76,34 @@ object Similarity {
     }
 
   /** Left-to-right dot product against a constant plane (HOF: bit-identical
-    * to the oracle's list_reduce replay — per row it's nbits × dim
-    * multiply-adds over a handful of planes, scan-fused).
+    * to the oracle's list_reduce replay — kept as the portable fallback and
+    * for cross-checking [[lshDots]] in tests).
     */
   private def dotPlane(v: Column, plane: Seq[Double]): Column =
     aggregate(
       zip_with(transform(v, x => x.cast("double")), array(plane.map(lit): _*), (a, b) => a * b),
       lit(0.0),
       (acc, x) => acc + x)
+
+  /** All hyperplane dots in one fused native loop (array<double>, one entry
+    * per plane) — the expensive nbits×dim work done once per row; bucket and
+    * probe order derive from it with 8-element column arithmetic.
+    */
+  def lshDots(v: Column, planes: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.SignLshDots(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(v.cast("array<double>")),
+        planes))
+
+  /** HOF formulation of [[lshDots]] for bit-parity cross-checks. */
+  def lshDotsHof(v: Column, planes: Seq[Seq[Double]]): Column =
+    array(planes.map(p => dotPlane(v, p)): _*)
+
+  /** Sign-LSH bucket id from a [[lshDots]] array: bit i set iff dot_i > 0. */
+  def lshBucketFromDots(dots: Column, nbits: Int): Column =
+    (0 until nbits)
+      .map(i => when(element_at(dots, i + 1) > 0.0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
 
   /** Sign-LSH bucket id: bit i set iff dot(v, plane_i) > 0 — the
     * data-independent bucketing for [[bucketedTopK]] when no natural coarse
@@ -92,9 +112,69 @@ object Similarity {
     * neighbors collide with high probability.
     */
   def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex
-      .map { case (p, i) => when(dotPlane(v, p) > 0.0, lit(1 << i)).otherwise(lit(0)) }
-      .reduce(_ + _)
+    lshBucketFromDots(lshDots(v, planes), planes.length)
+
+  /** Multi-probe bucket list: the vector's own bucket plus the buckets at
+    * the `nFlips` lowest-|margin| single-bit flips (standard multi-probe
+    * LSH, Lv et al. VLDB'07). A near-boundary neighbor differs from the
+    * query on exactly the low-|dot| bits, so probing those flips first
+    * recovers the candidates single-probe bucketing silently loses.
+    * Deterministic: ties on |dot| break by plane index.
+    */
+  def lshProbes(dots: Column, nbits: Int, nFlips: Int): Column = {
+    val bucket = lshBucketFromDots(dots, nbits)
+    val zipped = zip_with(
+      dots,
+      sequence(lit(0), lit(nbits - 1)),
+      (d, i) => struct(abs(d).as("m"), i.as("i")))
+    val sorted = array_sort(
+      zipped,
+      (l, r) =>
+        when(l("m") < r("m"), -1)
+          .when(l("m") > r("m"), 1)
+          .otherwise(l("i") - r("i"))
+          .cast("int"))
+    val flips = transform(
+      slice(sorted, 1, nFlips),
+      s => bucket.bitwiseXOR(pow(lit(2.0), s("i")).cast("int")))
+    concat(array(bucket), flips)
+  }
+
+  /** Multi-probe ANN: like [[bucketedTopK]], but each query probes the
+    * bucket LIST in `probesCol` (its own bucket + the lowest-margin flips
+    * from [[lshProbes]]). The probe explode happens on the SMALL broadcast
+    * query side — the corpus is still scanned once and joined on bucket
+    * equality, so the 100 TB shape is unchanged; candidates grow by the
+    * probe fan-out only. Probe lists are distinct by construction (XOR of
+    * distinct bits), so no candidate dedup is needed.
+    */
+  def multiProbeTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bucketCol: String,
+      probesCol: String,
+      k: Int
+  ): DataFrame = {
+    val q = broadcast(
+      queries
+        .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), explode(col(probesCol)).as("q_bk")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"), col(bucketCol).as("n_bk"))
+    val scored = c
+      .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6")
+      )
+  }
 
   /** IVF-style ANN: candidates restricted to the query's coarse bucket. */
   def bucketedTopK(

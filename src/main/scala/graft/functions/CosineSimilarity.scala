@@ -60,24 +60,28 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
-      // ctx.freshName: two instances of this expression can land in the same
-      // whole-stage-codegen function; fixed local names would collide and
-      // silently drop the stage to interpreted execution.
+      // ctx.freshName on EVERY local including the loop variable: the
+      // snippet is inlined into an enclosing generated function that may
+      // already declare i/x/y, and Janino rejects redefinition — which
+      // silently drops the stage to interpreted execution.
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val getA = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = $getA;
-         |  double y = $getB;
-         |  $dot += x * y;
-         |  $na += x * x;
-         |  $nb += y * y;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $getA;
+         |  double $y = $getB;
+         |  $dot += $x * $y;
+         |  $na += $x * $x;
+         |  $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

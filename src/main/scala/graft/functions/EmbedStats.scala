@@ -68,7 +68,10 @@ case class EmbedStats(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val get = if (elemIsFloat) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
+      // freshName EVERY local including loop variables: the snippet inlines
+      // into an enclosing generated function that may already declare i/x/q,
+      // and Janino rejects redefinition — silently dropping the stage to
+      // interpreted execution.
       val n = ctx.freshName("n")
       val norm2 = ctx.freshName("norm2")
       val maxAbs = ctx.freshName("maxAbs")
@@ -77,23 +80,27 @@ case class EmbedStats(child: Expression) extends UnaryExpression {
       val maxErr = ctx.freshName("maxErr")
       val q1 = ctx.freshName("q1")
       val x0 = ctx.freshName("x0")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val q = ctx.freshName("q")
+      val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
          |int $n = $a.numElements();
          |double $norm2 = 0.0, $maxAbs = 0.0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = $get;
-         |  $norm2 += x * x;
-         |  $maxAbs = java.lang.Math.max($maxAbs, java.lang.Math.abs(x));
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  $norm2 += $x * $x;
+         |  $maxAbs = java.lang.Math.max($maxAbs, java.lang.Math.abs($x));
          |}
          |double $norm = java.lang.Math.sqrt($norm2);
          |double $scale = $maxAbs / 127.0;
          |double $maxErr = 0.0;
          |int $q1 = 0;
-         |for (int i = 0; i < $n; i++) {
-         |  double x = $get;
-         |  int q = ($scale == 0.0) ? 0 : graft.functions.EmbedStats.roundHalfUp(x / $scale);
-         |  if (i == 0) $q1 = q;
-         |  $maxErr = java.lang.Math.max($maxErr, java.lang.Math.abs(x - q * $scale));
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $get;
+         |  int $q = ($scale == 0.0) ? 0 : graft.functions.EmbedStats.roundHalfUp($x / $scale);
+         |  if ($i == 0) $q1 = $q;
+         |  $maxErr = java.lang.Math.max($maxErr, java.lang.Math.abs($x - $q * $scale));
          |}
          |double $x0 = ($n == 0) ? 0.0 : ${if (elemIsFloat) s"(double) $a.getFloat(0)" else s"$a.getDouble(0)"};
          |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

@@ -50,24 +50,28 @@ case class SimHash60(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      // ctx.freshName: two instances of this expression can land in the same
-      // whole-stage-codegen function; fixed local names would collide and
-      // silently drop the stage to interpreted execution.
+      // freshName EVERY local including loop variables: the snippet inlines
+      // into an enclosing generated function that may already declare i/h/b,
+      // and Janino rejects redefinition — silently dropping the stage to
+      // interpreted execution.
       val n = ctx.freshName("n")
       val counts = ctx.freshName("counts")
       val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val b = ctx.freshName("b")
       s"""
          |int $n = $a.numElements();
          |int[] $counts = new int[60];
-         |for (int i = 0; i < $n; i++) {
-         |  long h = $a.getLong(i);
-         |  for (int b = 0; b < 60; b++) {
-         |    $counts[b] += ((int) ((h >> b) & 1L) * 2) - 1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    $counts[$b] += ((int) (($h >> $b) & 1L) * 2) - 1;
          |  }
          |}
          |long $sig = 0L;
-         |for (int b = 0; b < 60; b++) {
-         |  if ($counts[b] > 0) $sig |= (1L << b);
+         |for (int $b = 0; $b < 60; $b++) {
+         |  if ($counts[$b] > 0) $sig |= (1L << $b);
          |}
          |${ev.value} = $sig;
        """.stripMargin

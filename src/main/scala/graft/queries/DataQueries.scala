@@ -456,6 +456,70 @@ object DataQueries {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** Multi-probe sign-LSH ANN: each query probes its own bucket plus the
+    * [[AnnFlips]] lowest-|margin| single-bit flips — the standard multi-probe
+    * recovery of near-boundary neighbors that single-probe bucketing loses
+    * (VERDICT r2 #1). The oracle replays the identical dot products, flip
+    * ranking (abs(d) asc, plane index asc) and XOR probe set, so the result
+    * hash-matches exactly; SimilaritySpec measures the recall gain vs brute.
+    */
+  private val AnnFlips = 2
+
+  def sAnnLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .embeddings(spark, dir)
+      .withColumn("_dots", Similarity.lshDots(col("embedding"), annPlanes))
+      .withColumn("_bk", Similarity.lshBucketFromDots(col("_dots"), AnnNbits))
+    val queries = base
+      .filter(col("vec_id") % 25 === 0)
+      .withColumn("_probes", Similarity.lshProbes(col("_dots"), AnnNbits, AnnFlips))
+    Similarity.multiProbeTopK(base, queries, "vec_id", "embedding", "_bk", "_probes", k = 10)
+  }
+
+  lazy val sAnnLshMultiprobeSql: String = {
+    val planeArrs = annPlanes.zipWithIndex
+      .map { case (p, i) => p.map(_.toString).mkString("[", ",", "]") + s"::DOUBLE[] AS p$i" }
+      .mkString(",\n    ")
+    val dotSql = (i: Int, vcol: String) =>
+      s"list_reduce(list_transform(range(1, len($vcol)+1), k -> $vcol[k] * p$i[k]), (x,y) -> x+y)"
+    val bucketSql = (0 until AnnNbits)
+      .map(i => s"(CASE WHEN ${dotSql(i, "v")} > 0 THEN ${1 << i} ELSE 0 END)")
+      .mkString("\n      + ")
+    val dotsUnion = (0 until AnnNbits)
+      .map(i => s"SELECT q_id, $i AS i, ${dotSql(i, "qv")} AS d FROM q0 CROSS JOIN planes")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |planes AS (SELECT
+       |    $planeArrs),
+       |b AS (
+       |  SELECT vec_id, v,
+       |    $bucketSql AS bk
+       |  FROM e CROSS JOIN planes),
+       |q0 AS (SELECT vec_id AS q_id, bk AS q_bk, v AS qv FROM b WHERE vec_id % 25 = 0),
+       |dots AS (
+       |  $dotsUnion),
+       |flips AS (
+       |  SELECT q_id, i FROM (
+       |    SELECT q_id, i,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY abs(d) ASC, i ASC) AS rn
+       |    FROM dots) WHERE rn <= $AnnFlips),
+       |probes AS (
+       |  SELECT q_id, q_bk AS probe FROM q0
+       |  UNION ALL
+       |  SELECT f.q_id, xor(q0.q_bk, (1 << f.i)) AS probe FROM flips f JOIN q0 ON q0.q_id = f.q_id),
+       |scored AS (
+       |  SELECT p.q_id, b.vec_id AS n_id, ${cosSql("q0.qv", "b.v")} AS cosv
+       |  FROM b
+       |  JOIN probes p ON b.bk = p.probe
+       |  JOIN q0 ON q0.q_id = p.q_id AND b.vec_id <> p.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosv,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosv DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -494,6 +558,7 @@ object DataQueries {
     "s_ann_brute" -> sAnnBrute,
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_lsh" -> sAnnLsh,
+    "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "m_multimodal" -> mMultimodal
   )
 
@@ -515,6 +580,7 @@ object DataQueries {
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_lsh" -> sAnnLshSql,
+    "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "m_multimodal" -> mMultimodalSql
   )
 }
