@@ -24,19 +24,29 @@ object Bench {
     val oracleOnly = Set("d_ngram_jaccard")
     // noop sink: materializes EVERY output column (count() would let
     // Catalyst prune the computed columns and measure only the scan)
-    val results = SparkEntry.queries.filterNot { case (n, _) => oracleOnly(n) }.map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-    }
+    def runAll(): Map[String, Double] =
+      SparkEntry.queries.filterNot { case (n, _) => oracleOnly(n) }.map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          name -> (System.nanoTime() - t0) / 1e9
+      }
+    // Warm-run methodology: two back-to-back runs in one JVM, report the
+    // SECOND run. Run 1 absorbs codegen/Janino compilation and JIT warmup —
+    // a per-query floor of ~0.2-5 s that is one-time JVM cost, not engine
+    // throughput, and that masked real per-query regressions in earlier
+    // rounds (e.g. a "7.2 s" query whose steady state is 2.6 s). The cold
+    // total is still reported alongside for visibility.
+    val cold = runAll()
+    val results = runAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val skipped = oracleOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"oracle_only":$skipped,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"oracle_only":$skipped,"sf":"$sfDir","cold_total":$coldTotal,"methodology":"second of two back-to-back runs in one JVM; run 1 absorbs codegen compile + JIT warmup"}""")
     spark.stop()
   }
 }

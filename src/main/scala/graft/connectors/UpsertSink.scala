@@ -186,6 +186,7 @@ object UpsertSink {
     * reject — null/empty key, or a non-delete whose payload is not a JSON
     * object — split into a rejected frame (with `_reject_reason`) instead
     * of failing the batch or silently merging garbage.
+    *
     */
   def splitWritable(batch: DataFrame): (DataFrame, DataFrame) = {
     val isDelete = upper(col("operation")) === "DELETE"

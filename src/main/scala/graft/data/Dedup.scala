@@ -206,6 +206,7 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    var prevCache: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -213,21 +214,32 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nlabel")).as("nmin"))
-      // One real job per iteration: the eager localCheckpoint materializes
-      // the joined labels (lineage truncated, so iteration N+1 starts from
-      // stored blocks, not a 2N-deep plan); carrying `old` through lets the
-      // convergence test read the checkpointed blocks instead of re-running
-      // the join as a second full job.
+      // ONE Spark job per iteration: the noop write both fills the persisted
+      // label cache (iteration N+1's join reads InMemoryTableScan, and the
+      // cached subtree is a leaf to the optimizer, so plans stay shallow) and
+      // carries the convergence count out through an observed metric — no
+      // second count() job rescanning the materialized labels.
+      val obs = org.apache.spark.sql.Observation()
       val next = labels
         .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
-      changed = next.filter(col("label") =!= col("old")).count()
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (col("label") =!= least(col("label"), coalesce(col("nmin"), col("label")))).as("_chg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next
+        .observe(obs, coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)).as("changed"))
+        .write.mode("overwrite").format("noop").save()
+      changed = obs.get("changed").asInstanceOf[Long]
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(next)
       labels = next.select(col("id"), col("label"))
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    // hand the caller a plan that survives the last cache's release
+    val result = out.localCheckpoint()
+    prevCache.foreach(_.unpersist())
+    result
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (coarse bucket:

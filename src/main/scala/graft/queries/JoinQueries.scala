@@ -122,6 +122,53 @@ object JoinQueries {
        | AND epoch_us(r_ts) >= epoch_us(l_ts) - 600000000
        | AND epoch_us(r_ts) <= epoch_us(l_ts) + 600000000""".stripMargin
 
+  /** Arrival-time-axis face (VERDICT r2 #6): the reference's TTL actually
+    * runs on PROCESSING-time arrival distance (DynamicJoiner.java:206-229),
+    * not event time. [[DynamicJoiner.stampArrival]] stamps wall-clock at
+    * ingest — non-oracle-able — so this query stamps a DETERMINISTIC
+    * synthetic arrival (eventTime + per-row ingest delay, out-of-order by
+    * construction: delay varies per event) and passes the stamped column as
+    * the join axis. Pairs match on arrival distance, NOT event-time
+    * distance: two events 1 ms apart in event time can miss when their
+    * ingest delays differ by more than the TTL, exactly the reference's
+    * buffer behavior.
+    */
+  def j1DynamicArrival(spark: SparkSession, dir: String): DataFrame = {
+    val env = Tables.eventsAsEnvelopes(spark, dir)
+    // synthetic ingest delay: 0-6 min, keyed off event_id (deterministic)
+    def stamped(src: String, prefix: String) = env
+      .filter(col("source") === src)
+      .withColumn(
+        "_arr",
+        timestamp_micros(unix_micros(col("eventTime")) + (col("event_id") % 7) * 60000000L))
+      .select(
+        col("primaryKey").as(s"${prefix}_key"),
+        col("event_id").as(s"${prefix}_id"),
+        col("_arr").as(s"${prefix}_arr"))
+    DynamicJoiner("l_key", "r_key", "l_arr", "r_arr", ttlMs = 10 * 60 * 1000, joinType = "left_outer")
+      .batch(stamped("click", "l"), stamped("purchase", "r"))
+      .select(
+        col("l_id"),
+        col("r_id"),
+        unix_micros(col("l_arr")).as("l_us"),
+        unix_micros(col("r_arr")).as("r_us")
+      )
+  }
+
+  val j1ArrivalSql: String =
+    s"""$envCte,
+       |l AS (SELECT primaryKey AS l_key, event_id AS l_id,
+       |             epoch_us(eventTime) + (event_id % 7) * 60000000 AS l_us
+       |      FROM env WHERE source = 'click'),
+       |r AS (SELECT primaryKey AS r_key, event_id AS r_id,
+       |             epoch_us(eventTime) + (event_id % 7) * 60000000 AS r_us
+       |      FROM env WHERE source = 'purchase')
+       |SELECT l_id, r_id, l_us, r_us
+       |FROM l LEFT JOIN r
+       |  ON l_key = r_key
+       | AND r_us >= l_us - 600000000
+       | AND r_us <= l_us + 600000000""".stripMargin
+
   // ------------------------------------------------------ J3 skew-salted join
   /** Worst-case key distribution: two-thirds of ALL events collapse onto ONE
     * join key ("hot"), then enrich against a per-key dim through
@@ -156,7 +203,8 @@ object JoinQueries {
     "j2_static_enrich" -> j2StaticEnrich,
     "j2_ref_lww" -> j2RefLww,
     "j1_dynamic_join" -> j1DynamicJoin,
-    "j1_dynamic_full" -> j1DynamicFull
+    "j1_dynamic_full" -> j1DynamicFull,
+    "j1_dynamic_arrival" -> j1DynamicArrival
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +212,7 @@ object JoinQueries {
     "j2_static_enrich" -> j2Sql,
     "j2_ref_lww" -> j2LwwSql,
     "j1_dynamic_join" -> j1Sql,
-    "j1_dynamic_full" -> j1FullSql
+    "j1_dynamic_full" -> j1FullSql,
+    "j1_dynamic_arrival" -> j1ArrivalSql
   )
 }
