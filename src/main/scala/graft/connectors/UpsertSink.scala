@@ -193,7 +193,10 @@ object UpsertSink {
     val payloadObj = from_json(col("payloadJson"), MapType(StringType, StringType))
     val reason = when(col("primaryKey").isNull || length(col("primaryKey")) === 0, "null_key")
       .when(!isDelete && (col("payloadJson").isNull || payloadObj.isNull), "malformed_payload")
-    val tagged = batch.withColumn("_reject_reason", reason)
+    // ComputeOnce pins the probe to one evaluation per row: pushdown would
+    // otherwise substitute the whole reason expression (payload parse
+    // included) into both split predicates (see EnvelopeParser scaladoc)
+    val tagged = batch.withColumn("_reject_reason", graft.functions.ComputeOnce(reason))
     (
       tagged.filter(col("_reject_reason").isNull).drop("_reject_reason"),
       tagged.filter(col("_reject_reason").isNotNull)

@@ -44,14 +44,18 @@ object EnvelopeParser {
     val raw = col(valueCol)
     // from_json yields a null struct on corrupt input; combined with the
     // `{...}` pre-filter this reproduces the reference's two rejection paths.
+    //
+    // ComputeOnce pins the parse to ONE evaluation per row: without it,
+    // filter pushdown substitutes the `_env` alias into every downstream
+    // predicate and OptimizeJsonExprs prunes each copy's schema differently,
+    // defeating subexpression elimination — the measured DLQ plan carried
+    // ~10 separate full from_json(value) parses per row in the scan-level
+    // filter. Predicates below this projection would have to re-parse by
+    // construction, so there is nothing useful to push down anyway.
     val parsed = df.withColumn(
       "_env",
-      when(looksLikeJson(raw), from_json(raw, envelopeSchema))
-    )
+      graft.functions.ComputeOnce(when(looksLikeJson(raw), from_json(raw, envelopeSchema))))
     val ok = parsed.filter(col("_env").isNotNull)
-    // NOTE: filter pushdown substitutes the from_json alias into downstream
-    // predicates (the plan prints several copies); whole-stage codegen's
-    // subexpression elimination evaluates the parse once per row at runtime.
     val good = ok.select(
       col("_env.operation").as("operation"),
       col("_env.source").as("source"),

@@ -105,15 +105,22 @@ final case class SchemaEnforcer(payloadCol: String, versionsNewestFirst: Seq[Sch
 
   /** Split into (passing rows + matched_version column, DLQ rows + violations).
     * The payload is parsed once into `_pv`; both outputs drop it.
+    * ComputeOnce pins both the variant parse and the version verdict to one
+    * evaluation per row — filter pushdown would otherwise substitute the
+    * whole matchedVersion tree (variant parse included) into the split
+    * predicates down at the scan (see [[graft.functions.ComputeOnce]]).
     */
   def enforce(df: DataFrame): (DataFrame, DataFrame) = {
-    val parsed = df.withColumn("_pv", try_parse_json(payload))
-    val good = parsed
-      .withColumn("matched_version", matchedVersion(col("_pv")))
+    val parsed = df.withColumn("_pv", graft.functions.ComputeOnce(try_parse_json(payload)))
+    val withVerdict = parsed.withColumn(
+      "matched_version",
+      graft.functions.ComputeOnce(matchedVersion(col("_pv"))))
+    val good = withVerdict
       .filter(col("matched_version").isNotNull)
       .drop("_pv")
-    val bad = parsed
-      .filter(matchedVersion(col("_pv")).isNull)
+    val bad = withVerdict
+      .filter(col("matched_version").isNull)
+      .drop("matched_version")
       .withColumn("violations", allViolations(col("_pv")))
       .drop("_pv")
     (good, bad)
