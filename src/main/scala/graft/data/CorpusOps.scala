@@ -1,0 +1,76 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus assembly operators for training-data pipelines: deterministic
+  * stratified sampling (corpus mixing) and concat-and-chunk sequence
+  * packing. Both are pure column/window expressions — no UDFs, no driver
+  * loops — and both are oracle-replayable (the sampling decision and the
+  * packing layout are functions of the data alone, not of partitioning).
+  */
+object CorpusOps {
+
+  /** Deterministic per-stratum sampling — the "mix 30% web, 5% code, ..."
+    * step of corpus assembly. A row survives iff
+    * `md5_60(stratum|id) % 1e6 < rate(stratum) * 1e6`: the verdict is a pure
+    * function of (stratum, id), so it is reproducible across runs, clusters
+    * and partitionings, and a re-run after adding documents keeps every
+    * previously-kept row (stable sampling — what makes incremental corpus
+    * rebuilds diff-able). Scale shape: embarrassingly parallel scan, no
+    * shuffle; the rate map broadcasts as a literal.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double
+  ): DataFrame = {
+    val rateMap = map(rates.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val rate = coalesce(element_at(rateMap, col(stratumCol)), lit(defaultRate))
+    val ticket = pmod(
+      graft.functions.Md5Hash60(concat(col(stratumCol), lit("|"), col(idCol).cast("string"))),
+      lit(1000000L))
+    df.withColumn("_ticket", ticket)
+      .filter(col("_ticket") < (rate * 1e6).cast("long"))
+      .drop("_ticket")
+  }
+
+  /** Concat-and-chunk sequence packing: documents are laid end-to-end per
+    * shard (deterministic order) and cut into fixed `budget`-token
+    * sequences; each doc reports the sequence it starts in and its offset
+    * there. This is the standard "pack short documents into full training
+    * sequences" step.
+    *
+    * Scale shape: the running sum is windowed PER SHARD, not global — a
+    * global cumulative sum would serialize 100 TB through one partition.
+    * Shards are `id % nShards`, so layout is reproducible regardless of
+    * cluster size; one shuffle on the shard key, then a linear in-partition
+    * window.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      budget: Int,
+      nShards: Int
+  ): DataFrame = {
+    val shard = pmod(col(idCol).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("_shard")).orderBy(col(idCol))
+    val before = coalesce(
+      sum(col("_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    df.withColumn("_shard", shard)
+      .withColumn("_tok", tokenCountCol.cast("long"))
+      .withColumn("_before", before)
+      .select(
+        col(idCol),
+        col("_shard").as("shard"),
+        col("_tok").as("n_tokens"),
+        (col("_shard") * lit(1000000L) + floor(col("_before") / budget)).as("seq_id"),
+        pmod(col("_before"), lit(budget.toLong)).as("seq_offset")
+      )
+  }
+}

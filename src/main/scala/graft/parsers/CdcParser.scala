@@ -52,15 +52,22 @@ object CdcParser {
             col("documentKey")
           )
         )
-    cdc.select(
-      operation.as("operation"),
-      col("collection").as("source"),
-      payload.as("payloadJson"),
-      col("eventTime").cast("timestamp").as("eventTime"),
-      clock.cast("timestamp").as("processedTime"),
-      lit(null).cast("string").as("traceId"),
-      get_json_object(payload, "$._id").as("primaryKey"),
-      map(lit("cdc.db"), col("db")).as("metadata")
-    )
+    // ComputeOnce + two-step select: the payload tree (which embeds the
+    // updatedFields/documentKey JSON merge) is needed twice — as payloadJson
+    // and under the primaryKey extraction. Materializing it as an attribute
+    // evaluates the merge once per row; inlined, each use would carry its
+    // own copy of both from_json calls.
+    cdc
+      .withColumn("_payload", graft.functions.ComputeOnce(payload))
+      .select(
+        operation.as("operation"),
+        col("collection").as("source"),
+        col("_payload").as("payloadJson"),
+        col("eventTime").cast("timestamp").as("eventTime"),
+        clock.cast("timestamp").as("processedTime"),
+        lit(null).cast("string").as("traceId"),
+        get_json_object(col("_payload"), "$._id").as("primaryKey"),
+        map(lit("cdc.db"), col("db")).as("metadata")
+      )
   }
 }

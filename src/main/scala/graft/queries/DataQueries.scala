@@ -520,6 +520,57 @@ object DataQueries {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  // ------------------------------------------------------- corpus assembly
+  /** Deterministic stratified corpus mixing: per-language keep rates, the
+    * survival verdict a pure function of (lang, doc_id) via the md5-60
+    * family — reproducible across runs/partitionings, replayed exactly by
+    * the oracle.
+    */
+  private val mixRates = Map("en" -> 0.5, "zh" -> 0.2, "es" -> 0.1)
+  private val mixDefault = 0.05
+
+  def dStratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps
+      .stratifiedSample(Tables.documents(spark, dir), "doc_id", "lang", mixRates, mixDefault)
+      .select(col("doc_id"), col("lang"), col("source"))
+
+  val dStratifiedSampleSql: String = {
+    val rateCase = mixRates
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }
+      .mkString("CASE lang ", " ", s" ELSE $mixDefault END")
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ${hash60Sql("lang || '|' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |      < CAST(($rateCase) * 1e6 AS BIGINT)""".stripMargin
+  }
+
+  /** Concat-and-chunk sequence packing into 512-token sequences, 8 shards —
+    * per-shard running sums (never a global cumsum), layout a pure function
+    * of (doc_id, token count).
+    */
+  def dSeqPack(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.packSequences(
+      Tables.documents(spark, dir),
+      "doc_id",
+      size(TextAnalysis.tokens(col("text"))),
+      budget = 512,
+      nShards = 8)
+
+  val dSeqPackSql: String =
+    s"""WITH $toksCte,
+       |t2 AS (
+       |  SELECT doc_id, doc_id % 8 AS shard, len(t) AS n_tokens FROM toks),
+       |c AS (
+       |  SELECT *,
+       |    COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM t2)
+       |SELECT doc_id, shard, n_tokens,
+       |  shard * 1000000 + CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
+       |  cum_before % 512 AS seq_offset
+       |FROM c""".stripMargin
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -559,6 +610,8 @@ object DataQueries {
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
+    "d_stratified_sample" -> dStratifiedSample,
+    "d_seq_pack" -> dSeqPack,
     "m_multimodal" -> mMultimodal
   )
 
@@ -581,6 +634,8 @@ object DataQueries {
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
+    "d_stratified_sample" -> dStratifiedSampleSql,
+    "d_seq_pack" -> dSeqPackSql,
     "m_multimodal" -> mMultimodalSql
   )
 }
