@@ -49,6 +49,33 @@ object TextAnalysis {
     when(bestScore === 0, lit("und")).otherwise(bestLang)
   }
 
+  /** PII patterns for corpus scrubbing: email, IPv4, long digit runs
+    * (phone/account-shaped). Deliberately a conservative regex subset —
+    * ASCII classes, `\b` boundaries, no backreferences/lookaround — that
+    * behaves identically under Java regex (Spark) and RE2 (DuckDB oracle).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("digits", "\\b[0-9][0-9 -]{6,}[0-9]\\b", "<NUM>")
+  )
+
+  /** Scrub PII: per-pattern match counts (each pattern counted independently
+    * on the raw text) plus the redacted text (replacements applied
+    * sequentially in [[piiPatterns]] order, so an email is rewritten to
+    * `<EMAIL>` before the IP pass sees the text). Scale shape: pure per-row
+    * regex, scan-fused, zero shuffle.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (c, (_, pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** Quality metrics frame: counts and single-division ratios (deterministic
     * IEEE ops, oracle-identical expression shape).
     */

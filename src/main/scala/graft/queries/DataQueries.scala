@@ -520,6 +520,52 @@ object DataQueries {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** PII scrubbing over the corpus. The fixture text carries no PII, so a
+    * deterministic slice is injected first (emails / IPv4s / phone-shaped
+    * digit runs keyed off doc_id) — the redactor must find exactly those.
+    * Output hashes the redacted text so the oracle compares full content
+    * without shipping it.
+    */
+  def tRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val injected = Tables
+      .documents(spark, dir)
+      .withColumn(
+        "text",
+        when(id % 7 === 0, concat(col("text"), lit(" contact bob"), id % 100, lit("@example.com now")))
+          .when(id % 11 === 0, concat(col("text"), lit(" from 10.0."), id % 256, lit(".7 net")))
+          .when(id % 13 === 0, concat(col("text"), lit(" call 555 123 44"), id % 100))
+          .otherwise(col("text")))
+    TextAnalysis
+      .redactPii(injected, "doc_id", "text")
+      .select(
+        col("doc_id"),
+        col("n_email"),
+        col("n_ipv4"),
+        col("n_digits"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  val tRedactSql: String = {
+    val Seq(email, ipv4, digits) = TextAnalysis.piiPatterns.map(_._2)
+    s"""WITH inj AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact bob' || CAST(doc_id % 100 AS VARCHAR) || '@example.com now'
+       |         WHEN doc_id % 11 = 0 THEN text || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 net'
+       |         WHEN doc_id % 13 = 0 THEN text || ' call 555 123 44' || CAST(doc_id % 100 AS VARCHAR)
+       |         ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$email')) AS n_email,
+       |  len(regexp_extract_all(text, '$ipv4')) AS n_ipv4,
+       |  len(regexp_extract_all(text, '$digits')) AS n_digits,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$ipv4', '<IP>', 'g'),
+       |    '$digits', '<NUM>', 'g')) AS redacted_md5
+       |FROM inj""".stripMargin
+  }
+
   // ------------------------------------------------------- corpus assembly
   /** Deterministic stratified corpus mixing: per-language keep rates, the
     * survival verdict a pure function of (lang, doc_id) via the md5-60
@@ -612,6 +658,7 @@ object DataQueries {
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "d_stratified_sample" -> dStratifiedSample,
     "d_seq_pack" -> dSeqPack,
+    "t_redact" -> tRedact,
     "m_multimodal" -> mMultimodal
   )
 
@@ -636,6 +683,7 @@ object DataQueries {
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_seq_pack" -> dSeqPackSql,
+    "t_redact" -> tRedactSql,
     "m_multimodal" -> mMultimodalSql
   )
 }

@@ -77,6 +77,25 @@ class DataOpsSpec extends SparkSpec {
     assert(got === Set((1L, 1), (2L, 2)))
   }
 
+  test("redactPii: finds injected email/IP/digit-run, replaces in order, leaves clean text alone") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@corp.example.org today"),
+      (2L, "server 192.168.1.254 rebooted"),
+      (3L, "call 555 123 4401 or 555-999-0000"),
+      (4L, "no pii here at all"),
+      (5L, "mail bob@h.io from 10.0.0.7") // both kinds in one doc
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_email", "n_ipv4", "n_digits", "redacted")
+      .as[(Int, Int, Int, String)].collect()
+    assert(out(0) === ((1, 0, 0, "write to <EMAIL> today")))
+    assert(out(1) === ((0, 1, 0, "server <IP> rebooted")))
+    assert(out(2) === ((0, 0, 2, "call <NUM> or <NUM>")))
+    assert(out(3) === ((0, 0, 0, "no pii here at all")))
+    assert(out(4) === ((1, 1, 0, "mail <EMAIL> from <IP>")))
+  }
+
   test("langId picks dominant profile; und for no hits") {
     val df = Seq("the cat and the dog is", "el que la de y", "zzz qqq").toDF("text")
     val got = df.select(TextAnalysis.langId(TextAnalysis.tokens($"text"))).as[String].collect()
