@@ -43,7 +43,13 @@ object MongoToKafkaJob extends GraftJob {
     val pb = PipelineBuilder
       .from(parsed)
       .apply(FilterInterceptor("known-ops", col("operation") =!= "unknown"))
-      .apply(df => Deduplicator(Seq("primaryKey", "eventTime")).batch(df, "eventTime", "payloadJson"))
+      // batchWithin(pk | eventTime): same survivors as batch over
+      // (pk, eventTime), but windowed by pk only so the merger's window
+      // below reuses the exchange AND sort — one shuffle through the
+      // dedup+suppress pair instead of two
+      .apply(df =>
+        Deduplicator(Seq("primaryKey", "eventTime"))
+          .batchWithin(df, Seq("primaryKey"), Seq("eventTime"), "eventTime", "payloadJson"))
       .apply(df =>
         StatefulMerger(Seq("primaryKey"), "payloadJson", Seq("updatedAt", "modifiedAt"),
           opCol = Some("operation"))

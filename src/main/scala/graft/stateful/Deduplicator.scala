@@ -31,6 +31,31 @@ final case class Deduplicator(keyCols: Seq[String], ttlMs: Long = 10 * 60 * 1000
       .drop("_rn")
   }
 
+  /** First row per (partitionCols ++ subKeyCols), like [[batch]] with
+    * keyCols = partitionCols ++ subKeyCols, but the window partitions ONLY
+    * by partitionCols, ordering by (subKeys, ts, tie) and keeping a row when
+    * its subkey differs from the previous row's. Survivors are identical to
+    * [[batch]]'s; the point is the EXCHANGE: when a downstream operator
+    * windows on partitionCols with the same leading sort keys (the CDC
+    * pipeline's change-suppression does), both stages share one shuffle and
+    * one sort instead of two of each — at 100 TB that halves the pipeline's
+    * shuffled bytes.
+    */
+  def batchWithin(
+      df: DataFrame,
+      partitionCols: Seq[String],
+      subKeyCols: Seq[String],
+      tsCol: String,
+      tieCol: String
+  ): DataFrame = {
+    val orderCols = (subKeyCols ++ Seq(tsCol, tieCol)).distinct.map(col)
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols: _*)
+    val sub = struct(subKeyCols.map(col): _*)
+    df.withColumn("_prev_sub", lag(sub, 1).over(w))
+      .filter(!(col("_prev_sub") <=> sub))
+      .drop("_prev_sub")
+  }
+
   /** Built-in streaming dedup: requires an upstream withWatermark on tsCol. */
   def streamingWithinWatermark(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)

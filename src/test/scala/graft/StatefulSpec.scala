@@ -27,6 +27,30 @@ class StatefulSpec extends SparkSpec {
     assert(out.select("v").as[String].collect().sorted === Array("c", "d"))
   }
 
+  test("Deduplicator.batchWithin: same survivors as batch, windowed by the parent key only") {
+    // deterministic frame with duplicate (k, ts) groups and distinct ties
+    val rows = for {
+      k <- Seq("a", "b", "c")
+      ts <- 1L to 5L
+      rep <- 0L until (ts % 3 + 1)
+    } yield (k, ts, s"payload-${(ts * 7 + rep * 13) % 11}")
+    val df = rows.toDF("k", "tsRaw", "payload")
+      .withColumn("ts", timestamp_seconds($"tsRaw"))
+    val viaBatch = Deduplicator(Seq("k", "ts")).batch(df, "ts", "payload")
+      .select("k", "tsRaw", "payload").as[(String, Long, String)].collect().sorted
+    val viaWithin = Deduplicator(Seq("k", "ts"))
+      .batchWithin(df, Seq("k"), Seq("ts"), "ts", "payload")
+      .select("k", "tsRaw", "payload").as[(String, Long, String)].collect().sorted
+    assert(viaWithin === viaBatch)
+    // and the plan shuffles on the PARENT key only (what lets a downstream
+    // pk-window reuse the exchange)
+    val plan = Deduplicator(Seq("k", "ts"))
+      .batchWithin(df, Seq("k"), Seq("ts"), "ts", "payload")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k#"), "expected a k-only exchange")
+    assert(!plan.contains("hashpartitioning(k#" + "?, ts"), "unexpected composite-key exchange")
+  }
+
   test("StatefulMerger.batch suppresses unchanged payloads, ignores excluded fields") {
     val df = Seq(
       ("k1", 1L, """{"a": 1, "updatedAt": 100}"""),
