@@ -317,8 +317,60 @@ object Relational {
     """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Quantile sketch (Greenwald-Khanna `approx_percentile`) — the 100 TB
+    * path for percentiles (exact quantiles sort every value; GK ships a
+    * fixed-size summary with rank error ≤ N/accuracy).
+    *
+    * Same error-band-contract shape as the HLL entry: for each group and
+    * p ∈ {0.5, 0.95, 0.99}, the sketch's returned value must be an actual
+    * element whose exact-rank interval [count(<v)+1, count(≤v)] intersects
+    * [(p−ε)·N − 1, (p+ε)·N + 1] (ε = 1/accuracy). Spark computes the exact
+    * ranks by joining the three quantile values back per group; the oracle
+    * asserts the same rows with every flag TRUE — an out-of-bound sketch
+    * flips a flag and fails the hash match.
+    */
+  def qSketchQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val acc = 1000
+    val eps = 1.0 / acc
+    val cents = round($"value" * 100).cast("long")
+    val e = Tables.events(spark, dir).select($"event_type", cents.as("cents"))
+    val sketched = e
+      .groupBy($"event_type")
+      .agg(
+        percentile_approx($"cents", array(lit(0.5), lit(0.95), lit(0.99)), lit(acc)).as("qs"),
+        count(lit(1)).as("n"))
+    val perP = sketched.select(
+      $"event_type",
+      $"n",
+      posexplode($"qs").as(Seq("pi", "qv")))
+    val ranks = perP
+      .join(e, Seq("event_type"))
+      .groupBy($"event_type", $"n", $"pi", $"qv")
+      .agg(
+        sum(when($"cents" < $"qv", 1L).otherwise(0L)).as("rank_lt"),
+        sum(when($"cents" <= $"qv", 1L).otherwise(0L)).as("rank_le"))
+      .withColumn("p", element_at(array(lit(0.5), lit(0.95), lit(0.99)), $"pi" + 1))
+      .withColumn(
+        "ok",
+        ($"rank_lt" + 1 <= ($"p" + eps) * $"n" + 1) && ($"rank_le" >= ($"p" - eps) * $"n" - 1))
+    ranks
+      .groupBy($"event_type", $"n")
+      .agg(
+        max(when($"pi" === 0, $"ok")).as("ok_p50"),
+        max(when($"pi" === 1, $"ok")).as("ok_p95"),
+        max(when($"pi" === 2, $"ok")).as("ok_p99"))
+      .select($"event_type", $"n", $"ok_p50", $"ok_p95", $"ok_p99")
+  }
+
+  val qSketchQuantilesSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sketch_cardinality" -> qSketchCardinality,
+    "q_sketch_quantiles" -> qSketchQuantiles,
     "q6_forecast" -> q6Forecast,
     "q7_nation_volume" -> q7NationVolume,
     "q_top_per_group" -> qTopPerGroup,
@@ -331,6 +383,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_sketch_cardinality" -> qSketchCardinalitySql,
+    "q_sketch_quantiles" -> qSketchQuantilesSql,
     "q6_forecast" -> q6Sql,
     "q7_nation_volume" -> q7Sql,
     "q_top_per_group" -> qTopPerGroupSql,
