@@ -617,6 +617,77 @@ object DataQueries {
        |  cum_before % 512 AS seq_offset
        |FROM c""".stripMargin
 
+  /** End-to-end corpus assembly — the capstone composition: stratified
+    * sample (mixing) → exact-dedup keep → PII redaction → sequence packing,
+    * all in ONE declarative plan (Catalyst fuses the sample filter, dedup
+    * window, regex scrub and packing windows; nothing materializes between
+    * steps). The oracle replays the identical chain in SQL.
+    */
+  def dCorpusAssembly(spark: SparkSession, dir: String): DataFrame = {
+    val sampled = CorpusOps.stratifiedSample(
+      Tables.documents(spark, dir), "doc_id", "lang", mixRates, mixDefault)
+    val keepIds = Dedup
+      .exactDedup(sampled, "doc_id", "text")
+      .filter(col("keep_id") === col("doc_id"))
+      .select(col("doc_id"))
+    val kept = sampled.join(keepIds, Seq("doc_id"))
+    val redacted = TextAnalysis.redactPii(kept, "doc_id", "text")
+      .select(col("doc_id"), col("redacted"))
+    CorpusOps
+      .packSequences(
+        redacted,
+        "doc_id",
+        size(TextAnalysis.tokens(col("redacted"))),
+        budget = 512,
+        nShards = 4)
+      .join(redacted, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("shard"),
+        col("n_tokens"),
+        col("seq_id"),
+        col("seq_offset"),
+        md5(col("redacted")).as("redacted_md5"))
+  }
+
+  lazy val dCorpusAssemblySql: String = {
+    val rateCase = mixRates
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }
+      .mkString("CASE lang ", " ", s" ELSE $mixDefault END")
+    val Seq(email, ipv4, digits) = TextAnalysis.piiPatterns.map(_._2)
+    s"""WITH sampled AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE ${hash60Sql("lang || '|' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |        < CAST(($rateCase) * 1e6 AS BIGINT)),
+       |kept AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |    FROM sampled)
+       |  WHERE keep_id = doc_id),
+       |red AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '<EMAIL>', 'g'),
+       |      '$ipv4', '<IP>', 'g'),
+       |      '$digits', '<NUM>', 'g') AS redacted
+       |  FROM kept),
+       |tok AS (
+       |  SELECT doc_id, doc_id % 4 AS shard, redacted,
+       |    len(list_filter(regexp_split_to_array(redacted, '\\s+'), x -> x <> '')) AS n_tokens
+       |  FROM red),
+       |c AS (
+       |  SELECT *,
+       |    COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM tok)
+       |SELECT doc_id, shard, n_tokens,
+       |  shard * 1000000 + CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
+       |  cum_before % 512 AS seq_offset,
+       |  md5(redacted) AS redacted_md5
+       |FROM c""".stripMargin
+  }
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -659,6 +730,7 @@ object DataQueries {
     "d_stratified_sample" -> dStratifiedSample,
     "d_seq_pack" -> dSeqPack,
     "t_redact" -> tRedact,
+    "d_corpus_assembly" -> dCorpusAssembly,
     "m_multimodal" -> mMultimodal
   )
 
@@ -684,6 +756,7 @@ object DataQueries {
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_seq_pack" -> dSeqPackSql,
     "t_redact" -> tRedactSql,
+    "d_corpus_assembly" -> dCorpusAssemblySql,
     "m_multimodal" -> mMultimodalSql
   )
 }

@@ -7,6 +7,36 @@ import graft.joins.SaltedJoin
 class ScaleMechanicsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("parse-once plans: ComputeOnce keeps JSON parses out of pushed filters") {
+    // Regression lock for the r3 find: without the ComputeOnce barrier,
+    // filter pushdown substituted the envelope from_json into the scan-level
+    // predicate and schema pruning forked it into ~10 unmergeable copies per
+    // row. The executed plans must stay at one parse per distinct payload.
+    def planOf(q: String): String =
+      SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+    val dlq = planOf("job_kafka_to_mongo_dlq")
+    // exactly 2: one envelope parse, one DLQ payload probe
+    assert("from_json".r.findAllIn(dlq).length === 2,
+      s"DLQ plan re-parses: ${"from_json".r.findAllIn(dlq).length} from_json occurrences")
+    val p1 = planOf("p1_envelope_parse")
+    assert("from_json".r.findAllIn(p1).length === 1)
+    // schema-enforcer: exactly one variant parse, and no parse inside the scan
+    val v1 = planOf("v1_schema_good")
+    assert("parseJson".r.findAllIn(v1).length === 1,
+      s"schema plan re-parses: ${"parseJson".r.findAllIn(v1).length} parseJson occurrences")
+    assert(!v1.contains("DataFilters: [") || v1.contains("DataFilters: []"),
+      "parse-derived predicate pushed into the scan")
+  }
+
+  test("CDC pipeline: dedup + change-suppression share one exchange") {
+    // batchWithin windows by primaryKey only, so the merger's pk-window
+    // reuses the exchange — the whole chain plans ONE hashpartitioning.
+    val plan = SparkEntry.queries("job_mongo_to_kafka")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange through the CDC pipeline, got $exchanges")
+  }
+
   test("SaltedJoin: identical results to plain join, key fan-out by salt") {
     // 90% of rows share one hot key
     val skewed = (1 to 1000).map(i => (if (i % 10 == 0) s"k$i" else "HOT", i.toLong)).toDF("k", "id")
