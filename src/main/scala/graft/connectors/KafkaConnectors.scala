@@ -14,11 +14,14 @@ import org.apache.spark.sql.Row
   *    bytes, at-least-once default, acks=all + snappy + 50 ms linger,
   *    compacted mode emits a tombstone (null value) for DELETE operations
   *
-  * Exactly-once delta: Spark's Kafka sink has no producer transactions; the
+  * Exactly-once: Spark's Kafka sink has no producer transactions; the
   * effective guarantee here is checkpointed at-least-once + idempotent keyed
   * writes + compaction — which is what the reference itself recommends as the
-  * default (README.md:69). EO mode therefore only tightens consumer isolation
-  * and enables checkpointing, and the delta is documented at the API.
+  * default (README.md:69). For transaction-grade exactly-once APPENDS
+  * (KafkaSinkBuilder.java:87-109's transactional mode — no key required,
+  * zombie writers fenced, consumers see committed data only) use
+  * [[TxnLogSink]]: the same epoch-fenced two-phase commit, expressed as an
+  * atomic per-(queryId, batchId) manifest rename.
   */
 object KafkaConnectors {
 

@@ -69,11 +69,43 @@ object SourceQueries {
       |  epoch_us(CAST(ts AS TIMESTAMP)) AS ev_us
       |FROM events""".stripMargin
 
+  /** Transactional-log-sink contract as an oracle row: three deterministic
+    * epochs of envelopes are committed through [[graft.connectors.TxnLogSink]]
+    * with epoch 1 REPLAYED (the failure-recovery path) — the committed log
+    * must contain each epoch exactly once, in commit order, with the zombie
+    * replay fenced out. The topic dir is rebuilt from scratch every run so
+    * the query is a pure function of the fixture.
+    */
+  def kTxnLog(spark: SparkSession, dir: String): DataFrame = {
+    val topic = s"/tmp/graft-txnlog-${math.abs(dir.hashCode)}/topic"
+    val root = new java.io.File(topic).getParentFile
+    if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+    val sink = graft.connectors.TxnLogSink(topic)
+    val env = graft.core.Tables.eventsAsEnvelopes(spark, dir)
+      .select(col("primaryKey"), col("traceId"), col("event_id"))
+    (0L to 2L).foreach(b => sink.writer("vq")(env.filter(col("event_id") % 3 === b), b))
+    // failure replay of epoch 1 with zombie data — the fence must discard it
+    sink.writer("vq")(env.filter(col("event_id") % 3 === 1).withColumn("traceId", lit("ZOMBIE")), 1L)
+    sink.read(spark)
+      .groupBy(col("_commit_order").as("epoch"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("id_sum"),
+        max((col("traceId") === "ZOMBIE").cast("int")).as("zombie_seen"))
+  }
+
+  val kTxnLogSql: String =
+    """SELECT event_id % 3 AS epoch, COUNT(*) AS n, SUM(event_id) AS id_sum,
+      |  0 AS zombie_seen
+      |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s3_cdcv2_source" -> s3CdcV2Source
+    "s3_cdcv2_source" -> s3CdcV2Source,
+    "k_txn_log" -> kTxnLog
   )
 
   val oracles: Map[String, String] = Map(
-    "s3_cdcv2_source" -> s3Sql
+    "s3_cdcv2_source" -> s3Sql,
+    "k_txn_log" -> kTxnLogSql
   )
 }

@@ -176,6 +176,57 @@ class SinksSpec extends SparkSpec {
     assert(out.select("_doc_id").as[String].head() === "t1")
   }
 
+  test("TxnLogSink: replayed epoch commits once, uncommitted data invisible, zombie fenced") {
+    import org.apache.spark.sql.functions._
+    val topic = Files.createTempDirectory("txnlog").toString + "/topic"
+    val sink = graft.connectors.TxnLogSink(topic)
+    val b0 = Seq(mkEnv("insert", "a", """{"v":1}""", 1), mkEnv("insert", "b", """{"v":2}""", 2)).toDF()
+    val b1 = Seq(mkEnv("update", "a", """{"v":9}""", 3)).toDF()
+    sink.writer("q1")(b0, 0L)
+    sink.writer("q1")(b1, 1L)
+    val clean = sink.read(spark).select($"traceId", $"_commit_order").as[(String, Long)].collect().sorted
+    assert(clean.map(_._1).toSeq === Seq("t-a-1", "t-a-3", "t-b-2"))
+    // failure replay re-emits epoch 1 — the committed manifest fences it out,
+    // even if the zombie's data differs (committed wins, like a fenced txn)
+    sink.writer("q1")(Seq(mkEnv("update", "ZOMBIE", "{}", 99)).toDF(), 1L)
+    val replay = sink.read(spark).select($"traceId", $"_commit_order").as[(String, Long)].collect().sorted
+    assert(replay === clean, "replayed epoch changed the committed log")
+    // phase-1 crash: data files staged but no manifest -> invisible to readers
+    Seq(mkEnv("insert", "ghost", "{}", 50)).toDF()
+      .write.mode("overwrite").parquet(s"$topic/data/q1-7")
+    assert(sink.read(spark).count() === 3)
+    // a new epoch then commits normally alongside
+    sink.writer("q1")(Seq(mkEnv("DELETE", "b", null, 4)).toDF(), 2L)
+    assert(sink.read(spark).count() === 4)
+    // commit order is the log's offset order
+    val orders = sink.read(spark).select("_commit_order").distinct().as[Long].collect().sorted
+    assert(orders === Array(0L, 1L, 2L))
+  }
+
+  test("TxnLogSink streaming: kill-and-resume yields exactly-once appends end-to-end") {
+    implicit val sc = spark.sqlContext
+    val topic = Files.createTempDirectory("txnlog-s").toString + "/topic"
+    val ckpt = Files.createTempDirectory("txnlog-ck").toString
+    val sink = graft.connectors.TxnLogSink(topic)
+    val mem = MemoryStream[StreamEnvelop]
+    def start() = mem.toDS().toDF().writeStream
+      .foreachBatch(sink.writer("sq") _)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      mem.addData(mkEnv("insert", "a", "{}", 1), mkEnv("insert", "b", "{}", 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start() // restart on the same checkpoint: last epoch may replay
+    try {
+      mem.addData(mkEnv("insert", "c", "{}", 3))
+      q2.processAllAvailable()
+      val got = sink.read(spark).select("primaryKey").as[String].collect().sorted
+      assert(got === Array("a", "b", "c"), s"expected exactly-once appends, got ${got.mkString(",")}")
+    } finally q2.stop()
+  }
+
   test("exactly-once contract: replayed micro-batch + compaction view converge") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
