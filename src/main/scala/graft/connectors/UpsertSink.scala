@@ -21,12 +21,26 @@ final case class KeyedParquetTable(path: String, keyCol: String, numBuckets: Int
 
   def bucketOf(key: Column): Column = pmod(hash(key), lit(numBuckets))
 
-  /** Crash recovery: a batch that died between `rename(dst → old)` and
-    * `rename(src → dst)` leaves bucket b's only copy in `.old-b`. Restore
-    * any orphaned `.old-b` whose bucket directory is missing; an `.old-b`
-    * sitting next to a committed bucket is stale and is deleted. Runs before
-    * every read/merge so a replay after a mid-swap crash never sees a table
-    * with a silently missing bucket.
+  /** Orphaned buckets: `.old-b` directories whose `bucket=b` is missing — a
+    * writer died between `rename(dst → old)` and `rename(src → dst)`, so
+    * `.old-b` holds that bucket's only copy.
+    */
+  private def orphanedOldDirs(fs: org.apache.hadoop.fs.FileSystem): Seq[Path] = {
+    val root = new Path(path)
+    val parent = root.getParent
+    if (parent == null || !fs.exists(parent)) return Seq.empty
+    val prefix = root.getName + ".old-"
+    fs.listStatus(parent).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix))
+      .filter(p => !fs.exists(new Path(root, s"bucket=${p.getName.stripPrefix(prefix)}")))
+  }
+
+  /** Crash recovery — WRITE PATH ONLY (single writer; a reader must never
+    * rename directories, or it races an in-flight swap and the writer's
+    * unchecked rename would drop the staged merge). Restores orphaned
+    * `.old-b` dirs; an `.old-b` next to a committed bucket is stale and is
+    * deleted.
     */
   private def recoverOrphans(fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val root = new Path(path)
@@ -37,22 +51,29 @@ final case class KeyedParquetTable(path: String, keyCol: String, numBuckets: Int
       val n = st.getPath.getName
       if (n.startsWith(prefix)) {
         val dst = new Path(root, s"bucket=${n.stripPrefix(prefix)}")
-        if (!fs.exists(dst)) fs.rename(st.getPath, dst)
-        else fs.delete(st.getPath, true)
+        if (!fs.exists(dst)) {
+          require(fs.rename(st.getPath, dst), s"orphan recovery rename failed: $n")
+        } else fs.delete(st.getPath, true)
       }
     }
   }
 
   /** Read the table (bucket partition column dropped); `empty` supplies the
-    * schema when the table doesn't exist yet.
+    * schema when the table doesn't exist yet. Read-only crash repair: any
+    * orphaned `.old-b` (mid-swap crash) is INCLUDED in the view without
+    * renaming anything — mutating from the read path would race a
+    * concurrent writer's swap window.
     */
   def readOr(spark: SparkSession, empty: => DataFrame): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    recoverOrphans(fs)
-    if (fs.exists(root) && fs.listStatus(root).nonEmpty)
-      spark.read.parquet(path).drop("bucket")
-    else empty
+    val orphans = orphanedOldDirs(fs)
+    val main =
+      if (fs.exists(root) && fs.listStatus(root).nonEmpty)
+        Some(spark.read.parquet(path).drop("bucket"))
+      else None
+    val parts = main.toSeq ++ orphans.map(p => spark.read.parquet(p.toString))
+    if (parts.isEmpty) empty else parts.reduce(_.unionByName(_))
   }
 
   /** Merge one batch: rows in `upserts` replace-or-insert by key, keys in
@@ -112,8 +133,10 @@ final case class KeyedParquetTable(path: String, keyCol: String, numBuckets: Int
         val src = new Path(stage, s"bucket=$b")
         val old = new Path(path + s".old-$b")
         if (fs.exists(old)) fs.delete(old, true)
-        if (fs.exists(dst)) fs.rename(dst, old)
-        if (fs.exists(src)) fs.rename(src, dst)
+        // renames are the commit points — a silent false here would let the
+        // stage cleanup below discard the only copy of the merged bucket
+        if (fs.exists(dst)) require(fs.rename(dst, old), s"swap-aside rename failed: bucket=$b")
+        if (fs.exists(src)) require(fs.rename(src, dst), s"swap-in rename failed: bucket=$b")
         fs.delete(old, true)
       }
       fs.delete(stage, true)

@@ -33,8 +33,11 @@ object CorpusOps {
     val ticket = pmod(
       graft.functions.Md5Hash60(concat(col(stratumCol), lit("|"), col(idCol).cast("string"))),
       lit(1000000L))
+    // explicit floor: a bare cast(double -> long) truncates while SQL
+    // engines' CAST rounds — for a rate like 0.3 (0.3*1e6 = 299999.99…)
+    // that is an off-by-one threshold divergence vs any SQL replay
     df.withColumn("_ticket", ticket)
-      .filter(col("_ticket") < (rate * 1e6).cast("long"))
+      .filter(col("_ticket") < floor(rate * 1e6).cast("long"))
       .drop("_ticket")
   }
 
@@ -50,12 +53,18 @@ object CorpusOps {
     * cluster size; one shuffle on the shard key, then a linear in-partition
     * window.
     */
+  /** `carryCols`: extra input columns to keep on the output — computing them
+    * upstream and carrying them through beats joining the packed layout back
+    * onto the source frame, which would re-execute the whole upstream plan
+    * on both join sides.
+    */
   def packSequences(
       df: DataFrame,
       idCol: String,
       tokenCountCol: Column,
       budget: Int,
-      nShards: Int
+      nShards: Int,
+      carryCols: Seq[String] = Seq.empty
   ): DataFrame = {
     val shard = pmod(col(idCol).cast("long"), lit(nShards.toLong))
     val w = Window.partitionBy(col("_shard")).orderBy(col(idCol))
@@ -66,11 +75,12 @@ object CorpusOps {
       .withColumn("_tok", tokenCountCol.cast("long"))
       .withColumn("_before", before)
       .select(
-        col(idCol),
-        col("_shard").as("shard"),
-        col("_tok").as("n_tokens"),
-        (col("_shard") * lit(1000000L) + floor(col("_before") / budget)).as("seq_id"),
-        pmod(col("_before"), lit(budget.toLong)).as("seq_offset")
+        col(idCol) +:
+          col("_shard").as("shard") +:
+          col("_tok").as("n_tokens") +:
+          (col("_shard") * lit(1000000L) + floor(col("_before") / budget)).as("seq_id") +:
+          pmod(col("_before"), lit(budget.toLong)).as("seq_offset") +:
+          carryCols.map(col): _*
       )
   }
 }

@@ -76,10 +76,21 @@ object SourceQueries {
     * replay fenced out. The topic dir is rebuilt from scratch every run so
     * the query is a pure function of the fixture.
     */
+  /** Topic dirs are per-JVM (pid in the path) and built once per (JVM, dir):
+    * a fixed shared /tmp path deleted at query start would let two
+    * concurrent evaluations (bench + oracle gate, parallel suites) destroy
+    * each other's log mid-query.
+    */
+  private val txnTopicMemo = scala.collection.concurrent.TrieMap.empty[String, String]
+
   def kTxnLog(spark: SparkSession, dir: String): DataFrame = {
-    val topic = s"/tmp/graft-txnlog-${math.abs(dir.hashCode)}/topic"
-    val root = new java.io.File(topic).getParentFile
-    if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+    val pid = java.lang.ProcessHandle.current().pid()
+    val topic = txnTopicMemo.getOrElseUpdate(dir, {
+      val t = s"/tmp/graft-txnlog-$pid-${math.abs(dir.hashCode)}/topic"
+      val root = new java.io.File(t).getParentFile
+      if (root.exists()) org.apache.commons.io.FileUtils.deleteDirectory(root)
+      t
+    })
     val sink = graft.connectors.TxnLogSink(topic)
     val env = graft.core.Tables.eventsAsEnvelopes(spark, dir)
       .select(col("primaryKey"), col("traceId"), col("event_id"))

@@ -82,21 +82,27 @@ class SinksSpec extends SparkSpec {
     assert(bucketDir.exists())
     val orphan = new java.io.File(path + s".old-$k1Bucket")
     assert(bucketDir.renameTo(orphan))
-    // a plain read recovers the orphan instead of returning a partial table
+    // a plain read INCLUDES the orphan read-only (no renames from the read
+    // path — a reader mutating directories would race an in-flight swap)
     assert(UpsertSink.readTable(spark, path).count() === keys.size)
-    assert(bucketDir.exists() && !orphan.exists())
-    // and a merge after a crash (replay) also recovers before reading current
-    assert(bucketDir.renameTo(orphan))
+    assert(!bucketDir.exists() && orphan.exists())
+    // the next merge (the single writer) recovers the orphan by rename
     UpsertSink.writer(path)(Seq(mkEnv("update", "k2", """{"k":"k2b"}""", 2)).toDF(), 1L)
+    assert(bucketDir.exists() && !orphan.exists())
     val t = UpsertSink.readTable(spark, path)
       .select("_id", "doc").as[(String, String)].collect().toMap
     assert(t.size === keys.size && t("k1") === """{"k":"k1"}""" && t("k2") === """{"k":"k2b"}""")
-    // a STALE .old-N (crash after commit, before cleanup) is discarded, not restored
+    // a STALE .old-N (crash after commit, before cleanup) sits next to a
+    // committed bucket: reads ignore it, the next merge deletes it
     val stale = new java.io.File(path + s".old-$k1Bucket")
     stale.mkdirs()
-    new java.io.File(stale, "junk.parquet").createNewFile()
+    Seq(mkEnv("insert", "STALE", """{"k":"x"}""", 9)).toDF()
+      .write.mode("overwrite").parquet(stale.toString)
     assert(UpsertSink.readTable(spark, path).count() === keys.size)
+    assert(stale.exists()) // read path never mutates
+    UpsertSink.writer(path)(Seq(mkEnv("update", "k2", """{"k":"k2c"}""", 3)).toDF(), 2L)
     assert(!stale.exists())
+    assert(UpsertSink.readTable(spark, path).count() === keys.size)
   }
 
   test("KeyedParquetTable.mergeBatch evaluates the batch lineage once (persisted)") {
@@ -201,6 +207,20 @@ class SinksSpec extends SparkSpec {
     // commit order is the log's offset order
     val orders = sink.read(spark).select("_commit_order").distinct().as[Long].collect().sorted
     assert(orders === Array(0L, 1L, 2L))
+  }
+
+  test("TxnLogSink: commit order is numeric batch order, not file-name lexicography") {
+    // batch 10's manifest name 'q-10.json' sorts lexicographically BEFORE
+    // 'q-2.json' — the committed view must still order it after
+    val topic = Files.createTempDirectory("txnlog-ord").toString + "/topic"
+    val sink = graft.connectors.TxnLogSink(topic)
+    (0L to 11L).foreach { b =>
+      sink.writer("q")(Seq(mkEnv("insert", s"k$b", s"""{"b":$b}""", b + 1)).toDF(), b)
+    }
+    val got = sink.read(spark)
+      .select($"primaryKey", $"_commit_order").as[(String, Long)].collect()
+      .sortBy(_._2)
+    assert(got.map(_._1).toSeq === (0L to 11L).map(b => s"k$b"))
   }
 
   test("TxnLogSink streaming: kill-and-resume yields exactly-once appends end-to-end") {
