@@ -22,6 +22,13 @@ import graft.model.{ChangelogEvent, StreamEnvelop}
   */
 object Processors {
 
+  /** Epoch MICROS of a Timestamp — `getTime` alone truncates to millis,
+    * which would collapse distinct same-millisecond events and diverge from
+    * the batch faces' microsecond columns (fixtures carry true micros).
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   private def ttlConfig(ttlMs: Long): TTLConfig =
     if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
 
@@ -133,7 +140,7 @@ object Processors {
         timerValues: TimerValues
     ): Iterator[StreamEnvelop] =
       rows.filter { e =>
-        val ts = e.eventTime.getTime
+        val ts = micros(e.eventTime) // micros: ms would merge distinct events
         if (seenTs.containsKey(ts)) false // duplicate (key, eventTime)
         else {
           seenTs.updateValue(ts, true)
@@ -209,7 +216,15 @@ object Processors {
     *    late-output tag → route to a DLQ upstream if needed)
     *
     * Emits an update stream (append sink of session-result versions keyed
-    * by (key, sessionStartUs); downstream compacts last-firing-wins).
+    * by (key, sessionStartUs); downstream compacts last-firing-wins —
+    * note a late MERGE that shifts a fired window's start emits under the
+    * new identity and leaves the old row stale, exactly as Flink does).
+    *
+    * State shape: the per-key window buffer lives in ONE ValueState, so a
+    * batch pays O(buffered events) ser/de per touched key. Right for
+    * session-sized buffers (the operator's contract); a workload buffering
+    * thousands of events per key should move the event lists to ListState
+    * (append-only delta writes) and keep only window bounds here.
     */
   class SessionLatenessProcessor(gapMs: Long, latenessMs: Long)
       extends StatefulProcessor[String, StreamEnvelop, SessionUpdate] {
@@ -236,20 +251,33 @@ object Processors {
       var windows = if (st.exists()) st.get().windows else Seq.empty
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
       rows.foreach { e =>
-        val tsUs = e.eventTime.getTime * 1000L
+        val tsUs = micros(e.eventTime) // micros: batch face orders/bounds in µs
         val ev = SessEvent(tsUs, e.traceId, e.operation)
         // touch-merge every window overlapping [ts, ts+gap] (same boundary
         // semantics as session_window / the batch face)
         val (overlapping, rest) = windows.partition(w =>
           tsUs <= w.endUs && tsUs + gapUs >= w.startUs)
+        // superseded components' pending timers would otherwise accumulate
+        // one per extension and fire useless handleExpiredTimer passes;
+        // same-key windows can't share an expiry (disjoint ⇒ distinct ends)
+        overlapping.foreach { w =>
+          if (w.firings == 0) getHandle.deleteTimer(w.endUs / 1000L - latenessMs)
+          else getHandle.deleteTimer(w.endUs / 1000L)
+        }
         val merged = SessWindow(
           startUs = (tsUs +: overlapping.map(_.startUs)).min,
           endUs = ((tsUs + gapUs) +: overlapping.map(_.endUs)).max,
           events = overlapping.flatMap(_.events) :+ ev,
-          firings = overlapping.map(_.firings).sum
+          // max, not sum: merging two fired components must yield the NEXT
+          // firing number (…, n, n+1), not a skip
+          firings = (0 +: overlapping.map(_.firings)).max
         )
         if (merged.firings > 0) {
-          // late event into an already-fired session: re-fire NOW
+          // late event into an already-fired session: re-fire NOW. Like
+          // Flink, a merge that shifts the window start emits under the NEW
+          // (key, startUs) identity and the previously-fired row goes stale
+          // (Flink does not retract either); downstream last-firing-wins
+          // compaction supersedes same-identity rows only.
           val refired = merged.copy(firings = merged.firings + 1)
           out += result(key, refired)
           windows = rest :+ refired
@@ -331,9 +359,14 @@ object Processors {
     ): Iterator[FlowSignal] = {
       val wasDisrupted = st.exists() && st.get().disrupted
       val lastTs = rows.foldLeft(0L)((acc, e) => math.max(acc, e.eventTime.getTime))
-      // re-arm: drop old timers, register a fresh one
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+      // re-arm: drop old timers, register a fresh one. timeoutMs <= 0
+      // disables detection (the sync-test contract FlowDisruptionDetector
+      // .streaming documents) — an always-now timer would otherwise emit a
+      // DISRUPTED/RECOVERED storm every batch.
+      if (timeoutMs > 0) {
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + timeoutMs)
+      }
       st.update(FlowState(lastTs, disrupted = false))
       if (wasDisrupted)
         Iterator.single(
@@ -364,7 +397,9 @@ object Processors {
     ds.groupByKey(key)
       .transformWithState(
         new FlowProcessor(timeoutMs),
-        TimeMode.ProcessingTime(),
+        // timers disabled entirely when detection is off — ProcessingTime
+        // mode would keep micro-batches running continuously for nothing
+        if (timeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append()
       )
   }

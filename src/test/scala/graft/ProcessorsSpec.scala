@@ -64,6 +64,31 @@ class ProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("Processors.cdcPipeline: distinct same-millisecond events both survive dedup") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[StreamEnvelop]
+      val out = Processors.cdcPipeline(mem.toDS(), ttlMs = 0, Set.empty)
+      val q = out.writeStream.format("memory").queryName("tws_cdc_us").outputMode("append").start()
+      try {
+        // 100 µs and 900 µs into the same millisecond: the batch face keys
+        // dedup on the full microsecond timestamp, so the streaming face
+        // must too (a getTime-only key silently drops the second event)
+        def at(us: Int, payload: String) = {
+          val t = new Timestamp(1000L)
+          t.setNanos(us * 1000)
+          mkEnv("u", "k", payload, 1).copy(eventTime = t)
+        }
+        mem.addData(at(100, """{"v": 1}"""), at(900, """{"v": 2}"""))
+        q.processAllAvailable()
+        val got = spark.table("tws_cdc_us")
+          .select(org.apache.spark.sql.functions.get_json_object($"payloadJson", "$.v"))
+          .as[String].collect().sorted
+        assert(got === Array("1", "2"), "same-millisecond distinct events were merged")
+      } finally q.stop()
+    }
+  }
+
   test("Processors.materialize (transformWithState): changelog with delete reset") {
     withRocksDb {
       implicit val sc = spark.sqlContext
