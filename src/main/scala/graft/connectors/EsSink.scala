@@ -17,16 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object EsSink {
 
-  def prepare(envelopes: DataFrame): DataFrame =
+  def prepare(envelopes: DataFrame): DataFrame = {
+    // deterministic last-write-wins: dropDuplicates keeps an ARBITRARY row
+    // per key (scan order), which breaks byte-identical replay convergence —
+    // order by event time with full-content tie-breaks instead
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("traceId"))
+      .orderBy(col("eventTime").desc, col("operation").desc, col("payloadJson").desc_nulls_last)
     envelopes
       .filter(col("traceId").isNotNull)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
       .select(
         col("traceId").as("_doc_id"),
         to_json(
           struct(col("operation"), col("source"), col("payloadJson"), col("eventTime"), col("primaryKey"))
         ).as("doc")
       )
-      .dropDuplicates("_doc_id")
+  }
 
   def emptyIndex(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.types._

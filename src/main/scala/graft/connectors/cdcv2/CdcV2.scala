@@ -22,8 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The change log is an append-only directory of JSONL change events (the
   * zero-egress stand-in for a Mongo change stream; swap the file tailer for
-  * a change-stream cursor without touching the Spark side). Semantics kept
-  * from the reference:
+  * a change-stream cursor without touching the Spark side).
+  *
+  * LOG CONTRACT (what the resume-token watermark requires of producers):
+  *  - segments are IMMUTABLE once visible — lines appended to a file after
+  *    its name passed the watermark are never read (write to a temp name,
+  *    rename in when closed, like Kafka log segments);
+  *  - segment names must be lexicographically monotonic — zero-pad counters
+  *    (`000042.jsonl`): a `seg-10` created after `seg-9` sorts BELOW the
+  *    watermark and would be silently skipped.
+  *
+  * Semantics kept from the reference:
   *
   *  - **resume token**: the streaming Offset is the lexicographic file-name
   *    watermark; Spark checkpoints it per micro-batch and hands it back on
@@ -55,9 +64,13 @@ class CdcV2Provider extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]
   ): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val numSplits = Option(opts.get("numSplits")).map(_.toInt).getOrElse(4)
+    // 0 splits would plan zero partitions while offsets keep advancing —
+    // every event silently skipped
+    require(numSplits > 0, s"numSplits must be positive, got $numSplits")
     new CdcTable(
       Option(opts.get("path")).getOrElse(throw new IllegalArgumentException("path required")),
-      Option(opts.get("numSplits")).map(_.toInt).getOrElse(4)
+      numSplits
     )
   }
 }
@@ -106,10 +119,15 @@ class CdcMicroBatchStream(path: String, numSplits: Int) extends MicroBatchStream
     CdcOffset(if (files.isEmpty) "" else files.max)
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    val node = new ObjectMapper().readTree(json)
-    CdcOffset(node.get("watermark").asText())
-  }
+  override def deserializeOffset(json: String): Offset =
+    // a corrupted/hand-edited checkpoint falls back to a fresh cursor (the
+    // class contract) instead of NPE-ing the restart; at-least-once absorbs
+    // the resulting replay downstream
+    try {
+      val node = new ObjectMapper().readTree(json)
+      val wm = node.get("watermark")
+      CdcOffset(if (wm == null) "" else wm.asText())
+    } catch { case _: Exception => CdcOffset("") }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[CdcOffset].watermark
@@ -150,12 +168,19 @@ class CdcPartitionReader(files: Seq[String], splitIndex: Int, numSplits: Int)
   }
   private var current: InternalRow = _
 
-  /** The reference's hash-mod `$match` on documentKey._id (:49-57). */
+  /** The reference's hash-mod `$match` on documentKey._id (:49-57).
+    * `_id` may itself be a value OR an object (compound keys) — asText()
+    * returns "" for container nodes, which would collapse every row onto
+    * split 0; mirror the row decoder's value-vs-container handling.
+    */
   private def inSplit(documentKey: String): Boolean = {
     val id =
       try {
         val n = mapper.readTree(documentKey)
-        if (n != null && n.has("_id")) n.get("_id").asText() else documentKey
+        if (n != null && n.has("_id")) {
+          val v = n.get("_id")
+          if (v.isValueNode) v.asText() else v.toString
+        } else documentKey
       } catch { case _: Exception => documentKey }
     math.floorMod(if (id == null) 0 else id.hashCode, numSplits) == splitIndex
   }
@@ -202,12 +227,16 @@ private[cdcv2] object CdcLog {
   def listFiles(path: String): Seq[String] = {
     val d = new java.io.File(path)
     if (!d.exists()) Seq.empty
-    else
-      d.listFiles()
+    else {
+      require(d.isDirectory, s"graft-cdc path must be a directory of log segments, got file: $path")
+      // listFiles returns null on I/O errors — surface an empty batch (the
+      // next trigger retries) rather than an NPE that kills the query
+      Option(d.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && (f.getName.endsWith(".json") || f.getName.endsWith(".jsonl")))
         .map(_.getAbsolutePath)
         .sorted
         .toSeq
+    }
   }
 
   def quote(s: String): String =

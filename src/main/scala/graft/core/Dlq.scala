@@ -41,20 +41,44 @@ object Dlq {
 
   /** Replay dead letters through the envelope parser (the reference's
     * dlq-replay flow, docs/recovery/dlq-replay-guide.md): raw events are
-    * re-parsed; still-bad rows land in a fresh DLQ frame (with the replay
-    * attempt count visible to the operator via errorMessage).
+    * re-parsed; still-bad rows land in a fresh DLQ frame whose errorMessage
+    * carries an incrementing `(replay attempt N)` counter — how an operator
+    * detects a poison message instead of cycling it forever.
     * Returns (recovered envelopes, still dead).
     */
   def replay(
       dlq: DataFrame,
       clock: Column = current_timestamp()
-  ): (DataFrame, DataFrame) =
-    graft.parsers.EnvelopeParser.parse(
+  ): (DataFrame, DataFrame) = {
+    // prior attempt count per raw event, parsed back out of errorMessage
+    val prevAttempt = coalesce(
+      nullif(regexp_extract(col("errorMessage"), "replay attempt (\\d+)", 1), lit(""))
+        .cast("int"),
+      lit(0))
+    val prev = dlq
+      .groupBy(col("rawEvent").as("_raw"))
+      .agg(max(prevAttempt).as("_prev"))
+    val (good, bad) = graft.parsers.EnvelopeParser.parse(
       dlq.select(col("rawEvent").as("value")),
       "value",
       clock,
       source = "dlq-replay"
     )
+    val stillDead = bad
+      .join(prev, bad("rawEvent") === prev("_raw"), "left")
+      .select(
+        col("errorType"),
+        concat(
+          col("errorMessage"),
+          lit(" (replay attempt "),
+          (coalesce(col("_prev"), lit(0)) + 1).cast("string"),
+          lit(")")).as("errorMessage"),
+        col("source"),
+        col("timestamp"),
+        col("rawEvent"),
+        col("stacktrace"))
+    (good, stillDead)
+  }
 }
 
 /** Map-column helpers. */

@@ -169,6 +169,10 @@ class SinksSpec extends SparkSpec {
     assert(recovered.select("primaryKey").as[String].collect() === Array("k1"))
     assert(stillDead.count() === 1)
     assert(stillDead.select("source").as[String].head() === "dlq-replay")
+    // poison detection: errorMessage carries an incrementing attempt count
+    assert(stillDead.select("errorMessage").as[String].head().endsWith("(replay attempt 1)"))
+    val (_, dead2) = graft.core.Dlq.replay(stillDead, clock)
+    assert(dead2.select("errorMessage").as[String].head().endsWith("(replay attempt 2)"))
   }
 
   test("EsSink.prepare: null trace ids skipped, duplicate doc ids collapsed") {
