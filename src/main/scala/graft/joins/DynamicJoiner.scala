@@ -34,6 +34,9 @@ final case class DynamicJoiner(
     Set("inner", "left_outer", "right_outer", "full_outer").contains(joinType),
     s"unsupported join type $joinType"
   )
+  // a negative TTL makes the range condition unsatisfiable — every join
+  // silently 100% miss — so reject it at construction
+  require(ttlMs >= 0, s"ttlMs must be non-negative, got $ttlMs")
 
   private def condition(l: DataFrame, r: DataFrame) = {
     // raw timestamp +- interval (NOT unix_micros arithmetic): Spark's

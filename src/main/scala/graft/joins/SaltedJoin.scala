@@ -36,6 +36,12 @@ object SaltedJoin {
       jt == "inner" || jt == "left" || jt == "leftouter",
       s"SaltedJoin supports inner/left_outer only (got $joinType): replicating the small side " +
         "n times would duplicate unmatched right-side rows under right/full outer joins")
+    // n = 0 would pmod-by-zero (ANSI error) and salt the replicated side with
+    // sequence(0,-1) = [0,-1]; a pre-existing _salt column would be silently
+    // clobbered and then dropped from the output
+    require(n > 0, s"salt fan-out n must be positive, got $n")
+    require(!skewed.columns.contains("_salt") && !other.columns.contains("_salt"),
+      "inputs already carry a _salt column")
     val l = skewed.withColumn("_salt", pmod(hash(saltBy), lit(n)))
     val r = other.withColumn("_salt", explode(sequence(lit(0), lit(n - 1))))
     l.join(r, Seq(key, "_salt"), joinType).drop("_salt")

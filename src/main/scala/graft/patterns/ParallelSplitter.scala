@@ -22,6 +22,16 @@ final case class Route(name: String, predicate: Column)
 final case class ParallelSplitter(routes: Seq[Route], mainName: String = "main") {
   require(routes.nonEmpty, "at least one route required")
   require(routes.map(_.name).distinct.size == routes.size, "duplicate route names")
+  require(routes.forall(_.name != mainName),
+    s"route named '$mainName' would be shadowed by the main (unmatched) output")
+
+  /** NULL predicates must behave as non-matches everywhere: a bare
+    * `!(p1 OR p2)` filter evaluates to NULL (= drop) for NULL predicates,
+    * so without the coalesce the side outputs silently LOSE rows that
+    * `routed` assigns to main — the union of side outputs must equal the
+    * input exactly.
+    */
+  private def matches(r: Route): Column = coalesce(r.predicate, lit(false))
 
   /** First-match-wins routing expression. Route i matches only if predicates
     * 1..i-1 did not (reference ParallelSplitter.java:118-132).
@@ -38,10 +48,10 @@ final case class ParallelSplitter(routes: Seq[Route], mainName: String = "main")
   def sideOutput(df: DataFrame, name: String): DataFrame = {
     val idx = routes.indexWhere(_.name == name)
     require(idx >= 0 || name == mainName, s"unknown route $name")
-    if (name == mainName) df.filter(!routes.map(_.predicate).reduce(_ || _))
+    if (name == mainName) df.filter(!routes.map(matches).reduce(_ || _))
     else {
-      val notEarlier = routes.take(idx).map(r => !r.predicate).foldLeft(lit(true))(_ && _)
-      df.filter(routes(idx).predicate && notEarlier)
+      val notEarlier = routes.take(idx).map(r => !matches(r)).foldLeft(lit(true))(_ && _)
+      df.filter(matches(routes(idx)) && notEarlier)
     }
   }
 

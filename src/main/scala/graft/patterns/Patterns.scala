@@ -26,7 +26,10 @@ final case class FilterInterceptor(name: String, predicate: Column)
       s"filter.$name",
       count(lit(1)).as("in"),
       count(when(predicate, 1)).as("passed"),
-      count(when(!predicate, 1)).as("dropped")
+      // NULL predicates are dropped by the filter but `!NULL` is NULL, so
+      // they'd vanish from BOTH counters without the coalesce — the
+      // invariant is in == passed + dropped
+      count(when(!coalesce(predicate, lit(false)), 1)).as("dropped")
     ).filter(predicate)
 }
 
@@ -72,10 +75,16 @@ final case class MetadataDecorator(
       lit(s"stage.$name.subtaskIndex"), subtask.cast("string"),
       lit(s"stage.$name.processedAt"), unix_micros(clock.cast("timestamp")).cast("string")
     )
+    // strip this stage's own keys before concatenating: re-applying the
+    // stage (pipeline retry, replayed frame) would otherwise produce
+    // duplicate map keys, which aborts under mapKeyDedupPolicy=EXCEPTION —
+    // re-stamping is idempotent-by-construction instead
+    val prefix = s"stage.$name."
     df.withColumn(
       metadataCol,
       when(col(metadataCol).isNull, stamped)
-        .otherwise(map_concat(col(metadataCol), stamped))
+        .otherwise(
+          map_concat(map_filter(col(metadataCol), (k, _) => !k.startsWith(prefix)), stamped))
     )
   }
 }
@@ -97,7 +106,9 @@ final case class LatencyDetector(
 
   private def aggs: Seq[Column] = Seq(
     max(latencyMs).as("e2e_latency_max_ms"),
-    (sum(latencyMs).cast("double") / count(lit(1))).as("e2e_latency_avg_ms"),
+    // avg, not sum/count(*): rows with a NULL event time have no latency and
+    // must not deflate the average (sum skips them, count(*) would not)
+    avg(latencyMs).as("e2e_latency_avg_ms"),
     count(when(latencyMs > thresholdMs, 1)).as("alert_count"),
     count(lit(1)).as("total")
   )

@@ -63,8 +63,11 @@ final case class SchemaEnforcer(payloadCol: String, versionsNewestFirst: Seq[Sch
       missing :+ badType
     }
     val base = filter(array(fieldChecks: _*), x => x.isNotNull)
+    // ltrim: try_parse_json accepts leading whitespace, so the object-shape
+    // guard must too — a raw startsWith would DLQ "  {...}" despite pv being
+    // a perfectly valid object
     val invalidJson = when(
-      pv.isNull || !payload.startsWith("{"),
+      pv.isNull || !ltrim(payload).startsWith("{"),
       array(lit("invalid:payload"))
     )
     val withStrict =

@@ -117,7 +117,7 @@ object PatternQueries {
     s"""$envCte
        |SELECT
        |  MAX(epoch_ms(TIMESTAMP '2024-03-01 00:00:00') - epoch_ms(eventTime)) AS e2e_latency_max_ms,
-       |  CAST(SUM(epoch_ms(TIMESTAMP '2024-03-01 00:00:00') - epoch_ms(eventTime)) AS DOUBLE)/COUNT(*) AS e2e_latency_avg_ms,
+       |  AVG(epoch_ms(TIMESTAMP '2024-03-01 00:00:00') - epoch_ms(eventTime)) AS e2e_latency_avg_ms,
        |  COUNT(CASE WHEN epoch_ms(TIMESTAMP '2024-03-01 00:00:00') - epoch_ms(eventTime) > 30000 THEN 1 END) AS alert_count,
        |  COUNT(*) AS total
        |FROM env""".stripMargin
