@@ -66,11 +66,30 @@ object CorpusOps {
       nShards: Int,
       carryCols: Seq[String] = Seq.empty
   ): DataFrame = {
+    require(budget > 0, s"packSequences: budget must be positive, got $budget")
+    // seq_id packs (shard, per-shard sequence index) into one long as
+    // shard << 44 | index: 2^44 ≈ 1.8e13 sequences per shard (≈ 9e15 tokens
+    // at budget=512) before the runtime guard below fires, and up to 2^19
+    // shards before the shard bits overflow the sign bit. The previous
+    // shard*1e6 layout collided once a shard passed 1e6 sequences (~512M
+    // tokens) — far below a 100 TB corpus.
+    require(
+      nShards > 0 && nShards <= (1 << 19),
+      s"packSequences: nShards must be in [1, 2^19], got $nShards")
     val shard = pmod(col(idCol).cast("long"), lit(nShards.toLong))
     val w = Window.partitionBy(col("_shard")).orderBy(col(idCol))
     val before = coalesce(
       sum(col("_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
       lit(0L))
+    val seqIdx = floor(col("_before") / budget)
+    // data-dependent overflow check: fails the job loudly instead of
+    // silently spilling shard k's ids into shard k+1's namespace
+    val guardedIdx = seqIdx +
+      coalesce(
+        assert_true(
+          seqIdx < lit(1L << 44),
+          lit(s"packSequences: per-shard sequence index exceeds 2^44")).cast("long"),
+        lit(0L))
     df.withColumn("_shard", shard)
       .withColumn("_tok", tokenCountCol.cast("long"))
       .withColumn("_before", before)
@@ -78,7 +97,7 @@ object CorpusOps {
         col(idCol) +:
           col("_shard").as("shard") +:
           col("_tok").as("n_tokens") +:
-          (col("_shard") * lit(1000000L) + floor(col("_before") / budget)).as("seq_id") +:
+          (shiftleft(col("_shard"), 44) + guardedIdx).as("seq_id") +:
           pmod(col("_before"), lit(budget.toLong)).as("seq_offset") +:
           carryCols.map(col): _*
       )

@@ -77,30 +77,56 @@ object MongoToKafkaJob extends GraftJob {
 
   /** Streaming face: parse → fused dedup+change-suppression (ONE
     * transformWithState pass — see CdcPipelineProcessor) → schema gate →
-    * decoration → processor. Returns the envelope stream, ready for
-    * KafkaConnectors.sink / keyedProjection. Requires the RocksDB state
-    * store provider.
+    * decoration → processor. Returns (envelope stream, DLQ stream): the
+    * schema gate's dead letters are SURFACED, matching the batch face and
+    * the reference's publish-from-every-stage contract (DLQPublisher
+    * .java:18-97) — r3 silently discarded them here. Each returned frame is
+    * ready for its own sink (KafkaConnectors.sink / keyedProjection; a DLQ
+    * topic or path). Requires the RocksDB state store provider.
     */
-  def buildStreaming(cdcStream: DataFrame, ttlMs: Long = 10 * 60 * 1000): DataFrame = {
+  def buildStreaming(
+      cdcStream: DataFrame,
+      ttlMs: Long = 10 * 60 * 1000): (DataFrame, DataFrame) = {
     import cdcStream.sparkSession.implicits._
-    val parsed = CdcParser
-      .parse(cdcStream)
-      .filter(col("operation") =!= "unknown")
-      .as[graft.model.StreamEnvelop]
-    val deduped = graft.stateful.Processors
-      .cdcPipeline(parsed, ttlMs, Set("updatedAt", "modifiedAt"))
-      .toDF()
     val enforcer = SchemaEnforcer(
       "payloadJson",
       Seq(SchemaVersion(1, Seq(FieldSpec("_id", FieldType.ANY)))))
-    val (good, _) = enforcer.enforce(deduped)
-    good
+    // each returned frame gets its OWN transformWithState pipeline: a
+    // StatefulProcessor instance must belong to exactly one streaming query
+    // (concurrent driver inits on a shared instance race on its state-var
+    // fields), and the pipeline is a deterministic function of the stream,
+    // so both branches see identical survivors
+    def deduped(): DataFrame = {
+      val parsed = CdcParser
+        .parse(cdcStream)
+        .filter(col("operation") =!= "unknown")
+      // a payload without _id parses to primaryKey NULL; a null grouping
+      // key crashes transformWithState (INTERNAL_ERROR_TWS "implicit key
+      // not found"), so null-key rows BYPASS the keyed dedup — there is
+      // nothing to dedup without a key — and rejoin before the schema
+      // gate, which dead-letters them (missing:_id). Self-union of one
+      // streaming source is a single scan per micro-batch.
+      val piped = graft.stateful.Processors
+        .cdcPipeline(
+          parsed.filter(col("primaryKey").isNotNull).as[graft.model.StreamEnvelop],
+          ttlMs,
+          Set("updatedAt", "modifiedAt"))
+        .toDF()
+      piped.unionByName(parsed.filter(col("primaryKey").isNull))
+    }
+    val (good, _) = enforcer.enforce(deduped())
+    val (_, bad) = enforcer.enforce(deduped())
+    val dlq = Dlq.toDlq(
+      bad, graft.model.ErrorCodes.SchemaViolation, col("violations"), name,
+      col("payloadJson"), current_timestamp())
+    val out = good
       .drop("matched_version")
       .transform(MetadataDecorator("pre-sink", name))
       .withColumn(
         "traceId",
         coalesce(col("traceId"), concat(lit("trace-"), col("primaryKey"), lit("-"), unix_micros(col("eventTime")))))
       .withColumn("processedTime", current_timestamp())
+    (out, dlq)
   }
 
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
@@ -148,23 +174,30 @@ object KafkaToMongoJob extends GraftJob {
   /** Streaming face: parse → stream-static broadcast enrichment →
     * constraint gate → foreachBatch keyed upsert into `tablePath` (touched
     * buckets only; rows the store would reject route to `tablePath_dlq` —
-    * the reference's per-write DLQ, MongoSinkBuilder.java:158-191).
-    * Returns the started query.
+    * the reference's per-write DLQ, MongoSinkBuilder.java:158-191). The
+    * whole (stateless) build runs INSIDE foreachBatch so the parse +
+    * constraint gate's dead letters land in `tablePath_gate_dlq` instead of
+    * being discarded — one source read, two writes, matching the
+    * reference's publish-from-every-stage DLQ contract
+    * (DLQPublisher.java:18-97). Returns the started query.
     */
   def startStreaming(
       raw: DataFrame,
       refs: Seq[(String, DataFrame)],
       tablePath: String,
       checkpoint: String
-  ): org.apache.spark.sql.streaming.StreamingQuery = {
-    val (good, _) = build(raw, refs, current_timestamp())
-    good.writeStream
-      .foreachBatch(
-        graft.connectors.UpsertSink.writer(tablePath, dlqPath = Some(tablePath + "_dlq")) _)
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val (good, dlq) = build(batch, refs, current_timestamp())
+        graft.connectors.UpsertSink
+          .writer(tablePath, dlqPath = Some(tablePath + "_dlq"))(good, epoch)
+        dlq.filter(d => !d.isEmpty)
+          .foreach(_.write.mode("append").parquet(tablePath + "_gate_dlq"))
+      }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
-  }
 
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val raw = JobFixtures.rawEnvelopes(spark, sfDir)
@@ -338,8 +371,13 @@ object UserStateMaterializeJob extends GraftJob {
     */
   def buildStreaming(envelopes: org.apache.spark.sql.Dataset[graft.model.StreamEnvelop],
       ttlMs: Long = 24 * 3600 * 1000): DataFrame = {
+    // null-key guard: a null grouping key crashes transformWithState
+    // (INTERNAL_ERROR_TWS) — one malformed upstream event must not kill the
+    // query. A keyless changelog event is also meaningless to materialize;
+    // upstream gates (schema/constraint) are where such rows get DLQ'd.
+    val keyed = envelopes.filter((e: graft.model.StreamEnvelop) => e.primaryKey != null)
     val changelog = graft.stateful.Processors
-      .materialize(envelopes, _.operation == "delete", ttlMs)
+      .materialize(keyed, _.operation == "delete", ttlMs)
       .toDF()
       .select(
         col("changeType").as("change_type"),
@@ -367,30 +405,41 @@ object UserStateMaterializeJob extends GraftJob {
 object UserSessionAnalysisJob extends GraftJob {
   val name = "UserSessionAnalysis"
 
-  def toEnvelop(sessions: DataFrame, clock: Column): DataFrame =
+  /** `carryCols`: typed session columns to keep alongside the envelope so
+    * downstream consumers never `get_json_object` the payload they just
+    * built — a JSON round-trip per row was the r3 bench tail. Unused carried
+    * (or envelope) columns prune out of the plan for free.
+    */
+  def toEnvelop(
+      sessions: DataFrame,
+      clock: Column,
+      carryCols: Seq[String] = Seq.empty): DataFrame =
     sessions.select(
-      lit("SESSION_CLOSED").as("operation"),
-      lit(name).as("source"),
-      to_json(struct(
-        col("key").as("_id"),
-        col("actions"),
-        col("event_count").as("count"))).as("payloadJson"),
-      timestamp_micros(col("session_end_us")).as("eventTime"),
-      clock.cast("timestamp").as("processedTime"),
-      concat(lit("trace-"), col("key"), lit("-"), col("session_start_us")).as("traceId"),
-      col("key").cast("string").as("primaryKey"),
-      map(
-        lit("sessionStart"), col("session_start_us").cast("string"),
-        lit("sessionEnd"), col("session_end_us").cast("string"),
-        lit("eventCount"), col("event_count").cast("string"),
-        lit("duration"), col("duration_ms").cast("string")).as("metadata"))
+      lit("SESSION_CLOSED").as("operation") +:
+        lit(name).as("source") +:
+        to_json(struct(
+          col("key").as("_id"),
+          col("actions"),
+          col("event_count").as("count"))).as("payloadJson") +:
+        timestamp_micros(col("session_end_us")).as("eventTime") +:
+        clock.cast("timestamp").as("processedTime") +:
+        concat(lit("trace-"), col("key"), lit("-"), col("session_start_us")).as("traceId") +:
+        col("key").cast("string").as("primaryKey") +:
+        map(
+          lit("sessionStart"), col("session_start_us").cast("string"),
+          lit("sessionEnd"), col("session_end_us").cast("string"),
+          lit("eventCount"), col("event_count").cast("string"),
+          lit("duration"), col("duration_ms").cast("string")).as("metadata") +:
+        carryCols.map(col): _*)
 
   /** Streaming face: watermarked session_window aggregation (sessions emit
     * on close, once the watermark passes start+gap) → session envelopes.
     */
   def buildStreaming(envelopes: DataFrame, gap: String, outOfOrderness: String = "0 seconds"): DataFrame = {
+    // null-key guard: sessions are per-key; a null key row would crash the
+    // stateful session operator (see MongoToKafkaJob.buildStreaming)
     val sessions = SessionAnalyzer("primaryKey", "eventTime", gap, outOfOrderness)
-      .analyze(envelopes, actionCol = "operation", tieCol = "traceId")
+      .analyze(envelopes.filter(col("primaryKey").isNotNull), actionCol = "operation", tieCol = "traceId")
     toEnvelop(sessions, current_timestamp())
   }
 
@@ -408,7 +457,9 @@ object UserSessionAnalysisJob extends GraftJob {
       outOfOrdernessMs: Long = 0
   ): DataFrame =
     graft.stateful.Processors
-      .sessionsWithLateness(envelopes, gapMs, latenessMs, outOfOrdernessMs)
+      .sessionsWithLateness(
+        envelopes.filter((e: graft.model.StreamEnvelop) => e.primaryKey != null),
+        gapMs, latenessMs, outOfOrdernessMs)
       .toDF()
       .select(
         when(col("firing") === 1, "SESSION_CLOSED").otherwise("SESSION_UPDATED").as("operation"),

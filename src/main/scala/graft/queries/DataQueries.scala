@@ -607,6 +607,9 @@ object DataQueries {
       budget = 512,
       nShards = 8)
 
+  // cum_before is a windowed SUM → DuckDB HUGEINT; every column derived
+  // from it must be CAST AS BIGINT or the driver hash canonicalizes it as
+  // float (the r3 red-gate root cause).
   val dSeqPackSql: String =
     s"""WITH $toksCte,
        |t2 AS (
@@ -618,8 +621,8 @@ object DataQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM t2)
        |SELECT doc_id, shard, n_tokens,
-       |  shard * 1000000 + CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
-       |  cum_before % 512 AS seq_offset
+       |  CAST(shard * 17592186044416 + CAST(floor(cum_before / 512) AS BIGINT) AS BIGINT) AS seq_id,
+       |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
        |FROM c""".stripMargin
 
   /** End-to-end corpus assembly — the capstone composition: stratified
@@ -690,8 +693,8 @@ object DataQueries {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
        |  FROM tok)
        |SELECT doc_id, shard, n_tokens,
-       |  shard * 1000000 + CAST(floor(cum_before / 512) AS BIGINT) AS seq_id,
-       |  cum_before % 512 AS seq_offset,
+       |  CAST(shard * 17592186044416 + CAST(floor(cum_before / 512) AS BIGINT) AS BIGINT) AS seq_id,
+       |  CAST(cum_before % 512 AS BIGINT) AS seq_offset,
        |  md5(redacted) AS redacted_md5
        |FROM c""".stripMargin
   }

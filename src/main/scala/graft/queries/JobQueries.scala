@@ -195,12 +195,17 @@ object JobQueries {
   def jobSessions(spark: SparkSession, dir: String): DataFrame = {
     val sessions = graft.stateful.SessionAnalyzer("user_id", "ts", "4 hours")
       .analyze(Tables.events(spark, dir), "event_type", "event_id")
+    // typed columns are CARRIED through the envelope instead of
+    // get_json_object-ing the payloadJson just built (a JSON round-trip per
+    // row — the r3 bench tail); the unread payloadJson prunes out of this
+    // plan, and envelope-stringify fidelity stays covered by runBatch /
+    // job_materialize.
     UserSessionAnalysisJob
-      .toEnvelop(sessions, JobFixtures.fixedClock)
+      .toEnvelop(sessions, JobFixtures.fixedClock, carryCols = Seq("actions", "event_count"))
       .select(
         col("primaryKey"),
-        get_json_object(col("payloadJson"), "$.actions").as("actions"),
-        get_json_object(col("payloadJson"), "$.count").cast("long").as("cnt"),
+        col("actions"),
+        col("event_count").as("cnt"),
         element_at(col("metadata"), "duration").as("duration_ms")
       )
   }

@@ -105,8 +105,13 @@ object SourceQueries {
         max((col("traceId") === "ZOMBIE").cast("int")).as("zombie_seen"))
   }
 
+  // HUGEINT audit: DuckDB SUM(BIGINT) returns HUGEINT, which the driver's
+  // hash canonicalizes as float — every SUM-derived OUTPUT column must be
+  // CAST to BIGINT (or DOUBLE when the query semantics are fractional).
+  // SUMs that only feed GROUP BY keys (session sids) are exempt.
   val kTxnLogSql: String =
-    """SELECT event_id % 3 AS epoch, COUNT(*) AS n, SUM(event_id) AS id_sum,
+    """SELECT event_id % 3 AS epoch, COUNT(*) AS n,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum,
       |  0 AS zombie_seen
       |FROM events GROUP BY 1""".stripMargin
 

@@ -41,7 +41,8 @@ class CorpusOpsSpec extends SparkSpec {
     packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
       var cum = 0L
       rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
-        assert(r.getAs[Long]("seq_id") % 1000000L === cum / 100)
+        assert((r.getAs[Long]("seq_id") & ((1L << 44) - 1)) === cum / 100)
+        assert(r.getAs[Long]("seq_id") >> 44 === r.getAs[Long]("shard"))
         assert(r.getAs[Long]("seq_offset") === cum % 100)
         cum += r.getAs[Long]("n_tokens")
       }

@@ -30,13 +30,24 @@ class StreamingJobSpec extends SparkSpec {
           """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:01:00.000Z"}""",
           """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:01:30.000Z"}""",
           """{"op":"update","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 20}","updatedFields":null,"eventTime":"2024-01-01T00:02:00.000Z"}""",
-          """{"op":"delete","db":"d","collection":"c","documentKey":"{\"_id\": 2}","fullDocument":null,"updatedFields":null,"eventTime":"2024-01-01T00:03:00.000Z"}"""
+          """{"op":"delete","db":"d","collection":"c","documentKey":"{\"_id\": 2}","fullDocument":null,"updatedFields":null,"eventTime":"2024-01-01T00:03:00.000Z"}""",
+          // malformed: fullDocument has no _id → schema gate must dead-letter
+          // it, not drop it (r3 discarded the streaming DLQ)
+          """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 3}","fullDocument":"{\"v\": 99}","updatedFields":null,"eventTime":"2024-01-01T00:04:00.000Z"}"""
         ).mkString("\n"))
       val cdc = CdcSource.multi(spark, dir, numSplits = 2)
-      val out = MongoToKafkaJob.buildStreaming(cdc, ttlMs = 0)
+      val (out, dlq) = MongoToKafkaJob.buildStreaming(cdc, ttlMs = 0)
       val q = out.writeStream.format("memory").queryName("m2k_stream").outputMode("append").start()
+      val qDlq = dlq.writeStream.format("memory").queryName("m2k_dlq").outputMode("append").start()
       try {
         q.processAllAvailable()
+        qDlq.processAllAvailable()
+        // the _id-less document landed in the DLQ with the schema error code
+        val dead = spark.table("m2k_dlq")
+          .select($"errorType", $"rawEvent").as[(String, String)].collect()
+        assert(dead.toSeq === Seq((graft.model.ErrorCodes.SchemaViolation, """{"v": 99}""")))
+        // exact set equality also proves the dead-lettered key "3" never
+        // reaches the good stream
         val rows = spark.table("m2k_stream")
           .select($"operation", $"primaryKey", get_json_object($"payloadJson", "$.v").as("v"))
           .as[(String, String, Option[String])].collect().toSet
@@ -52,7 +63,7 @@ class StreamingJobSpec extends SparkSpec {
         val meta = spark.table("m2k_stream")
           .select(element_at($"metadata", "stage.pre-sink.taskName")).as[String].collect()
         assert(meta.forall(_ == "MongoToKafka"))
-      } finally q.stop()
+      } finally { q.stop(); qDlq.stop() }
     } finally spark.conf.unset(key)
   }
 }

@@ -110,6 +110,19 @@ class StreamingJobsSpec extends SparkSpec {
       val after = graft.connectors.UpsertSink.readTable(spark, s"$dir/table")
         .select($"_id").as[String].collect().toSet
       assert(after === Set("a")) // rejected row never reached the table
+      // a payload WITHOUT _id fails the constraint gate BEFORE the sink —
+      // r3 discarded that gate's dead letters in streaming; they must land
+      // in the gate DLQ path (reference DLQPublisher.java:18-97 publishes
+      // from every stage)
+      mem.addData(
+        """{"operation":"insert","source":"s","payloadJson":"{\"k\": 4}","primaryKey":"d","traceId":"t-d-4"}""")
+      q.processAllAvailable()
+      val gateDlq = spark.read.parquet(s"$dir/table_gate_dlq")
+        .select($"errorType", $"rawEvent").as[(String, String)].collect()
+      assert(gateDlq.toSeq === Seq((graft.model.ErrorCodes.ConstraintViolation, """{"k": 4}""")))
+      val tableAfterGate = graft.connectors.UpsertSink.readTable(spark, s"$dir/table")
+        .select($"_id").as[String].collect().toSet
+      assert(tableAfterGate === Set("a")) // gated row never reached the table
     } finally q.stop()
   }
 
