@@ -40,13 +40,18 @@ object Bench {
     // total is still reported alongside for visibility.
     val cold = runAll()
     val results = runAll()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // r3's line was ~2.6 KB and the driver's tail capture truncated its
+    // head (BENCH_r03 parsed:null): keep the ONE-line contract but emit
+    // millisecond precision and a terse methodology note so the whole line
+    // fits the capture window with room to spare
+    def r3dp(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3dp(v) }
       .mkString("{", ",", "}")
     val skipped = oracleOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"oracle_only":$skipped,"sf":"$sfDir","cold_total":$coldTotal,"methodology":"second of two back-to-back runs in one JVM; run 1 absorbs codegen compile + JIT warmup"}""")
+      s"""{"metric":"total","value":${r3dp(total)},"unit":"sec","queries":$qs,"oracle_only":$skipped,"sf":"$sfDir","cold_total":${r3dp(coldTotal)},"methodology":"warm: 2nd of two runs in one JVM"}""")
     spark.stop()
   }
 }

@@ -21,9 +21,14 @@ object EsSink {
     // deterministic last-write-wins: dropDuplicates keeps an ARBITRARY row
     // per key (scan order), which breaks byte-identical replay convergence —
     // order by event time with full-content tie-breaks instead
+    // every field serialized into `doc` participates in the ordering:
+    // two rows tying on (eventTime, operation, payloadJson) but differing
+    // in source or primaryKey would otherwise get an arbitrary winner
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("traceId"))
-      .orderBy(col("eventTime").desc, col("operation").desc, col("payloadJson").desc_nulls_last)
+      .orderBy(
+        col("eventTime").desc, col("operation").desc, col("payloadJson").desc_nulls_last,
+        col("source").desc_nulls_last, col("primaryKey").desc_nulls_last)
     envelopes
       .filter(col("traceId").isNotNull)
       .withColumn("_rn", row_number().over(w))

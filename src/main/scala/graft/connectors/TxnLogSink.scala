@@ -18,10 +18,16 @@ import org.apache.spark.sql.functions._
   *    `data/<queryId>-<batchId>-<attemptUuid>/`; attempts never share or
   *    clobber files, so a zombie writer racing a replay can only produce an
   *    orphaned attempt directory, never corrupt a committed one.
-  *  - The commit is ONE atomic rename of the manifest
-  *    `commits/<queryId>-<batchId>.json` naming the attempt's files. A
-  *    manifest either exists entirely or not at all; whichever attempt's
-  *    rename lands first wins, the loser deletes its own orphan.
+  *  - The commit is ONE rename-without-overwrite of the manifest
+  *    `commits/<queryId>-<batchId>.json` naming the attempt's files, via
+  *    `FileContext.rename(.., Options.Rename.NONE)` — the Hadoop primitive
+  *    whose CONTRACT forbids replacing an existing destination on every
+  *    implementation (plain `FileSystem.rename` on RawLocalFileSystem
+  *    delegates to POSIX rename, which overwrites — a zombie could replace
+  *    an already-committed manifest). After the rename the committer
+  *    re-reads the manifest and only treats the commit as won if the
+  *    attempt id inside is its own — committed-wins, like the reference's
+  *    `transactional.id` fencing.
   *  - A replayed micro-batch (failure/restart re-runs the last epoch) finds
   *    its manifest already committed and SKIPS — the transactional fence
   *    that makes checkpointed at-least-once delivery exactly-once.
@@ -31,11 +37,18 @@ import org.apache.spark.sql.functions._
   *    count); the per-batch commit order joins in via a broadcast
   *    file→offset map on `input_file_name`, ordered by parsed
   *    (queryId, numeric batchId) — not file-name lexicography.
+  *  - Every `checkpointEvery` commits the writer rolls all committed
+  *    manifests into `commits/_ckpt-<n>.json` (table-format checkpointing):
+  *    `read` then parses ONE checkpoint file plus only the manifests that
+  *    landed after it — O(1) driver I/O + tail instead of O(batches).
+  *    Individual manifests are kept (they are the replay fence and the
+  *    recovery source if a checkpoint is lost); name-derived batch ids
+  *    decide coverage, so uncovered manifests are found without parsing.
   *
   * Scale shape: data files are written by executors in parallel (plain
   * parquet write); only the manifest rename is driver-side, O(1) per batch.
   */
-final case class TxnLogSink(topicDir: String) {
+final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
 
   private def commitsDir = new Path(topicDir, "commits")
   private def manifest(queryId: String, batchId: Long) =
@@ -49,7 +62,8 @@ final case class TxnLogSink(topicDir: String) {
     require(!queryId.contains("-") && !queryId.contains("/"),
       s"queryId must not contain '-' or '/': $queryId")
     val spark = batch.sparkSession
-    val fs = new Path(topicDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(topicDir).getFileSystem(conf)
     val committed = manifest(queryId, batchId)
     if (fs.exists(committed)) return // replayed epoch: already committed, skip
     // per-attempt directory: concurrent attempts (zombie + replacement)
@@ -68,37 +82,135 @@ final case class TxnLogSink(topicDir: String) {
     val out = fs.create(stage, true)
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    val won = fs.rename(stage, committed) && fs.exists(committed)
+    // rename WITHOUT overwrite: FileContext honors Options.Rename.NONE on
+    // every implementation (FileSystem.rename on the local FS is POSIX
+    // rename, which would let a zombie REPLACE a committed manifest).
+    val renamed =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(committed.toUri, conf)
+          .rename(stage, committed, org.apache.hadoop.fs.Options.Rename.NONE)
+        true
+      } catch { case _: java.io.IOException => false }
+    // committed-wins verification: the commit is ours only if the manifest
+    // on disk names OUR attempt — belt-and-braces against any FS whose
+    // no-overwrite rename is check-then-act rather than atomic
+    val won = renamed && parseManifest(fs, committed).exists(_.attempt == attempt)
     if (!won) {
       // lost the race to a concurrent committer: discard our attempt entirely
       fs.delete(stage, true)
       fs.delete(dir, true)
+    } else if (checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0) {
+      compact(spark)
     }
   }
 
   private case class Commit(queryId: String, batchId: Long, attempt: String, files: Seq[String])
 
+  private def parseManifest(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Commit] =
+    try {
+      val body = {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      }
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      import scala.jdk.CollectionConverters._
+      Some(Commit(
+        node.get("queryId").asText(),
+        node.get("batchId").asLong(),
+        node.get("attempt").asText(),
+        node.get("files").elements().asScala.map(_.asText()).toSeq))
+    } catch { case _: java.io.IOException => None }
+
+  /** Checkpoint files sort by the count of commits they cover. */
+  private def ckptName(n: Int) = f"_ckpt-$n%012d.json"
+  private val CkptRe = "_ckpt-(\\d+)\\.json".r
+
+  private def latestCheckpoint(
+      fs: org.apache.hadoop.fs.FileSystem): Option[Path] = {
+    if (!fs.exists(commitsDir)) return None
+    fs.listStatus(commitsDir).map(_.getPath)
+      .filter(p => CkptRe.pattern.matcher(p.getName).matches())
+      .sortBy(_.getName).lastOption
+  }
+
+  private def parseCheckpoint(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[Commit] = {
+    val body = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    import scala.jdk.CollectionConverters._
+    node.get("commits").elements().asScala.map { c =>
+      Commit(
+        c.get("queryId").asText(),
+        c.get("batchId").asLong(),
+        c.get("attempt").asText(),
+        c.get("files").elements().asScala.map(_.asText()).toSeq)
+    }.toSeq
+  }
+
+  /** Full committed view: one checkpoint parse + only the manifests the
+    * checkpoint does not cover (coverage decided from the
+    * `<queryId>-<batchId>.json` NAME — no parse needed for covered ones).
+    */
   private def committedManifests(fs: org.apache.hadoop.fs.FileSystem): Seq[Commit] = {
     if (!fs.exists(commitsDir)) return Seq.empty
-    fs.listStatus(commitsDir)
+    // a checkpoint retired by a concurrent compaction mid-read degrades to
+    // the full manifest scan — never to an error or a partial view
+    val base = latestCheckpoint(fs)
+      .flatMap(p => scala.util.Try(parseCheckpoint(fs, p)).toOption)
+      .getOrElse(Seq.empty)
+    val covered = base.map(c => (c.queryId, c.batchId)).toSet
+    val tail = fs.listStatus(commitsDir)
       .map(_.getPath)
-      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
-      .map { p =>
-        val body = {
-          val in = fs.open(p)
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        }
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-        import scala.jdk.CollectionConverters._
-        Commit(
-          node.get("queryId").asText(),
-          node.get("batchId").asLong(),
-          node.get("attempt").asText(),
-          node.get("files").elements().asScala.map(_.asText()).toSeq)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".json") && !n.startsWith(".") && !n.startsWith("_")
       }
+      .filter { p =>
+        val stem = p.getName.stripSuffix(".json")
+        val cut = stem.lastIndexOf('-') // queryId never contains '-'
+        cut < 0 || !scala.util.Try(stem.substring(cut + 1).toLong).toOption
+          .exists(b => covered.contains((stem.substring(0, cut), b)))
+      }
+      .flatMap(parseManifest(fs, _))
+    (base ++ tail)
       .sortBy(c => (c.queryId, c.batchId)) // numeric batch order, never lexicographic
       .toSeq
+  }
+
+  /** Roll every committed manifest into one checkpoint file. Individual
+    * manifests stay in place (replay fence + recovery); reads just stop
+    * parsing them. Idempotent and safe to run concurrently with writers:
+    * a commit landing mid-compaction is simply not covered yet and remains
+    * part of the read tail.
+    */
+  def compact(spark: SparkSession): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(topicDir).getFileSystem(conf)
+    val commits = committedManifests(fs)
+    if (commits.isEmpty) return
+    val body = commits.map { c =>
+      val fl = c.files.map(f => s""""$f"""").mkString("[", ", ", "]")
+      s"""    {"queryId": "${c.queryId}", "batchId": ${c.batchId}, "attempt": "${c.attempt}", "files": $fl}"""
+    }.mkString("{\n  \"commits\": [\n", ",\n", "\n  ]\n}\n")
+    val target = new Path(commitsDir, ckptName(commits.size))
+    if (fs.exists(target)) return // same coverage already checkpointed
+    val stage = new Path(commitsDir, s".${target.getName}.staging")
+    val out = fs.create(stage, true)
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+    // overwrite-tolerant rename: two racing compactions of the same count
+    // write identical content, either winning is correct
+    if (!fs.rename(stage, target)) fs.delete(stage, true)
+    // retire superseded checkpoints
+    fs.listStatus(commitsDir).map(_.getPath)
+      .filter(p => CkptRe.pattern.matcher(p.getName).matches() && p.getName < target.getName)
+      .foreach(fs.delete(_, false))
   }
 
   /** Committed view of the log: only manifest-named files, in

@@ -89,6 +89,13 @@ final case class Deduplicator(keyCols: Seq[String], ttlMs: Long = 10 * 60 * 1000
 
   /** State function behind [[streamingExact]], named so the TTL contract can
     * be pinned with [[org.apache.spark.sql.streaming.TestGroupState]].
+    *
+    * CHECKPOINT COMPATIBILITY: the state encoding changed from `Boolean`
+    * (seen flag) to `Long` (TTL deadline). A streaming query restarted from
+    * a checkpoint written by the old encoding will fail to decode its state
+    * store — wipe the checkpoint (or start a new checkpoint location) when
+    * upgrading across that change; state is TTL-bounded, so a replay from
+    * the source re-establishes it.
     */
   private[graft] def stateFunc(
       key: String,

@@ -65,6 +65,12 @@ final case class StatefulMerger(
 
   /** State function behind [[streaming]], named so the TTL contract can be
     * pinned with [[org.apache.spark.sql.streaming.TestGroupState]].
+    *
+    * CHECKPOINT COMPATIBILITY: the state encoding changed from `Long`
+    * (hash) to `(Long, Long)` (hash, TTL deadline). A streaming query
+    * restarted from a checkpoint written by the old encoding will fail to
+    * decode its state store — wipe the checkpoint (or use a fresh
+    * checkpoint location) when upgrading across that change.
     */
   private[graft] def stateFunc(
       key: String,

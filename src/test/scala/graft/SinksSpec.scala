@@ -227,6 +227,32 @@ class SinksSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === (0L to 11L).map(b => s"k$b"))
   }
 
+  test("TxnLogSink: checkpoint compaction keeps the committed view identical") {
+    val topic = Files.createTempDirectory("txnlog-ckpt").toString + "/topic"
+    // auto-checkpoint every 8 commits; 20 batches → 2 auto checkpoints + tail
+    val sink = graft.connectors.TxnLogSink(topic, checkpointEvery = 8)
+    (0L until 20L).foreach { b =>
+      sink.writer("q")(Seq(mkEnv("insert", s"k$b", s"""{"b":$b}""", b + 1)).toDF(), b)
+    }
+    def view() = sink.read(spark)
+      .select($"primaryKey", $"_commit_order").as[(String, Long)].collect().sortBy(_._2).toSeq
+    val before = view()
+    assert(before.map(_._1) === (0L until 20L).map(b => s"k$b"))
+    // exactly one live checkpoint (superseded ones retired), manifests kept
+    val commits = new java.io.File(s"$topic/commits").listFiles().map(_.getName)
+    assert(commits.count(_.startsWith("_ckpt-")) === 1)
+    assert(commits.count(n => n.endsWith(".json") && !n.startsWith("_")) === 20)
+    // manual compaction of the full log: same rows before/after
+    sink.compact(spark)
+    assert(view() === before)
+    val after = new java.io.File(s"$topic/commits").listFiles().map(_.getName)
+    assert(after.count(_.startsWith("_ckpt-")) === 1)
+    assert(after.filter(_.startsWith("_ckpt-")).head === "_ckpt-000000000020.json")
+    // replay fence still holds for a checkpointed batch
+    sink.writer("q")(Seq(mkEnv("update", "ZOMBIE", "{}", 99)).toDF(), 3L)
+    assert(view() === before)
+  }
+
   test("TxnLogSink streaming: kill-and-resume yields exactly-once appends end-to-end") {
     implicit val sc = spark.sqlContext
     val topic = Files.createTempDirectory("txnlog-s").toString + "/topic"
