@@ -41,6 +41,33 @@ object CorpusOps {
       .drop("_ticket")
   }
 
+  /** Deterministic corpus shuffle for distributed training readers: each
+    * doc gets a (reader shard, within-shard position) from a seeded hash —
+    * the "globally shuffled training order" step, WITHOUT a global sort.
+    *
+    * shard = hash60(seed|id) % nShards spreads docs uniformly; position is
+    * a row_number windowed PER SHARD over (hash, id) — N independent
+    * in-partition sorts instead of one total-order sort that would
+    * serialize 100 TB through a single range partitioner. Changing the seed
+    * reshuffles every epoch reproducibly; the layout is a pure function of
+    * (seed, id), independent of cluster size or partitioning.
+    */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      nShards: Int
+  ): DataFrame = {
+    require(nShards > 0, s"shuffleShards: nShards must be positive, got $nShards")
+    val h = graft.functions.Md5Hash60(
+      concat(lit(seed), lit("|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("_h")
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid end-to-end per
     * shard (deterministic order) and cut into fixed `budget`-token
     * sequences; each doc reports the sequence it starts in and its offset

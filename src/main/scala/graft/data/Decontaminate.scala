@@ -1,0 +1,56 @@
+package graft.data
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any word
+  * n-gram with an evaluation/benchmark set — the standard "don't train on
+  * the test set" pass of an LLM data pipeline.
+  *
+  * Scale shape: the benchmark side (eval sets are small — thousands of
+  * documents, not billions) collapses to DISTINCT n-grams and BROADCASTS;
+  * the corpus side is one scan that explodes n-grams and probes the
+  * broadcast hash table, so the 100 TB side never shuffles its text. The
+  * only shuffle is the final per-doc hit count on the (already tiny)
+  * matching rows. Production would hash grams to 64-bit before the join;
+  * here grams join as strings so the DuckDB oracle replays byte-identically.
+  */
+object Decontaminate {
+
+  /** Word n-grams of `textCol` as an array column. The token array is
+    * materialized into an attribute FIRST — referencing the tokenizer
+    * expression inside the lambda would re-split the text once per gram.
+    */
+  private def withGrams(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+      .withColumn(
+        "_grams",
+        when(
+          size(col("_toks")) >= n,
+          transform(
+            sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => array_join(slice(col("_toks"), i, lit(n)), " "))
+        ).otherwise(array().cast("array<string>")))
+
+  /** Per-doc contamination hits: (idCol, n_hits) for every training doc
+    * sharing at least one n-gram with `bench`. Clean docs are absent —
+    * anti-join the result against the corpus to keep the clean side.
+    */
+  def hits(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    val benchGrams = withGrams(bench, textCol, n)
+      .select(explode(col("_grams")).as("_g"))
+      .distinct()
+    withGrams(train, textCol, n)
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .join(broadcast(benchGrams), Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("_g")).as("n_hits"))
+  }
+}

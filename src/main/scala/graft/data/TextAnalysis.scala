@@ -60,6 +60,46 @@ object TextAnalysis {
     ("digits", "\\b[0-9][0-9 -]{6,}[0-9]\\b", "<NUM>")
   )
 
+  /** Repetition profile (Gopher-style quality signals) as EXACT counts —
+    * callers derive fractions (duplicate-word ratio, top-word fraction,
+    * duplicate-2-gram ratio); emitting counts keeps the frame
+    * integer-exact for replay/oracle comparison.
+    *
+    * Scale shape: word/2-gram distinct counts are per-row expressions fused
+    * with the scan; only the top-word frequency needs aggregation —
+    * two-stage (doc, word) → doc with map-side partial aggregation, then a
+    * co-partitioned join back on the doc id. No text column ever shuffles.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .withColumn("_toks", tokens(col(textCol)))
+      .select(
+        col(idCol),
+        col("_toks"),
+        size(col("_toks")).cast("long").as("n_words"),
+        size(array_distinct(col("_toks"))).cast("long").as("n_distinct_words"),
+        when(size(col("_toks")) >= 2, size(col("_toks")) - 1).otherwise(0)
+          .cast("long").as("n_2grams"),
+        size(array_distinct(
+          when(
+            size(col("_toks")) >= 2,
+            transform(
+              sequence(lit(1), size(col("_toks")) - 1),
+              i => array_join(slice(col("_toks"), i, lit(2)), " "))
+          ).otherwise(array().cast("array<string>"))))
+          .cast("long").as("n_distinct_2grams"))
+    val topWord = base
+      .select(col(idCol), explode(col("_toks")).as("_w"))
+      .groupBy(col(idCol), col("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(max(col("_c")).as("top_word_n"))
+    base
+      .drop("_toks")
+      .join(topWord, Seq(idCol), "left")
+      .withColumn("top_word_n", coalesce(col("top_word_n"), lit(0L)))
+  }
+
   /** Scrub PII: per-pattern match counts (each pattern counted independently
     * on the raw text) plus the redacted text (replacements applied
     * sequentially in [[piiPatterns]] order, so an email is rewritten to

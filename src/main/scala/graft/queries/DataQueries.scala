@@ -699,6 +699,69 @@ object DataQueries {
        |FROM c""".stripMargin
   }
 
+  // --------------------------------------------------- decontamination
+  /** Benchmark decontamination: docs with doc_id % 97 == 0 stand in for the
+    * eval set; every other doc sharing a word 4-gram with it is flagged
+    * with its distinct-hit count.
+    */
+  def dDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Decontaminate.hits(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", n = 4)
+  }
+
+  val dDecontaminateSql: String =
+    s"""WITH $toksCte,
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t)-3, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+3), ' '))) AS g
+       |  FROM toks),
+       |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+       |SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits
+       |FROM grams JOIN bg USING (g)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------- repetition profile
+  def tRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionProfile(Tables.documents(spark, dir), "doc_id", "text")
+
+  val tRepetitionSql: String =
+    s"""WITH $toksCte,
+       |wc AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tw AS (
+       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_n
+       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2)
+       |  GROUP BY 1),
+       |g AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words,
+       |    CAST(CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END AS BIGINT) AS n_2grams,
+       |    CAST(len(list_distinct(list_transform(
+       |      range(1, greatest(len(t)-1, 0)+1),
+       |      i -> array_to_string(list_slice(t, i, i+1), ' ')))) AS BIGINT) AS n_distinct_2grams
+       |  FROM toks)
+       |SELECT g.doc_id, g.n_words, g.n_distinct_words, g.n_2grams,
+       |  g.n_distinct_2grams, CAST(COALESCE(tw.top_word_n, 0) AS BIGINT) AS top_word_n
+       |FROM g LEFT JOIN tw USING (doc_id)""".stripMargin
+
+  // ----------------------------------------------------- corpus shuffle
+  /** Seeded deterministic shuffle into 8 reader shards. */
+  def dCorpusShuffle(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps
+      .shuffleShards(Tables.documents(spark, dir), "doc_id", "ep0", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+
+  val dCorpusShuffleSql: String =
+    s"""SELECT doc_id, h % 8 AS shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+       |FROM (SELECT doc_id, ${hash60Sql("'ep0|' || CAST(doc_id AS VARCHAR)")} AS h
+       |      FROM documents)""".stripMargin
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -742,6 +805,9 @@ object DataQueries {
     "d_seq_pack" -> dSeqPack,
     "t_redact" -> tRedact,
     "d_corpus_assembly" -> dCorpusAssembly,
+    "d_decontaminate" -> dDecontaminate,
+    "t_repetition" -> tRepetition,
+    "d_corpus_shuffle" -> dCorpusShuffle,
     "m_multimodal" -> mMultimodal
   )
 
@@ -768,6 +834,9 @@ object DataQueries {
     "d_seq_pack" -> dSeqPackSql,
     "t_redact" -> tRedactSql,
     "d_corpus_assembly" -> dCorpusAssemblySql,
+    "d_decontaminate" -> dDecontaminateSql,
+    "t_repetition" -> tRepetitionSql,
+    "d_corpus_shuffle" -> dCorpusShuffleSql,
     "m_multimodal" -> mMultimodalSql
   )
 }

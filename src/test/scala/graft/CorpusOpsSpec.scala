@@ -26,6 +26,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(keptGrown === kept.select("doc_id").as[Long].collect().sorted)
   }
 
+  test("shuffleShards: deterministic per-seed, gapless per-shard positions, seed reshuffles") {
+    val docs = (0L until 500L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val s1 = CorpusOps.shuffleShards(docs, "doc_id", "ep0", nShards = 4)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(s1.length === 500)
+    // positions are 1..count(shard) with no gaps, per shard
+    s1.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length.toLong).toArray)
+    }
+    // pure function of (seed, id): identical on re-run
+    val again = CorpusOps.shuffleShards(docs, "doc_id", "ep0", nShards = 4)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1) === s1.sortBy(_._1))
+    // a new seed produces a different order (new epoch)
+    val ep1 = CorpusOps.shuffleShards(docs, "doc_id", "ep1", nShards = 4)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(ep1.sortBy(_._1).toSeq !== s1.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException](CorpusOps.shuffleShards(docs, "doc_id", "x", 0))
+  }
+
+  test("decontaminate: planted 5-gram overlap flagged, clean docs absent") {
+    val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains the bench 5-gram "alpha beta gamma delta epsilon" → hit
+      (1L, "xx alpha beta gamma delta epsilon yy"),
+      // two distinct overlapping bench 5-grams → 2 hits
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      // shares words but no full 5-gram → clean
+      (3L, "alpha beta gamma delta other epsilon"),
+      (4L, "totally unrelated text body here now")
+    ).toDF("doc_id", "text")
+    val got = graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("repetitionProfile: exact counts for a crafted doc, empty doc safe") {
+    val docs = Seq(
+      (1L, "a a a b"), // words=4, distinct=2, top=3, 2grams=3 (a a, a a, a b) distinct=2
+      (2L, ""),
+      (3L, "x y") // words=2, distinct=2, top=1, 2grams=1 distinct=1
+    ).toDF("doc_id", "text")
+    val got = graft.data.TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+      .select($"doc_id", $"n_words", $"n_distinct_words", $"n_2grams", $"n_distinct_2grams", $"top_word_n")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 4L, 2L, 3L, 2L, 3L)))
+    assert(got(1) === ((2L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(2) === ((3L, 2L, 2L, 1L, 1L, 1L)))
+  }
+
   test("packSequences: offsets stay inside the budget, sequences fill contiguously per shard") {
     val docs = (0L until 300L).map(i => (i, s"doc $i", (i % 97 + 1).toInt)).toDF("doc_id", "text", "n")
     val packed = CorpusOps.packSequences(docs, "doc_id", $"n", budget = 100, nShards = 4)
