@@ -68,6 +68,45 @@ object CorpusOps {
       .drop("_h")
   }
 
+  /** Sliding-window document chunking with overlap — the "split long docs
+    * into `chunkTokens`-token pieces every `strideTokens`" step of RAG
+    * indexing and long-context pretraining. Chunk k covers token offsets
+    * [k*stride, k*stride + chunk); the trailing chunk may be shorter; empty
+    * docs emit nothing.
+    *
+    * Scale shape: pure per-row explode fused with the scan — no shuffle;
+    * output size is input tokens × (chunk/stride) overlap factor, stated so
+    * the blow-up is a deliberate knob, not a surprise.
+    */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      strideTokens: Int
+  ): DataFrame = {
+    require(chunkTokens > 0, s"chunkDocs: chunkTokens must be positive, got $chunkTokens")
+    require(
+      strideTokens > 0 && strideTokens <= chunkTokens,
+      s"chunkDocs: stride must be in [1, chunkTokens], got $strideTokens")
+    val n = size(col("_toks"))
+    val nChunks = floor((n + lit(strideTokens - 1)) / lit(strideTokens)).cast("int")
+    df.withColumn("_toks", graft.data.TextAnalysis.tokens(col(textCol)))
+      .withColumn(
+        "_k",
+        explode(
+          when(n > 0, sequence(lit(0), nChunks - 1))
+            .otherwise(array().cast("array<int>"))))
+      .withColumn(
+        "_chunk_toks",
+        slice(col("_toks"), col("_k") * strideTokens + 1, lit(chunkTokens)))
+      .select(
+        col(idCol),
+        col("_k").cast("long").as("chunk_idx"),
+        array_join(col("_chunk_toks"), " ").as("chunk"),
+        size(col("_chunk_toks")).cast("long").as("n_chunk_tokens"))
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid end-to-end per
     * shard (deterministic order) and cut into fixed `budget`-token
     * sequences; each doc reports the sequence it starts in and its offset

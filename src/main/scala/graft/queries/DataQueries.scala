@@ -762,6 +762,22 @@ object DataQueries {
        |FROM (SELECT doc_id, ${hash60Sql("'ep0|' || CAST(doc_id AS VARCHAR)")} AS h
        |      FROM documents)""".stripMargin
 
+  // --------------------------------------------------- sliding chunking
+  /** 8-token chunks every 4 tokens (2× overlap). */
+  def dChunk(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.chunkDocs(Tables.documents(spark, dir), "doc_id", "text",
+      chunkTokens = 8, strideTokens = 4)
+
+  val dChunkSql: String =
+    s"""WITH $toksCte,
+       |k AS (
+       |  SELECT doc_id, t, unnest(range(0, (len(t) + 3) // 4)) AS chunk_idx
+       |  FROM toks WHERE len(t) > 0)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  array_to_string(list_slice(t, chunk_idx*4 + 1, chunk_idx*4 + 8), ' ') AS chunk,
+       |  CAST(len(list_slice(t, chunk_idx*4 + 1, chunk_idx*4 + 8)) AS BIGINT) AS n_chunk_tokens
+       |FROM k""".stripMargin
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -808,6 +824,7 @@ object DataQueries {
     "d_decontaminate" -> dDecontaminate,
     "t_repetition" -> tRepetition,
     "d_corpus_shuffle" -> dCorpusShuffle,
+    "d_chunk" -> dChunk,
     "m_multimodal" -> mMultimodal
   )
 
@@ -837,6 +854,7 @@ object DataQueries {
     "d_decontaminate" -> dDecontaminateSql,
     "t_repetition" -> tRepetitionSql,
     "d_corpus_shuffle" -> dCorpusShuffleSql,
+    "d_chunk" -> dChunkSql,
     "m_multimodal" -> mMultimodalSql
   )
 }

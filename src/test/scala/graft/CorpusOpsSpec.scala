@@ -76,6 +76,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(2) === ((3L, 2L, 2L, 1L, 1L, 1L)))
   }
 
+  test("chunkDocs: full coverage with overlap, trailing chunk short, empty doc silent") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"), // 3 tokens → one short chunk
+      (3L, "") // no chunks
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocs(docs, "doc_id", "text", chunkTokens = 8, strideTokens = 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // doc 1: ceil(10/4)=3 chunks at offsets 0,4,8 → lengths 8, 6, 2
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._4)).toSeq === Seq((0L, 8L), (1L, 6L), (2L, 2L)))
+    assert(got.find(r => r._1 == 1L && r._2 == 1L).get._3 === "w5 w6 w7 w8 w9 w10")
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b c", 3L)))
+    assert(!got.exists(_._1 == 3L))
+    // every token of doc 1 appears in at least one chunk (coverage)
+    val covered = got.filter(_._1 == 1L).flatMap(_._3.split(" ")).toSet
+    assert(covered === (1 to 10).map(i => s"w$i").toSet)
+    intercept[IllegalArgumentException](CorpusOps.chunkDocs(docs, "doc_id", "text", 4, 8))
+  }
+
+  test("property: shuffleShards is a permutation and repetition counts are consistent") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def holds(p: Prop): Boolean =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p).passed
+    // shuffleShards: (shard,pos) pairs are unique and cover every doc once
+    val pShuffle = Prop.forAll(Gen.choose(1L, 300L), Gen.choose(1, 7)) { (nDocs, nShards) =>
+      val docs = (0L until nDocs).map(i => Tuple1(i)).toDF("doc_id")
+      val rows = CorpusOps.shuffleShards(docs, "doc_id", "s", nShards)
+        .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+      rows.length == nDocs &&
+        rows.map(r => (r._2, r._3)).distinct.length == nDocs &&
+        rows.forall(r => r._2 >= 0 && r._2 < nShards)
+    }
+    assert(holds(pShuffle))
+    // repetitionProfile invariants on random word soups
+    val wordGen = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))
+    val pRep = Prop.forAll(Gen.listOfN(5, wordGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      graft.data.TextAnalysis.repetitionProfile(docs, "doc_id", "text")
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .forall { case (_, nw, ndw, n2, nd2, top) =>
+          ndw <= nw && nd2 <= n2 && top <= nw &&
+            (nw == 0 || (top >= (nw + ndw - 1) / ndw && top >= 1))
+        }
+    }
+    assert(holds(pRep))
+  }
+
   test("packSequences: offsets stay inside the budget, sequences fill contiguously per shard") {
     val docs = (0L until 300L).map(i => (i, s"doc $i", (i % 97 + 1).toInt)).toDF("doc_id", "text", "n")
     val packed = CorpusOps.packSequences(docs, "doc_id", $"n", budget = 100, nShards = 4)
