@@ -91,7 +91,9 @@ object CorpusOps {
       s"chunkDocs: stride must be in [1, chunkTokens], got $strideTokens")
     val n = size(col("_toks"))
     val nChunks = floor((n + lit(strideTokens - 1)) / lit(strideTokens)).cast("int")
-    df.withColumn("_toks", graft.data.TextAnalysis.tokens(col(textCol)))
+    // ComputeOnce: the token array feeds the explode bound AND every chunk
+    // slice — without the barrier the tokenizer would inline into each
+    df.withColumn("_toks", graft.functions.ComputeOnce(graft.data.TextAnalysis.tokens(col(textCol))))
       .withColumn(
         "_k",
         explode(

@@ -18,11 +18,13 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Word n-grams of `textCol` as an array column. The token array is
-    * materialized into an attribute FIRST — referencing the tokenizer
-    * expression inside the lambda would re-split the text once per gram.
+    * pinned with [[graft.functions.ComputeOnce]]: without the barrier,
+    * CollapseProject substitutes the tokenizer INTO the per-element gram
+    * lambda — one full regex re-split of the document per gram index
+    * (O(words²) regex work per doc; measured 6.5 s → 0.6 s at sf0.1).
     */
   private def withGrams(df: DataFrame, textCol: String, n: Int): DataFrame =
-    df.withColumn("_toks", TextAnalysis.tokens(col(textCol)))
+    df.withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
       .withColumn(
         "_grams",
         when(

@@ -71,8 +71,10 @@ object TextAnalysis {
     * co-partitioned join back on the doc id. No text column ever shuffles.
     */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ComputeOnce: stop CollapseProject from inlining the tokenizer into
+    // the 2-gram lambda (a regex re-split per gram index)
     val base = df
-      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_toks", graft.functions.ComputeOnce(tokens(col(textCol))))
       .select(
         col(idCol),
         col("_toks"),
