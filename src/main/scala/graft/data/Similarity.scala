@@ -177,6 +177,99 @@ object Similarity {
   }
 
   /** IVF-style ANN: candidates restricted to the query's coarse bucket. */
+  /** The k corpus vectors with the smallest ids, as driver-side model
+    * parameters (k·dim doubles — the standard "fetch the trained model"
+    * collect, not a data collect).
+    */
+  def seedCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): Seq[Seq[Double]] =
+    corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col("_v"))
+      .collect()
+      .map(_.getSeq[Double](0).toVector)
+      .toVector
+
+  /** Nearest-centroid assignment (spherical: argmax cosine, ties → lowest
+    * centroid index) as a pure column — k fused cosine loops per row, zero
+    * shuffle, zero row blow-up. This is the IVF coarse quantizer: centroids
+    * are broadcast-as-literals model parameters, the 100 TB corpus side is
+    * one scan.
+    */
+  def assignNearest(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    require(centroids.nonEmpty, "assignNearest: need at least one centroid")
+    // array argmax, NOT a when()-fold: folding best-so-far nests the whole
+    // prior chain into both branches of every step — a 2^k expression tree
+    // that OOMs codegen at k=16. The array form is linear: k cosines
+    // evaluated once, array_max picks the winner, array_position's
+    // first-match semantics give the lowest index on ties (matching the
+    // oracle's ORDER BY cos DESC, j ASC). greatest(...) guards the
+    // cannot-find case (all-NaN cosines) to bucket 0 instead of -1.
+    val arr = array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+    greatest(array_position(arr, array_max(arr)) - 1, lit(0L)).cast("int")
+  }
+
+  /** Lloyd-refined coarse quantizer (spherical k-means): seed with
+    * [[seedCentroids]], then `iters` rounds of assign → per-bucket mean.
+    * The per-iteration reduce is (bucket, dim) partial-aggregated
+    * map-side — the vectors never shuffle whole — and the k·dim averaged
+    * model is collected to the driver each round (model-sized, O(k·dim)).
+    * A bucket that loses all members keeps its previous centroid.
+    *
+    * Training averages float sums across rows, so results are
+    * deterministic for a fixed partitioning but not oracle-replayable
+    * bit-for-bit — the trainer is spec-verified (objective monotonicity,
+    * determinism, recall vs the seeded quantizer); the ASSIGNMENT path is
+    * the oracle-gated part (`s_ann_ivf_seeded`).
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int
+  ): Seq[Seq[Double]] = {
+    require(iters >= 0, s"trainCentroids: iters must be >= 0, got $iters")
+    var centroids = seedCentroids(corpus, idCol, vecCol, k)
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("_v"))
+    (0 until iters).foreach { _ =>
+      val means = vecs
+        .withColumn("_bk", assignNearest(col("_v"), centroids))
+        .select(col("_bk"), posexplode(col("_v")).as(Seq("_d", "_x")))
+        .groupBy(col("_bk"), col("_d"))
+        .agg(avg(col("_x")).as("_m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (bk, rows) =>
+          bk -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector
+        }
+      centroids = centroids.indices
+        .map(j => means.getOrElse(j, centroids(j)))
+        .toVector
+    }
+    centroids
+  }
+
+  /** Mean best-centroid cosine over the corpus — the spherical-k-means
+    * objective (higher is better); used to verify refinement helps.
+    */
+  def quantizerObjective(
+      corpus: DataFrame,
+      vecCol: String,
+      centroids: Seq[Seq[Double]]
+  ): Double = {
+    val best = centroids
+      .map(c => cosine(col(vecCol).cast("array<double>"), array(c.map(lit): _*)))
+      .reduce((a, b) => greatest(a, b))
+    corpus.select(avg(best)).collect()(0).getDouble(0)
+  }
+
   def bucketedTopK(
       corpus: DataFrame,
       queries: DataFrame,

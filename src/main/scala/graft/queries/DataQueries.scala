@@ -416,6 +416,49 @@ object DataQueries {
        |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** IVF with a REAL coarse quantizer instead of the label column: the 16
+    * smallest-id vectors seed the centroids, every vector goes to its
+    * argmax-cosine centroid (ties → lowest centroid index), then the same
+    * bucket equi-join. The oracle recomputes the seeds from the table and
+    * replays the assignment as a cross-join argmax with the identical
+    * left-to-right cosine fold — bit-exact. Lloyd refinement of these seeds
+    * ([[Similarity.trainCentroids]]) is spec-verified (float row-averaging
+    * is not order-replayable in SQL).
+    */
+  def sAnnIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 16)
+    val bucketed = e.withColumn(
+      "_bk",
+      Similarity.assignNearest(col("embedding").cast("array<double>"), cents))
+    Similarity.bucketedTopK(
+      bucketed, bucketed.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", "_bk", k = 10)
+  }
+
+  val sAnnIvfSeededSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |sc AS (
+       |  SELECT e.vec_id, e.v, s.j, ${cosSql("e.v", "s.cv")} AS cosv
+       |  FROM e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, v, j AS bk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosv DESC, j ASC) AS rn
+       |    FROM sc)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, bk AS q_bk, v AS qv FROM assigned WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q_id, a.vec_id AS n_id, ${cosSql("qv", "a.v")} AS cosv
+       |  FROM assigned a JOIN q ON a.bk = q_bk AND a.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosv,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosv DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Sign-LSH ANN: the label-free scale path — buckets from 8 deterministic
     * hyperplanes (no natural coarse column needed), then the same bucket
     * equi-join as the IVF query. The oracle inlines the identical plane
@@ -815,6 +858,7 @@ object DataQueries {
     "d_embed_pairs" -> dEmbedPairs,
     "s_ann_brute" -> sAnnBrute,
     "s_ann_ivf" -> sAnnIvf,
+    "s_ann_ivf_seeded" -> sAnnIvfSeeded,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "d_stratified_sample" -> dStratifiedSample,
@@ -845,6 +889,7 @@ object DataQueries {
     "d_embed_pairs" -> dEmbedPairsSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_ivf" -> sAnnIvfSql,
+    "s_ann_ivf_seeded" -> sAnnIvfSeededSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "d_stratified_sample" -> dStratifiedSampleSql,

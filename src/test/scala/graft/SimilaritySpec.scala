@@ -121,4 +121,49 @@ class SimilaritySpec extends SparkSpec {
     assert(r2 > rSingle, f"2-flip multi-probe ($r2%.3f) should beat single-probe ($rSingle%.3f)")
     assert(r8 >= r2, f"8-flip recall ($r8%.3f) regressed below 2-flip ($r2%.3f)")
   }
+
+  test("coarse quantizer: Lloyd refinement is deterministic and improves the objective") {
+    // clustered corpus (same construction as the recall contract): 16
+    // clusters x 32 members in 16 dims, seeds = 16 smallest ids (one per
+    // cluster by construction order? no — ids interleave clusters, so the
+    // seeds start BADLY: all 16 land in the first cluster's neighborhood,
+    // which is exactly what refinement must fix)
+    def r(s: String): Double = (graft.functions.Md5Hash60.hash(s.getBytes("UTF-8")) % 2001 - 1000) / 1000.0
+    val cdim = 16
+    val vecs = for {
+      k <- 0 until 16
+      m <- 0 until 32
+    } yield {
+      val id = (m * 16 + k).toLong // interleaved: first 16 ids = one member of each cluster
+      val v = (0 until cdim).map(j => r(s"c_${k}_$j") + 0.08 * r(s"n_${k}_${m}_$j"))
+      (id, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val seeded = Similarity.seedCentroids(corpus, "vec_id", "embedding", 16)
+    val trained = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16, iters = 3)
+    val trainedAgain = Similarity.trainCentroids(corpus, "vec_id", "embedding", 16, iters = 3)
+    // deterministic: bit-identical model across runs
+    assert(trained === trainedAgain)
+    val objSeeded = Similarity.quantizerObjective(corpus, "embedding", seeded)
+    val objTrained = Similarity.quantizerObjective(corpus, "embedding", trained)
+    info(f"quantizer objective: seeded=$objSeeded%.4f lloyd3=$objTrained%.4f")
+    println(f"[SimilaritySpec] quantizer objective: seeded=$objSeeded%.4f lloyd3=$objTrained%.4f")
+    assert(objTrained >= objSeeded, f"refinement regressed: $objTrained%.4f < $objSeeded%.4f")
+    // assignment ties every vector to exactly one bucket in [0, 16)
+    val bks = corpus
+      .withColumn("_bk", Similarity.assignNearest($"embedding".cast("array<double>"), trained))
+      .select($"_bk").as[Int].collect()
+    assert(bks.forall(b => b >= 0 && b < 16))
+    // the refined quantizer separates the clusters: members of the same
+    // cluster should overwhelmingly share a bucket (purity over 16 true
+    // clusters with interleaved bad seeds)
+    val purity = corpus
+      .withColumn("_bk", Similarity.assignNearest($"embedding".cast("array<double>"), trained))
+      .withColumn("_true", pmod($"vec_id", lit(16)))
+      .groupBy($"_true", $"_bk").count()
+      .groupBy($"_true").agg(max($"count").as("m"))
+      .agg(sum($"m")).as[Long].head().toDouble / 512
+    info(f"cluster purity after refinement: $purity%.3f")
+    assert(purity >= 0.8, f"purity $purity%.3f below 0.8 — quantizer not learning the clusters")
+  }
 }
