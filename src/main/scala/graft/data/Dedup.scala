@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -171,6 +171,52 @@ object Dedup {
         col("c").cast("double") / (size(col("si")) + size(col("sj")) - col("c")))
       .filter(col("jaccard") >= threshold)
       .select(col("i"), col("j"), floor(col("jaccard") * 1e6).cast("long").as("jac_e6"))
+  }
+
+  /** STREAMING near-dup candidate detection — the incremental face of
+    * [[minhashPairs]]: documents arrive as a stream, each doc's banded
+    * MinHash buckets probe a keyed state of bucket owners
+    * (transformWithState keyed by `band_bucket`), and any collision with an
+    * earlier doc emits a [[graft.model.NearDupHit]] in the SAME micro-batch
+    * the doc arrived in. This is the online dedup gate of an ingest
+    * pipeline: flag (or drop) a near-dup at arrival time instead of
+    * re-running batch LSH over the whole corpus.
+    *
+    * Contract: hits are LSH CANDIDATES (band-signature equality — the same
+    * signal phase 1 of the batch path uses); the exact-Jaccard verify phase
+    * runs as a batch follow-up on the flagged pairs when precision matters.
+    * A doc may emit several hits (one per colliding band) — roll up per doc
+    * downstream (`groupBy(sid).agg(min(dupOf))`; a doc's band rows all land
+    * in its own micro-batch). Docs with fewer than `n` tokens carry no
+    * shingles and are passed through unflagged. State: ONE long per live
+    * bucket with TTL — at 100 TB the dedup horizon is the TTL window, and
+    * the text itself never enters the state store.
+    *
+    * Requires the RocksDB state store provider.
+    */
+  def streamingNearDupCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      rows: Int = 2,
+      ttlMs: Long = 0L
+  ): Dataset[graft.model.NearDupHit] = {
+    require(k % rows == 0, "k must be divisible by band rows")
+    import docs.sparkSession.implicits._
+    val sig = minhashSignatures(
+      docs.filter(size(TextAnalysis.tokens(col(textCol))) >= n),
+      idCol, textCol, n, k)
+    val nBands = k / rows
+    val bands = array((0 until nBands).map { b =>
+      concat_ws("_",
+        lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+    }: _*)
+    val banded = sig
+      .select(col("sid"), explode(bands).as("bucket"))
+      .as[graft.model.BandRow]
+    graft.stateful.Processors.nearDupBands(banded, ttlMs)
   }
 
   /** 60-bit SimHash of the token multiset: token hashes materialized once,

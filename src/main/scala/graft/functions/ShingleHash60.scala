@@ -34,11 +34,23 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
     case other => TypeCheckResult.TypeCheckFailure(s"shingle_hash60 expects array<string>, got $other")
   }
 
-  override def nullSafeEval(input: Any): Any =
-    ShingleHash60.eval(input.asInstanceOf[ArrayData], n)
+  /** Shared by interpreted eval and codegen (referenced via addReferenceObj). */
+  def compute(tokens: ArrayData): ArrayData = ShingleHash60.eval(tokens, n)
 
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  // generated code must call through a reference object, NOT
+  // `graft.functions.ShingleHash60.eval(...)`: the companion's `eval`
+  // gets NO static forwarder (the class inherits Expression.eval, which
+  // shadows the name), so Janino failed to resolve the call and silently
+  // dropped every projection containing this expression to interpreted
+  // execution
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.functions.ShingleHash60.eval($a, $n);")
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("shingleHash", this, classOf[ShingleHash60].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -87,3 +87,11 @@ case class CdcEvent(
     updatedFields: String, // JSON string or null
     eventTime: Timestamp
 )
+
+/** One (doc, LSH band bucket) row of the streaming near-dup pipeline. */
+case class BandRow(sid: Long, bucket: String)
+
+/** A near-duplicate CANDIDATE hit: `sid` collided with earlier doc `dupOf`
+  * on at least the band that produced this row.
+  */
+case class NearDupHit(sid: Long, dupOf: Long)

@@ -32,6 +32,54 @@ object Processors {
   private def ttlConfig(ttlMs: Long): TTLConfig =
     if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
 
+  /** Streaming near-dup candidate detection, keyed by LSH band bucket:
+    * the first doc to claim a bucket owns it (ValueState[Long]); every
+    * later doc hitting the bucket emits a [[graft.model.NearDupHit]]
+    * pointing at the owner. Within one micro-batch, rows sort by sid so
+    * the lowest id deterministically becomes the owner. Re-processing the
+    * owner itself is silent (idempotent replay). State is one long per
+    * live bucket, TTL-bounded.
+    */
+  class NearDupProcessor(ttlMs: Long)
+      extends StatefulProcessor[String, graft.model.BandRow, graft.model.NearDupHit] {
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner", Encoders.scalaLong, ttlConfig(ttlMs))
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[graft.model.BandRow],
+        timerValues: TimerValues
+    ): Iterator[graft.model.NearDupHit] = {
+      val sorted = rows.toVector.sortBy(_.sid)
+      val out = Vector.newBuilder[graft.model.NearDupHit]
+      var own: Option[Long] = if (owner.exists()) Some(owner.get()) else None
+      sorted.foreach { r =>
+        own match {
+          case None =>
+            owner.update(r.sid); own = Some(r.sid)
+          case Some(o) if o != r.sid =>
+            out += graft.model.NearDupHit(r.sid, o)
+          case _ => ()
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def nearDupBands(
+      ds: Dataset[graft.model.BandRow],
+      ttlMs: Long
+  ): Dataset[graft.model.NearDupHit] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.bucket)
+      .transformWithState(
+        new NearDupProcessor(ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** First-seen-wins dedup: ValueState[Boolean] "seen" with native state TTL
     * (reference pattern/dedup/Deduplicator.java:18-72).
     */
