@@ -368,7 +368,57 @@ object Relational {
       |  TRUE AS ok_p50, TRUE AS ok_p95, TRUE AS ok_p99
       |FROM events GROUP BY 1""".stripMargin
 
+  /** TPC-H Q4-style order-priority check: orders with at least one line
+    * shipped after the order date (correlated EXISTS → LEFT SEMI join;
+    * Catalyst plans the semi join on l_orderkey with the date comparison as
+    * the join condition — the lineitem side never widens the output).
+    */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val l = Tables.lineitem(spark, dir).select($"l_orderkey", $"l_shipdate")
+    Tables
+      .orders(spark, dir)
+      .join(l, $"l_orderkey" === $"o_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY 1""".stripMargin
+
+  /** TPC-H Q22-style anti join: customers with no high-value order
+    * (> 400k), counted per nation (NOT EXISTS → LEFT ANTI join on the
+    * customer key; the orders side is filtered BEFORE the join, so the
+    * anti-join probe side carries only high-value keys).
+    */
+  def q22NoOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .customer(spark, dir)
+      .join(
+        Tables.orders(spark, dir).filter($"o_totalprice" > 400000).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey",
+        "left_anti")
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val q22Sql: String =
+    """SELECT c_nationkey, COUNT(*) AS n
+      |FROM customer c
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority_exists" -> q4PriorityExists,
+    "q22_no_orders" -> q22NoOrders,
     "q_sketch_cardinality" -> qSketchCardinality,
     "q_sketch_quantiles" -> qSketchQuantiles,
     "q6_forecast" -> q6Forecast,
@@ -382,6 +432,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q4_priority_exists" -> q4Sql,
+    "q22_no_orders" -> q22Sql,
     "q_sketch_cardinality" -> qSketchCardinalitySql,
     "q_sketch_quantiles" -> qSketchQuantilesSql,
     "q6_forecast" -> q6Sql,

@@ -48,4 +48,21 @@ class RelationalSpec extends SparkSpec {
     val plan = Relational.q1PricingSummary(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
   }
+
+  test("q4/q22 plans: EXISTS becomes a semi join, NOT EXISTS an anti join — never a cartesian") {
+    val p4 = Relational.q4PriorityExists(spark, sf).queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"), p4.take(2000))
+    assert(!p4.contains("Cartesian"), p4.take(2000))
+    val p22 = Relational.q22NoOrders(spark, sf).queryExecution.executedPlan.toString
+    assert(p22.contains("LeftAnti"), p22.take(2000))
+    assert(!p22.contains("Cartesian"), p22.take(2000))
+    // the anti join probes only high-value orders: the price filter sits on
+    // the orders side below the join
+    assert(p22.contains("400000"), p22.take(2000))
+    // results are real, not vacuous: some customers lack a 400k+ order
+    assert(
+      Relational.q22NoOrders(spark, sf)
+        .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n")))
+        .head().getLong(0) > 0)
+  }
 }
