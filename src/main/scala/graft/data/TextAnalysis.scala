@@ -65,41 +65,42 @@ object TextAnalysis {
     * duplicate-2-gram ratio); emitting counts keeps the frame
     * integer-exact for replay/oracle comparison.
     *
-    * Scale shape: word/2-gram distinct counts are per-row expressions fused
-    * with the scan; only the top-word frequency needs aggregation —
-    * two-stage (doc, word) → doc with map-side partial aggregation, then a
-    * co-partitioned join back on the doc id. No text column ever shuffles.
+    * Scale shape: EVERY metric — including the top-word frequency — is a
+    * per-row expression fused with the scan: zero shuffles, zero joins.
+    * The top-word count is the longest run in the SORTED token array
+    * (O(len·log len) per row), replacing an earlier explode →
+    * (doc, word) aggregate → join-back that shuffled every word of the
+    * corpus twice.
     */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // ComputeOnce: stop CollapseProject from inlining the tokenizer into
-    // the 2-gram lambda (a regex re-split per gram index)
-    val base = df
-      .withColumn("_toks", graft.functions.ComputeOnce(tokens(col(textCol))))
+    // the gram/sort lambdas (a regex re-split per element)
+    val toks = col("_toks")
+    // longest equal-run in the sorted array == max word multiplicity
+    val topWord = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(w.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    df.withColumn("_toks", graft.functions.ComputeOnce(tokens(col(textCol))))
       .select(
         col(idCol),
-        col("_toks"),
-        size(col("_toks")).cast("long").as("n_words"),
-        size(array_distinct(col("_toks"))).cast("long").as("n_distinct_words"),
-        when(size(col("_toks")) >= 2, size(col("_toks")) - 1).otherwise(0)
+        size(toks).cast("long").as("n_words"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_words"),
+        when(size(toks) >= 2, size(toks) - 1).otherwise(0)
           .cast("long").as("n_2grams"),
         size(array_distinct(
           when(
-            size(col("_toks")) >= 2,
+            size(toks) >= 2,
             transform(
-              sequence(lit(1), size(col("_toks")) - 1),
-              i => array_join(slice(col("_toks"), i, lit(2)), " "))
+              sequence(lit(1), size(toks) - 1),
+              i => array_join(slice(toks, i, lit(2)), " "))
           ).otherwise(array().cast("array<string>"))))
-          .cast("long").as("n_distinct_2grams"))
-    val topWord = base
-      .select(col(idCol), explode(col("_toks")).as("_w"))
-      .groupBy(col(idCol), col("_w"))
-      .agg(count(lit(1)).as("_c"))
-      .groupBy(col(idCol))
-      .agg(max(col("_c")).as("top_word_n"))
-    base
-      .drop("_toks")
-      .join(topWord, Seq(idCol), "left")
-      .withColumn("top_word_n", coalesce(col("top_word_n"), lit(0L)))
+          .cast("long").as("n_distinct_2grams"),
+        topWord.as("top_word_n"))
   }
 
   /** Scrub PII: per-pattern match counts (each pattern counted independently

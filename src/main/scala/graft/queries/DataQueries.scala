@@ -772,25 +772,20 @@ object DataQueries {
   def tRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionProfile(Tables.documents(spark, dir), "doc_id", "text")
 
+  // top_word_n replayed as max multiplicity over distinct words (the Spark
+  // side computes it as the longest run of the sorted array — same value)
   val tRepetitionSql: String =
-    s"""WITH $toksCte,
-       |wc AS (SELECT doc_id, unnest(t) AS w FROM toks),
-       |tw AS (
-       |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_word_n
-       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2)
-       |  GROUP BY 1),
-       |g AS (
-       |  SELECT doc_id,
-       |    CAST(len(t) AS BIGINT) AS n_words,
-       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words,
-       |    CAST(CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END AS BIGINT) AS n_2grams,
-       |    CAST(len(list_distinct(list_transform(
-       |      range(1, greatest(len(t)-1, 0)+1),
-       |      i -> array_to_string(list_slice(t, i, i+1), ' ')))) AS BIGINT) AS n_distinct_2grams
-       |  FROM toks)
-       |SELECT g.doc_id, g.n_words, g.n_distinct_words, g.n_2grams,
-       |  g.n_distinct_2grams, CAST(COALESCE(tw.top_word_n, 0) AS BIGINT) AS top_word_n
-       |FROM g LEFT JOIN tw USING (doc_id)""".stripMargin
+    s"""WITH $toksCte
+       |SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_words,
+       |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_words,
+       |  CAST(CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END AS BIGINT) AS n_2grams,
+       |  CAST(len(list_distinct(list_transform(
+       |    range(1, greatest(len(t)-1, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+1), ' ')))) AS BIGINT) AS n_distinct_2grams,
+       |  CAST(COALESCE(list_max(list_transform(
+       |    list_distinct(t), x -> len(list_filter(t, y -> y = x)))), 0) AS BIGINT) AS top_word_n
+       |FROM toks""".stripMargin
 
   // ----------------------------------------------------- corpus shuffle
   /** Seeded deterministic shuffle into 8 reader shards. */
