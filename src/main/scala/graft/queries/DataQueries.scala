@@ -816,6 +816,48 @@ object DataQueries {
        |  CAST(len(list_slice(t, chunk_idx*4 + 1, chunk_idx*4 + 8)) AS BIGINT) AS n_chunk_tokens
        |FROM k""".stripMargin
 
+  // --------------------------------------------- paragraph-level dedup
+  /** Duplicate-paragraph signal (the paragraph-dedup quality pass):
+    * non-overlapping 10-token chunks stand in for paragraphs; a chunk is a
+    * duplicate if the same token run appeared in ANY doc with a smaller
+    * (doc_id, chunk_idx). Emits exact per-doc counts: chunks and duplicate
+    * chunks — the dup-paragraph fraction is their ratio. Pure composition:
+    * chunkDocs → min-owner window over the chunk hash → per-doc count.
+    * Scale shape: the window shuffles (hash, ids) — 16 bytes a chunk — and
+    * the chunk text never leaves the map side (hashed in-scan).
+    */
+  def dDupParagraphs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = CorpusOps
+      .chunkDocs(Tables.documents(spark, dir), "doc_id", "text",
+        chunkTokens = 10, strideTokens = 10)
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("_rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("_rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  val dDupParagraphsSql: String =
+    s"""WITH $toksCte,
+       |k AS (
+       |  SELECT doc_id, t, unnest(range(0, (len(t) + 9) // 10)) AS chunk_idx
+       |  FROM toks WHERE len(t) > 0),
+       |c AS (
+       |  SELECT doc_id, chunk_idx,
+       |    md5(array_to_string(list_slice(t, chunk_idx*10 + 1, chunk_idx*10 + 10), ' ')) AS h
+       |  FROM k),
+       |r AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM c)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+       |FROM r GROUP BY 1""".stripMargin
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -864,6 +906,7 @@ object DataQueries {
     "t_repetition" -> tRepetition,
     "d_corpus_shuffle" -> dCorpusShuffle,
     "d_chunk" -> dChunk,
+    "d_dup_paragraphs" -> dDupParagraphs,
     "m_multimodal" -> mMultimodal
   )
 
@@ -895,6 +938,7 @@ object DataQueries {
     "t_repetition" -> tRepetitionSql,
     "d_corpus_shuffle" -> dCorpusShuffleSql,
     "d_chunk" -> dChunkSql,
+    "d_dup_paragraphs" -> dDupParagraphsSql,
     "m_multimodal" -> mMultimodalSql
   )
 }
