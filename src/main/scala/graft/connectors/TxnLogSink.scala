@@ -82,22 +82,38 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
     val out = fs.create(stage, true)
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    // rename WITHOUT overwrite: FileContext honors Options.Rename.NONE on
-    // every implementation (FileSystem.rename on the local FS is POSIX
-    // rename, which would let a zombie REPLACE a committed manifest).
+    // publish WITHOUT overwrite. On the local FS the atomic primitive is a
+    // HARD LINK (kernel-level EEXIST): the Hadoop local layers are
+    // ChecksumFileSystem, whose rename moves the data file and its .crc
+    // sidecar as TWO operations — concurrent committers can tear them,
+    // leaving a manifest whose checksum mismatches and is unreadable by
+    // every reader (measured under an 8-thread race). On non-local
+    // filesystems FileContext.rename with Options.Rename.NONE is the
+    // single-metadata-op no-overwrite rename (HDFS-style).
     val renamed =
-      try {
-        org.apache.hadoop.fs.FileContext.getFileContext(committed.toUri, conf)
-          .rename(stage, committed, org.apache.hadoop.fs.Options.Rename.NONE)
-        true
-      } catch { case _: java.io.IOException => false }
+      if (fs.getScheme == "file") {
+        // the link target is the staged data file only; the committed
+        // manifest carries no .crc sidecar, which ChecksumFileSystem reads
+        // happily (checksum verification is skipped when no crc exists)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(committed.toUri.getPath),
+            java.nio.file.Paths.get(stage.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException | _: java.io.IOException => false }
+      } else
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(committed.toUri, conf)
+            .rename(stage, committed, org.apache.hadoop.fs.Options.Rename.NONE)
+          true
+        } catch { case _: java.io.IOException => false }
     // committed-wins verification: the commit is ours only if the manifest
     // on disk names OUR attempt — belt-and-braces against any FS whose
     // no-overwrite rename is check-then-act rather than atomic
     val won = renamed && parseManifest(fs, committed).exists(_.attempt == attempt)
+    fs.delete(stage, true) // staged copy is dead either way (link or loss)
     if (!won) {
       // lost the race to a concurrent committer: discard our attempt entirely
-      fs.delete(stage, true)
       fs.delete(dir, true)
     } else if (checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0) {
       compact(spark)

@@ -253,6 +253,32 @@ class SinksSpec extends SparkSpec {
     assert(view() === before)
   }
 
+  test("TxnLogSink: concurrent committers racing one epoch — exactly one wins, no orphans visible") {
+    val topic = Files.createTempDirectory("txnlog-race").toString + "/topic"
+    val sink = graft.connectors.TxnLogSink(topic)
+    // 8 threads replay the SAME epoch with DIFFERENT payloads (zombie +
+    // replacements): the no-overwrite commit must let exactly one attempt
+    // win, losers must clean up their data dirs, and the committed view
+    // must be exactly one attempt's rows
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        val df = Seq(mkEnv("insert", s"w$t", s"""{"writer":$t}""", t + 1)).toDF()
+        sink.writer("race")(df, 0L)
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val rows = sink.read(spark).select($"primaryKey").as[String].collect()
+    assert(rows.length === 1, s"expected exactly one committed row, got ${rows.mkString(",")}")
+    // the manifest names exactly the winner's files; later replays are fenced
+    val winner = rows.head
+    sink.writer("race")(Seq(mkEnv("insert", "LATE", "{}", 99)).toDF(), 0L)
+    assert(sink.read(spark).select($"primaryKey").as[String].collect().toSeq === Seq(winner))
+    // losers' attempt dirs were removed: data/ holds only the winner's dir
+    val dataDirs = new java.io.File(s"$topic/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length === 1, s"orphan attempt dirs left: ${dataDirs.map(_.getName).mkString(",")}")
+  }
+
   test("TxnLogSink streaming: kill-and-resume yields exactly-once appends end-to-end") {
     implicit val sc = spark.sqlContext
     val topic = Files.createTempDirectory("txnlog-s").toString + "/topic"
