@@ -816,6 +816,49 @@ object DataQueries {
        |  CAST(len(list_slice(t, chunk_idx*4 + 1, chunk_idx*4 + 8)) AS BIGINT) AS n_chunk_tokens
        |FROM k""".stripMargin
 
+  // ------------------------------------------------- corpus filter verdict
+  /** The Gopher-style KEEP/DROP verdict — the filter step a corpus pipeline
+    * actually runs, composed from the repetition profile. Every rule is an
+    * integer CROSS-MULTIPLICATION (`top_word_n * 8 > n_words` instead of
+    * `top_word_frac > 0.125`), so the verdict is integer-exact and
+    * replayable with no float drift. Rules (thresholds tuned so each fires
+    * on this corpus; production uses Gopher's): 20..100k words; top word
+    * < 12.5%; distinct 2-grams > 90% of 2-grams; drop reasons kept as
+    * flags so the query doubles as a filter AUDIT (why did we drop what we
+    * dropped — the operational question at 100 TB).
+    */
+  def tQualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val prof = TextAnalysis.repetitionProfile(Tables.documents(spark, dir), "doc_id", "text")
+    prof.select(
+      col("doc_id"),
+      (col("n_words") < 20 || col("n_words") > 100000).as("bad_length"),
+      (col("top_word_n") * 8 > col("n_words")).as("bad_top_word"),
+      (col("n_2grams") > 0 && col("n_distinct_2grams") * 10 <= col("n_2grams") * 9)
+        .as("bad_2gram_rep"))
+      .withColumn("keep", !col("bad_length") && !col("bad_top_word") && !col("bad_2gram_rep"))
+  }
+
+  val tQualityFilterSql: String =
+    s"""WITH $toksCte,
+       |p AS (
+       |  SELECT doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(CASE WHEN len(t) >= 2 THEN len(t)-1 ELSE 0 END AS BIGINT) AS n_2grams,
+       |    CAST(len(list_distinct(list_transform(
+       |      range(1, greatest(len(t)-1, 0)+1),
+       |      i -> array_to_string(list_slice(t, i, i+1), ' ')))) AS BIGINT) AS n_distinct_2grams,
+       |    CAST(COALESCE(list_max(list_transform(
+       |      list_distinct(t), x -> len(list_filter(t, y -> y = x)))), 0) AS BIGINT) AS top_word_n
+       |  FROM toks)
+       |SELECT doc_id,
+       |  (n_words < 20 OR n_words > 100000) AS bad_length,
+       |  (top_word_n * 8 > n_words) AS bad_top_word,
+       |  (n_2grams > 0 AND n_distinct_2grams * 10 <= n_2grams * 9) AS bad_2gram_rep,
+       |  (NOT (n_words < 20 OR n_words > 100000)
+       |   AND NOT (top_word_n * 8 > n_words)
+       |   AND NOT (n_2grams > 0 AND n_distinct_2grams * 10 <= n_2grams * 9)) AS keep
+       |FROM p""".stripMargin
+
   // --------------------------------------------- paragraph-level dedup
   /** Duplicate-paragraph signal (the paragraph-dedup quality pass):
     * non-overlapping 10-token chunks stand in for paragraphs; a chunk is a
@@ -907,6 +950,7 @@ object DataQueries {
     "d_corpus_shuffle" -> dCorpusShuffle,
     "d_chunk" -> dChunk,
     "d_dup_paragraphs" -> dDupParagraphs,
+    "t_quality_filter" -> tQualityFilter,
     "m_multimodal" -> mMultimodal
   )
 
@@ -939,6 +983,7 @@ object DataQueries {
     "d_corpus_shuffle" -> dCorpusShuffleSql,
     "d_chunk" -> dChunkSql,
     "d_dup_paragraphs" -> dDupParagraphsSql,
+    "t_quality_filter" -> tQualityFilterSql,
     "m_multimodal" -> mMultimodalSql
   )
 }
