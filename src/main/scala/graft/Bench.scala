@@ -44,7 +44,10 @@ object Bench {
     // head (BENCH_r03 parsed:null): keep the ONE-line contract but emit
     // millisecond precision and a terse methodology note so the whole line
     // fits the capture window with room to spare
-    def r3dp(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale — on a
+    // comma-decimal locale it would emit "12,345" and break the JSON line
+    def r3dp(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3dp(v) }
       .mkString("{", ",", "}")
     val skipped = oracleOnly.map("\"" + _ + "\"").mkString("[", ",", "]")

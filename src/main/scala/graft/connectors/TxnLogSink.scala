@@ -109,35 +109,60 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
         } catch { case _: java.io.IOException => false }
     // committed-wins verification: the commit is ours only if the manifest
     // on disk names OUR attempt — belt-and-braces against any FS whose
-    // no-overwrite rename is check-then-act rather than atomic
-    val won = renamed && parseManifest(fs, committed).exists(_.attempt == attempt)
+    // no-overwrite rename is check-then-act rather than atomic.
+    // Loss-vs-unknown matters: deleting our data on a TRANSIENT read
+    // failure after a successful rename would leave a committed manifest
+    // pointing at deleted files — permanent data loss from a blip. We
+    // delete the attempt dir ONLY on a POSITIVE loss signal (rename
+    // rejected, or the manifest readably names another attempt); an
+    // unreadable manifest keeps the data (worst case: an orphaned,
+    // invisible attempt dir).
+    val verdict = scala.util.Try(parseManifest(fs, committed))
+    val won = renamed && verdict.toOption.exists(_.attempt == attempt)
+    val lostForSure = !renamed || verdict.toOption.exists(_.attempt != attempt)
     fs.delete(stage, true) // staged copy is dead either way (link or loss)
-    if (!won) {
+    if (lostForSure) {
       // lost the race to a concurrent committer: discard our attempt entirely
       fs.delete(dir, true)
-    } else if (checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0) {
+    } else if (won && checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0) {
       compact(spark)
     }
   }
 
   private case class Commit(queryId: String, batchId: Long, attempt: String, files: Seq[String])
 
+  /** One JsonNode → Commit mapping shared by manifest and checkpoint
+    * parsing (and mirrored by the two writers); a missing field means a
+    * corrupt file and throws with the offending path.
+    */
+  private def nodeToCommit(
+      node: com.fasterxml.jackson.databind.JsonNode, p: Path): Commit = {
+    import scala.jdk.CollectionConverters._
+    def field(n: String): com.fasterxml.jackson.databind.JsonNode = {
+      val f = node.get(n)
+      if (f == null) throw new java.io.IOException(s"corrupt commit file $p: missing field '$n'")
+      f
+    }
+    Commit(
+      field("queryId").asText(),
+      field("batchId").asLong(),
+      field("attempt").asText(),
+      field("files").elements().asScala.map(_.asText()).toSeq)
+  }
+
+  /** Strict parse — corruption THROWS (the read path must fail loudly:
+    * silently skipping an unreadable manifest would make its batch vanish
+    * from every read while the replay fence still blocks re-committing it).
+    */
   private def parseManifest(
-      fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Commit] =
-    try {
-      val body = {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      }
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-      import scala.jdk.CollectionConverters._
-      Some(Commit(
-        node.get("queryId").asText(),
-        node.get("batchId").asLong(),
-        node.get("attempt").asText(),
-        node.get("files").elements().asScala.map(_.asText()).toSeq))
-    } catch { case _: java.io.IOException => None }
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Commit = {
+    val body = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    nodeToCommit(new com.fasterxml.jackson.databind.ObjectMapper().readTree(body), p)
+  }
 
   /** Checkpoint files sort by the count of commits they cover. */
   private def ckptName(n: Int) = f"_ckpt-$n%012d.json"
@@ -160,13 +185,9 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
     }
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
     import scala.jdk.CollectionConverters._
-    node.get("commits").elements().asScala.map { c =>
-      Commit(
-        c.get("queryId").asText(),
-        c.get("batchId").asLong(),
-        c.get("attempt").asText(),
-        c.get("files").elements().asScala.map(_.asText()).toSeq)
-    }.toSeq
+    val commits = node.get("commits")
+    if (commits == null) throw new java.io.IOException(s"corrupt checkpoint $p: missing 'commits'")
+    commits.elements().asScala.map(nodeToCommit(_, p)).toSeq
   }
 
   /** Full committed view: one checkpoint parse + only the manifests the
@@ -193,7 +214,7 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
         cut < 0 || !scala.util.Try(stem.substring(cut + 1).toLong).toOption
           .exists(b => covered.contains((stem.substring(0, cut), b)))
       }
-      .flatMap(parseManifest(fs, _))
+      .map(parseManifest(fs, _)) // corrupt manifest → loud failure, never a silent gap
     (base ++ tail)
       .sortBy(c => (c.queryId, c.batchId)) // numeric batch order, never lexicographic
       .toSeq
@@ -223,10 +244,13 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
     // overwrite-tolerant rename: two racing compactions of the same count
     // write identical content, either winning is correct
     if (!fs.rename(stage, target)) fs.delete(stage, true)
-    // retire superseded checkpoints
-    fs.listStatus(commitsDir).map(_.getPath)
-      .filter(p => CkptRe.pattern.matcher(p.getName).matches() && p.getName < target.getName)
-      .foreach(fs.delete(_, false))
+    // retire superseded checkpoints — ONLY once the new one is actually on
+    // disk (a failed rename must not leave the log with zero checkpoints)
+    if (fs.exists(target)) {
+      fs.listStatus(commitsDir).map(_.getPath)
+        .filter(p => CkptRe.pattern.matcher(p.getName).matches() && p.getName < target.getName)
+        .foreach(fs.delete(_, false))
+    }
   }
 
   /** Committed view of the log: only manifest-named files, in

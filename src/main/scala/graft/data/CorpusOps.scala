@@ -51,6 +51,13 @@ object CorpusOps {
     * serialize 100 TB through a single range partitioner. Changing the seed
     * reshuffles every epoch reproducibly; the layout is a pure function of
     * (seed, id), independent of cluster size or partitioning.
+    *
+    * SIZE nShards FOR THE DATA, not the reader count: each shard sorts in
+    * ONE task, so pick nShards such that corpus/nShards fits a task
+    * comfortably (at 100 TB that means thousands of shards, e.g. 10k ×
+    * ~10 GB) and assign each training reader a contiguous RANGE of shards.
+    * A handful of shards over a huge corpus would degrade to a handful of
+    * giant single-task sorts.
     */
   def shuffleShards(
       df: DataFrame,
@@ -90,7 +97,12 @@ object CorpusOps {
       strideTokens > 0 && strideTokens <= chunkTokens,
       s"chunkDocs: stride must be in [1, chunkTokens], got $strideTokens")
     val n = size(col("_toks"))
-    val nChunks = floor((n + lit(strideTokens - 1)) / lit(strideTokens)).cast("int")
+    // standard sliding-window count: stop once a window reaches the end of
+    // the doc — ceil(n/stride) would emit trailing chunks fully contained
+    // in their predecessor (pure duplicates in a RAG index)
+    val nChunks = (floor(
+      (greatest(n - chunkTokens, lit(0)) + lit(strideTokens - 1)) / lit(strideTokens)
+    ) + 1).cast("int")
     // ComputeOnce: the token array feeds the explode bound AND every chunk
     // slice — without the barrier the tokenizer would inline into each
     df.withColumn("_toks", graft.functions.ComputeOnce(graft.data.TextAnalysis.tokens(col(textCol))))

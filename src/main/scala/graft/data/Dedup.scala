@@ -105,9 +105,22 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       k: Int = 16
+  ): DataFrame =
+    minhashSignaturesFromTokens(df, idCol, TextAnalysis.tokens(col(textCol)), n, k)
+
+  /** Signature builder over an ALREADY-TOKENIZED column — lets callers that
+    * also need the token array (e.g. a min-length gate) tokenize once
+    * instead of paying the regex split twice.
+    */
+  def minhashSignaturesFromTokens(
+      df: DataFrame,
+      idCol: String,
+      toksCol: Column,
+      n: Int = 3,
+      k: Int = 16
   ): DataFrame = {
     val sig = graft.functions.MinHashSig(
-      graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n),
+      graft.functions.ShingleHash60(toksCol, n),
       MinhashP,
       (0 until k).map(i => (minhashA(i), minhashB(i))))
     df.select(col(idCol).as("sid"), sig.as("_sig"))
@@ -205,9 +218,13 @@ object Dedup {
   ): Dataset[graft.model.NearDupHit] = {
     require(k % rows == 0, "k must be divisible by band rows")
     import docs.sparkSession.implicits._
-    val sig = minhashSignatures(
-      docs.filter(size(TextAnalysis.tokens(col(textCol))) >= n),
-      idCol, textCol, n, k)
+    // tokenize ONCE (ComputeOnce barrier): the array feeds both the
+    // min-length gate and the shingler — this is the per-event hot path of
+    // an ingest gate, a second regex split per doc would double its cost
+    val toked = docs
+      .withColumn("_t", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
+      .filter(size(col("_t")) >= n)
+    val sig = minhashSignaturesFromTokens(toked, idCol, col("_t"), n, k)
     val nBands = k / rows
     val bands = array((0 until nBands).map { b =>
       concat_ws("_",

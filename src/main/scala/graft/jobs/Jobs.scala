@@ -84,50 +84,88 @@ object MongoToKafkaJob extends GraftJob {
     * ready for its own sink (KafkaConnectors.sink / keyedProjection; a DLQ
     * topic or path). Requires the RocksDB state store provider.
     */
-  def buildStreaming(
-      cdcStream: DataFrame,
-      ttlMs: Long = 10 * 60 * 1000): (DataFrame, DataFrame) = {
+  private def streamingEnforcer = SchemaEnforcer(
+    "payloadJson",
+    Seq(SchemaVersion(1, Seq(FieldSpec("_id", FieldType.ANY)))))
+
+  /** Parse → null-key bypass → fused dedup+suppression. Builds a FRESH
+    * StatefulProcessor per call: a processor instance must belong to
+    * exactly one streaming query (concurrent driver inits on a shared
+    * instance race on its state-var fields).
+    *
+    * A payload without _id parses to primaryKey NULL; a null grouping key
+    * crashes transformWithState (INTERNAL_ERROR_TWS "implicit key not
+    * found"), so null-key rows BYPASS the keyed dedup — there is nothing
+    * to dedup without a key — and rejoin before the schema gate, which
+    * dead-letters them (missing:_id). Self-union of one streaming source
+    * is a single scan per micro-batch.
+    */
+  private def dedupedPipeline(cdcStream: DataFrame, ttlMs: Long): DataFrame = {
     import cdcStream.sparkSession.implicits._
-    val enforcer = SchemaEnforcer(
-      "payloadJson",
-      Seq(SchemaVersion(1, Seq(FieldSpec("_id", FieldType.ANY)))))
-    // each returned frame gets its OWN transformWithState pipeline: a
-    // StatefulProcessor instance must belong to exactly one streaming query
-    // (concurrent driver inits on a shared instance race on its state-var
-    // fields), and the pipeline is a deterministic function of the stream,
-    // so both branches see identical survivors
-    def deduped(): DataFrame = {
-      val parsed = CdcParser
-        .parse(cdcStream)
-        .filter(col("operation") =!= "unknown")
-      // a payload without _id parses to primaryKey NULL; a null grouping
-      // key crashes transformWithState (INTERNAL_ERROR_TWS "implicit key
-      // not found"), so null-key rows BYPASS the keyed dedup — there is
-      // nothing to dedup without a key — and rejoin before the schema
-      // gate, which dead-letters them (missing:_id). Self-union of one
-      // streaming source is a single scan per micro-batch.
-      val piped = graft.stateful.Processors
-        .cdcPipeline(
-          parsed.filter(col("primaryKey").isNotNull).as[graft.model.StreamEnvelop],
-          ttlMs,
-          Set("updatedAt", "modifiedAt"))
-        .toDF()
-      piped.unionByName(parsed.filter(col("primaryKey").isNull))
-    }
-    val (good, _) = enforcer.enforce(deduped())
-    val (_, bad) = enforcer.enforce(deduped())
-    val dlq = Dlq.toDlq(
-      bad, graft.model.ErrorCodes.SchemaViolation, col("violations"), name,
-      col("payloadJson"), current_timestamp())
-    val out = good
+    val parsed = CdcParser
+      .parse(cdcStream)
+      .filter(col("operation") =!= "unknown")
+    val piped = graft.stateful.Processors
+      .cdcPipeline(
+        parsed.filter(col("primaryKey").isNotNull).as[graft.model.StreamEnvelop],
+        ttlMs,
+        Set("updatedAt", "modifiedAt"))
+      .toDF()
+    piped.unionByName(parsed.filter(col("primaryKey").isNull))
+  }
+
+  private def finishGood(good: DataFrame): DataFrame =
+    good
       .drop("matched_version")
       .transform(MetadataDecorator("pre-sink", name))
       .withColumn(
         "traceId",
         coalesce(col("traceId"), concat(lit("trace-"), col("primaryKey"), lit("-"), unix_micros(col("eventTime")))))
       .withColumn("processedTime", current_timestamp())
-    (out, dlq)
+
+  def buildStreaming(
+      cdcStream: DataFrame,
+      ttlMs: Long = 10 * 60 * 1000): (DataFrame, DataFrame) = {
+    // each returned frame is its OWN pipeline (see dedupedPipeline). With
+    // ttlMs = 0 (or pure event-time data) the two pipelines are
+    // deterministic and see identical survivors; with a processing-time
+    // TTL their evictions run on independent wall clocks and can diverge
+    // near the TTL boundary — for strict single-state-store semantics use
+    // [[startStreaming]], which runs ONE pipeline and fans out per
+    // micro-batch.
+    val (good, _) = streamingEnforcer.enforce(dedupedPipeline(cdcStream, ttlMs))
+    val (_, bad) = streamingEnforcer.enforce(dedupedPipeline(cdcStream, ttlMs))
+    val dlq = Dlq.toDlq(
+      bad, graft.model.ErrorCodes.SchemaViolation, col("violations"), name,
+      col("payloadJson"), current_timestamp())
+    (finishGood(good), dlq)
   }
+
+  /** Production single-pass face: ONE stateful pipeline, one query, one
+    * state store; each micro-batch splits at the schema gate and writes
+    * envelopes to `outPath/epoch=N` and dead letters to `dlqPath/epoch=N`
+    * (per-epoch overwrite → replayed epochs converge instead of
+    * double-appending). Requires the RocksDB state store provider.
+    */
+  def startStreaming(
+      cdcStream: DataFrame,
+      outPath: String,
+      dlqPath: String,
+      checkpoint: String,
+      ttlMs: Long = 10 * 60 * 1000
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupedPipeline(cdcStream, ttlMs).writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val (good, bad) = streamingEnforcer.enforce(batch)
+        finishGood(good).write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
+        Dlq
+          .toDlq(bad, graft.model.ErrorCodes.SchemaViolation, col("violations"), name,
+            col("payloadJson"), current_timestamp())
+          .write.mode("overwrite").parquet(s"$dlqPath/epoch=$epoch")
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 
   def runBatch(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
     val cdc = JobFixtures.cdcFromEvents(spark, sfDir)
@@ -192,8 +230,14 @@ object KafkaToMongoJob extends GraftJob {
         val (good, dlq) = build(batch, refs, current_timestamp())
         graft.connectors.UpsertSink
           .writer(tablePath, dlqPath = Some(tablePath + "_dlq"))(good, epoch)
-        dlq.filter(d => !d.isEmpty)
-          .foreach(_.write.mode("append").parquet(tablePath + "_gate_dlq"))
+        // per-epoch overwrite (not a bare append): a replayed micro-batch
+        // rewrites its own epoch directory instead of appending the same
+        // dead letters twice — the same idempotence the keyed table write
+        // has. No emptiness probe: that would execute the whole
+        // parse+enrich+gate plan an extra time per epoch, and an empty
+        // overwrite is harmless.
+        dlq.foreach(
+          _.write.mode("overwrite").parquet(s"${tablePath}_gate_dlq/epoch=$epoch"))
       }
       .option("checkpointLocation", checkpoint)
       .outputMode("append")

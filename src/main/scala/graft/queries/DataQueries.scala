@@ -809,7 +809,8 @@ object DataQueries {
   val dChunkSql: String =
     s"""WITH $toksCte,
        |k AS (
-       |  SELECT doc_id, t, unnest(range(0, (len(t) + 3) // 4)) AS chunk_idx
+       |  SELECT doc_id, t,
+       |    unnest(range(0, (greatest(len(t) - 8, 0) + 3) // 4 + 1)) AS chunk_idx
        |  FROM toks WHERE len(t) > 0)
        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
        |  array_to_string(list_slice(t, chunk_idx*4 + 1, chunk_idx*4 + 8), ' ') AS chunk,

@@ -84,8 +84,9 @@ class CorpusOpsSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val got = CorpusOps.chunkDocs(docs, "doc_id", "text", chunkTokens = 8, strideTokens = 4)
       .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
-    // doc 1: ceil(10/4)=3 chunks at offsets 0,4,8 → lengths 8, 6, 2
-    assert(got.filter(_._1 == 1L).map(r => (r._2, r._4)).toSeq === Seq((0L, 8L), (1L, 6L), (2L, 2L)))
+    // doc 1 (10 tokens): ceil(max(10-8,0)/4)+1 = 2 chunks at offsets 0,4 —
+    // the second reaches the end, so no trailing subset-chunk is emitted
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._4)).toSeq === Seq((0L, 8L), (1L, 6L)))
     assert(got.find(r => r._1 == 1L && r._2 == 1L).get._3 === "w5 w6 w7 w8 w9 w10")
     assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, "a b c", 3L)))
     assert(!got.exists(_._1 == 3L))

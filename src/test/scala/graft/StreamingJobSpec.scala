@@ -66,4 +66,33 @@ class StreamingJobSpec extends SparkSpec {
       } finally { q.stop(); qDlq.stop() }
     } finally spark.conf.unset(key)
   }
+
+  test("MongoToKafka single-pass streaming: one pipeline fans out to good + DLQ paths") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("cdc-single").toString
+      Files.writeString(
+        java.nio.file.Paths.get(s"$dir/batch1.json"),
+        Seq(
+          """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:00:00.000Z"}""",
+          """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 1}","fullDocument":"{\"_id\": 1, \"v\": 10}","updatedFields":null,"eventTime":"2024-01-01T00:00:00.000Z"}""",
+          """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 3}","fullDocument":"{\"v\": 99}","updatedFields":null,"eventTime":"2024-01-01T00:04:00.000Z"}"""
+        ).mkString("\n"))
+      val out = Files.createTempDirectory("cdc-single-out").toString
+      val q = MongoToKafkaJob.startStreaming(
+        CdcSource.multi(spark, dir, numSplits = 2),
+        outPath = s"$out/good", dlqPath = s"$out/dlq",
+        checkpoint = s"$out/ckpt", ttlMs = 0)
+      try {
+        q.processAllAvailable()
+        val good = spark.read.parquet(s"$out/good")
+          .select($"primaryKey", get_json_object($"payloadJson", "$.v")).as[(String, String)].collect().toSet
+        assert(good === Set(("1", "10"))) // dup dropped, _id-less routed away
+        val dead = spark.read.parquet(s"$out/dlq")
+          .select($"errorType", $"rawEvent").as[(String, String)].collect()
+        assert(dead.toSeq === Seq((graft.model.ErrorCodes.SchemaViolation, """{"v": 99}""")))
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
 }
