@@ -103,6 +103,56 @@ object TextAnalysis {
         topWord.as("top_word_n"))
   }
 
+  /** Bigram commonness — the integer-exact fluency proxy of an LM filter
+    * (CCNet-style "score docs by a corpus LM"): every doc bigram is scored
+    * by its corpus-wide frequency; a doc whose bigrams are corpus-rare
+    * (low freq_min / low freq_sum per gram) reads as gibberish or heavy
+    * boilerplate-noise. Counts stay BIGINT end-to-end — no log-prob floats,
+    * so the score replays exactly.
+    *
+    * Scale shape: gram counting is a two-stage aggregate with map-side
+    * combine; the score join co-partitions (gram → count) with the doc
+    * grams. At 100 TB train the count table on a SAMPLE and broadcast it —
+    * the operator takes no position on that: callers pass the corpus they
+    * want the model trained on via `train`.
+    */
+  def bigramCommonness(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      train: Option[DataFrame] = None
+  ): DataFrame = {
+    def grams(src: DataFrame): DataFrame =
+      src
+        .withColumn("_toks", graft.functions.ComputeOnce(tokens(col(textCol))))
+        .select(
+          col(idCol),
+          explode(
+            when(
+              size(col("_toks")) >= 2,
+              transform(
+                sequence(lit(1), size(col("_toks")) - 1),
+                i => array_join(slice(col("_toks"), i, lit(2)), " "))
+            ).otherwise(array().cast("array<string>"))).as("_g"))
+    val counts = grams(train.getOrElse(df))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_c"))
+    val scored = grams(df)
+      .join(counts, Seq("_g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("_c"), lit(0L))).as("freq_sum"),
+        min(coalesce(col("_c"), lit(0L))).as("freq_min"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
+        coalesce(col("freq_min"), lit(0L)).as("freq_min"))
+  }
+
   /** Scrub PII: per-pattern match counts (each pattern counted independently
     * on the raw text) plus the redacted text (replacements applied
     * sequentially in [[piiPatterns]] order, so an email is rewritten to

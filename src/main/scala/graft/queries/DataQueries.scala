@@ -860,6 +860,29 @@ object DataQueries {
        |   AND NOT (n_2grams > 0 AND n_distinct_2grams * 10 <= n_2grams * 9)) AS keep
        |FROM p""".stripMargin
 
+  // ------------------------------------------------ bigram commonness
+  /** Corpus-trained bigram commonness (the integer-exact LM-filter proxy). */
+  def tBigramCommonness(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramCommonness(Tables.documents(spark, dir), "doc_id", "text")
+
+  val tBigramCommonnessSql: String =
+    s"""WITH $toksCte,
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t)-1, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+1), ' '))) AS gr
+       |  FROM toks),
+       |c AS (SELECT gr, COUNT(*) AS c FROM g GROUP BY 1),
+       |s AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(c) AS BIGINT) AS freq_sum, CAST(MIN(c) AS BIGINT) AS freq_min
+       |  FROM g JOIN c USING (gr) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(freq_sum, 0) AS freq_sum,
+       |  COALESCE(freq_min, 0) AS freq_min
+       |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+
   // --------------------------------------------- paragraph-level dedup
   /** Duplicate-paragraph signal (the paragraph-dedup quality pass):
     * non-overlapping 10-token chunks stand in for paragraphs; a chunk is a
@@ -952,6 +975,7 @@ object DataQueries {
     "d_chunk" -> dChunk,
     "d_dup_paragraphs" -> dDupParagraphs,
     "t_quality_filter" -> tQualityFilter,
+    "t_bigram_commonness" -> tBigramCommonness,
     "m_multimodal" -> mMultimodal
   )
 
@@ -985,6 +1009,7 @@ object DataQueries {
     "d_chunk" -> dChunkSql,
     "d_dup_paragraphs" -> dDupParagraphsSql,
     "t_quality_filter" -> tQualityFilterSql,
+    "t_bigram_commonness" -> tBigramCommonnessSql,
     "m_multimodal" -> mMultimodalSql
   )
 }

@@ -124,6 +124,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(holds(pRep))
   }
 
+  test("bigramCommonness: exact corpus-frequency scores, short docs zeroed, external train set") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c d"), (3L, "x")).toDF("doc_id", "text")
+    // corpus bigram counts: "a b"->3 (doc1 twice, doc2 once), "b a"->1, "b c"->1, "c d"->1
+    val got = graft.data.TextAnalysis.bigramCommonness(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 3L, 7L, 1L))) // grams (a b, b a, a b) → 3+1+3
+    assert(got(1) === ((2L, 3L, 5L, 1L))) // grams (a b, b c, c d) → 3+1+1
+    assert(got(2) === ((3L, 0L, 0L, 0L))) // single token: no bigrams
+    // external train set: unseen grams score 0 (the "never seen in the
+    // reference corpus" signal)
+    val train = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val ext = graft.data.TextAnalysis.bigramCommonness(docs, "doc_id", "text", Some(train))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(ext(1) === ((2L, 3L, 2L, 0L))) // only "a b" (count 2 in train) known
+  }
+
   test("packSequences: offsets stay inside the budget, sequences fill contiguously per shard") {
     val docs = (0L until 300L).map(i => (i, s"doc $i", (i % 97 + 1).toInt)).toDF("doc_id", "text", "n")
     val packed = CorpusOps.packSequences(docs, "doc_id", $"n", budget = 100, nShards = 4)
