@@ -121,6 +121,69 @@ object CorpusOps {
         size(col("_chunk_toks")).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Token-budget corpus selection — "fill a B-token training budget with
+    * the best-scoring documents": greedy by (score desc, id asc), keep the
+    * prefix whose running token total stays ≤ budget (the cumsum is
+    * monotone, so the filter IS the prefix).
+    *
+    * Scale shape: a global ordered cumsum would serialize the corpus
+    * through one partition, so selection runs in two phases that provably
+    * pick the SAME set: (1) per-band token totals (band = score/bandWidth,
+    * monotone in score) — a small aggregate collected to the driver; (2)
+    * bands wholly under budget are kept with no per-doc work at all, and
+    * ONLY the single boundary band runs a windowed cumsum (partitioned by
+    * its band). Size bandWidth so one band is task-sized.
+    */
+  def selectByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      tokenCountCol: Column,
+      budget: Long,
+      bandWidth: Long
+  ): DataFrame = {
+    require(budget >= 0, s"selectByTokenBudget: budget must be >= 0, got $budget")
+    require(bandWidth > 0, s"selectByTokenBudget: bandWidth must be positive, got $bandWidth")
+    val base = df
+      .withColumn("_score", scoreCol.cast("long"))
+      .withColumn("_tok", tokenCountCol.cast("long"))
+      .withColumn("_band", floor(col("_score") / bandWidth).cast("long"))
+    // phase 1: model-sized driver state — one (band, tokens) row per band
+    val totals = base
+      .groupBy(col("_band"))
+      .agg(sum(col("_tok")).as("_t"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    var cum = 0L
+    var boundary = Long.MinValue
+    var before = 0L
+    val it = totals.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (band, t) = it.next()
+      if (cum + t <= budget) cum += t
+      else { boundary = band; before = cum; done = true }
+    }
+    val out = base.select(
+      col(idCol), col("_score").as("score"), col("_tok").as("n_tokens"), col("_band"))
+    val selected =
+      if (!done) out // every band fits
+      else {
+        val whole = out.filter(col("_band") > boundary)
+        val w = Window
+          .partitionBy(col("_band"))
+          .orderBy(col("score").desc, col(idCol).asc)
+        val partial = out
+          .filter(col("_band") === boundary)
+          .withColumn("_cum", sum(col("n_tokens")).over(w))
+          .filter(col("_cum") + before <= budget)
+          .drop("_cum")
+        whole.unionByName(partial)
+      }
+    selected.drop("_band")
+  }
+
   /** Concat-and-chunk sequence packing: documents are laid end-to-end per
     * shard (deterministic order) and cut into fixed `budget`-token
     * sequences; each doc reports the sequence it starts in and its offset

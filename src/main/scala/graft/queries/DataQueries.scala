@@ -860,6 +860,33 @@ object DataQueries {
        |   AND NOT (n_2grams > 0 AND n_distinct_2grams * 10 <= n_2grams * 9)) AS keep
        |FROM p""".stripMargin
 
+  // --------------------------------------------- token-budget selection
+  /** Fill a 15k-token budget with the highest-n_chars docs (greedy prefix;
+    * ~55% of the sf0.01 corpus tokens). The oracle replays the equivalent
+    * GLOBAL greedy cumsum; the operator computes the same set with only
+    * the boundary band windowed.
+    */
+  def dTokenBudget(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.selectByTokenBudget(
+      Tables.documents(spark, dir),
+      "doc_id",
+      col("n_chars"),
+      size(TextAnalysis.tokens(col("text"))),
+      budget = 15000L,
+      bandWidth = 50L)
+
+  val dTokenBudgetSql: String =
+    s"""WITH $toksCte,
+       |s AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+       |    CAST(len(t) AS BIGINT) AS n_tokens
+       |  FROM toks),
+       |c AS (
+       |  SELECT *, SUM(n_tokens) OVER (
+       |    ORDER BY score DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM s)
+       |SELECT doc_id, score, n_tokens FROM c WHERE cum <= 15000""".stripMargin
+
   // ------------------------------------------------ bigram commonness
   /** Corpus-trained bigram commonness (the integer-exact LM-filter proxy). */
   def tBigramCommonness(spark: SparkSession, dir: String): DataFrame =
@@ -976,6 +1003,7 @@ object DataQueries {
     "d_dup_paragraphs" -> dDupParagraphs,
     "t_quality_filter" -> tQualityFilter,
     "t_bigram_commonness" -> tBigramCommonness,
+    "d_token_budget" -> dTokenBudget,
     "m_multimodal" -> mMultimodal
   )
 
@@ -1010,6 +1038,7 @@ object DataQueries {
     "d_dup_paragraphs" -> dDupParagraphsSql,
     "t_quality_filter" -> tQualityFilterSql,
     "t_bigram_commonness" -> tBigramCommonnessSql,
+    "d_token_budget" -> dTokenBudgetSql,
     "m_multimodal" -> mMultimodalSql
   )
 }

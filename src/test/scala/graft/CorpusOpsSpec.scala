@@ -140,6 +140,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(ext(1) === ((2L, 3L, 2L, 0L))) // only "a b" (count 2 in train) known
   }
 
+  test("selectByTokenBudget: matches brute-force greedy prefix on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def holds(p: Prop): Boolean =
+      SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p).passed
+    val docGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 999L), Gen.choose(1L, 50L)))
+    val p = Prop.forAll(docGen, Gen.choose(0L, 2000L), Gen.choose(1L, 200L)) {
+      (docs, budget, bandWidth) =>
+        val rows = docs.zipWithIndex.map { case ((score, tok), i) => (i.toLong, score, tok) }
+        val df = rows.toDF("doc_id", "score_in", "tok_in")
+        val got = CorpusOps
+          .selectByTokenBudget(df, "doc_id", $"score_in", $"tok_in", budget, bandWidth)
+          .select($"doc_id").as[Long].collect().toSet
+        // brute-force greedy prefix over (score desc, id asc)
+        var cum = 0L
+        val want = rows.sortBy(r => (-r._2, r._1)).takeWhile { r =>
+          cum += r._3; cum <= budget
+        }.map(_._1).toSet
+        got === want
+    }
+    assert(holds(p))
+  }
+
   test("packSequences: offsets stay inside the budget, sequences fill contiguously per shard") {
     val docs = (0L until 300L).map(i => (i, s"doc $i", (i % 97 + 1).toInt)).toDF("doc_id", "text", "n")
     val packed = CorpusOps.packSequences(docs, "doc_id", $"n", budget = 100, nShards = 4)
