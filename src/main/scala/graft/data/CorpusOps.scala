@@ -144,9 +144,12 @@ object CorpusOps {
   ): DataFrame = {
     require(budget >= 0, s"selectByTokenBudget: budget must be >= 0, got $budget")
     require(bandWidth > 0, s"selectByTokenBudget: bandWidth must be positive, got $bandWidth")
+    // null score/tokens rows are unrankable — excluded up front (a null
+    // band would NPE the driver walk; the oracle's cumsum skips them too)
     val base = df
       .withColumn("_score", scoreCol.cast("long"))
       .withColumn("_tok", tokenCountCol.cast("long"))
+      .filter(col("_score").isNotNull && col("_tok").isNotNull)
       .withColumn("_band", floor(col("_score") / bandWidth).cast("long"))
     // phase 1: model-sized driver state — one (band, tokens) row per band
     val totals = base
@@ -154,7 +157,7 @@ object CorpusOps {
       .agg(sum(col("_tok")).as("_t"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1)
+      .sortBy(_._1)(Ordering[Long].reverse) // NOT sortBy(-x): -Long.MinValue overflows
     var cum = 0L
     var boundary = Long.MinValue
     var before = 0L

@@ -25,14 +25,7 @@ object Decontaminate {
     */
   private def withGrams(df: DataFrame, textCol: String, n: Int): DataFrame =
     df.withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
-      .withColumn(
-        "_grams",
-        when(
-          size(col("_toks")) >= n,
-          transform(
-            sequence(lit(1), size(col("_toks")) - (n - 1)),
-            i => array_join(slice(col("_toks"), i, lit(n)), " "))
-        ).otherwise(array().cast("array<string>")))
+      .withColumn("_grams", TextAnalysis.ngrams(col("_toks"), n))
 
   /** Per-doc contamination hits: (idCol, n_hits) for every training doc
     * sharing at least one n-gram with `bench`. Clean docs are absent —

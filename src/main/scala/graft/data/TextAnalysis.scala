@@ -21,6 +21,21 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(filter(split(text, "[\\s\\p{Punct}]+"), t => t =!= ""))
 
+  /** Word n-grams of an ALREADY-MATERIALIZED token-array column (space
+    * joined); docs shorter than n yield an empty array. Callers must pin
+    * the token array behind [[graft.functions.ComputeOnce]] (or a real
+    * attribute) BEFORE passing it here — referencing a raw tokenizer
+    * expression makes CollapseProject inline the regex split into the
+    * per-element lambda, an O(words²) re-split per doc.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))
+    ).otherwise(array().cast("array<string>"))
+
   /** Common-word profiles for the n-gram language-ID heuristic (public
     * stopword lists, top function words per language).
     */
@@ -92,14 +107,7 @@ object TextAnalysis {
         size(array_distinct(toks)).cast("long").as("n_distinct_words"),
         when(size(toks) >= 2, size(toks) - 1).otherwise(0)
           .cast("long").as("n_2grams"),
-        size(array_distinct(
-          when(
-            size(toks) >= 2,
-            transform(
-              sequence(lit(1), size(toks) - 1),
-              i => array_join(slice(toks, i, lit(2)), " "))
-          ).otherwise(array().cast("array<string>"))))
-          .cast("long").as("n_distinct_2grams"),
+        size(array_distinct(ngrams(toks, 2))).cast("long").as("n_distinct_2grams"),
         topWord.as("top_word_n"))
   }
 
@@ -122,35 +130,25 @@ object TextAnalysis {
       textCol: String,
       train: Option[DataFrame] = None
   ): DataFrame = {
+    // explode_OUTER keeps short/empty docs as a single null-gram row, so
+    // they score zeros without a third corpus scan + join-back
     def grams(src: DataFrame): DataFrame =
       src
         .withColumn("_toks", graft.functions.ComputeOnce(tokens(col(textCol))))
-        .select(
-          col(idCol),
-          explode(
-            when(
-              size(col("_toks")) >= 2,
-              transform(
-                sequence(lit(1), size(col("_toks")) - 1),
-                i => array_join(slice(col("_toks"), i, lit(2)), " "))
-            ).otherwise(array().cast("array<string>"))).as("_g"))
+        .select(col(idCol), explode_outer(ngrams(col("_toks"), 2)).as("_g"))
     val counts = grams(train.getOrElse(df))
+      .filter(col("_g").isNotNull)
       .groupBy(col("_g"))
       .agg(count(lit(1)).as("_c"))
-    val scored = grams(df)
+    grams(df)
       .join(counts, Seq("_g"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_bigrams"),
-        sum(coalesce(col("_c"), lit(0L))).as("freq_sum"),
-        min(coalesce(col("_c"), lit(0L))).as("freq_min"))
-    df.select(col(idCol))
-      .join(scored, Seq(idCol), "left")
-      .select(
-        col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("freq_sum"), lit(0L)).as("freq_sum"),
-        coalesce(col("freq_min"), lit(0L)).as("freq_min"))
+        count(col("_g")).as("n_bigrams"), // count() skips the null-gram row
+        sum(when(col("_g").isNotNull, coalesce(col("_c"), lit(0L))).otherwise(lit(0L)))
+          .as("freq_sum"),
+        min(when(col("_g").isNotNull, coalesce(col("_c"), lit(0L))).otherwise(lit(0L)))
+          .as("freq_min"))
   }
 
   /** Scrub PII: per-pattern match counts (each pattern counted independently

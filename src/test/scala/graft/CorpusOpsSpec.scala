@@ -149,14 +149,17 @@ class CorpusOpsSpec extends SparkSpec {
       (docs, budget, bandWidth) =>
         val rows = docs.zipWithIndex.map { case ((score, tok), i) => (i.toLong, score, tok) }
         val df = rows.toDF("doc_id", "score_in", "tok_in")
+        // full rows, not just ids: duplicate emission or mislabeled
+        // score/n_tokens columns must fail the property
         val got = CorpusOps
           .selectByTokenBudget(df, "doc_id", $"score_in", $"tok_in", budget, bandWidth)
-          .select($"doc_id").as[Long].collect().toSet
+          .select($"doc_id", $"score", $"n_tokens")
+          .as[(Long, Long, Long)].collect().sorted.toSeq
         // brute-force greedy prefix over (score desc, id asc)
         var cum = 0L
         val want = rows.sortBy(r => (-r._2, r._1)).takeWhile { r =>
           cum += r._3; cum <= budget
-        }.map(_._1).toSet
+        }.map(r => (r._1, r._2, r._3)).sorted
         got === want
     }
     assert(holds(p))
