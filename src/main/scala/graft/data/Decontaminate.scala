@@ -48,4 +48,20 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count_distinct(col("_g")).as("n_hits"))
   }
+
+  /** The one-call clean face: `train` minus every contaminated doc (LEFT
+    * ANTI join on the hit list — the id-only hit frame joins, the text
+    * column never shuffles).
+    */
+  def clean(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame =
+    train.join(
+      hits(train, bench, idCol, textCol, n).select(col(idCol)),
+      Seq(idCol),
+      "left_anti")
 }

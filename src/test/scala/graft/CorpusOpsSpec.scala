@@ -60,6 +60,10 @@ class CorpusOpsSpec extends SparkSpec {
     val got = graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 5)
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 2L))
+    // clean face: contaminated docs removed, clean ones untouched
+    val cleaned = graft.data.Decontaminate.clean(train, bench, "doc_id", "text", n = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(cleaned === Set(3L, 4L))
   }
 
   test("repetitionProfile: exact counts for a crafted doc, empty doc safe") {
