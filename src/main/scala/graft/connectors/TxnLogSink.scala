@@ -110,22 +110,33 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
     // committed-wins verification: the commit is ours only if the manifest
     // on disk names OUR attempt — belt-and-braces against any FS whose
     // no-overwrite rename is check-then-act rather than atomic.
-    // Loss-vs-unknown matters: deleting our data on a TRANSIENT read
-    // failure after a successful rename would leave a committed manifest
-    // pointing at deleted files — permanent data loss from a blip. We
-    // delete the attempt dir ONLY on a POSITIVE loss signal (rename
-    // rejected, or the manifest readably names another attempt); an
-    // unreadable manifest keeps the data (worst case: an orphaned,
-    // invisible attempt dir).
+    // Loss-vs-unknown matters in BOTH directions. Deleting our data on a
+    // TRANSIENT read failure after a successful rename would leave a
+    // committed manifest pointing at deleted files; deleting it on a
+    // transient RENAME failure with no winning manifest on disk would let
+    // Spark mark the epoch committed with its data gone — silent loss from
+    // an exactly-once sink. So the attempt dir is deleted ONLY on the one
+    // POSITIVE loss signal (a READABLE committed manifest naming another
+    // attempt); a failed rename with no such proof FAILS the micro-batch so
+    // Spark replays the epoch, and an unreadable manifest after a
+    // successful rename keeps the data (worst case: an orphaned, invisible
+    // attempt dir).
     val verdict = scala.util.Try(parseManifest(fs, committed))
-    val won = renamed && verdict.toOption.exists(_.attempt == attempt)
-    val lostForSure = !renamed || verdict.toOption.exists(_.attempt != attempt)
-    fs.delete(stage, true) // staged copy is dead either way (link or loss)
-    if (lostForSure) {
-      // lost the race to a concurrent committer: discard our attempt entirely
-      fs.delete(dir, true)
-    } else if (won && checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0) {
-      compact(spark)
+    fs.delete(stage, true) // staged copy is dead on every outcome
+    TxnLogSink.commitOutcome(renamed, verdict.map(_.attempt), attempt) match {
+      case TxnLogSink.CommitOutcome.Lost =>
+        // lost the race to a concurrent committer: discard our attempt entirely
+        fs.delete(dir, true)
+      case TxnLogSink.CommitOutcome.Unconfirmed =>
+        // rename failed and nothing on disk proves another committer won:
+        // a transient IO failure must replay the epoch, never drop it
+        throw new java.io.IOException(
+          s"txn-log commit of $committed could not be confirmed " +
+            "(rename failed, no readable committed manifest); failing the batch for replay")
+      case TxnLogSink.CommitOutcome.Won =>
+        if (checkpointEvery > 0 && (batchId + 1) % checkpointEvery == 0) compact(spark)
+      case TxnLogSink.CommitOutcome.CommittedUnverified =>
+        () // the epoch is durably committed; only compaction eligibility is unknown
     }
   }
 
@@ -274,5 +285,43 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
       .withColumn("_suffix", url_decode(tail2))
       .join(offsets, Seq("_suffix"))
       .drop("_suffix")
+  }
+}
+
+object TxnLogSink {
+
+  /** Outcome of one manifest-commit attempt. Exposed (graft-private) so
+    * the decision table is unit-testable without injecting FS failures.
+    */
+  private[graft] sealed trait CommitOutcome
+  private[graft] object CommitOutcome {
+    /** Our rename landed and the manifest readably names us. */
+    case object Won extends CommitOutcome
+    /** A readable committed manifest names ANOTHER attempt — the only
+      * positive proof of loss; our attempt data may be deleted.
+      */
+    case object Lost extends CommitOutcome
+    /** The manifest readably names us (or our rename landed but the
+      * read-back failed transiently): the epoch is durably committed, but
+      * we skip compaction rather than act on an unverified state.
+      */
+    case object CommittedUnverified extends CommitOutcome
+    /** Rename failed AND no readable manifest proves a winner: the batch
+      * must FAIL so Spark replays the epoch — deleting here would lose it.
+      */
+    case object Unconfirmed extends CommitOutcome
+  }
+
+  private[graft] def commitOutcome(
+      renamed: Boolean,
+      manifestAttempt: scala.util.Try[String],
+      attempt: String): CommitOutcome = manifestAttempt match {
+    case scala.util.Success(a) if a == attempt =>
+      // the manifest names us even if our rename call THREW post-success
+      // (e.g. a timeout after the metadata op landed): committed either way
+      if (renamed) CommitOutcome.Won else CommitOutcome.CommittedUnverified
+    case scala.util.Success(_) => CommitOutcome.Lost
+    case scala.util.Failure(_) =>
+      if (renamed) CommitOutcome.CommittedUnverified else CommitOutcome.Unconfirmed
   }
 }

@@ -133,6 +133,12 @@ object CorpusOps {
     * bands wholly under budget are kept with no per-doc work at all, and
     * ONLY the single boundary band runs a windowed cumsum (partitioned by
     * its band). Size bandWidth so one band is task-sized.
+    *
+    * Contract: `scoreCol` is INTEGRAL — it is cast to long, so fractional
+    * scores are truncated toward zero before ranking (matching the oracle).
+    * Pre-scale fractional scores (e.g. `round(score * 1e6)`) if sub-integer
+    * resolution matters. Banding uses integral floor-division, so it is
+    * exact over the full long range (no double-precision 2^53 cliff).
     */
   def selectByTokenBudget(
       df: DataFrame,
@@ -150,7 +156,13 @@ object CorpusOps {
       .withColumn("_score", scoreCol.cast("long"))
       .withColumn("_tok", tokenCountCol.cast("long"))
       .filter(col("_score").isNotNull && col("_tok").isNotNull)
-      .withColumn("_band", floor(col("_score") / bandWidth).cast("long"))
+      // floor-division in LONG arithmetic: _score - pmod(...) is exactly
+      // divisible by bandWidth, so integral DIV equals mathematical floor
+      // for negative scores too — `floor(a / b)` would round through a
+      // double and mis-band |score| > 2^53
+      .withColumn(
+        "_band",
+        expr(s"CAST((_score - pmod(_score, ${bandWidth}L)) DIV ${bandWidth}L AS BIGINT)"))
     // phase 1: model-sized driver state — one (band, tokens) row per band
     val totals = base
       .groupBy(col("_band"))

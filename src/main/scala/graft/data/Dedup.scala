@@ -205,6 +205,11 @@ object Dedup {
     * bucket with TTL — at 100 TB the dedup horizon is the TTL window, and
     * the text itself never enters the state store.
     *
+    * `idCol` must be integral (hits carry `Long` ids through the keyed
+    * state — unlike the batch minhash path, which accepts any id type);
+    * a non-integral id is rejected up front with a clear error instead of
+    * an opaque encoder cast failure at analysis time.
+    *
     * Requires the RocksDB state store provider.
     */
   def streamingNearDupCandidates(
@@ -217,6 +222,15 @@ object Dedup {
       ttlMs: Long = 0L
   ): Dataset[graft.model.NearDupHit] = {
     require(k % rows == 0, "k must be divisible by band rows")
+    docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+          _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"streamingNearDupCandidates: id column '$idCol' must be integral (hits carry Long " +
+            s"ids through the keyed state), got $other — pre-map string ids to a dense long, " +
+            "e.g. xxhash64(id)")
+    }
     import docs.sparkSession.implicits._
     // tokenize ONCE (ComputeOnce barrier): the array feeds both the
     // min-length gate and the shingler — this is the per-event hot path of

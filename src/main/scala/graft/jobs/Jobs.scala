@@ -125,14 +125,21 @@ object MongoToKafkaJob extends GraftJob {
 
   def buildStreaming(
       cdcStream: DataFrame,
-      ttlMs: Long = 10 * 60 * 1000): (DataFrame, DataFrame) = {
+      ttlMs: Long = 0): (DataFrame, DataFrame) = {
     // each returned frame is its OWN pipeline (see dedupedPipeline). With
-    // ttlMs = 0 (or pure event-time data) the two pipelines are
-    // deterministic and see identical survivors; with a processing-time
-    // TTL their evictions run on independent wall clocks and can diverge
-    // near the TTL boundary — for strict single-state-store semantics use
+    // ttlMs = 0 (the DEFAULT — deterministic, and the only configuration
+    // the specs pin) the two pipelines see identical survivors; with a
+    // processing-time TTL their state stores evict on independent wall
+    // clocks and can diverge near the TTL boundary — a keyed row could be
+    // deduped out of ONE pipeline but not the other and vanish from both
+    // outputs. Callers that need a processing-time TTL must use
     // [[startStreaming]], which runs ONE pipeline and fans out per
     // micro-batch.
+    require(
+      ttlMs == 0,
+      s"buildStreaming materializes two independent state stores; a processing-time " +
+        s"TTL ($ttlMs ms) makes them diverge — use startStreaming's single-pass " +
+        "fan-out for TTL'd dedup")
     val (good, _) = streamingEnforcer.enforce(dedupedPipeline(cdcStream, ttlMs))
     val (_, bad) = streamingEnforcer.enforce(dedupedPipeline(cdcStream, ttlMs))
     val dlq = Dlq.toDlq(

@@ -148,7 +148,9 @@ class CorpusOpsSpec extends SparkSpec {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     def holds(p: Prop): Boolean =
       SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p).passed
-    val docGen = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 999L), Gen.choose(1L, 50L)))
+    // negative scores included: banding uses floor-division, which differs
+    // from truncation exactly there (floor(-7/2) = -4, not -3)
+    val docGen = Gen.listOfN(60, Gen.zip(Gen.choose(-999L, 999L), Gen.choose(1L, 50L)))
     val p = Prop.forAll(docGen, Gen.choose(0L, 2000L), Gen.choose(1L, 200L)) {
       (docs, budget, bandWidth) =>
         val rows = docs.zipWithIndex.map { case ((score, tok), i) => (i.toLong, score, tok) }

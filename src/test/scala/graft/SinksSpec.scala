@@ -213,6 +213,53 @@ class SinksSpec extends SparkSpec {
     assert(orders === Array(0L, 1L, 2L))
   }
 
+  test("TxnLogSink.commitOutcome: a transient rename failure is never treated as loss") {
+    import graft.connectors.TxnLogSink.{commitOutcome, CommitOutcome => O}
+    import scala.util.{Failure, Success}
+    val io = Failure(new java.io.IOException("transient"))
+    // the epoch-loss case ADVICE flagged: rename threw, nothing committed
+    // on disk — MUST fail the batch for replay, never report success
+    assert(commitOutcome(renamed = false, io, "me") === O.Unconfirmed)
+    // positive loss proof: readable manifest names another attempt
+    assert(commitOutcome(renamed = false, Success("other"), "me") === O.Lost)
+    assert(commitOutcome(renamed = true, Success("other"), "me") === O.Lost)
+    // clean win
+    assert(commitOutcome(renamed = true, Success("me"), "me") === O.Won)
+    // rename landed but the verify read-back failed: committed, keep data
+    assert(commitOutcome(renamed = true, io, "me") === O.CommittedUnverified)
+    // rename THREW after the metadata op landed (manifest names us):
+    // committed — returning Unconfirmed would replay and then skip, fine,
+    // but deleting would orphan a live manifest
+    assert(commitOutcome(renamed = false, Success("me"), "me") === O.CommittedUnverified)
+  }
+
+  test("TxnLogSink.writer: rename failure with no committed manifest fails the batch, keeps data") {
+    // force the local-FS hard-link commit to fail with nothing readable on
+    // disk: a BROKEN SYMLINK at the manifest path. The entry exists() check
+    // follows the link (false, so no replay-skip), createLink sees the path
+    // as occupied and throws, and the verify read-back fails too — the
+    // Unconfirmed path. The writer must throw and must NOT delete the
+    // attempt's data directory.
+    val topic = Files.createTempDirectory("txnlogfail").toString + "/topic"
+    val sink = graft.connectors.TxnLogSink(topic)
+    sink.writer("q1")(Seq(mkEnv("insert", "a", """{"v":1}""", 1)).toDF(), 0L)
+    Files.createSymbolicLink(
+      java.nio.file.Paths.get(s"$topic/commits/q1-1.json"),
+      java.nio.file.Paths.get(s"$topic/commits/no-such-target"))
+    intercept[java.io.IOException] {
+      sink.writer("q1")(Seq(mkEnv("insert", "b", """{"v":2}""", 2)).toDF(), 1L)
+    }
+    // the attempt data survived for the replay (one dir per attempt under data/)
+    val attemptDirs = new java.io.File(s"$topic/data").listFiles().filter(_.getName.startsWith("q1-1-"))
+    assert(attemptDirs.nonEmpty, "unconfirmed attempt data was deleted")
+    // once the obstruction clears, the committed view still serves epoch 0
+    // and the replayed epoch commits normally
+    Files.delete(java.nio.file.Paths.get(s"$topic/commits/q1-1.json"))
+    assert(sink.read(spark).count() === 1)
+    sink.writer("q1")(Seq(mkEnv("insert", "b", """{"v":2}""", 2)).toDF(), 1L)
+    assert(sink.read(spark).count() === 2)
+  }
+
   test("TxnLogSink: commit order is numeric batch order, not file-name lexicography") {
     // batch 10's manifest name 'q-10.json' sorts lexicographically BEFORE
     // 'q-2.json' — the committed view must still order it after

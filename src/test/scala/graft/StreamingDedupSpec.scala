@@ -9,6 +9,16 @@ import graft.data.Dedup
 class StreamingDedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("streaming near-dup: non-integral id column rejected with a clear error") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val e = intercept[IllegalArgumentException] {
+      Dedup.streamingNearDupCandidates(mem.toDS().toDF("doc_id", "text"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("must be integral"))
+    assert(e.getMessage.contains("xxhash64"), "error should point at the workaround")
+  }
+
   test("streaming near-dup: cross-batch and within-batch collisions flagged, clean docs silent") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

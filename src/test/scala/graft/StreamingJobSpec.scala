@@ -36,6 +36,12 @@ class StreamingJobSpec extends SparkSpec {
           """{"op":"insert","db":"d","collection":"c","documentKey":"{\"_id\": 3}","fullDocument":"{\"v\": 99}","updatedFields":null,"eventTime":"2024-01-01T00:04:00.000Z"}"""
         ).mkString("\n"))
       val cdc = CdcSource.multi(spark, dir, numSplits = 2)
+      // a processing-time TTL would make the two state stores diverge —
+      // rejected up front; startStreaming is the TTL'd face
+      val ttlErr = intercept[IllegalArgumentException] {
+        MongoToKafkaJob.buildStreaming(cdc, ttlMs = 60000)
+      }
+      assert(ttlErr.getMessage.contains("startStreaming"))
       val (out, dlq) = MongoToKafkaJob.buildStreaming(cdc, ttlMs = 0)
       val q = out.writeStream.format("memory").queryName("m2k_stream").outputMode("append").start()
       val qDlq = dlq.writeStream.format("memory").queryName("m2k_dlq").outputMode("append").start()
