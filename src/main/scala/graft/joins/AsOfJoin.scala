@@ -1,0 +1,91 @@
+package graft.joins
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: each left row picks up the LATEST right row
+  * with the same key and `rightTs <= leftTs` — the canonical enrichment of
+  * an event stream against a slowly-changing reference history (rates,
+  * configs, dimension versions). Rows older than the first right version
+  * keep NULLs (left-outer as-of).
+  *
+  * Not in the reference engine (its joins are TTL-window N:M — see
+  * job/joiner/DynamicJoinerBuilder.java); added as part of the
+  * training-pipeline surface, where "value of X as of event time" is the
+  * standard feature-extraction join.
+  *
+  * Spark-first shape — the UNION + RUNNING-LAST formulation, not a join:
+  * tag right rows, union both sides on (keys, ts), and take the running
+  * `last(rightStruct, ignoreNulls)` over a window partitioned by the keys
+  * and ordered by (ts, rightFirst). That is ONE hash exchange on the key
+  * plus one per-partition sort — no join node at all, and it scales
+  * linearly in |left| + |right| where a naive `r.ts <= l.ts` theta-join is
+  * O(|left| x |right|/k) and a per-event subquery is quadratic. At 100 TB
+  * the only care is key skew: a LOW-cardinality key column concentrates
+  * the window sort (each key is one task); for such dimensions prefer
+  * broadcasting the (small) right history per key as a sorted array and
+  * probing it with `element_at`/`filter` — O(h) per row with h = versions
+  * per key — which keeps the left side shuffle-free.
+  *
+  * Right-side uniqueness per (keys, ts) is the caller's contract (tie-break
+  * upstream, e.g. keep the max sequence number); duplicates would make
+  * "the" as-of row ambiguous in ANY engine. Equal timestamps match
+  * INCLUSIVELY: a right version at exactly `leftTs` wins (right rows sort
+  * before left rows on ties).
+  */
+object AsOfJoin {
+
+  /** @param left      probe side (events)
+    * @param right     version history; must be unique per (keys, rightTs)
+    * @param keys      equi-key columns present on both sides
+    * @param leftTs    event-time column on `left`
+    * @param rightTs   version-time column on `right`
+    * @param rightVals right columns to carry onto matching left rows; each
+    *                  lands as a column named `asof_<name>`, plus
+    *                  `asof_ts` = the matched version time (NULL on miss)
+    */
+  def latestAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val leftCols = left.columns.toSeq
+    require(
+      !leftCols.exists(c => c == "asof_ts" || rightVals.contains(c.stripPrefix("asof_"))),
+      "left side already carries asof_* columns")
+    // the right payload travels as ONE struct: non-null on every right row
+    // (even when individual fields are null), so the running last() can
+    // never skip back past a legitimate null field to an older version
+    val rStruct = struct(
+      (col(rightTs).as("_ts") +: rightVals.map(col)): _*)
+    val l = left
+      .withColumn("_asof_ts", col(leftTs))
+      .withColumn("_asof_r", lit(null).cast(
+        right.select(rStruct).schema.head.dataType))
+      .withColumn("_asof_is_r", lit(0))
+    val r = right
+      .withColumn("_asof_ts", col(rightTs))
+      .withColumn("_asof_r", rStruct)
+      .withColumn("_asof_is_r", lit(1))
+      .select(
+        (keys.map(col) ++ Seq(col("_asof_ts"), col("_asof_r"), col("_asof_is_r")) ++
+          leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    // right rows first on timestamp ties -> inclusive <= semantics
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_asof_ts").asc, col("_asof_is_r").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val carried = unioned.withColumn("_asof_hit", last(col("_asof_r"), ignoreNulls = true).over(w))
+    carried
+      .filter(col("_asof_is_r") === 0)
+      .select(
+        (leftCols.map(col) :+
+          col("_asof_hit._ts").as("asof_ts")) ++
+          rightVals.map(v => col(s"_asof_hit.$v").as(s"asof_$v")): _*)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.joins.{DynamicJoiner, SaltedJoin, StaticJoiner}
+import graft.joins.{AsOfJoin, DynamicJoiner, RangeJoin, SaltedJoin, StaticJoiner}
 
 /** Verification queries for the join operators (SURVEY §2.5 J1/J2). */
 object JoinQueries {
@@ -198,7 +198,102 @@ object JoinQueries {
        |  FROM env)
        |SELECT traceId, k, 'ref:' || k AS dim_tag FROM sk""".stripMargin
 
+  // ------------------------------------------------------- J4 as-of join
+  /** Config-version history derived from events (every 17th event updates
+    * its event_type's "config"), deduped to one version per (type, ts).
+    */
+  private def cfgHistory(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("ts"))
+      .orderBy(col("event_id").desc)
+    Tables.events(spark, dir)
+      .filter(col("event_id") % 17 === 0)
+      .withColumn("version", round(col("value") * 100).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("ts"), col("version"))
+  }
+
+  /** Every event enriched with the config version in force at its event
+    * time (latest cfg.ts <= ev.ts per type; NULL before the first config).
+    */
+  def j4AsOfJoin(spark: SparkSession, dir: String): DataFrame =
+    AsOfJoin
+      .latestAsOf(
+        Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("ts")),
+        cfgHistory(spark, dir),
+        keys = Seq("event_type"), leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("version"))
+      .select(
+        col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ev_us"),
+        unix_micros(col("asof_ts")).as("cfg_us"),
+        col("asof_version").as("cfg_version"))
+
+  /** DuckDB's native ASOF LEFT JOIN is the independent formulation. */
+  val j4Sql: String =
+    """WITH cfg0 AS (
+      |  SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS version,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type, ts ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE event_id % 17 = 0),
+      |cfg AS (SELECT event_type, ts, version FROM cfg0 WHERE rn = 1)
+      |SELECT e.event_id, e.event_type,
+      |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS ev_us,
+      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS cfg_us,
+      |  c.version AS cfg_version
+      |FROM events e ASOF LEFT JOIN cfg c
+      |  ON e.event_type = c.event_type AND e.ts >= c.ts""".stripMargin
+
+  // ------------------------------------------------------ J5 range join
+  /** Campaign windows derived from events: every 211th event opens a
+    * [ts, ts + (1..7) hours] window for its event_type. Bounds in micros —
+    * integral end to end.
+    */
+  private val HourUs = 3600L * 1000 * 1000
+
+  private def campaignWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_id") % 211 === 0)
+      .select(
+        col("event_id").as("window_id"),
+        col("event_type"),
+        unix_micros(col("ts")).as("ws_us"),
+        (unix_micros(col("ts")) + (col("event_id") % 7 + 1) * HourUs).as("we_us"))
+
+  /** Events aggregated into every same-type campaign window containing
+    * them (N:M — windows overlap). Bucketed interval join, 1 h buckets.
+    */
+  def j5RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      unix_micros(col("ts")).as("ev_us"),
+      round(col("value") * 100).cast("long").as("cents"))
+    RangeJoin
+      .intervalJoin(
+        ev, "ev_us",
+        campaignWindows(spark, dir), "ws_us", "we_us",
+        keys = Seq("event_type"), bucketWidth = HourUs)
+      .groupBy(col("window_id"), col("event_type"), col("ws_us"), col("we_us"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents_sum"))
+  }
+
+  val j5Sql: String =
+    """WITH w AS (
+      |  SELECT event_id AS window_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS ws_us,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7 + 1) * 3600000000 AS we_us
+      |  FROM events WHERE event_id % 211 = 0)
+      |SELECT w.window_id, w.event_type, w.ws_us, w.we_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+      |FROM w JOIN events e
+      |  ON e.event_type = w.event_type
+      | AND epoch_us(CAST(e.ts AS TIMESTAMP)) BETWEEN w.ws_us AND w.we_us
+      |GROUP BY 1, 2, 3, 4""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j4_asof_join" -> j4AsOfJoin,
+    "j5_range_join" -> j5RangeJoin,
     "j3_skew_salted" -> j3SkewSalted,
     "j2_static_enrich" -> j2StaticEnrich,
     "j2_ref_lww" -> j2RefLww,
@@ -208,6 +303,8 @@ object JoinQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "j4_asof_join" -> j4Sql,
+    "j5_range_join" -> j5Sql,
     "j3_skew_salted" -> j3SkewSaltedSql,
     "j2_static_enrich" -> j2Sql,
     "j2_ref_lww" -> j2LwwSql,

@@ -4,10 +4,69 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.joins.{DynamicJoiner, StaticJoiner}
+import graft.joins.{AsOfJoin, DynamicJoiner, RangeJoin, StaticJoiner}
 
 class JoinsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("AsOfJoin.latestAsOf: latest version at-or-before each event, nulls before first") {
+    val left = Seq(
+      (1L, "k", 50L),   // before any version -> null
+      (2L, "k", 100L),  // exactly at v1 -> inclusive match
+      (3L, "k", 150L),  // between v1 and v2 -> v1
+      (4L, "k", 200L),  // at v2 -> v2
+      (5L, "k", 999L),  // far after -> v2
+      (6L, "z", 500L)   // key with no versions at all -> null
+    ).toDF("id", "k", "sec").withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val right = Seq(
+      ("k", 100L, 1L, "cfg1"),
+      ("k", 200L, 2L, null.asInstanceOf[String]) // null FIELD must still win
+    ).toDF("k", "sec", "ver", "tag")
+      .withColumn("vts", timestamp_seconds($"sec")).drop("sec")
+    val out = AsOfJoin.latestAsOf(left, right, Seq("k"), "ts", "vts", Seq("ver", "tag"))
+    val got = out
+      .select($"id", $"asof_ver", $"asof_tag")
+      .as[(Long, Option[Long], Option[String])].collect()
+      .map { case (id, v, t) => id -> ((v, t)) }.toMap
+    assert(out.columns.toSeq === Seq("id", "k", "ts", "asof_ts", "asof_ver", "asof_tag"))
+    assert(got(1L) === ((None, None)))
+    assert(got(2L) === ((Some(1L), Some("cfg1"))))
+    assert(got(3L) === ((Some(1L), Some("cfg1"))))
+    // v2's tag is a legitimate null: the running last() must NOT skip back
+    // to v1's non-null tag (the whole-struct carry pins this)
+    assert(got(4L) === ((Some(2L), None)))
+    assert(got(5L) === ((Some(2L), None)))
+    assert(got(6L) === ((None, None)))
+    // plan shape: one exchange on the key, no join node at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan.take(1500))
+  }
+
+  test("RangeJoin.intervalJoin: inclusive bounds, overlapping N:M, no duplicate pairs") {
+    val pts = Seq((1L, "k", 5L), (2L, "k", 10L), (3L, "k", 25L), (4L, "x", 10L))
+      .toDF("pid", "k", "p")
+    val ivs = Seq(
+      ("k", 10L, 20L, "a"),  // pid 2 at the inclusive start
+      ("k", 0L, 10L, "b"),   // overlaps: pid 1 and pid 2 (inclusive end)
+      ("k", 21L, 30L, "c"),  // pid 3
+      ("x", 0L, 100L, "d")   // other key: only pid 4
+    ).toDF("k", "s", "e", "w")
+    // bucketWidth smaller than spans: intervals explode across buckets,
+    // which is exactly where accidental duplicate emission would show up
+    val out = RangeJoin.intervalJoin(pts, "p", ivs, "s", "e", Seq("k"), bucketWidth = 4L)
+    val got = out.select($"pid", $"w").as[(Long, String)].collect().sorted.toSeq
+    assert(got === Seq((1L, "b"), (2L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // negative points: floor bucketing, not truncation toward zero
+    val negPts = Seq((9L, "k", -5L)).toDF("pid", "k", "p")
+    val negIvs = Seq(("k", -7L, -4L, "n"), ("k", -3L, 0L, "m")).toDF("k", "s", "e", "w")
+    val neg = RangeJoin.intervalJoin(negPts, "p", negIvs, "s", "e", Seq("k"), 4L)
+      .select($"w").as[String].collect().toSeq
+    assert(neg === Seq("n"))
+    // plan shape: a shuffled equi-join, never a nested-loop/cartesian
+    val plan = out.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("nestedloop") && !plan.contains("cartesian"), plan.take(1500))
+  }
+
 
   test("StaticJoiner.enrich: broadcast left join with miss passthrough") {
     val main = Seq((1, "a"), (2, "b"), (3, null.asInstanceOf[String])).toDF("id", "k")
