@@ -49,6 +49,57 @@ object Decontaminate {
       .agg(count_distinct(col("_g")).as("n_hits"))
   }
 
+  /** [[hits]] with a BLOOM-FILTER pre-probe on the corpus side — the shape
+    * production decontamination takes at 100 TB. The broadcast hash join in
+    * [[hits]] ships every corpus gram row into the join; here a bloom
+    * filter over the benchmark grams (Spark's own
+    * `BloomFilterAggregate` / `might_contain` pair, the machinery behind
+    * its injected runtime row-filters) is built ONCE as a scalar subquery —
+    * no driver collect — and the corpus-side scan drops ~all clean grams
+    * with one codegen'd hash probe each, BEFORE any join machinery sees
+    * them. False positives don't matter for correctness: survivors still
+    * pass the exact broadcast join, so the output is byte-identical to
+    * [[hits]] — the bloom only prunes.
+    *
+    * `expectedGrams` sizes the filter (bits ~ 1.44 * n * log2(1/fpp)); at
+    * the default 3% fpp a 10M-gram eval set is a ~9 MB broadcast.
+    */
+  def hitsBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      expectedGrams: Long = 1L << 22
+  ): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    require(expectedGrams > 0, s"expectedGrams must be positive, got $expectedGrams")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val benchGrams = withGrams(bench, textCol, n)
+      .select(explode(col("_grams")).as("_g"))
+      .distinct()
+    val bloomDF = benchGrams.select(
+      ColumnBridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(ColumnBridge.expression(col("_g")))),
+          expectedGrams
+        ).toAggregateExpression()
+      ).as("bloom"))
+    val probe = (g: Column) =>
+      ColumnBridge.column(
+        BloomFilterMightContain(
+          ScalarSubquery(bloomDF.queryExecution.analyzed),
+          new XxHash64(Seq(ColumnBridge.expression(g)))))
+    withGrams(train, textCol, n)
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .filter(probe(col("_g")))
+      .join(broadcast(benchGrams), Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("_g")).as("n_hits"))
+  }
+
   /** The one-call clean face: `train` minus every contaminated doc (LEFT
     * ANTI join on the hit list — the id-only hit frame joins, the text
     * column never shuffles).

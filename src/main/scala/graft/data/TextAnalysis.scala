@@ -192,6 +192,68 @@ object TextAnalysis {
   /** Document fingerprint: md5 of the normalized text (lowercase, non-alnum
     * collapsed) plus its 60-bit long form for compact joins.
     */
+  /** BM25 retrieval scoring of the corpus against a fixed term set — the
+    * relevance-ranking face of corpus curation (pull the documents most
+    * "about" a topic into a training mix, or rank boilerplate away).
+    *
+    * Uses the RATIONAL idf `(N - df + 0.5) / (df + 0.5)` — the argument of
+    * BM25's log, without the log. The ranking changes (log compresses
+    * high-idf terms), but every arithmetic op is IEEE +,*,/ — correctly
+    * rounded and therefore BIT-IDENTICAL across engines, which `ln` is
+    * not — so the oracle can hash-match the scores exactly. Callers who
+    * need classic BM25 monotonicity per term get it anyway: the rational
+    * idf is a monotone transform of the log idf for a SINGLE term; only
+    * multi-term mixes weigh rare terms harder.
+    *
+    * Scale shape: two corpus passes, no per-doc shuffle. Pass 1 aggregates
+    * (N, total doclen, per-term df) into ONE row that broadcast-cross-joins
+    * back; pass 2 computes every per-(doc, term) tf from the pinned token
+    * array in the scan, folds term scores in fixed alphabetical order
+    * (float addition is not associative — a stable fold order is what
+    * makes the result reproducible run to run), and TakeOrderedAndProject
+    * keeps the global top-k as per-partition heaps + one driver merge.
+    * Scores ship as `floor(score * 1e6)` longs.
+    */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      topK: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val terms = queryTerms.sorted
+    val toked = df
+      .withColumn("_t", graft.functions.ComputeOnce(tokens(col(textCol))))
+      .withColumn("_dl", size(col("_t")))
+    val statAggs =
+      count(lit(1)).as("_bm_n") +:
+        sum(col("_dl").cast("long")).as("_bm_sumdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("_t"), t), 1L).otherwise(0L)).as(s"_bm_df_$i")
+        }
+    val stats = toked.agg(statAggs.head, statAggs.tail: _*)
+    val n = col("_bm_n").cast("double")
+    val avgdl = col("_bm_sumdl").cast("double") / n
+    def termScore(t: String, i: Int): Column = {
+      val tf = size(filter(col("_t"), x => x === lit(t))).cast("double")
+      val dfT = col(s"_bm_df_$i").cast("double")
+      val idf = (n - dfT + lit(0.5)) / (dfT + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
+    }
+    val total = terms.zipWithIndex.map((termScore _).tupled).reduce(_ + _)
+    toked
+      .crossJoin(broadcast(stats))
+      .select(col(idCol), floor(total * lit(1e6)).as("bm25_e6"))
+      .orderBy(col("bm25_e6").desc, col(idCol))
+      .limit(topK)
+  }
+
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")
     df.select(

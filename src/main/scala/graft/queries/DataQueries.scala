@@ -768,6 +768,73 @@ object DataQueries {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  /** The bloom-pruned face of decontamination at word 3-grams (shorter
+    * grams -> 171 contaminated docs at sf0.01, a real result set where the
+    * 4-gram exact face sees 8): identical output contract to
+    * [[dDecontaminate]] — the bloom is a pure pruner; the exact join
+    * decides — verified against the same exact-SQL oracle shape.
+    */
+  def dDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Decontaminate.hitsBloom(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", n = 3)
+  }
+
+  val dDecontaminateBloomSql: String =
+    s"""WITH $toksCte,
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t)-2, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS g
+       |  FROM toks),
+       |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+       |SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits
+       |FROM grams JOIN bg USING (g)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ BM25 ranking
+  /** Top-50 docs for a 3-term topic query, rational-idf BM25 (see
+    * [[TextAnalysis.bm25TopK]] for why the log-free variant hash-matches).
+    */
+  def tBm25(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(
+      Tables.documents(spark, dir), "doc_id", "text",
+      queryTerms = Seq("filter", "hash", "vector"), topK = 50)
+
+  // constants interpolated from the SAME Scala doubles the operator uses:
+  // Double.toString round-trips exactly, so both engines parse the
+  // identical bit pattern (a hand-typed "2.2" could round differently
+  // from Scala's 1.2 + 1.0)
+  val tBm25Sql: String = {
+    val (k1, b) = (1.2, 0.75)
+    def s(term: String, dfc: String): String =
+      s"""((((CAST(n AS DOUBLE) - CAST($dfc AS DOUBLE)) + 0.5) / (CAST($dfc AS DOUBLE) + 0.5))
+         | * (CAST(len(list_filter(t, x -> x = '$term')) AS DOUBLE) * ${k1 + 1.0})
+         | / (CAST(len(list_filter(t, x -> x = '$term')) AS DOUBLE)
+         |    + $k1 * (${1.0 - b} + ($b * CAST(len(t) AS DOUBLE)) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))""".stripMargin
+    s"""WITH $toksCte,
+       |stats AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |         CAST(SUM(len(t)) AS BIGINT) AS sumdl,
+       |         CAST(SUM(CASE WHEN list_contains(t, 'filter') THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+       |         CAST(SUM(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+       |         CAST(SUM(CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END) AS BIGINT) AS df2
+       |  FROM toks),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ((${s("filter", "df0")}
+       |     + ${s("hash", "df1")})
+       |     + ${s("vector", "df2")}) AS total
+       |  FROM toks, stats)
+       |SELECT doc_id, CAST(floor(total * 1000000.0) AS BIGINT) AS bm25_e6
+       |FROM scored
+       |ORDER BY bm25_e6 DESC, doc_id
+       |LIMIT 50""".stripMargin
+  }
+
   // ------------------------------------------------- repetition profile
   def tRepetition(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionProfile(Tables.documents(spark, dir), "doc_id", "text")
@@ -997,6 +1064,8 @@ object DataQueries {
     "t_redact" -> tRedact,
     "d_corpus_assembly" -> dCorpusAssembly,
     "d_decontaminate" -> dDecontaminate,
+    "d_decontaminate_bloom" -> dDecontaminateBloom,
+    "t_bm25" -> tBm25,
     "t_repetition" -> tRepetition,
     "d_corpus_shuffle" -> dCorpusShuffle,
     "d_chunk" -> dChunk,
@@ -1032,6 +1101,8 @@ object DataQueries {
     "t_redact" -> tRedactSql,
     "d_corpus_assembly" -> dCorpusAssemblySql,
     "d_decontaminate" -> dDecontaminateSql,
+    "d_decontaminate_bloom" -> dDecontaminateBloomSql,
+    "t_bm25" -> tBm25Sql,
     "t_repetition" -> tRepetitionSql,
     "d_corpus_shuffle" -> dCorpusShuffleSql,
     "d_chunk" -> dChunkSql,

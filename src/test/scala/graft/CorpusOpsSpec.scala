@@ -66,6 +66,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cleaned === Set(3L, 4L))
   }
 
+  test("decontaminate bloom face: identical output to exact face, bloom probe in the plan") {
+    // real-ish corpus so the bloom prunes something: documents at sf0.001
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter(pmod($"doc_id", lit(97)) =!= 0)
+    val bench = docs.filter(pmod($"doc_id", lit(97)) === 0)
+    val exact = graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val bloomed = graft.data.Decontaminate.hitsBloom(train, bench, "doc_id", "text", n = 4)
+    val got = bloomed.as[(Long, Long)].collect().sorted.toSeq
+    assert(exact.nonEmpty, "fixture produced no contamination — test is vacuous")
+    assert(got === exact)
+    // the pre-probe is really in the plan, upstream of the exact join
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("repetitionProfile: exact counts for a crafted doc, empty doc safe") {
     val docs = Seq(
       (1L, "a a a b"), // words=4, distinct=2, top=3, 2grams=3 (a a, a a, a b) distinct=2

@@ -102,6 +102,43 @@ class DataOpsSpec extends SparkSpec {
     assert(got === Array("en", "es", "und"))
   }
 
+  test("bm25TopK: matches the formula computed in plain Scala, ranks and limits deterministically") {
+    val docs = Seq(
+      (1L, "hash join hash probe"),     // tf(hash)=2
+      (2L, "sort merge join"),          // no query term
+      (3L, "hash"),                     // short doc: length norm boosts it
+      (4L, "scan filter scan filter scan filter"), // tf(filter)=3, long
+      (5L, "")                          // empty doc scores 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", Seq("hash", "filter"), topK = 3)
+      .as[(Long, Long)].collect().toSeq
+    // plain-Scala mirror of the operator's exact expression tree
+    val toks = Map(
+      1L -> Seq("hash", "join", "hash", "probe"), 2L -> Seq("sort", "merge", "join"),
+      3L -> Seq("hash"), 4L -> Seq("scan", "filter", "scan", "filter", "scan", "filter"),
+      5L -> Seq.empty[String])
+    val (k1, b) = (1.2, 0.75)
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / n
+    def score(id: Long): Double =
+      Seq("filter", "hash").map { t => // alphabetical fold order
+        val df = toks.values.count(_.contains(t)).toDouble
+        val tf = toks(id).count(_ == t).toDouble
+        val dl = toks(id).size.toDouble
+        (n - df + 0.5) / (df + 0.5) * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+      }.reduce(_ + _)
+    val want = toks.keys.toSeq
+      .map(id => id -> math.floor(score(id) * 1e6).toLong)
+      .sortBy { case (id, s) => (-s, id) }.take(3)
+    assert(got === want)
+    // empty docs and no-term docs sit at 0, excluded by the limit
+    assert(!got.map(_._1).contains(5L) && !got.map(_._1).contains(2L))
+    intercept[IllegalArgumentException](
+      TextAnalysis.bm25TopK(docs, "doc_id", "text", Seq("a", "a"), 3))
+  }
+
   test("multimodal decodeStub: deterministic features through mapPartitions") {
     val payload = "hello world, this is a long enough media payload to sample frames from"
     val df = Seq((7L, payload)).toDF("doc_id", "text")
