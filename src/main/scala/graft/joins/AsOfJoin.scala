@@ -81,11 +81,46 @@ object AsOfJoin {
       .orderBy(col("_asof_ts").asc, col("_asof_is_r").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val carried = unioned.withColumn("_asof_hit", last(col("_asof_r"), ignoreNulls = true).over(w))
-    carried
-      .filter(col("_asof_is_r") === 0)
-      .select(
-        (leftCols.map(col) :+
-          col("_asof_hit._ts").as("asof_ts")) ++
-          rightVals.map(v => col(s"_asof_hit.$v").as(s"asof_$v")): _*)
+    unpackHit(carried.filter(col("_asof_is_r") === 0), leftCols, rightVals)
   }
+
+  /** The LOW-CARDINALITY-KEY face of [[latestAsOf]]: when the key column
+    * has few distinct values, the window formulation concentrates each key
+    * into one task — here the (small) version history is instead collapsed
+    * to ONE sorted array per key and broadcast, so the left side stays
+    * completely shuffle-free and every partition probes its local copy.
+    * Probe cost is O(h) per row (h = versions of that key; a filter +
+    * take-last over the array) — fine for the slowly-changing dimensions
+    * this face is for. Same contract and output as [[latestAsOf]].
+    */
+  def latestAsOfBroadcast(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightVals: Seq[String]
+  ): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key column")
+    val leftCols = left.columns.toSeq
+    // struct sorts by field order: _ts first = chronological history
+    val rStruct = struct((col(rightTs).as("_ts") +: rightVals.map(col)): _*)
+    val hist = right
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(rStruct)).as("_asof_hist"))
+    val probed = left
+      .join(broadcast(hist), keys, "left")
+      .withColumn(
+        "_asof_hit",
+        // try_element_at: an empty filtered array (all versions later than
+        // the event) is a MISS, not an ANSI out-of-bounds error
+        try_element_at(filter(col("_asof_hist"), v => v("_ts") <= col(leftTs)), lit(-1)))
+    unpackHit(probed, leftCols, rightVals)
+  }
+
+  private def unpackHit(df: DataFrame, leftCols: Seq[String], rightVals: Seq[String]): DataFrame =
+    df.select(
+      (leftCols.map(col) :+
+        col("_asof_hit._ts").as("asof_ts")) ++
+        rightVals.map(v => col(s"_asof_hit.$v").as(s"asof_$v")): _*)
 }

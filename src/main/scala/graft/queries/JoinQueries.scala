@@ -230,6 +230,24 @@ object JoinQueries {
         unix_micros(col("asof_ts")).as("cfg_us"),
         col("asof_version").as("cfg_version"))
 
+  /** The broadcast face on the same data — event_type has 5 distinct
+    * values, exactly the low-cardinality-key case it exists for (the
+    * window face would sort everything in 5 tasks; this one stays
+    * shuffle-free on the event side).
+    */
+  def j4AsOfBroadcast(spark: SparkSession, dir: String): DataFrame =
+    AsOfJoin
+      .latestAsOfBroadcast(
+        Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("ts")),
+        cfgHistory(spark, dir),
+        keys = Seq("event_type"), leftTs = "ts", rightTs = "ts",
+        rightVals = Seq("version"))
+      .select(
+        col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ev_us"),
+        unix_micros(col("asof_ts")).as("cfg_us"),
+        col("asof_version").as("cfg_version"))
+
   /** DuckDB's native ASOF LEFT JOIN is the independent formulation. */
   val j4Sql: String =
     """WITH cfg0 AS (
@@ -293,6 +311,7 @@ object JoinQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j4_asof_join" -> j4AsOfJoin,
+    "j4_asof_broadcast" -> j4AsOfBroadcast,
     "j5_range_join" -> j5RangeJoin,
     "j3_skew_salted" -> j3SkewSalted,
     "j2_static_enrich" -> j2StaticEnrich,
@@ -304,6 +323,7 @@ object JoinQueries {
 
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4Sql,
+    "j4_asof_broadcast" -> j4Sql,
     "j5_range_join" -> j5Sql,
     "j3_skew_salted" -> j3SkewSaltedSql,
     "j2_static_enrich" -> j2Sql,

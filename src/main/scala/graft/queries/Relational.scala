@@ -416,7 +416,90 @@ object Relational {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
       |GROUP BY 1""".stripMargin
 
+  /** ROLLUP revenue by (nation, order year): subtotals per nation and the
+    * grand total in one pass — Spark expands grouping sets inside a single
+    * partial+final aggregate, no extra shuffle per level. Explicit
+    * per-column GROUPING flags (not a combined grouping_id) so a genuine
+    * NULL key can never be confused with a rolled-up level.
+    */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .withColumn("yr", year($"o_orderdate".cast("timestamp")).cast("long"))
+      .rollup($"n_name", $"yr")
+      .agg(
+        // grouping() is only legal inside the grouping-sets aggregate
+        grouping($"n_name").cast("long").as("g_nation"),
+        grouping($"yr").cast("long").as("g_year"),
+        sum(cents($"o_totalprice")).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val qRollupSql: String =
+    """SELECT n_name, yr,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      |  CAST(GROUPING(yr) AS BIGINT) AS g_year,
+      |  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders
+      |FROM (
+      |  SELECT n_name,
+      |    CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY ROLLUP (n_name, yr)""".stripMargin
+
+  /** Analytic window functions over the order history: per-customer price
+    * rank, previous order value, running revenue, and quartile — the
+    * rank/lag/running-sum/ntile surface a reference user reaches for first.
+    * Both windows share ONE partition key (c_custkey), so the plan is a
+    * single exchange + two in-partition sorts; every ordering carries
+    * o_orderkey as the unique tiebreak, which is what makes rank/lag/ntile
+    * deterministic and hash-matchable.
+    */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val byPrice = Window.partitionBy($"o_custkey")
+      .orderBy($"price_cents".desc, $"o_orderkey")
+    val byDate = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("price_cents", cents($"o_totalprice"))
+      .select(
+        $"o_orderkey", $"o_custkey",
+        rank().over(byPrice).cast("long").as("price_rank"),
+        lag($"price_cents", 1).over(byDate).as("prev_cents"),
+        sum($"price_cents")
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_cents"),
+        ntile(4).over(byDate).cast("long").as("quartile"))
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(RANK() OVER (PARTITION BY o_custkey
+      |    ORDER BY cents DESC, o_orderkey) AS BIGINT) AS price_rank,
+      |  LAG(cents, 1) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS prev_cents,
+      |  CAST(SUM(cents) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS quartile
+      |FROM (
+      |  SELECT o_orderkey, o_custkey, o_orderdate,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> qRollup,
+    "q_window_funcs" -> qWindowFuncs,
     "q4_priority_exists" -> q4PriorityExists,
     "q22_no_orders" -> q22NoOrders,
     "q_sketch_cardinality" -> qSketchCardinality,
@@ -432,6 +515,8 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" -> qRollupSql,
+    "q_window_funcs" -> qWindowFuncsSql,
     "q4_priority_exists" -> q4Sql,
     "q22_no_orders" -> q22Sql,
     "q_sketch_cardinality" -> qSketchCardinalitySql,

@@ -42,6 +42,26 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), plan.take(1500))
   }
 
+  test("AsOfJoin.latestAsOfBroadcast: same answers as the window face, broadcast plan") {
+    val left = Seq(
+      (1L, "k", 50L), (2L, "k", 100L), (3L, "k", 150L),
+      (4L, "k", 200L), (5L, "k", 999L), (6L, "z", 500L)
+    ).toDF("id", "k", "sec").withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val right = Seq(
+      ("k", 100L, 1L, "cfg1"),
+      ("k", 200L, 2L, null.asInstanceOf[String])
+    ).toDF("k", "sec", "ver", "tag")
+      .withColumn("vts", timestamp_seconds($"sec")).drop("sec")
+    val windowed = AsOfJoin.latestAsOf(left, right, Seq("k"), "ts", "vts", Seq("ver", "tag"))
+    val broadcasted = AsOfJoin.latestAsOfBroadcast(left, right, Seq("k"), "ts", "vts", Seq("ver", "tag"))
+    assert(broadcasted.columns.toSeq === windowed.columns.toSeq)
+    val a = windowed.orderBy($"id").collect().toSeq
+    val b = broadcasted.orderBy($"id").collect().toSeq
+    assert(b === a)
+    val plan = broadcasted.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
   test("RangeJoin.intervalJoin: inclusive bounds, overlapping N:M, no duplicate pairs") {
     val pts = Seq((1L, "k", 5L), (2L, "k", 10L), (3L, "k", 25L), (4L, "x", 10L))
       .toDF("pid", "k", "p")
