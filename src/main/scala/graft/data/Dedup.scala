@@ -338,4 +338,47 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup: cluster the embedding space with a
+    * coarse quantizer, compare pairs only WITHIN a cluster, and drop every
+    * vector whose cosine to a lower-id cluster-mate reaches `threshold`
+    * (keep-lowest-id, like the exact and MinHash faces). Near-duplicate
+    * MEANING — paraphrases, re-encodings, boilerplate variants — that no
+    * lexical dedup can see.
+    *
+    * Scale shape: the all-pairs quadratic is fenced per cluster —
+    * (n/k)^2 per bucket instead of n^2 — and k grows with the corpus so
+    * the per-bucket population stays task-sized (SemDeDup runs k ~ 10k+ at
+    * web scale). Assignment is the zero-shuffle [[Similarity.assignNearest]]
+    * scan; the only shuffle is the bucket equi-join. Misses across cluster
+    * boundaries are the method's documented recall trade-off; tighten with
+    * more Lloyd iterations ([[Similarity.trainCentroids]]) or multi-probe
+    * assignment, not a bigger join.
+    *
+    * Returns every corpus row: (idCol, cluster, dup_of — lowest-id
+    * cluster-mate at/above threshold, NULL if none — keep = dup_of IS NULL).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      threshold: Double
+  ): DataFrame = {
+    val assigned = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_bk", Similarity.assignNearest(col("_v"), centroids))
+    val a = assigned.select(col("_bk"), col(idCol).as("_i"), col("_v").as("_va"))
+    val b = assigned.select(col("_bk"), col(idCol).as("_j"), col("_v").as("_vb"))
+    val dups = a.join(b, Seq("_bk"))
+      .filter(col("_i") < col("_j"))
+      .filter(Similarity.cosine(col("_va"), col("_vb")) >= threshold)
+      .groupBy(col("_j"))
+      .agg(min(col("_i")).as("dup_of"))
+      .withColumnRenamed("_j", idCol)
+    assigned
+      .select(col(idCol), col("_bk").cast("long").as("cluster"))
+      .join(dups, Seq(idCol), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
 }

@@ -459,6 +459,39 @@ object DataQueries {
        |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
        |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** SemDeDup over the embedding table: the 16 seeded centroids cluster the
+    * space, within-cluster cosine >= 0.40 marks semantic duplicates,
+    * keep-lowest-id. The oracle replays seed selection, argmax assignment,
+    * and the cosine fold with the exact CTEs `s_ann_ivf_seeded` proved out.
+    */
+  def dSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 16)
+    Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40)
+  }
+
+  val dSemDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |sc AS (
+       |  SELECT e.vec_id, e.v, s.j, ${cosSql("e.v", "s.cv")} AS cosv
+       |  FROM e CROSS JOIN seeds s),
+       |assigned AS (
+       |  SELECT vec_id, v, j AS bk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosv DESC, j ASC) AS rn
+       |    FROM sc)
+       |  WHERE rn = 1),
+       |dup AS (
+       |  SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+       |  FROM assigned a JOIN assigned b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.40
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, CAST(s.bk AS BIGINT) AS cluster, d.dup_of,
+       |  d.dup_of IS NULL AS keep
+       |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
+
   /** Sign-LSH ANN: the label-free scale path — buckets from 8 deterministic
     * hyperplanes (no natural coarse column needed), then the same bucket
     * equi-join as the IVF query. The oracle inlines the identical plane
@@ -1065,6 +1098,7 @@ object DataQueries {
     "d_corpus_assembly" -> dCorpusAssembly,
     "d_decontaminate" -> dDecontaminate,
     "d_decontaminate_bloom" -> dDecontaminateBloom,
+    "d_semdedup" -> dSemDedup,
     "t_bm25" -> tBm25,
     "t_repetition" -> tRepetition,
     "d_corpus_shuffle" -> dCorpusShuffle,
@@ -1102,6 +1136,7 @@ object DataQueries {
     "d_corpus_assembly" -> dCorpusAssemblySql,
     "d_decontaminate" -> dDecontaminateSql,
     "d_decontaminate_bloom" -> dDecontaminateBloomSql,
+    "d_semdedup" -> dSemDedupSql,
     "t_bm25" -> tBm25Sql,
     "t_repetition" -> tRepetitionSql,
     "d_corpus_shuffle" -> dCorpusShuffleSql,

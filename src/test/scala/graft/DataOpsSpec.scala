@@ -102,6 +102,39 @@ class DataOpsSpec extends SparkSpec {
     assert(got === Array("en", "es", "und"))
   }
 
+  test("semanticDedup: within-cluster near-dups dropped keep-lowest-id, cross-cluster twins survive") {
+    // two orthogonal cluster directions; centroids given explicitly
+    val ex = Seq(1.0, 0.0, 0.0, 0.0)
+    val ey = Seq(0.0, 1.0, 0.0, 0.0)
+    def mix(a: Double, b: Double) = Seq(a, b, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, ex),             // cluster x, kept (lowest id of its dup group)
+      (2L, mix(0.99, 0.01)),// ~identical direction to 1 -> dropped, dup_of 1
+      (3L, mix(0.8, 0.6)),  // cluster x but dissimilar enough -> kept
+      (4L, ey),             // cluster y, kept
+      (5L, mix(0.01, 0.99)) // ~identical to 4 -> dropped, dup_of 4
+    ).toDF("vec_id", "v")
+    val got = graft.data.Dedup
+      .semanticDedup(vecs, "vec_id", "v", Seq(ex, ey), threshold = 0.95)
+      .select($"vec_id", $"cluster", $"dup_of", $"keep")
+      .as[(Long, Long, Option[Long], Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (1L, 0L, None, true),
+      (2L, 0L, Some(1L), false),
+      (3L, 0L, None, true),
+      (4L, 1L, None, true),
+      (5L, 1L, Some(4L), false)))
+    // cluster boundary fences the compare: vector 6 is cosine ~0.98 to
+    // vector 3 (over the 0.95 threshold) but lands in cluster y, so the
+    // pair is never compared and 6 survives — the method's documented
+    // recall trade-off
+    val crossTwin = vecs.union(Seq((6L, mix(0.68, 0.73))).toDF("vec_id", "v"))
+    val kept6 = graft.data.Dedup
+      .semanticDedup(crossTwin, "vec_id", "v", Seq(ex, ey), threshold = 0.95)
+      .filter($"vec_id" === 6L).select($"cluster", $"keep").as[(Long, Boolean)].head()
+    assert(kept6 === ((1L, true)))
+  }
+
   test("bm25TopK: matches the formula computed in plain Scala, ranks and limits deterministically") {
     val docs = Seq(
       (1L, "hash join hash probe"),     // tf(hash)=2
