@@ -89,9 +89,11 @@ object AsOfJoin {
     * into one task — here the (small) version history is instead collapsed
     * to ONE sorted array per key and broadcast, so the left side stays
     * completely shuffle-free and every partition probes its local copy.
-    * Probe cost is O(h) per row (h = versions of that key; a filter +
-    * take-last over the array) — fine for the slowly-changing dimensions
-    * this face is for. Same contract and output as [[latestAsOf]].
+    * The probe is [[graft.functions.AsOfPick]] — a codegen'd binary search
+    * over the sorted history, O(log h) per row (the composable
+    * filter + take-last formulation is O(h) with a lambda frame per
+    * element: 10.2 s vs sub-second at sf0.1 on ~1200-version histories).
+    * Same contract and output as [[latestAsOf]].
     */
   def latestAsOfBroadcast(
       left: DataFrame,
@@ -112,9 +114,7 @@ object AsOfJoin {
       .join(broadcast(hist), keys, "left")
       .withColumn(
         "_asof_hit",
-        // try_element_at: an empty filtered array (all versions later than
-        // the event) is a MISS, not an ANSI out-of-bounds error
-        try_element_at(filter(col("_asof_hist"), v => v("_ts") <= col(leftTs)), lit(-1)))
+        graft.functions.AsOfPick(col("_asof_hist"), col(leftTs)))
     unpackHit(probed, leftCols, rightVals)
   }
 

@@ -497,7 +497,49 @@ object Relational {
       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
       |  FROM orders)""".stripMargin
 
+  /** EXACT discrete quartiles per group (percentile_disc semantics: the
+    * element at rank ceil(p*n) under a unique ordering) — the exact
+    * counterpart of the GK-sketch entry, and unlike interpolated
+    * percentiles it is integer end-to-end, so it hash-matches. Plan: one
+    * exchange on the group key, one in-partition sort shared by the
+    * row_number and the count, then an ordinary aggregate — exact
+    * distributed medians without ever collecting a group.
+    */
+  def qQuartilesDisc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"cents", $"event_id")
+    Tables.events(spark, dir)
+      .select($"event_type", cents($"value").as("cents"), $"event_id")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"event_type")))
+      .groupBy($"event_type")
+      .agg(
+        // ceil(k*n/4) in pure integer arithmetic: (k*n + 3) DIV 4
+        max(when($"rn" === expr("(n + 3) DIV 4"), $"cents")).as("p25_cents"),
+        max(when($"rn" === expr("(n + 1) DIV 2"), $"cents")).as("p50_cents"),
+        max(when($"rn" === expr("(3 * n + 3) DIV 4"), $"cents")).as("p75_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  val qQuartilesDiscSql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM e)
+      |SELECT event_type,
+      |  MAX(CASE WHEN rn = (n + 3) // 4 THEN cents END) AS p25_cents,
+      |  MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+      |  MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN cents END) AS p75_cents,
+      |  COUNT(*) AS n
+      |FROM r GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quartiles_disc" -> qQuartilesDisc,
     "q_rollup" -> qRollup,
     "q_window_funcs" -> qWindowFuncs,
     "q4_priority_exists" -> q4PriorityExists,
@@ -515,6 +557,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quartiles_disc" -> qQuartilesDiscSql,
     "q_rollup" -> qRollupSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q4_priority_exists" -> q4Sql,

@@ -62,6 +62,25 @@ class JoinsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("AsOfPick: generated code compiles under CODEGEN_ONLY (no silent interpreted fallback)") {
+    // a Janino failure normally degrades to interpreted evaluation with no
+    // plan marker (r4 lesson) — force codegen so it would throw instead
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val left = Seq((1L, "k", 50L), (2L, "k", 150L))
+        .toDF("id", "k", "sec").withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+      val right = Seq(("k", 100L, 7L)).toDF("k", "sec", "ver")
+        .withColumn("vts", timestamp_seconds($"sec")).drop("sec")
+      val got = AsOfJoin.latestAsOfBroadcast(left, right, Seq("k"), "ts", "vts", Seq("ver"))
+        .select($"id", $"asof_ver").as[(Long, Option[Long])].collect().toMap
+      assert(got === Map(1L -> None, 2L -> Some(7L)))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("RangeJoin.intervalJoin: inclusive bounds, overlapping N:M, no duplicate pairs") {
     val pts = Seq((1L, "k", 5L), (2L, "k", 10L), (3L, "k", 25L), (4L, "x", 10L))
       .toDF("pid", "k", "p")
@@ -87,6 +106,26 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("nestedloop") && !plan.contains("cartesian"), plan.take(1500))
   }
 
+
+  test("RangeJoin.intervalJoin: streaming points against static intervals (ingest-gate shape)") {
+    implicit val sc = spark.sqlContext
+    val ivs = Seq(("k", 0L, 10L, "w1"), ("k", 20L, 30L, "w2")).toDF("k", "s", "e", "w")
+    val mem = MemoryStream[(Long, String, Long)]
+    val joined = RangeJoin.intervalJoin(
+      mem.toDS().toDF("pid", "k", "p"), "p", ivs, "s", "e", Seq("k"), bucketWidth = 8L)
+    val q = joined.writeStream.format("memory").queryName("rj_stream").outputMode("append").start()
+    try {
+      mem.addData((1L, "k", 5L), (2L, "k", 15L), (3L, "k", 25L))
+      q.processAllAvailable()
+      val got = spark.table("rj_stream").select($"pid", $"w").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "w1"), (3L, "w2"))) // 15 falls in no window
+      // later micro-batch joins against the same static side
+      mem.addData((4L, "k", 10L)) // inclusive end of w1
+      q.processAllAvailable()
+      val got2 = spark.table("rj_stream").select($"pid", $"w").as[(Long, String)].collect().toSet
+      assert(got2 === Set((1L, "w1"), (3L, "w2"), (4L, "w1")))
+    } finally q.stop()
+  }
 
   test("StaticJoiner.enrich: broadcast left join with miss passthrough") {
     val main = Seq((1, "a"), (2, "b"), (3, null.asInstanceOf[String])).toDF("id", "k")
