@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as the
+// bench metric JSON. Two sbt behaviors have broken that for five rounds:
+// the "[info] " prefix sbt's LoggedOutput adds to forked-process stdout, and
+// the "[success] Total time: ..." footer printed after the task. StdoutOutput
+// passes the child's stdout through verbatim; showSuccess drops the footer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -199,33 +199,39 @@ object JoinQueries {
        |SELECT traceId, k, 'ref:' || k AS dim_tag FROM sk""".stripMargin
 
   // ------------------------------------------------------- J4 as-of join
-  /** Config-version history derived from events (every 17th event updates
-    * its event_type's "config"), deduped to one version per (type, ts).
+  /** Config-version history derived from events (every 17th event updates a
+    * config for the given key column), deduped to one version per (key, ts).
     */
-  private def cfgHistory(spark: SparkSession, dir: String): DataFrame = {
+  private def cfgHistory(spark: SparkSession, dir: String, key: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type"), col("ts"))
+      .partitionBy(col(key), col("ts"))
       .orderBy(col("event_id").desc)
     Tables.events(spark, dir)
       .filter(col("event_id") % 17 === 0)
       .withColumn("version", round(col("value") * 100).cast("long"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("event_type"), col("ts"), col("version"))
+      .select(col(key), col("ts"), col("version"))
   }
 
-  /** Every event enriched with the config version in force at its event
-    * time (latest cfg.ts <= ev.ts per type; NULL before the first config).
+  /** Every event enriched with its USER's config version in force at event
+    * time (latest cfg.ts <= ev.ts per user; NULL before the first config).
+    * Keyed on `user_id` — high cardinality (scales linearly with SF), the
+    * regime the window formulation is FOR: the single hash exchange fans
+    * out across all partitions instead of concentrating into one task per
+    * key. The low-cardinality `event_type` key lives on the broadcast face
+    * below ([[j4AsOfBroadcast]]); r5 benched this face on event_type (5
+    * distinct values = 5 tasks), pairing the faces backwards.
     */
   def j4AsOfJoin(spark: SparkSession, dir: String): DataFrame =
     AsOfJoin
       .latestAsOf(
-        Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("ts")),
-        cfgHistory(spark, dir),
-        keys = Seq("event_type"), leftTs = "ts", rightTs = "ts",
+        Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts")),
+        cfgHistory(spark, dir, "user_id"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
         rightVals = Seq("version"))
       .select(
-        col("event_id"), col("event_type"),
+        col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ev_us"),
         unix_micros(col("asof_ts")).as("cfg_us"),
         col("asof_version").as("cfg_version"))
@@ -239,7 +245,7 @@ object JoinQueries {
     AsOfJoin
       .latestAsOfBroadcast(
         Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("ts")),
-        cfgHistory(spark, dir),
+        cfgHistory(spark, dir, "event_type"),
         keys = Seq("event_type"), leftTs = "ts", rightTs = "ts",
         rightVals = Seq("version"))
       .select(
@@ -249,18 +255,21 @@ object JoinQueries {
         col("asof_version").as("cfg_version"))
 
   /** DuckDB's native ASOF LEFT JOIN is the independent formulation. */
-  val j4Sql: String =
-    """WITH cfg0 AS (
-      |  SELECT event_type, ts, CAST(round(value * 100) AS BIGINT) AS version,
-      |         ROW_NUMBER() OVER (PARTITION BY event_type, ts ORDER BY event_id DESC) AS rn
-      |  FROM events WHERE event_id % 17 = 0),
-      |cfg AS (SELECT event_type, ts, version FROM cfg0 WHERE rn = 1)
-      |SELECT e.event_id, e.event_type,
-      |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS ev_us,
-      |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS cfg_us,
-      |  c.version AS cfg_version
-      |FROM events e ASOF LEFT JOIN cfg c
-      |  ON e.event_type = c.event_type AND e.ts >= c.ts""".stripMargin
+  private def asofSql(key: String): String =
+    s"""WITH cfg0 AS (
+       |  SELECT $key, ts, CAST(round(value * 100) AS BIGINT) AS version,
+       |         ROW_NUMBER() OVER (PARTITION BY $key, ts ORDER BY event_id DESC) AS rn
+       |  FROM events WHERE event_id % 17 = 0),
+       |cfg AS (SELECT $key, ts, version FROM cfg0 WHERE rn = 1)
+       |SELECT e.event_id, e.$key,
+       |  epoch_us(CAST(e.ts AS TIMESTAMP)) AS ev_us,
+       |  epoch_us(CAST(c.ts AS TIMESTAMP)) AS cfg_us,
+       |  c.version AS cfg_version
+       |FROM events e ASOF LEFT JOIN cfg c
+       |  ON e.$key = c.$key AND e.ts >= c.ts""".stripMargin
+
+  val j4Sql: String = asofSql("user_id")
+  val j4BroadcastSql: String = asofSql("event_type")
 
   // ------------------------------------------------------ J5 range join
   /** Campaign windows derived from events: every 211th event opens a
@@ -323,7 +332,7 @@ object JoinQueries {
 
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4Sql,
-    "j4_asof_broadcast" -> j4Sql,
+    "j4_asof_broadcast" -> j4BroadcastSql,
     "j5_range_join" -> j5Sql,
     "j3_skew_salted" -> j3SkewSaltedSql,
     "j2_static_enrich" -> j2Sql,

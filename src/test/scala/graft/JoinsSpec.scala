@@ -42,6 +42,30 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), plan.take(1500))
   }
 
+  test("j4_asof_join benched entry: window face fans out past the 5-type regime") {
+    // r5 benched the window face keyed on event_type (5 distinct values), so
+    // the whole union sorted in 5 tasks — its own scaladoc's worst case. The
+    // entry is now keyed on user_id; pin that the single hash exchange
+    // actually spreads rows across more than 5 partitions.
+    // the shared test session runs 4 shuffle partitions + AQE coalescing —
+    // widen the shuffle and pin partitioning for the duration of this probe
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val out = graft.queries.JoinQueries.j4AsOfJoin(spark, sf)
+      val partsWithRows = out.rdd
+        .mapPartitionsWithIndex((i, it) => if (it.hasNext) Iterator(i) else Iterator.empty)
+        .distinct().count()
+      assert(partsWithRows > 5, s"window-face as-of concentrated into $partsWithRows partitions")
+      // and the plan stays join-free (the whole point of the union+window face)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("join"), plan.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("AsOfJoin.latestAsOfBroadcast: same answers as the window face, broadcast plan") {
     val left = Seq(
       (1L, "k", 50L), (2L, "k", 100L), (3L, "k", 150L),
