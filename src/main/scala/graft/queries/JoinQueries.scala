@@ -271,6 +271,57 @@ object JoinQueries {
   val j4Sql: String = asofSql("user_id")
   val j4BroadcastSql: String = asofSql("event_type")
 
+  private val streamQueryCounter = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The STREAMING face ([[graft.joins.StreamingAsOfJoiner]]) against the
+    * same DuckDB ASOF oracle: the per-user config history streams in first
+    * (one micro-batch), then every event streams through and probes the
+    * transformWithState version state — once all versions have arrived the
+    * enrichment must be bit-identical to the batch faces. The collect()s
+    * stage the fixture into MemoryStream (driver-side by definition — the
+    * production wiring reads the CDC source); the operator itself runs
+    * distributed over the keyed state.
+    */
+  def j4AsOfStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.joins.StreamingAsOfJoiner.{AsOfEvent, AsOfVersion}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val versions = cfgHistory(spark, dir, "user_id")
+        .select(col("user_id").cast("string"), unix_micros(col("ts")), col("version").cast("string"))
+        .as[(String, Long, String)].collect()
+        .map { case (k, ts, v) => AsOfVersion(k, ts, v) }.toSeq
+      val events = Tables.events(spark, dir)
+        .select(col("user_id").cast("string"), unix_micros(col("ts")), col("event_id").cast("string"))
+        .as[(String, Long, String)].collect()
+        .map { case (k, ts, p) => AsOfEvent(k, ts, p) }.toSeq
+      implicit val sqlCtx = spark.sqlContext
+      val vMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfVersion]
+      val eMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfEvent]
+      val enriched = graft.joins.StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS())
+      val qname = s"j4_asof_stream_${streamQueryCounter.incrementAndGet()}"
+      val q = enriched.writeStream.format("memory").queryName(qname).outputMode("append").start()
+      try {
+        vMem.addData(versions)
+        q.processAllAvailable()
+        eMem.addData(events)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(qname).select(
+        col("payload").cast("long").as("event_id"),
+        col("key").cast("long").as("user_id"),
+        col("tsUs").as("ev_us"),
+        col("asofTsUs").as("cfg_us"),
+        col("asofValue").cast("long").as("cfg_version"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   // ------------------------------------------------------ J5 range join
   /** Campaign windows derived from events: every 211th event opens a
     * [ts, ts + (1..7) hours] window for its event_type. Bounds in micros —
@@ -321,6 +372,7 @@ object JoinQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j4_asof_join" -> j4AsOfJoin,
     "j4_asof_broadcast" -> j4AsOfBroadcast,
+    "j4_asof_stream" -> j4AsOfStream,
     "j5_range_join" -> j5RangeJoin,
     "j3_skew_salted" -> j3SkewSalted,
     "j2_static_enrich" -> j2StaticEnrich,
@@ -333,6 +385,7 @@ object JoinQueries {
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4Sql,
     "j4_asof_broadcast" -> j4BroadcastSql,
+    "j4_asof_stream" -> j4Sql,
     "j5_range_join" -> j5Sql,
     "j3_skew_salted" -> j3SkewSaltedSql,
     "j2_static_enrich" -> j2Sql,

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.joins.StreamingAsOfJoiner
+import graft.joins.StreamingAsOfJoiner.{AsOfEnriched, AsOfEvent, AsOfVersion}
+
+/** Streaming as-of enrichment: per-key version history in transformWithState,
+  * probed by event time at arrival (the streaming face of AsOfJoin).
+  */
+class StreamingAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withRocksDb[T](f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("versions arriving mid-stream change subsequent enrichments, never emitted ones") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val vMem = MemoryStream[AsOfVersion]
+      val eMem = MemoryStream[AsOfEvent]
+      val out = StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS())
+      val q = out.writeStream.format("memory").queryName("sasof_mid").outputMode("append").start()
+      try {
+        // batch 1: one version, one event after it
+        vMem.addData(AsOfVersion("k", 100L, "v1"))
+        eMem.addData(AsOfEvent("k", 150L, "e1"))
+        q.processAllAvailable()
+        // batch 2: a version at ts 120 arrives LATE (after e1 was emitted)
+        vMem.addData(AsOfVersion("k", 120L, "v2"))
+        q.processAllAvailable()
+        // batch 3: an event at the SAME event time as e1 now sees v2
+        eMem.addData(AsOfEvent("k", 150L, "e2"), AsOfEvent("k", 110L, "e3"))
+        q.processAllAvailable()
+        val got = spark.table("sasof_mid").as[AsOfEnriched].collect()
+          .map(r => r.payload -> r.asofValue).toMap
+        assert(got("e1") === Some("v1")) // enriched with what had ARRIVED
+        assert(got("e2") === Some("v2")) // same event time, later arrival
+        assert(got("e3") === Some("v1")) // event time before v2's ts
+        // the already-emitted e1 row was never retracted/rewritten
+        assert(spark.table("sasof_mid").filter($"payload" === "e1").count() === 1)
+      } finally q.stop()
+    }
+  }
+
+  test("no version at-or-before the event time -> None; other-key history invisible") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val vMem = MemoryStream[AsOfVersion]
+      val eMem = MemoryStream[AsOfEvent]
+      val out = StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS())
+      val q = out.writeStream.format("memory").queryName("sasof_miss").outputMode("append").start()
+      try {
+        vMem.addData(AsOfVersion("k", 100L, "v1"))
+        q.processAllAvailable()
+        eMem.addData(
+          AsOfEvent("k", 50L, "early"),  // before the first version
+          AsOfEvent("z", 500L, "zkey"),  // key with no history at all
+          AsOfEvent("k", 100L, "attick") // inclusive: version AT event time
+        )
+        q.processAllAvailable()
+        val got = spark.table("sasof_miss").as[AsOfEnriched].collect()
+          .map(r => r.payload -> r.asofValue).toMap
+        assert(got("early") === None)
+        assert(got("zkey") === None)
+        assert(got("attick") === Some("v1"))
+      } finally q.stop()
+    }
+  }
+
+  test("re-published version at the same ts is last-write-wins") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val vMem = MemoryStream[AsOfVersion]
+      val eMem = MemoryStream[AsOfEvent]
+      val out = StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS())
+      val q = out.writeStream.format("memory").queryName("sasof_lww").outputMode("append").start()
+      try {
+        vMem.addData(AsOfVersion("k", 100L, "old"))
+        q.processAllAvailable()
+        vMem.addData(AsOfVersion("k", 100L, "fixed")) // correction, same instant
+        q.processAllAvailable()
+        eMem.addData(AsOfEvent("k", 200L, "e"))
+        q.processAllAvailable()
+        val got = spark.table("sasof_lww").as[AsOfEnriched].collect()
+        assert(got.map(r => r.payload -> r.asofValue).toMap === Map("e" -> Some("fixed")))
+      } finally q.stop()
+    }
+  }
+
+  test("once all versions arrived, enrichment replays the batch face bit-exactly") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // deterministic synthetic data: 7 keys, out-of-order version history
+      val versions = for {
+        k <- 0 until 7; i <- Seq(3, 1, 4, 2) // out-of-order arrival
+      } yield AsOfVersion(s"k$k", i * 100L + k, s"v$k-$i")
+      val events = for {
+        k <- 0 until 7; t <- Seq(50L, 120L, 250L, 410L, 999L)
+      } yield AsOfEvent(s"k$k", t + k, s"e$k-$t")
+      val vMem = MemoryStream[AsOfVersion]
+      val eMem = MemoryStream[AsOfEvent]
+      val out = StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS())
+      val q = out.writeStream.format("memory").queryName("sasof_replay").outputMode("append").start()
+      try {
+        vMem.addData(versions)
+        q.processAllAvailable()
+        eMem.addData(events)
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("sasof_replay").as[AsOfEnriched].collect()
+        .map(r => (r.key, r.tsUs, r.payload, r.asofTsUs, r.asofValue)).sorted.toSeq
+      val batch = graft.joins.AsOfJoin.latestAsOf(
+        events.toDF("key", "tsUs", "payload"),
+        versions.toDF("key", "vts", "value"),
+        keys = Seq("key"), leftTs = "tsUs", rightTs = "vts",
+        rightVals = Seq("value"))
+        .select($"key", $"tsUs", $"payload", $"asof_ts", $"asof_value")
+        .as[(String, Long, String, Option[Long], Option[String])].collect().sorted.toSeq
+      assert(streamed === batch)
+    }
+  }
+}
