@@ -422,7 +422,10 @@ object Relational {
     * per-column GROUPING flags (not a combined grouping_id) so a genuine
     * NULL key can never be confused with a rolled-up level.
     */
-  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared input of the grouping-sets family: orders dimensioned by nation
+    * and order year, both dims via broadcast.
+    */
+  private def joinedOrdersByNation(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.orders(spark, dir)
       .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")),
@@ -430,6 +433,11 @@ object Relational {
       .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
         $"c_nationkey" === $"n_nationkey")
       .withColumn("yr", year($"o_orderdate".cast("timestamp")).cast("long"))
+  }
+
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    joinedOrdersByNation(spark, dir)
       .rollup($"n_name", $"yr")
       .agg(
         // grouping() is only legal inside the grouping-sets aggregate
@@ -453,6 +461,70 @@ object Relational {
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey)
       |GROUP BY ROLLUP (n_name, yr)""".stripMargin
+
+  /** CUBE over (nation, order year): every marginal — per-nation, per-year,
+    * and the grand total — in the same single partial+final aggregate as
+    * [[qRollup]] (Spark expands the 4 grouping sets before the shuffle, so
+    * the exchange is still one hashpartitioning over the expanded keys).
+    * Same integer-cents determinism and per-column GROUPING flags.
+    */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    joinedOrdersByNation(spark, dir)
+      .cube($"n_name", $"yr")
+      .agg(
+        grouping($"n_name").cast("long").as("g_nation"),
+        grouping($"yr").cast("long").as("g_year"),
+        sum(cents($"o_totalprice")).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val qCubeSql: String =
+    """SELECT n_name, yr,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      |  CAST(GROUPING(yr) AS BIGINT) AS g_year,
+      |  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders
+      |FROM (
+      |  SELECT n_name,
+      |    CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY CUBE (n_name, yr)""".stripMargin
+
+  /** Explicit GROUPING SETS — the user-chosen-marginals face between ROLLUP
+    * and CUBE: (nation, year) detail plus each single-dimension marginal,
+    * WITHOUT the grand total. Still one expanded aggregate, one exchange.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    joinedOrdersByNation(spark, dir)
+      .groupingSets(
+        Seq(Seq($"n_name", $"yr"), Seq($"n_name"), Seq($"yr")),
+        $"n_name", $"yr")
+      .agg(
+        grouping($"n_name").cast("long").as("g_nation"),
+        grouping($"yr").cast("long").as("g_year"),
+        sum(cents($"o_totalprice")).as("rev_cents"),
+        count(lit(1)).as("n_orders"))
+  }
+
+  val qGroupingSetsSql: String =
+    """SELECT n_name, yr,
+      |  CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+      |  CAST(GROUPING(yr) AS BIGINT) AS g_year,
+      |  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+      |  COUNT(*) AS n_orders
+      |FROM (
+      |  SELECT n_name,
+      |    CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey)
+      |GROUP BY GROUPING SETS ((n_name, yr), (n_name), (yr))""".stripMargin
 
   /** Analytic window functions over the order history: per-customer price
     * rank, previous order value, running revenue, and quartile — the
@@ -553,12 +625,16 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
     "events_by_type" -> eventsByType
   )
 
   val oracles: Map[String, String] = Map(
     "q_quartiles_disc" -> qQuartilesDiscSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q4_priority_exists" -> q4Sql,
     "q22_no_orders" -> q22Sql,

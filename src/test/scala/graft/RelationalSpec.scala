@@ -44,6 +44,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("cube/grouping-sets: marginals consistent, one Expand + one agg exchange") {
+    val cube = Relational.qCube(spark, sf)
+    val rows = cube.collect()
+    // CUBE = detail + nation marginals + year marginals + grand total;
+    // grand total row (both flags 1) counts every order exactly once
+    val grand = rows.filter(r => r.getAs[Long]("g_nation") == 1 && r.getAs[Long]("g_year") == 1)
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_orders") === graft.core.Tables.orders(spark, sf).count())
+    val detailN = rows.filter(r => r.getAs[Long]("g_nation") == 0 && r.getAs[Long]("g_year") == 0)
+      .map(_.getAs[Long]("n_orders")).sum
+    assert(detailN === grand.head.getAs[Long]("n_orders"))
+    // grouping sets expand BEFORE the shuffle: one Expand node, and only the
+    // aggregate's single hash exchange beyond the two broadcasts
+    // AQE's toString repeats the plan ("== Initial Plan ==") — count only
+    // the final plan section
+    val plan = cube.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("Expand"), plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(2000))
+    // grouping-sets face drops only the grand total vs CUBE
+    val gs = Relational.qGroupingSets(spark, sf).collect()
+    assert(gs.length === rows.length - 1)
+    assert(!gs.exists(r => r.getAs[Long]("g_nation") == 1 && r.getAs[Long]("g_year") == 1))
+  }
+
   test("q1 plan: filter pushed to parquet scan, aggregate is partial+final") {
     val plan = Relational.q1PricingSummary(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))
