@@ -358,18 +358,38 @@ object Dedup {
     * Returns every corpus row: (idCol, cluster, dup_of — lowest-id
     * cluster-mate at/above threshold, NULL if none — keep = dup_of IS NULL).
     */
+  /** @param probes centroids each vector is assigned to for CANDIDATE
+    *               generation (the primary `cluster` label is always the
+    *               nearest). probes=1 is classic SemDeDup; probes=2 is the
+    *               multi-probe recovery of the documented cross-cluster
+    *               recall loss — a boundary vector sits in both adjacent
+    *               clusters' candidate sets, so a near-dup pair straddling
+    *               the boundary still meets. Verdicts union keep-lowest-id:
+    *               the same pair meeting in two shared buckets collapses in
+    *               the min() aggregate. Candidate volume grows by at most
+    *               probes× per side — the per-bucket quadratic fence stays.
+    */
   def semanticDedup(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       centroids: Seq[Seq[Double]],
-      threshold: Double
+      threshold: Double,
+      probes: Int = 1
   ): DataFrame = {
+    require(probes >= 1 && probes <= centroids.length,
+      s"semanticDedup: probes=$probes out of 1..${centroids.length}")
     val assigned = corpus
       .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-      .withColumn("_bk", Similarity.assignNearest(col("_v"), centroids))
-    val a = assigned.select(col("_bk"), col(idCol).as("_i"), col("_v").as("_va"))
-    val b = assigned.select(col("_bk"), col(idCol).as("_j"), col("_v").as("_vb"))
+      .withColumn(
+        "_bks",
+        // probes=1 keeps the assignNearest path (bit-identical to the
+        // pre-multi-probe operator, incl. its all-NaN → bucket-0 guard)
+        if (probes == 1) array(Similarity.assignNearest(col("_v"), centroids))
+        else Similarity.assignTopP(col("_v"), centroids, probes))
+    val exploded = assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk"))
+    val a = exploded.select(col("_bk"), col(idCol).as("_i"), col("_v").as("_va"))
+    val b = exploded.select(col("_bk"), col(idCol).as("_j"), col("_v").as("_vb"))
     val dups = a.join(b, Seq("_bk"))
       .filter(col("_i") < col("_j"))
       .filter(Similarity.cosine(col("_va"), col("_vb")) >= threshold)
@@ -377,7 +397,7 @@ object Dedup {
       .agg(min(col("_i")).as("dup_of"))
       .withColumnRenamed("_j", idCol)
     assigned
-      .select(col(idCol), col("_bk").cast("long").as("cluster"))
+      .select(col(idCol), element_at(col("_bks"), 1).cast("long").as("cluster"))
       .join(dups, Seq(idCol), "left")
       .withColumn("keep", col("dup_of").isNull)
   }

@@ -215,6 +215,33 @@ object Similarity {
     greatest(array_position(arr, array_max(arr)) - 1, lit(0L)).cast("int")
   }
 
+  /** Top-`p` nearest centroids (cosine desc, ties → lowest centroid index)
+    * as an array<int> column — the multi-probe face of [[assignNearest]].
+    * A vector near a cluster boundary lands in BOTH adjacent clusters'
+    * candidate sets, recovering the cross-cluster misses single-probe
+    * assignment is documented to lose (same recovery idea as [[lshProbes]],
+    * applied to the IVF quantizer). Element 1 is always the [[assignNearest]]
+    * winner — callers use it as the primary cluster label.
+    */
+  def assignTopP(vec: Column, centroids: Seq[Seq[Double]], p: Int): Column = {
+    require(centroids.nonEmpty, "assignTopP: need at least one centroid")
+    require(p >= 1 && p <= centroids.length, s"assignTopP: p=$p out of 1..${centroids.length}")
+    val k = centroids.length
+    val arr = array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+    val zipped = zip_with(
+      arr,
+      sequence(lit(0), lit(k - 1)),
+      (c, i) => struct(c.as("c"), i.as("i")))
+    val sorted = array_sort(
+      zipped,
+      (l, r) =>
+        when(l("c") > r("c"), -1)
+          .when(l("c") < r("c"), 1)
+          .otherwise(l("i") - r("i"))
+          .cast("int"))
+    transform(slice(sorted, 1, p), s => s("i").cast("int"))
+  }
+
   /** Lloyd-refined coarse quantizer (spherical k-means): seed with
     * [[seedCentroids]], then `iters` rounds of assign → per-bucket mean.
     * The per-iteration reduce is (bucket, dim) partial-aggregated

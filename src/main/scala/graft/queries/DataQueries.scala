@@ -492,6 +492,43 @@ object DataQueries {
        |  d.dup_of IS NULL AS keep
        |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
 
+  /** Multi-probe SemDeDup: candidate buckets = each vector's top-2 centroids
+    * (primary cluster label stays the nearest), recovering near-dup pairs
+    * that straddle a cluster boundary — the documented recall loss of the
+    * single-probe face. The oracle replays the same rn <= 2 assignment and
+    * unions verdicts through the identical MIN() fold (a pair sharing both
+    * buckets collapses). DataOpsSpec measures the recall gain on crafted
+    * boundary geometry.
+    */
+  def dSemDedupProbe2(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 16)
+    Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40, probes = 2)
+  }
+
+  val dSemDedupProbe2Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+       |sc AS (
+       |  SELECT e.vec_id, e.v, s.j, ${cosSql("e.v", "s.cv")} AS cosv
+       |  FROM e CROSS JOIN seeds s),
+       |probed AS (
+       |  SELECT vec_id, v, j AS bk, rn FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosv DESC, j ASC) AS rn
+       |    FROM sc)
+       |  WHERE rn <= 2),
+       |dup AS (
+       |  SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+       |  FROM probed a JOIN probed b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.40
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, CAST(s.bk AS BIGINT) AS cluster, d.dup_of,
+       |  d.dup_of IS NULL AS keep
+       |FROM (SELECT vec_id, bk FROM probed WHERE rn = 1) s
+       |LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
+
   /** Sign-LSH ANN: the label-free scale path — buckets from 8 deterministic
     * hyperplanes (no natural coarse column needed), then the same bucket
     * equi-join as the IVF query. The oracle inlines the identical plane
@@ -1099,6 +1136,7 @@ object DataQueries {
     "d_decontaminate" -> dDecontaminate,
     "d_decontaminate_bloom" -> dDecontaminateBloom,
     "d_semdedup" -> dSemDedup,
+    "d_semdedup_probe2" -> dSemDedupProbe2,
     "t_bm25" -> tBm25,
     "t_repetition" -> tRepetition,
     "d_corpus_shuffle" -> dCorpusShuffle,
@@ -1137,6 +1175,7 @@ object DataQueries {
     "d_decontaminate" -> dDecontaminateSql,
     "d_decontaminate_bloom" -> dDecontaminateBloomSql,
     "d_semdedup" -> dSemDedupSql,
+    "d_semdedup_probe2" -> dSemDedupProbe2Sql,
     "t_bm25" -> tBm25Sql,
     "t_repetition" -> tRepetitionSql,
     "d_corpus_shuffle" -> dCorpusShuffleSql,

@@ -135,6 +135,39 @@ class DataOpsSpec extends SparkSpec {
     assert(kept6 === ((1L, true)))
   }
 
+  test("semanticDedup probes=2: boundary pair recovered, recall 3/3 vs 2/3 single-probe") {
+    // three centroids so top-2 is a genuine subset of the clusters; the
+    // crafted geometry puts one dup pair ACROSS the x/y boundary
+    val ex = Seq(1.0, 0.0, 0.0, 0.0)
+    val ey = Seq(0.0, 1.0, 0.0, 0.0)
+    val ez = Seq(0.0, 0.0, 1.0, 0.0)
+    def mix(a: Double, b: Double) = Seq(a, b, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, ex),              // cluster x
+      (2L, mix(0.99, 0.01)), // dup of 1, same cluster
+      (3L, mix(0.8, 0.6)),   // cluster x, boundary-adjacent
+      (4L, ey),              // cluster y
+      (5L, mix(0.01, 0.99)), // dup of 4, same cluster
+      (6L, mix(0.68, 0.73)), // dup of 3 (cos ~0.98) but lands in cluster y
+      (7L, ez)               // far singleton, stays kept under both modes
+    ).toDF("vec_id", "v")
+    val truthDupPairs = Set((1L, 2L), (4L, 5L), (3L, 6L)) // cos >= 0.95 pairs
+    def foundPairs(probes: Int): Set[(Long, Long)] = graft.data.Dedup
+      .semanticDedup(vecs, "vec_id", "v", Seq(ex, ey, ez), threshold = 0.95, probes = probes)
+      .filter($"dup_of".isNotNull)
+      .select($"dup_of", $"vec_id").as[(Long, Long)].collect().toSet
+    val single = foundPairs(1)
+    val multi = foundPairs(2)
+    assert(single === Set((1L, 2L), (4L, 5L))) // boundary pair (3,6) missed
+    assert(multi === truthDupPairs)            // recovered by the 2nd probe
+    assert(single.subsetOf(multi))             // multi-probe only ADDS verdicts
+    // primary cluster labels are unchanged by probing
+    val clusters = graft.data.Dedup
+      .semanticDedup(vecs, "vec_id", "v", Seq(ex, ey, ez), threshold = 0.95, probes = 2)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 2L))
+  }
+
   test("bm25TopK: matches the formula computed in plain Scala, ranks and limits deterministically") {
     val docs = Seq(
       (1L, "hash join hash probe"),     // tf(hash)=2
