@@ -18,6 +18,7 @@ object Bench {
     // work, and must not be absorbed into the first query that touches it.
     graft.jobs.JobFixtures.warm(spark, sfDir)
     graft.queries.SourceQueries.warm(spark, sfDir)
+    graft.queries.JoinQueries.warm(spark, sfDir)
     // Ground-truth-only queries: deliberately quadratic oracle verifiers,
     // excluded from the timed loop (a scoped variant IS benched). Listed in
     // the output line so the exclusion is visible, never silent.

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off sf0.1 → sf1 scale probe: replicates the sf0.1 tables `factor`
+  * times with shifted keys (id spaces AND key cardinalities scale linearly,
+  * as the generator's own sf scaling does: user_id 150 → 1500 between
+  * sf0.01 and sf0.1), runs a representative query set warm at BOTH scales
+  * in one JVM, and prints per-query ratios. Purpose: turn the "linear at
+  * 100×" plan claims into a measured data point (SCALE.md records the
+  * result). This is a throughput probe, not an oracle input — correctness
+  * stays gated on the driver-generated fixtures.
+  *
+  * usage: runMain graft.ScaleProbe [srcDir] [outDir] [factor]
+  */
+object ScaleProbe {
+
+  /** (table, columns to shift by i*stride — id spaces that must not collide
+    * across copies and must stay join-consistent between tables)
+    */
+  private val ShiftRules: Seq[(String, Map[String, Long])] = Seq(
+    "events" -> Map("event_id" -> 10000000L, "user_id" -> 1000000L),
+    "documents" -> Map("doc_id" -> 10000000L),
+    "embeddings" -> Map("vec_id" -> 10000000L),
+    "lineitem" -> Map("l_orderkey" -> 100000000L),
+    "orders" -> Map("o_orderkey" -> 100000000L, "o_custkey" -> 10000000L),
+    "customer" -> Map("c_custkey" -> 10000000L),
+    // dims stay single-copy (joins against them remain valid)
+    "nation" -> Map.empty,
+    "region" -> Map.empty,
+    "part" -> Map.empty,
+    "supplier" -> Map.empty
+  )
+
+  /** Family-representative queries (the r5 warm top-10 plus q1 and the
+    * cluster-propagation op) — every major shuffle/broadcast/state shape.
+    */
+  private val Probes = Seq(
+    "events_by_type", "q1_pricing_summary",
+    "j4_asof_join", "j4_asof_broadcast", "j5_range_join",
+    "a3_merger", "p2_cdc_parse", "job_sessions", "job_mongo_to_kafka",
+    "d_clean_corpus", "d_decontaminate_bloom", "d_dup_clusters",
+    "s_ann_lsh_multiprobe"
+  )
+
+  private def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit =
+    ShiftRules.foreach { case (table, shifts) =>
+      val target = new java.io.File(s"$outDir/$table.parquet")
+      if (!target.exists()) {
+        val src = spark.read.parquet(s"$srcDir/$table.parquet")
+        val copies =
+          if (shifts.isEmpty) Seq(src)
+          else (0 until factor).map { i =>
+            shifts.foldLeft(src) { case (df, (c, stride)) =>
+              df.withColumn(c, col(c) + lit(i * stride))
+            }
+          }
+        copies.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+      }
+    }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildScaled(spark, srcDir, outDir, factor)
+    // fixtures for both scales built outside the timers, as Bench does
+    graft.jobs.JobFixtures.warm(spark, srcDir)
+    graft.jobs.JobFixtures.warm(spark, outDir)
+    graft.queries.SourceQueries.warm(spark, srcDir)
+    graft.queries.SourceQueries.warm(spark, outDir)
+
+    def timeWarm(name: String, dir: String): Double = {
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // absorb codegen/JIT
+      math.min(once(), once()) // steady state: min of two warm reps
+    }
+
+    println(f"${"query"}%-24s ${"sf0.1(s)"}%10s ${"sf1(s)"}%10s ${"ratio"}%8s")
+    val rows = Probes.map { name =>
+      val small = timeWarm(name, srcDir)
+      val big = timeWarm(name, outDir)
+      val ratio = big / small
+      println(f"$name%-24s $small%10.2f $big%10.2f $ratio%8.1f")
+      (name, small, big, ratio)
+    }
+    val flagged = rows.filter(_._4 > 12.0)
+    println(f"TOTAL ${rows.map(_._2).sum}%10.2f ${rows.map(_._3).sum}%10.2f")
+    if (flagged.nonEmpty)
+      println(s"SUPERLINEAR (>12x): ${flagged.map(r => f"${r._1}:${r._4}%.1fx").mkString(", ")}")
+    spark.stop()
+  }
+}
