@@ -260,4 +260,29 @@ object CorpusOps {
           carryCols.map(col): _*
       )
   }
+
+  /** Per-group document cap — the "at most N docs per domain/source" rule
+    * every web-scale corpus applies so no single origin dominates the mix.
+    * Keeps the top `n` rows per group by (scoreCol desc, idCol asc): the
+    * unique id tiebreak makes the cut deterministic and hash-matchable.
+    *
+    * Scale shape: one exchange on the group key, one in-partition sort —
+    * rank never leaves its group's task, and callers project to
+    * (group, score, id) + the carried columns before the shuffle so the
+    * 100 TB text never moves. A pathological mega-group concentrates its
+    * sort in one task; at that point cap the group upstream with a cheap
+    * uniform pre-sample (keep > n× the cap) before the exact rank.
+    */
+  def capPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      idCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n > 0, s"capPerGroup: n must be positive, got $n")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= n)
+  }
 }

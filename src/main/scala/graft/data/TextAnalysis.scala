@@ -189,6 +189,48 @@ object TextAnalysis {
     )
   }
 
+  /** Hashed linear quality classifier — the fastText-style model-scoring
+    * PLUMBING a curation pipeline puts behind a learned quality filter:
+    * tokens hash into `dims` feature buckets, each bucket carries a model
+    * weight, the document score is the mean bucket-weight of its tokens
+    * (length-normalized by n+1 so empty docs score 0, not NaN). Here the
+    * weights are deterministic md5-derived placeholders from the same
+    * cross-engine hash family as [[Similarity.hyperplanes]] — swap
+    * [[modelWeights]] for trained coefficients and nothing else changes.
+    *
+    * Scale shape: scan-fused — the weight table is a broadcast-as-literal
+    * array (dims doubles), the per-token bucket lookup and the
+    * left-to-right sum fold run inside the row projection; zero shuffles,
+    * zero UDFs. Scores ship as floor(score·1e6) longs; the fold order is
+    * pinned so the oracle hash-matches bit-for-bit.
+    */
+  def modelWeights(dims: Int): Seq[Double] =
+    (0 until dims).map { j =>
+      val h = graft.functions.Md5Hash60.hash(s"qw_$j".getBytes("UTF-8"))
+      (h % 2001 - 1000) / 1000.0
+    }
+
+  def qualityModelScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 64
+  ): DataFrame = {
+    val weights = modelWeights(dims)
+    val wArr = array(weights.map(lit): _*)
+    val toks = tokens(lower(col(textCol)))
+    // md5-60 is non-negative, so % dims needs no pmod; +1 for 1-based arrays
+    val contrib = transform(
+      toks,
+      t => element_at(wArr, (Hashing.hash60(t) % dims).cast("int") + 1))
+    val raw = aggregate(contrib, lit(0.0), (a, x) => a + x)
+    df.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      floor(raw / (size(toks) + 1) * 1e6).cast("long").as("score_e6"),
+      (raw > 0.0).as("keep_model"))
+  }
+
   /** Document fingerprint: md5 of the normalized text (lowercase, non-alnum
     * collapsed) plus its 60-bit long form for compact joins.
     */

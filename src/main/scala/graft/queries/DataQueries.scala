@@ -94,6 +94,50 @@ object DataQueries {
        |FROM scored""".stripMargin
   }
 
+  /** Hashed linear quality classifier over the corpus: md5-bucketed token
+    * features against a broadcast-as-literal weight table, scan-fused. The
+    * oracle rebuilds the same weights from the interpolated Scala doubles
+    * and replays the bucket lookup + left-to-right fold bit-exactly.
+    */
+  def tQualityModel(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityModelScore(Tables.documents(spark, dir), "doc_id", "text", dims = 64)
+
+  val tQualityModelSql: String = {
+    val w = TextAnalysis.modelWeights(64).map(_.toString).mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |w AS (SELECT $w::DOUBLE[] AS wv),
+       |scored AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE list_reduce(
+       |           list_transform(t, x -> wv[CAST(${hash60Sql("x")} % 64 AS INT) + 1]),
+       |           (a, b) -> a + b)
+       |    END AS raw
+       |  FROM toks CROSS JOIN w)
+       |SELECT doc_id, n_tokens,
+       |  CAST(floor(raw / (n_tokens + 1) * 1e6) AS BIGINT) AS score_e6,
+       |  raw > 0.0 AS keep_model
+       |FROM scored""".stripMargin
+  }
+
+  /** Per-source document cap (at most 5 docs per source, best-first by
+    * n_chars with doc_id tiebreak) — the per-domain cap of a web corpus.
+    */
+  def dSourceCap(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.capPerGroup(
+      Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("n_chars")),
+      groupCol = "source", scoreCol = "n_chars", idCol = "doc_id", n = 5)
+
+  val dSourceCapSql: String =
+    """SELECT doc_id, source, n_chars, cap_rank FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS cap_rank
+      |  FROM documents)
+      |WHERE cap_rank <= 5""".stripMargin
+
   def tFingerprint(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -1111,6 +1155,8 @@ object DataQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t_quality" -> tQuality,
+    "t_quality_model" -> tQualityModel,
+    "d_source_cap" -> dSourceCap,
     "t_langid" -> tLangId,
     "t_fingerprint" -> tFingerprint,
     "t_term_freq" -> tTermFreq,
@@ -1150,6 +1196,8 @@ object DataQueries {
 
   val oracles: Map[String, String] = Map(
     "t_quality" -> tQualitySql,
+    "t_quality_model" -> tQualityModelSql,
+    "d_source_cap" -> dSourceCapSql,
     "t_langid" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,
     "t_term_freq" -> tTermFreqSql,

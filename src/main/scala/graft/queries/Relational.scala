@@ -422,6 +422,46 @@ object Relational {
     * per-column GROUPING flags (not a combined grouping_id) so a genuine
     * NULL key can never be confused with a rolled-up level.
     */
+  /** Q10-style returned-item losses: revenue of 'R'-flagged lineitems per
+    * customer, top 20. Plan shape worth pinning at 100 TB: AGGREGATE FIRST
+    * (lineitem⋈orders shrinks to one row per customer), THEN enrich the
+    * small aggregate with the customer/nation dims via broadcast — the
+    * reverse order would drag dim columns through the big join and the
+    * shuffle. Top-20 is TakeOrderedAndProject with the unique custkey
+    * tiebreak.
+    */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_cents"))
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum($"rev_cents").as("rev_cents"))
+    rev
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_name", $"c_nationkey")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_name")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"rev_cents")
+      .orderBy($"rev_cents".desc, $"c_custkey".asc)
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name, rev_cents
+      |FROM (
+      |  SELECT o_custkey, CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_returnflag = 'R'
+      |  GROUP BY o_custkey)
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY rev_cents DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
   /** Shared input of the grouping-sets family: orders dimensioned by nation
     * and order year, both dims via broadcast.
     */
@@ -625,6 +665,7 @@ object Relational {
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
+    "q10_returned_items" -> q10ReturnedItems,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
     "events_by_type" -> eventsByType
@@ -635,6 +676,7 @@ object Relational {
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
+    "q10_returned_items" -> q10Sql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q4_priority_exists" -> q4Sql,
     "q22_no_orders" -> q22Sql,

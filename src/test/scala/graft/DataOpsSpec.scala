@@ -168,6 +168,43 @@ class DataOpsSpec extends SparkSpec {
     assert(clusters === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 2L))
   }
 
+  test("qualityModelScore: matches the plain-Scala mirror; empty doc scores 0") {
+    val dims = 64
+    val weights = graft.data.TextAnalysis.modelWeights(dims)
+    def mirror(text: String): (Int, Long, Boolean) = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val raw = toks.foldLeft(0.0) { (acc, t) =>
+        acc + weights((graft.functions.Md5Hash60.hash(t.getBytes("UTF-8")) % dims).toInt)
+      }
+      (toks.length, math.floor(raw / (toks.length + 1) * 1e6).toLong, raw > 0.0)
+    }
+    val docs = Seq(
+      (1L, "The quick brown fox"),
+      (2L, "hash join hash probe scan"),
+      (3L, ""),
+      (4L, "   "),
+      (5L, "Yksi kaksi kolme")
+    ).toDF("doc_id", "text")
+    val got = graft.data.TextAnalysis.qualityModelScore(docs, "doc_id", "text", dims)
+      .as[(Long, Int, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === mirror("The quick brown fox"))
+    assert(got(2L) === mirror("hash join hash probe scan"))
+    assert(got(3L) === ((0, 0L, false))) // empty: 0/(0+1) = 0, not NaN
+    assert(got(4L) === ((0, 0L, false)))
+    assert(got(5L) === mirror("Yksi kaksi kolme"))
+  }
+
+  test("capPerGroup: top-n per group by (score desc, id asc), small groups intact") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 30), ("a", 4L, 20),
+      ("b", 5L, 1) // group smaller than the cap survives whole
+    ).toDF("src", "id", "score")
+    val got = graft.data.CorpusOps.capPerGroup(df, "src", "score", "id", n = 2)
+      .select($"id", $"cap_rank").as[(Long, Long)].collect().toMap
+    // a: score 30 ties -> id 2 then 3; id 4 (20) and 1 (10) cut
+    assert(got === Map(2L -> 1L, 3L -> 2L, 5L -> 1L))
+  }
+
   test("bm25TopK: matches the formula computed in plain Scala, ranks and limits deterministically") {
     val docs = Seq(
       (1L, "hash join hash probe"),     // tf(hash)=2
