@@ -26,12 +26,21 @@ object Bench {
     val benched = SparkEntry.queries.toSeq.filterNot { case (n, _) => oracleOnly(n) }
     // noop sink: materializes EVERY output column (count() would let
     // Catalyst prune the computed columns and measure only the scan)
+    // In-pass hygiene: drop cached relations after every query and GC every
+    // 20th (GC lets ContextCleaner release unreferenced broadcast blocks —
+    // without it ~90 queries of broadcast/AQE debris accumulate and inflate
+    // LATE-in-pass queries several-fold: v1_schema_dlq measured 20.6 s at
+    // position ~90 of a dirty pass vs 3.95 s in a fresh JVM). Both run
+    // OUTSIDE the per-query timer.
     def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Map[String, Double] =
-      order.map { case (name, fn) =>
+      order.zipWithIndex.map { case ((name, fn), i) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if ((i + 1) % 20 == 0) System.gc()
+        name -> t
       }.toMap
     // Drop cross-query session residue between passes: cached relations and
     // (via GC → ContextCleaner) unreferenced broadcast blocks. In r5 two
