@@ -462,6 +462,74 @@ object Relational {
       |ORDER BY rev_cents DESC, c_custkey ASC
       |LIMIT 20""".stripMargin
 
+  /** Q18-style large-volume customers: orders whose total lineitem quantity
+    * exceeds a threshold, with customer context. Plan shape: the HAVING
+    * subquery is an aggregate-then-filter on lineitem that REUSES the
+    * orders join only for survivors — at 100 TB the heavy groupBy output
+    * shrinks to the rare qualifying orders before any wide row is built.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bigOrders = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity".cast("long")).as("total_qty"))
+      .filter($"total_qty" > 200)
+    bigOrders
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(spark, dir).select($"c_custkey", $"c_name")),
+        $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"l_orderkey".as("o_orderkey"),
+        cents($"o_totalprice").as("price_cents"), $"total_qty")
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+      |  CAST(total_qty AS BIGINT) AS total_qty
+      |FROM (
+      |  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 200)
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** Q14-style promo revenue share: conditional aggregation — the share of
+    * revenue from one part-type family in one shipping month. Integer-cents
+    * sums with ONE final division keep it hash-matchable.
+    */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate".cast("timestamp") >= lit("1995-09-01") &&
+        $"l_shipdate".cast("timestamp") < lit("1995-10-01"))
+      .select($"l_partkey",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_cents"))
+    li.join(broadcast(Tables.part(spark, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type".startsWith("PROMO"), $"rev_cents").otherwise(lit(0L))).as("promo_cents"),
+        sum($"rev_cents").as("total_cents"))
+      .select($"promo_cents", $"total_cents",
+        // integer parts-per-million, not a float ratio: long division is
+        // exact and engine-independent, so the oracle hash-matches (div,
+        // not /: Spark's / on BIGINTs returns DOUBLE)
+        expr("promo_cents * 1000000L div total_cents").as("promo_share_ppm"))
+  }
+
+  val q14Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_cents ELSE 0 END) AS BIGINT) AS promo_cents,
+      |  CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+      |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN rev_cents ELSE 0 END) * 1000000
+      |    // SUM(rev_cents) AS BIGINT) AS promo_share_ppm
+      |FROM (
+      |  SELECT l_partkey,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS rev_cents
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1995-09-01'
+      |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1995-10-01')
+      |JOIN part ON l_partkey = p_partkey""".stripMargin
+
   /** Shared input of the grouping-sets family: orders dimensioned by nation
     * and order year, both dims via broadcast.
     */
@@ -666,6 +734,8 @@ object Relational {
     "q3_top_revenue" -> q3TopRevenue,
     "q5_local_supplier_volume" -> q5LocalSupplierVolume,
     "q10_returned_items" -> q10ReturnedItems,
+    "q18_large_orders" -> q18LargeOrders,
+    "q14_promo_share" -> q14PromoShare,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
     "events_by_type" -> eventsByType
@@ -677,6 +747,8 @@ object Relational {
     "q_cube" -> qCubeSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q10_returned_items" -> q10Sql,
+    "q18_large_orders" -> q18Sql,
+    "q14_promo_share" -> q14Sql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q4_priority_exists" -> q4Sql,
     "q22_no_orders" -> q22Sql,
