@@ -322,7 +322,12 @@ object JoinQueries {
       val vMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfVersion]
       val eMem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AsOfEvent]
       val enriched = graft.joins.StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS())
-      val qname = s"j4_asof_stream_${streamQueryCounter.incrementAndGet()}"
+      val runId = streamQueryCounter.incrementAndGet()
+      // each run leaves a memory-sink table behind (the returned DataFrame
+      // reads it) — drop the PREVIOUS run's table so repeated bench passes
+      // hold at most one result in driver memory
+      if (runId > 1) spark.catalog.dropTempView(s"j4_asof_stream_${runId - 1}")
+      val qname = s"j4_asof_stream_$runId"
       val q = enriched.writeStream.format("memory").queryName(qname).outputMode("append").start()
       try {
         vMem.addData(versions)
