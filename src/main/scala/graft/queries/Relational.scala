@@ -317,6 +317,67 @@ object Relational {
     """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, TRUE AS hll_ok
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Count-min sketch over user activity — the third sketch face
+    * (frequencies, next to HLL cardinalities and GK quantiles): depth=4
+    * md5-seeded hash rows × width=256 counters, estimate = min over rows.
+    * Because the hash family is the deterministic cross-engine md5-60, the
+    * ESTIMATES themselves hash-match exactly (not just an error band), and
+    * the one-sided guarantee est ≥ exact ships as an always-TRUE flag the
+    * oracle asserts. Plan: the sketch build is one explode(depth) +
+    * partial+final count — the 1024-counter table is model-sized and
+    * broadcast back onto the (tiny) top-k probe frame. At 100 TB the
+    * sketch replaces the full user histogram (distinct-user-sized) with a
+    * constant 1024 counters; the exact count here exists only to feed the
+    * invariant flag and the top-k selection.
+    */
+  def qSketchCountMin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val width = 256L
+    val depth = 4
+    def buckets(u: org.apache.spark.sql.Column) =
+      array((0 until depth).map { j =>
+        struct(lit(j).as("j"), pmod(graft.data.Hashing.hash60Seeded(j, u), lit(width)).as("b"))
+      }: _*)
+    val ev = Tables.events(spark, dir).select($"user_id", $"user_id".cast("string").as("u"))
+    val cms = ev
+      .select(explode(buckets($"u")).as("jb"))
+      .groupBy($"jb.j".as("j"), $"jb.b".as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = ev
+      .groupBy($"user_id", $"u")
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy($"exact_n".desc, $"user_id".asc)
+      .limit(20)
+    top
+      .select($"user_id", $"exact_n", explode(buckets($"u")).as("jb"))
+      .select($"user_id", $"exact_n", $"jb.j".as("j"), $"jb.b".as("b"))
+      .join(broadcast(cms), Seq("j", "b"))
+      .groupBy($"user_id", $"exact_n")
+      .agg(min($"cnt").as("est_n"))
+      .select($"user_id", $"exact_n", $"est_n", ($"est_n" >= $"exact_n").as("cms_ok"))
+  }
+
+  val qSketchCountMinSql: String = {
+    val b = (e: String) =>
+      s"CAST(('0x'||substr(md5(CAST(j AS VARCHAR) || '#' || $e),1,15)) AS BIGINT) % 256"
+    s"""WITH ev AS (SELECT user_id, CAST(user_id AS VARCHAR) AS u FROM events),
+       |cms AS (
+       |  SELECT j, ${b("u")} AS bk, COUNT(*) AS cnt
+       |  FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT user_id, u, COUNT(*) AS exact_n
+       |  FROM ev GROUP BY 1, 2
+       |  ORDER BY exact_n DESC, user_id ASC LIMIT 20)
+       |SELECT user_id, exact_n, MIN(cnt) AS est_n, MIN(cnt) >= exact_n AS cms_ok
+       |FROM (
+       |  SELECT t.user_id, t.exact_n, c.cnt
+       |  FROM (SELECT user_id, exact_n, j, ${b("u")} AS bk
+       |        FROM top CROSS JOIN (SELECT unnest(range(4)) AS j)) t
+       |  JOIN cms c ON t.j = c.j AND t.bk = c.bk)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Quantile sketch (Greenwald-Khanna `approx_percentile`) — the 100 TB
     * path for percentiles (exact quantiles sort every value; GK ships a
     * fixed-size summary with rank error ≤ N/accuracy).
@@ -461,6 +522,47 @@ object Relational {
       |JOIN nation ON c_nationkey = n_nationkey
       |ORDER BY rev_cents DESC, c_custkey ASC
       |LIMIT 20""".stripMargin
+
+  /** Per-group outlier detection over the event stream: events whose value
+    * deviates more than 2σ from their type's mean. The moments come from
+    * EXACT integer sums (cents, cents² — both fit long comfortably at this
+    * value range), so mean/σ/z are single fixed float expression trees over
+    * exact inputs — bit-identical across engines, hash-matchable. Plan:
+    * one partial+final aggregate (5 rows) broadcast-joined back onto the
+    * scan — the classic two-pass z-score at 100 TB, no window over the
+    * whole table.
+    */
+  def qOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", cents($"value").as("c"))
+    val stats = ev.groupBy($"event_type").agg(
+      count(lit(1)).as("n"),
+      sum($"c").as("s1"),
+      sum($"c" * $"c").as("s2"))
+    val mu = $"s1".cast("double") / $"n"
+    val sd = sqrt($"s2".cast("double") / $"n" - mu * mu)
+    ev.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", ($"c" - mu) / sd)
+      .filter(abs($"z") > 2.0)
+      .select($"event_id", $"event_type", $"c".as("cents"),
+        floor($"z" * 1e6).cast("long").as("z_e6"))
+  }
+
+  val qOutliersSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
+      |stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM ev GROUP BY event_type)
+      |SELECT event_id, ev.event_type, c AS cents,
+      |  CAST(floor((c - CAST(s1 AS DOUBLE) / n)
+      |    / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+      |    * 1e6) AS BIGINT) AS z_e6
+      |FROM ev JOIN stats ON ev.event_type = stats.event_type
+      |WHERE abs((c - CAST(s1 AS DOUBLE) / n)
+      |  / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) > 2.0""".stripMargin
 
   /** Q18-style large-volume customers: orders whose total lineitem quantity
     * exceeds a threshold, with customer context. Plan shape: the HAVING
@@ -725,6 +827,7 @@ object Relational {
     "q4_priority_exists" -> q4PriorityExists,
     "q22_no_orders" -> q22NoOrders,
     "q_sketch_cardinality" -> qSketchCardinality,
+    "q_sketch_countmin" -> qSketchCountMin,
     "q_sketch_quantiles" -> qSketchQuantiles,
     "q6_forecast" -> q6Forecast,
     "q7_nation_volume" -> q7NationVolume,
@@ -736,6 +839,7 @@ object Relational {
     "q10_returned_items" -> q10ReturnedItems,
     "q18_large_orders" -> q18LargeOrders,
     "q14_promo_share" -> q14PromoShare,
+    "q_outliers" -> qOutliers,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
     "events_by_type" -> eventsByType
@@ -749,10 +853,12 @@ object Relational {
     "q10_returned_items" -> q10Sql,
     "q18_large_orders" -> q18Sql,
     "q14_promo_share" -> q14Sql,
+    "q_outliers" -> qOutliersSql,
     "q_window_funcs" -> qWindowFuncsSql,
     "q4_priority_exists" -> q4Sql,
     "q22_no_orders" -> q22Sql,
     "q_sketch_cardinality" -> qSketchCardinalitySql,
+    "q_sketch_countmin" -> qSketchCountMinSql,
     "q_sketch_quantiles" -> qSketchQuantilesSql,
     "q6_forecast" -> q6Sql,
     "q7_nation_volume" -> q7Sql,
