@@ -205,6 +205,24 @@ class DataOpsSpec extends SparkSpec {
     assert(got === Map(2L -> 1L, 3L -> 2L, 5L -> 1L))
   }
 
+  test("semanticDedup probes=2 on fixture embeddings: verdicts are a superset of single-probe") {
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val cents = graft.data.Similarity.seedCentroids(e, "vec_id", "embedding", k = 8)
+    def dups(probes: Int): Set[(Long, Long)] = graft.data.Dedup
+      .semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40, probes = probes)
+      .filter($"dup_of".isNotNull)
+      .select($"dup_of", $"vec_id").as[(Long, Long)].collect().toSet
+    val single = dups(1)
+    val multi = dups(2)
+    // multi-probe can only ADD candidate pairs; existing verdicts may only
+    // improve (dup_of can drop to a lower id), never disappear
+    val singleDocs = single.map(_._2)
+    val multiDocs = multi.map(_._2)
+    assert(singleDocs.subsetOf(multiDocs),
+      s"docs lost their dup verdict under multi-probe: ${singleDocs -- multiDocs}")
+    assert(multi.size >= single.size)
+  }
+
   test("bm25TopK: matches the formula computed in plain Scala, ranks and limits deterministically") {
     val docs = Seq(
       (1L, "hash join hash probe"),     // tf(hash)=2
