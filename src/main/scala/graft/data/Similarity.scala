@@ -297,6 +297,123 @@ object Similarity {
     corpus.select(avg(best)).collect()(0).getDouble(0)
   }
 
+  // ------------------------------------------------------------------ PQ
+  /** Product-quantization codebooks from the deterministic seed vectors:
+    * the `dim` dimensions split into `m` contiguous subspaces, and each
+    * subspace's codebook is the corresponding slice of the k smallest-id
+    * corpus vectors (the same oracle-replayable seeding as
+    * [[seedCentroids]]; Lloyd-refine per subspace offline for production
+    * codebooks — training is not oracle-replayable, the seeded path is).
+    * Returns codebooks(mi)(j) = the j-th codeword of subspace mi.
+    */
+  def pqCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int
+  ): Seq[Seq[Seq[Double]]] = {
+    val seeds = seedCentroids(corpus, idCol, vecCol, k)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m)
+      .map(mi => seeds.map(s => s.slice(mi * sub, (mi + 1) * sub).toVector).toVector)
+      .toVector
+  }
+
+  /** Lloyd-trained PQ codebooks: per subspace, spherical k-means over the
+    * SLICED corpus ([[trainCentroids]]) — the production path (float
+    * row-averaging is not order-replayable in SQL, so like the IVF
+    * trainer it is spec-verified; the seeded [[pqCodebooks]] path is the
+    * oracle-gated one). SimilaritySpec measures the recall gain.
+    */
+  def pqCodebooksTrained(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int
+  ): Seq[Seq[Seq[Double]]] = {
+    val dim = seedCentroids(corpus, idCol, vecCol, 1).head.length
+    require(dim % m == 0, s"pqCodebooksTrained: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { mi =>
+      val sliced = corpus.select(
+        col(idCol),
+        slice(col(vecCol).cast("array<double>"), mi * sub + 1, sub).as("_sv"))
+      trainCentroids(sliced, idCol, "_sv", k, iters)
+    }.toVector
+  }
+
+  /** Left-to-right dot product against a constant vector (the HOF shape the
+    * DuckDB oracle replays; zero-init fold like [[cosineHof]]).
+    */
+  private def dotConst(v: Column, c: Seq[Double]): Column =
+    aggregate(
+      zip_with(transform(v, x => x.cast("double")), array(c.map(lit): _*), (a, b) => a * b),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** PQ encoding: array<int> of length m — per subspace, the argmax-dot
+    * codeword index (ties → lowest index, the [[assignNearest]] contract).
+    * A 64-dim float vector compresses to m bytes-worth of codes: the
+    * memory face of 100 TB ANN — the corpus ships codes, not vectors.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sv = slice(vec.cast("array<double>"), mi * sub + 1, sub)
+      val dots = array(cb.map(cw => dotConst(sv, cw)): _*)
+      greatest(array_position(dots, array_max(dots)) - 1, lit(0L)).cast("int")
+    }: _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k for maximum-inner-product search:
+    * queries stay EXACT, the corpus is PQ codes only — each query
+    * precomputes its m×k lookup table of subspace dots (q_mi · codeword),
+    * and a candidate's score is the m-term sum of table lookups picked by
+    * its codes, folded in subspace order (pinned — float addition is not
+    * associative). The scan never touches corpus vectors: at 100 TB that
+    * is the difference between reading 256 B/vector and reading m bytes.
+    * Candidate pruning is orthogonal — compose with the IVF bucket join
+    * ([[bucketedTopK]]) or LSH to cut the candidate set first; this face
+    * scores ALL candidates, the exact analogue of [[bruteTopK]] on codes.
+    */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int
+  ): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val c = corpus.select(col(idCol).as("n_id"), pqEncode(col(vecCol), codebooks).as("n_codes"))
+    val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val qv = slice(col(vecCol).cast("array<double>"), mi * sub + 1, sub)
+      array(cb.map(cw => dotConst(qv, cw)): _*)
+    }: _*)
+    val q = broadcast(queries.select(col(idCol).as("q_id"), lut.as("q_lut")))
+    val score = (0 until m)
+      .map(mi => element_at(element_at(col("q_lut"), mi + 1), element_at(col("n_codes"), mi + 1) + 1))
+      .reduce(_ + _) // left-assoc: subspace order, matches the oracle fold
+    val scored = c.join(q, col("n_id") =!= col("q_id")).withColumn("score", score)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        floor(col("score") * 1e6).cast("long").as("score_e6")
+      )
+  }
+
   def bucketedTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -536,6 +536,63 @@ object DataQueries {
        |  d.dup_of IS NULL AS keep
        |FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
 
+  /** PQ/ADC ANN (maximum inner product): the corpus compresses to 8
+    * one-byte codes per vector (8 subspaces × 16 seeded codewords), queries
+    * stay exact and score candidates through their per-subspace lookup
+    * tables. The oracle replays the seeded codebooks, the per-subspace
+    * argmax encoding, the LUT dots, and the subspace-ordered score fold —
+    * all from the same interpolated doubles — so ranks and scores
+    * hash-match exactly. SimilaritySpec measures PQ recall vs exact MIPS.
+    */
+  private val PqM = 8
+  private val PqK = 16
+  // 64-dim embeddings / 8 subspaces (literal, not AnnDim/PqM: AnnDim is
+  // declared later in this object and would still be 0 at this init point)
+  private val PqSub = 8
+
+  def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = PqM, k = PqK)
+    Similarity.pqTopK(e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", cbs, k = 10)
+  }
+
+  val sAnnPqSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, $PqSub + 1), i -> $a * $b), (x,y) -> x+y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)),
+       |grid AS (SELECT unnest(range($PqM)) AS mi),
+       |codes0 AS (
+       |  SELECT e.vec_id, grid.mi, s.j,
+       |    ${dotSql(s"e.v[grid.mi * $PqSub + i]", s"s.cv[grid.mi * $PqSub + i]")} AS dotv
+       |  FROM e CROSS JOIN grid CROSS JOIN seeds s),
+       |codes AS (
+       |  SELECT vec_id, mi, j AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY dotv DESC, j ASC) AS rn
+       |    FROM codes0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+       |terms AS (
+       |  SELECT q.q_id, c.vec_id AS n_id, c.mi,
+       |    ${dotSql(s"q.qv[c.mi * $PqSub + i]", s"s.cv[c.mi * $PqSub + i]")} AS term
+       |  FROM codes c
+       |  JOIN seeds s ON s.j = c.code
+       |  CROSS JOIN q
+       |  WHERE c.vec_id <> q.q_id),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(term ORDER BY mi), (a,b) -> a+b) AS score
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   /** Multi-probe SemDeDup: candidate buckets = each vector's top-2 centroids
     * (primary cluster label stays the nearest), recovering near-dup pairs
     * that straddle a cluster boundary — the documented recall loss of the
@@ -1174,6 +1231,7 @@ object DataQueries {
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_ivf_seeded" -> sAnnIvfSeeded,
     "s_ann_lsh" -> sAnnLsh,
+    "s_ann_pq" -> sAnnPq,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "d_stratified_sample" -> dStratifiedSample,
     "d_seq_pack" -> dSeqPack,
@@ -1215,6 +1273,7 @@ object DataQueries {
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_ivf_seeded" -> sAnnIvfSeededSql,
     "s_ann_lsh" -> sAnnLshSql,
+    "s_ann_pq" -> sAnnPqSql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_seq_pack" -> dSeqPackSql,

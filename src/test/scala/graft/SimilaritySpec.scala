@@ -94,6 +94,60 @@ class SimilaritySpec extends SparkSpec {
     assert(rMulti > rSingle, "multi-probe should strictly beat single-probe on boundary neighbors")
   }
 
+  test("PQ/ADC: encoding is m codes, recall@10 vs exact MIPS measured on clustered corpus") {
+    def r(s: String): Double = (graft.functions.Md5Hash60.hash(s.getBytes("UTF-8")) % 2001 - 1000) / 1000.0
+    val cdim = 16
+    // member-major ids: the 16 smallest ids are one vector PER cluster, so
+    // the seeded codebooks see every mode (id = m*16 + k)
+    val vecs = for {
+      k <- 0 until 16
+      m <- 0 until 32
+    } yield {
+      val id = (m * 16 + k).toLong
+      val v = (0 until cdim).map(j => r(s"c_${k}_$j") + 0.08 * r(s"n_${k}_${m}_$j"))
+      (id, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 16 === 0)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, k = 16)
+    assert(cbs.length === 4 && cbs.head.length === 16 && cbs.head.head.length === 4)
+    // exact MIPS baseline (PQ approximates the inner product, not cosine)
+    val q = org.apache.spark.sql.functions.broadcast(
+      queries.select($"vec_id".as("q_id"), $"embedding".as("qv")))
+    val dot = aggregate(
+      zip_with($"qv", transform($"embedding", x => x.cast("double")), (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"dot".desc, $"vec_id".asc)
+    val exact = corpus.join(q, $"vec_id" =!= $"q_id")
+      .withColumn("dot", dot)
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .select($"q_id", $"vec_id".as("n_id")).as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", cbs, 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recall = pq.intersect(exact).size.toDouble / exact.size
+    // the production path: per-subspace Lloyd-trained codebooks
+    val trained = Similarity.pqCodebooksTrained(corpus, "vec_id", "embedding", m = 4, k = 16, iters = 3)
+    val pqT = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", trained, 10)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val recallT = pqT.intersect(exact).size.toDouble / exact.size
+    info(f"PQ recall@10 vs exact MIPS: seeded=$recall%.3f trained=$recallT%.3f")
+    println(f"[SimilaritySpec] PQ recall@10 vs exact MIPS: seeded=$recall%.3f trained=$recallT%.3f")
+    // ~0.52 is the structural ceiling of THIS geometry, not a codebook
+    // defect (trained == seeded confirms it): every member of the query's
+    // own cluster quantizes to the same 4 codes, so ADC collapses their
+    // scores and within-cluster ranking falls to the id tiebreak, while
+    // cross-cluster order is preserved — exactly the granularity PQ trades
+    // for 64x memory compression. Raise k (codes per subspace) to push the
+    // ceiling; the oracle face pins correctness, this pins the trade-off.
+    assert(recall >= 0.5, f"PQ recall $recall%.3f collapsed — codebooks not covering the modes")
+    assert(recallT >= recall, f"trained codebooks ($recallT%.3f) regressed below seeded ($recall%.3f)")
+    // codes really are per-subspace indices within [0, k)
+    val codes = corpus.select(Similarity.pqEncode($"embedding", cbs).as("c"))
+      .as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
+  }
+
   test("multi-probe recall@10 vs brute beats single-probe (measured, not assumed)") {
     val queries = emb.filter($"vec_id" % 25 === 0)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
