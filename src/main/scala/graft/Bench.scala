@@ -32,12 +32,18 @@ object Bench {
     // LATE-in-pass queries several-fold: v1_schema_dlq measured 20.6 s at
     // position ~90 of a dirty pass vs 3.95 s in a fresh JVM). Both run
     // OUTSIDE the per-query timer.
+    // A failed query records NaN, NOT its (near-zero) elapsed time — with
+    // per-query min-of-3, a transient crash in any one pass must never be
+    // able to IMPROVE the reported warm time. NaN passes are excluded from
+    // the min; a query failing ALL passes is dropped from the total and
+    // surfaced in the "failed" list of the JSON line.
     def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]): Map[String, Double] =
       order.zipWithIndex.map { case ((name, fn), i) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        val t = (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         spark.catalog.clearCache()
         if ((i + 1) % 20 == 0) System.gc()
         name -> t
@@ -48,6 +54,9 @@ object Bench {
     // over the 84 queries before them — harness artifact, not the plan.
     def resetSessionState(): Unit = {
       spark.catalog.clearCache()
+      // drop any state-store providers a streaming query left loaded
+      // (RocksDB native memory + maintenance threads outlive q.stop())
+      org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
       System.gc()
     }
     // Methodology: 1 cold pass (absorbs codegen/Janino + JIT warmup) then 2
@@ -62,21 +71,34 @@ object Bench {
     resetSessionState()
     val warm2 = runPass(new scala.util.Random(2L).shuffle(benched))
     val results: Map[String, Double] =
-      benched.map { case (name, _) =>
-        name -> List(cold(name), warm1(name), warm2(name)).min
+      benched.flatMap { case (name, _) =>
+        val ok = List(cold(name), warm1(name), warm2(name)).filterNot(_.isNaN)
+        if (ok.isEmpty) None else Some(name -> ok.min)
       }.toMap
+    // Queries that failed in ANY pass (weakens the min) and in ALL passes
+    // (absent from the total) — both must be loud, never silent.
+    val failedAll = benched.map(_._1).filterNot(results.contains).sorted
+    val failedSome = benched.map(_._1)
+      .filter(n => results.contains(n) &&
+        List(cold(n), warm1(n), warm2(n)).exists(_.isNaN)).sorted
+    val failedJson = (failedAll ++ failedSome).distinct
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: String.format uses the JVM default locale — on a
     // comma-decimal locale it would emit "12,345" and break the JSON line
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val skipped = oracleOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val coldOk = cold.filterNot(_._2.isNaN)
+    val coldTotal = if (coldOk.nonEmpty) coldOk.values.sum else 0.0
+    // NaN is not valid JSON — failed passes are dropped from the per-pass
+    // maps here; their names live in the "failed" list instead.
     def qjson(entries: Seq[(String, Double)], dp: Int): String =
-      entries.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
+      entries.filterNot(_._2.isNaN)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
     val byName = results.toSeq.sortBy(_._1)
     val detail =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qjson(byName, 3)},"cold_queries":${qjson(cold.toSeq.sortBy(_._1), 3)},"warm1_queries":${qjson(warm1.toSeq.sortBy(_._1), 3)},"warm2_queries":${qjson(warm2.toSeq.sortBy(_._1), 3)},"oracle_only":$skipped,"sf":"$sfDir","cold_total":${fmt(coldTotal, 3)},"methodology":"warm: per-query min of 3 passes (1 cold + 2 order-shuffled warm) in one JVM; session state cleared between passes"}
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qjson(byName, 3)},"cold_queries":${qjson(cold.toSeq.sortBy(_._1), 3)},"warm1_queries":${qjson(warm1.toSeq.sortBy(_._1), 3)},"warm2_queries":${qjson(warm2.toSeq.sortBy(_._1), 3)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfDir","cold_total":${fmt(coldTotal, 3)},"methodology":"warm: per-query min of non-failed passes (1 cold + 2 order-shuffled warm) in one JVM; failed pass = NaN, excluded from min; session state cleared between passes"}
 """
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), detail.getBytes("UTF-8"))
@@ -88,7 +110,7 @@ object Bench {
     // query prefix, before it would ever overflow the capture window.
     def render(entries: Seq[(String, Double)], dp: Int, trimmed: Boolean): String = {
       val extra = if (trimmed) ""","queries_trimmed":true""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qjson(entries, dp)},"oracle_only":$skipped,"sf":"$sfShort","cold_total":${fmt(coldTotal, 1)},"detail":"bench_full.json"$extra}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qjson(entries, dp)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfShort","cold_total":${fmt(coldTotal, 1)},"detail":"bench_full.json"$extra}"""
     }
     val budget = 1850 // 2000-char tail with margin for any stray trailing log
     val slowestFirst = results.toSeq.sortBy(-_._2)

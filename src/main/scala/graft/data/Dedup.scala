@@ -379,25 +379,36 @@ object Dedup {
   ): DataFrame = {
     require(probes >= 1 && probes <= centroids.length,
       s"semanticDedup: probes=$probes out of 1..${centroids.length}")
-    val assigned = corpus
-      .select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
-      .withColumn(
-        "_bks",
-        // probes=1 keeps the assignNearest path (bit-identical to the
-        // pre-multi-probe operator, incl. its all-NaN → bucket-0 guard)
-        if (probes == 1) array(Similarity.assignNearest(col("_v"), centroids))
-        else Similarity.assignTopP(col("_v"), centroids, probes))
-    val exploded = assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk"))
-    val a = exploded.select(col("_bk"), col(idCol).as("_i"), col("_v").as("_va"))
-    val b = exploded.select(col("_bk"), col(idCol).as("_j"), col("_v").as("_vb"))
+    val base = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    // Candidate rows carry (_bk = bucket key, id, vector); the primary
+    // `cluster` label rides a separate column so it is computed ONCE per
+    // row, never re-derived after a Generate node.
+    val (candidates, labeled) =
+      if (probes == 1) {
+        // Classic SemDeDup: plain scalar bucket column, NO explode — the
+        // single-element-array Generate node would block plan collapse /
+        // whole-stage codegen for zero candidate gain. Bit-identical answer
+        // to assignNearest (incl. its all-NaN → bucket-0 guard).
+        val assigned = base.withColumn("_bk", Similarity.assignNearest(col("_v"), centroids))
+        (assigned, assigned.select(col(idCol), col("_bk").cast("long").as("cluster")))
+      } else {
+        // Multi-probe: primary label = head of the top-P list, materialized
+        // BEFORE the explode so the 16-cosine argmax runs once per row.
+        val assigned = base
+          .withColumn("_bks", Similarity.assignTopP(col("_v"), centroids, probes))
+          .withColumn("_bk0", element_at(col("_bks"), 1))
+        (assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk")),
+         assigned.select(col(idCol), col("_bk0").cast("long").as("cluster")))
+      }
+    val a = candidates.select(col("_bk"), col(idCol).as("_i"), col("_v").as("_va"))
+    val b = candidates.select(col("_bk"), col(idCol).as("_j"), col("_v").as("_vb"))
     val dups = a.join(b, Seq("_bk"))
       .filter(col("_i") < col("_j"))
       .filter(Similarity.cosine(col("_va"), col("_vb")) >= threshold)
       .groupBy(col("_j"))
       .agg(min(col("_i")).as("dup_of"))
       .withColumnRenamed("_j", idCol)
-    assigned
-      .select(col(idCol), element_at(col("_bks"), 1).cast("long").as("cluster"))
+    labeled
       .join(dups, Seq(idCol), "left")
       .withColumn("keep", col("dup_of").isNull)
   }

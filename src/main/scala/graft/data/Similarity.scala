@@ -414,6 +414,60 @@ object Similarity {
       )
   }
 
+  /** IVF-pruned ADC — the composed 100 TB ANN query shape: the coarse
+    * quantizer prunes candidates to the query's probe buckets FIRST, then
+    * ADC scores only the survivors through the PQ lookup tables. Corpus
+    * side ships (id, bucket, m codes) — never vectors; the query side
+    * (small) broadcasts its probe list exploded, so candidates grow by
+    * probes× over single-probe IVF while the scan stays one pass. Each
+    * corpus row has exactly ONE bucket and a query's probe buckets are
+    * distinct, so no candidate dedup is needed ([[multiProbeTopK]]'s
+    * argument). Scores are bit-identical to [[pqTopK]] on the shared
+    * candidates: same LUT dots, same subspace-ordered fold.
+    */
+  def pqTopKPruned(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      codebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      probes: Int = 1
+  ): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      assignNearest(col(vecCol).cast("array<double>"), centroids).as("n_bk"),
+      pqEncode(col(vecCol), codebooks).as("n_codes"))
+    val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val qv = slice(col(vecCol).cast("array<double>"), mi * sub + 1, sub)
+      array(cb.map(cw => dotConst(qv, cw)): _*)
+    }: _*)
+    val q = broadcast(
+      queries.select(
+        col(idCol).as("q_id"),
+        lut.as("q_lut"),
+        explode(assignTopP(col(vecCol).cast("array<double>"), centroids, probes)).as("q_bk")))
+    val score = (0 until m)
+      .map(mi => element_at(element_at(col("q_lut"), mi + 1), element_at(col("n_codes"), mi + 1) + 1))
+      .reduce(_ + _) // left-assoc: subspace order, matches the oracle fold
+    val scored = c
+      .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        floor(col("score") * 1e6).cast("long").as("score_e6")
+      )
+  }
+
   def bucketedTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -37,8 +37,10 @@ import org.apache.spark.sql.streaming._
   * the same single exchange the batch window face pays); each event's probe
   * is O(log h) against its local history, no broadcast, no per-batch rescan
   * of the reference. State is one ListState row per version per key —
-  * config/dimension-sized, TTL-boundable; the unbounded-history variant of a
-  * key should compact upstream (e.g. [[Materializer]]) before entering.
+  * config/dimension-sized; bound it with the TTL, the `compactLagUs`
+  * event-time compaction horizon (drops versions the advancing probe
+  * frontier can no longer reach, keeping the latest at-or-before it), or by
+  * compacting upstream (e.g. [[Materializer]]) before entering.
   */
 object StreamingAsOfJoiner {
 
@@ -65,15 +67,31 @@ object StreamingAsOfJoiner {
       asofTsUs: Option[Long],
       asofValue: Option[String])
 
-  class AsOfProcessor(ttlMs: Long)
+  /** @param compactLagUs event-time compaction horizon: after probing, a
+    *                      key's history drops every version OLDER than
+    *                      (max event ts probed so far − lag), KEEPING the
+    *                      latest version at-or-before that horizon — it is
+    *                      still the answer for probes in the gap up to the
+    *                      next version. Answers stay exact for every event
+    *                      no more than `compactLagUs` behind the key's
+    *                      newest event (this batch's events always probe
+    *                      the UNCOMPACTED history); stragglers beyond the
+    *                      lag may see the compacted floor instead of an
+    *                      older version — the same contract as a watermark.
+    *                      Negative = unbounded (compact upstream).
+    */
+  class AsOfProcessor(ttlMs: Long, compactLagUs: Long = -1L)
       extends StatefulProcessor[String, AsOfInput, AsOfEnriched] {
     @transient private var hist: ListState[VersionRow] = _
+    @transient private var maxProbe: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      hist = getHandle.getListState[VersionRow](
-        "hist",
-        Encoders.product[VersionRow],
-        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl =
+        if (ttlMs > 0) TTLConfig(java.time.Duration.ofMillis(ttlMs)) else TTLConfig.NONE
+      hist = getHandle.getListState[VersionRow]("hist", Encoders.product[VersionRow], ttl)
+      if (compactLagUs >= 0)
+        maxProbe = getHandle.getValueState[Long]("maxProbe", Encoders.scalaLong, ttl)
+    }
 
     /** Last index with tsUs <= probe; equal-ts runs keep append order, so
       * the last qualifying index is also the newest write (LWW).
@@ -111,10 +129,31 @@ object StreamingAsOfJoiner {
           hist.get().foreach(buf += _)
           buf.result().sortBy(_.tsUs) // stable: append order survives ties
         }
-        events.sortBy(_.tsUs).iterator.map { e =>
+        // probe against the FULL history first — this batch's answers are
+        // always exact — then compact behind the advanced horizon
+        val out = events.sortBy(_.tsUs).map { e =>
           val hit = pick(h, e.tsUs)
           AsOfEnriched(e.key, e.tsUs, e.payload, hit.map(_.tsUs), hit.map(_.value))
         }
+        if (compactLagUs >= 0) {
+          val hwm = math.max(
+            if (maxProbe.exists()) maxProbe.get() else Long.MinValue,
+            events.iterator.map(_.tsUs).max)
+          maxProbe.update(hwm)
+          val horizon = hwm - compactLagUs
+          // first index with tsUs > horizon; keep from the latest
+          // at-or-before the horizon (idx-1) — the gap-filler — onward
+          val idx = h.indexWhere(_.tsUs > horizon) match {
+            case -1 => h.length
+            case i => i
+          }
+          val from = math.max(idx - 1, 0)
+          if (from > 0) {
+            hist.clear()
+            hist.appendList(h.drop(from).toArray)
+          }
+        }
+        out.iterator
       }
     }
   }
@@ -123,11 +162,15 @@ object StreamingAsOfJoiner {
     * RocksDB state store provider (as all transformWithState operators do).
     *
     * @param ttlMs state TTL for version history; 0 = keep forever
+    * @param compactLagUs event-time compaction horizon for version history
+    *                     (see [[AsOfProcessor]]); negative = keep every
+    *                     version forever
     */
   def enrich(
       events: Dataset[AsOfEvent],
       versions: Dataset[AsOfVersion],
-      ttlMs: Long = 0
+      ttlMs: Long = 0,
+      compactLagUs: Long = -1L
   ): Dataset[AsOfEnriched] = {
     import events.sparkSession.implicits._
     val unioned = events
@@ -136,7 +179,7 @@ object StreamingAsOfJoiner {
     unioned
       .groupByKey(_.key)
       .transformWithState(
-        new AsOfProcessor(ttlMs),
+        new AsOfProcessor(ttlMs, compactLagUs),
         if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }

@@ -593,6 +593,74 @@ object DataQueries {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** IVF-pruned PQ/ADC ANN — the composed 100 TB query shape the PQ
+    * scaladoc promises: the 16 seeded centroids prune candidates to each
+    * query's top-2 probe buckets FIRST, then only the survivors are
+    * ADC-scored through the PQ lookup tables. At scale the corpus side
+    * ships (id, bucket, m codes) — the vectors never leave the scan. The
+    * oracle composes the two proven CTE blocks (IVF argmax assignment
+    * from `s_ann_ivf_seeded`, codebook encoding + LUT score fold from
+    * `s_ann_pq`) joined on the bucket — scores bit-match `s_ann_pq` on
+    * the shared candidates. SimilaritySpec measures recall vs the
+    * unpruned face and the candidate-set reduction.
+    */
+  def sAnnPqIvf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 16)
+    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = PqM, k = PqK)
+    Similarity.pqTopKPruned(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      cents, cbs, k = 10, probes = 2)
+  }
+
+  val sAnnPqIvfSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, $PqSub + 1), i -> $a * $b), (x,y) -> x+y)"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)),
+       |sc AS (
+       |  SELECT e.vec_id, e.v, s.j, ${cosSql("e.v", "s.cv")} AS cosv
+       |  FROM e CROSS JOIN seeds s),
+       |ranked_assign AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosv DESC, j ASC) AS rn
+       |  FROM sc),
+       |assigned AS (SELECT vec_id, j AS bk FROM ranked_assign WHERE rn = 1),
+       |probed AS (
+       |  SELECT vec_id AS q_id, v AS qv, j AS q_bk FROM ranked_assign
+       |  WHERE rn <= 2 AND vec_id % 25 = 0),
+       |grid AS (SELECT unnest(range($PqM)) AS mi),
+       |codes0 AS (
+       |  SELECT e.vec_id, grid.mi, s.j,
+       |    ${dotSql(s"e.v[grid.mi * $PqSub + i]", s"s.cv[grid.mi * $PqSub + i]")} AS dotv
+       |  FROM e CROSS JOIN grid CROSS JOIN seeds s),
+       |codes AS (
+       |  SELECT vec_id, mi, j AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY dotv DESC, j ASC) AS rn
+       |    FROM codes0)
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT p.q_id, p.qv, a.vec_id AS n_id
+       |  FROM assigned a JOIN probed p ON a.bk = p.q_bk AND a.vec_id <> p.q_id),
+       |terms AS (
+       |  SELECT cand.q_id, cand.n_id, c.mi,
+       |    ${dotSql(s"cand.qv[c.mi * $PqSub + i]", s"s.cv[c.mi * $PqSub + i]")} AS term
+       |  FROM cand
+       |  JOIN codes c ON c.vec_id = cand.n_id
+       |  JOIN seeds s ON s.j = c.code),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(term ORDER BY mi), (a,b) -> a+b) AS score
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
   /** Multi-probe SemDeDup: candidate buckets = each vector's top-2 centroids
     * (primary cluster label stays the nearest), recovering near-dup pairs
     * that straddle a cluster boundary — the documented recall loss of the
@@ -1232,6 +1300,7 @@ object DataQueries {
     "s_ann_ivf_seeded" -> sAnnIvfSeeded,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_pq" -> sAnnPq,
+    "s_ann_pq_ivf" -> sAnnPqIvf,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "d_stratified_sample" -> dStratifiedSample,
     "d_seq_pack" -> dSeqPack,
@@ -1274,6 +1343,7 @@ object DataQueries {
     "s_ann_ivf_seeded" -> sAnnIvfSeededSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_pq" -> sAnnPqSql,
+    "s_ann_pq_ivf" -> sAnnPqIvfSql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_seq_pack" -> dSeqPackSql,

@@ -293,7 +293,13 @@ object JoinQueries {
         .select(col("user_id").cast("string"), unix_micros(col("ts")), col("version").cast("string"))
         .as[(String, Long, String)].collect()
         .map { case (k, ts, v) => AsOfVersion(k, ts, v) }.toSeq
+      // deterministic 1/10 slice: the fixture (and the memory-sink result
+      // table) is collect()ed to the driver and memoized per dir, so it must
+      // stay driver-sized as SF grows — the oracle applies the same
+      // predicate (ADVICE r6). Versions stream in FULL: history size is the
+      // operator's real state axis.
       val events = Tables.events(spark, dir)
+        .filter(col("event_id") % 10 === 0)
         .select(col("user_id").cast("string"), unix_micros(col("ts")), col("event_id").cast("string"))
         .as[(String, Long, String)].collect()
         .map { case (k, ts, p) => AsOfEvent(k, ts, p) }.toSeq
@@ -334,7 +340,15 @@ object JoinQueries {
         q.processAllAvailable()
         eMem.addData(events)
         q.processAllAvailable()
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // unload the RocksDB providers + maintenance threads NOW: the
+        // memory-sink table is already materialized, and leaving native
+        // RocksDB state behind measurably taxes UNRELATED queries later in
+        // a bench pass (BisectBench pairwise: v1_schema_dlq 1.1 → 2.8 s
+        // after repeated j4_asof_stream runs without this)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
+      }
       spark.table(qname).select(
         col("payload").cast("long").as("event_id"),
         col("key").cast("long").as("user_id"),
@@ -407,10 +421,16 @@ object JoinQueries {
     "j1_dynamic_arrival" -> j1DynamicArrival
   )
 
+  /** Same ASOF oracle as the batch face, restricted to the fixture's
+    * deterministic event slice (versions are NOT sliced — the full history
+    * still streams into state).
+    */
+  val j4StreamSql: String = asofSql("user_id") + "\nWHERE e.event_id % 10 = 0"
+
   val oracles: Map[String, String] = Map(
     "j4_asof_join" -> j4Sql,
     "j4_asof_broadcast" -> j4BroadcastSql,
-    "j4_asof_stream" -> j4Sql,
+    "j4_asof_stream" -> j4StreamSql,
     "j5_range_join" -> j5Sql,
     "j3_skew_salted" -> j3SkewSaltedSql,
     "j2_static_enrich" -> j2Sql,

@@ -536,10 +536,32 @@ object Relational {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"event_type", cents($"value").as("c"))
+    // sum(c²) over BIGINT cents wraps SILENTLY around ~1e10 high-value rows
+    // (the one query in the cents family that squares before summing) —
+    // accumulate in DECIMAL(38,0) instead, the analogue of the oracle's
+    // HUGEINT sum: exact to 1e38, and overflow is LOUD (ANSI arithmetic
+    // error; the assert below keeps it loud even with ANSI off, where a
+    // decimal overflow degrades to NULL).
+    val cDec = $"c".cast("decimal(19,0)")
     val stats = ev.groupBy($"event_type").agg(
       count(lit(1)).as("n"),
       sum($"c").as("s1"),
-      sum($"c" * $"c").as("s2"))
+      sum(cDec * cDec).as("s2"))
+      // The overflow assert sits FIRST in the filter conjunction — with
+      // ANSI off a decimal overflow degrades to NULL, and a bare
+      // `null > …` predicate would drop the group silently instead of
+      // failing the job.
+      // Zero-variance guard: n·s2 == s1² ⟺ sd == 0. Exact integer compare,
+      // so degenerate groups drop IDENTICALLY on both engines — unguarded,
+      // Spark yields z = NaN (rows silently filtered) while DuckDB divides
+      // by zero to ±inf and errors on the BIGINT cast: engine divergence,
+      // not a hash mismatch.
+      .filter(
+        coalesce(
+          assert_true($"s2".isNotNull, lit("qOutliers: sum(cents²) overflowed DECIMAL(38)"))
+            .cast("boolean"),
+          lit(true)) &&
+        $"s2" * $"n" > $"s1".cast("decimal(38,0)") * $"s1".cast("decimal(38,0)"))
     val mu = $"s1".cast("double") / $"n"
     val sd = sqrt($"s2".cast("double") / $"n" - mu * mu)
     ev.join(broadcast(stats), Seq("event_type"))
@@ -554,8 +576,10 @@ object Relational {
       |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events),
       |stats AS (
       |  SELECT event_type, COUNT(*) AS n,
-      |    CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
-      |  FROM ev GROUP BY event_type)
+      |    CAST(SUM(c) AS BIGINT) AS s1, SUM(CAST(c AS HUGEINT) * c) AS s2
+      |  FROM ev GROUP BY event_type
+      |  HAVING SUM(CAST(c AS HUGEINT) * c) * COUNT(*)
+      |       > CAST(CAST(SUM(c) AS BIGINT) AS HUGEINT) * CAST(SUM(c) AS BIGINT))
       |SELECT event_id, ev.event_type, c AS cents,
       |  CAST(floor((c - CAST(s1 AS DOUBLE) / n)
       |    / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))

@@ -68,6 +68,39 @@ class RelationalSpec extends SparkSpec {
     assert(!gs.exists(r => r.getAs[Long]("g_nation") == 1 && r.getAs[Long]("g_year") == 1))
   }
 
+  test("q_outliers: zero-variance group drops cleanly; squared-cents overflow fails LOUD") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def writeEvents(dir: String, rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("event_id", "event_type", "value")
+        .withColumn("ts", timestamp_micros($"event_id" * 1000000L))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // a constant-value group has sd = 0 — it must DROP (exact n·s2 = s1²
+    // guard), not surface NaN/inf rows, while the varying group still
+    // reports its genuine outlier (values 9×0 + 100: mean 10, sd 30, z = 3)
+    val dir1 = java.nio.file.Files.createTempDirectory("qoutliers_var").toString
+    writeEvents(dir1,
+      (1L to 5L).map(i => (i, "const", 7.0)) ++
+        (10L until 19L).map(i => (i, "var", 0.0)) :+ ((19L, "var", 100.0)))
+    val got = Relational.qOutliers(spark, dir1).collect()
+    assert(!got.exists(_.getAs[String]("event_type") == "const"), "zero-variance rows leaked")
+    assert(got.map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("z_e6"))).toSeq ===
+      Seq((19L, 3000000L)))
+    // sum(cents²) beyond DECIMAL(38): two rows of value 9e16 (cents 9e18,
+    // cents² 8.1e37 each) overflow the accumulator — the job must FAIL, not
+    // return a silently-wrapped variance
+    val dir2 = java.nio.file.Files.createTempDirectory("qoutliers_ovf").toString
+    writeEvents(dir2, Seq((1L, "huge", 9.0e16), (2L, "huge", 9.0e16), (3L, "huge", 1.0)))
+    val loud = intercept[Exception] {
+      Relational.qOutliers(spark, dir2).collect()
+    }
+    val msg = String.valueOf(loud.getMessage) + String.valueOf(loud.getCause)
+    assert(
+      msg.contains("overflow") || msg.contains("Overflow") ||
+        msg.contains("DECIMAL(38") || msg.contains("cannot be represented"),
+      s"expected a loud decimal overflow, got: $msg")
+  }
+
   test("q1 plan: filter pushed to parquet scan, aggregate is partial+final") {
     val plan = Relational.q1PricingSummary(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan.take(2000))

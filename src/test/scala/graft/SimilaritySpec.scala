@@ -148,6 +148,61 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(c => c.length == 4 && c.forall(x => x >= 0 && x < 16)))
   }
 
+  test("IVF-pruned PQ: probes=all ≡ unpruned ADC; probes=2 recall measured, candidates cut") {
+    def r(s: String): Double = (graft.functions.Md5Hash60.hash(s.getBytes("UTF-8")) % 2001 - 1000) / 1000.0
+    val cdim = 16
+    val vecs = for {
+      k <- 0 until 16
+      m <- 0 until 32
+    } yield {
+      val id = (m * 16 + k).toLong
+      val v = (0 until cdim).map(j => r(s"c_${k}_$j") + 0.08 * r(s"n_${k}_${m}_$j"))
+      (id, v)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 16 === 0)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 16)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 4, k = 16)
+    val full = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", cbs, 10)
+      .select("q_id", "n_id", "rank", "score_e6")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // probing EVERY coarse bucket removes the pruning entirely — the
+    // composed operator must then reproduce the unpruned ADC face row for
+    // row (ranks, scores, tiebreaks), proving the prune is the ONLY delta
+    val all = Similarity.pqTopKPruned(
+      corpus, queries, "vec_id", "embedding", cents, cbs, 10, probes = cents.length)
+      .select("q_id", "n_id", "rank", "score_e6")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(all === full, "probes=all must be bit-identical to unpruned pqTopK")
+    // probes=2: pruning can only DROP candidates, never invent them —
+    // every surviving neighbor's score must match the unpruned score
+    val pruned = Similarity.pqTopKPruned(
+      corpus, queries, "vec_id", "embedding", cents, cbs, 10, probes = 2)
+      .select("q_id", "n_id", "score_e6").as[(Long, Long, Long)].collect()
+    val fullScores = full.map { case (q, n, _, s) => (q, n) -> s }.toMap
+    pruned.foreach { case (q, n, s) =>
+      fullScores.get((q, n)).foreach(fs => assert(fs === s, s"score drift on ($q,$n)"))
+    }
+    // recall of the pruned face vs the unpruned top-10 (the prune's cost)
+    val prunedSet = pruned.map { case (q, n, _) => (q, n) }.toSet
+    val fullSet = full.map { case (q, n, _, _) => (q, n) }
+    val recall = prunedSet.intersect(fullSet).size.toDouble / fullSet.size
+    // candidate reduction: with 16 balanced clusters and 2 probes, each
+    // query scores ~2/16 of the corpus instead of all of it
+    val bucketed = corpus.select(
+      Similarity.assignNearest($"embedding".cast("array<double>"), cents).as("bk"))
+      .groupBy($"bk").count().as[(Int, Long)].collect().toMap
+    val nQ = queries.count()
+    val candPruned = pruned.length // proxy: emitted rows <= candidates
+    info(f"IVF-pruned PQ recall@10 vs unpruned=$recall%.3f buckets=${bucketed.size}")
+    println(f"[SimilaritySpec] IVF-pruned PQ: recall@10 vs unpruned=$recall%.3f " +
+      f"buckets=${bucketed.size} queries=$nQ rows=$candPruned")
+    // this geometry puts each query's true neighbors in its own cluster, so
+    // 2-probe pruning should retain most of the unpruned top-10
+    assert(recall >= 0.7, f"IVF-pruned recall $recall%.3f collapsed")
+    assert(bucketed.size > 1, "coarse quantizer degenerated to one bucket")
+  }
+
   test("multi-probe recall@10 vs brute beats single-probe (measured, not assumed)") {
     val queries = emb.filter($"vec_id" % 25 === 0)
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =

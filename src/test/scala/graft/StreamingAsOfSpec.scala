@@ -128,4 +128,42 @@ class StreamingAsOfSpec extends SparkSpec {
       assert(streamed === batch)
     }
   }
+
+  test("compactLagUs bounds a 10k-version key; answers stay oracle-identical") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val n = 10000
+      val versions = (0 until n).map(i => AsOfVersion("k", i * 10L, s"v$i"))
+      // probe times: recent window only (each event within lag of the max)
+      val probeTs = Seq(n * 10L - 5, n * 10L - 1000, n * 10L + 500)
+      val vMem = MemoryStream[AsOfVersion]
+      val eMem = MemoryStream[AsOfEvent]
+      // lag = 2000 µs: versions older than (max probe − 2000) compact away,
+      // except the latest at-or-before the horizon
+      val out = StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS(), compactLagUs = 2000L)
+      val q = out.writeStream.format("memory").queryName("sasof_compact").outputMode("append").start()
+      val stateRows =
+        try {
+          vMem.addData(versions)
+          q.processAllAvailable()
+          eMem.addData(probeTs.map(t => AsOfEvent("k", t, s"e$t")))
+          q.processAllAvailable()
+          // second batch: state was compacted by batch 1's probes — answers
+          // in the still-reachable window must be unchanged
+          eMem.addData(AsOfEvent("k", n * 10L - 1500, "late"), AsOfEvent("k", n * 10L + 900, "head"))
+          q.processAllAvailable()
+          q.lastProgress.stateOperators(0).numRowsTotal
+        } finally q.stop()
+      val got = spark.table("sasof_compact").as[AsOfEnriched].collect()
+        .map(r => r.payload -> r.asofValue).toMap
+      // exact as-of answers (floor of ts/10, capped at n-1)
+      def expect(t: Long) = Some(s"v${math.min(t / 10, n - 1L)}")
+      probeTs.foreach(t => assert(got(s"e$t") === expect(t), s"probe at $t"))
+      assert(got("late") === expect(n * 10L - 1500))
+      assert(got("head") === expect(n * 10L + 900))
+      // boundedness: 10k versions entered, state holds only the lag window
+      // (~lag/10 versions + the gap-filler + bookkeeping), not the history
+      assert(stateRows < 1000, s"state not compacted: $stateRows rows for $n versions")
+    }
+  }
 }
