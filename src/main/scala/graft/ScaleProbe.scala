@@ -34,20 +34,41 @@ object ScaleProbe {
   )
 
   /** Family-representative queries (the r5 warm top-10 plus q1 and the
-    * cluster-propagation op) — every major shuffle/broadcast/state shape.
+    * cluster-propagation op, extended with the r6/r7 additions) — every
+    * major shuffle/broadcast/state shape. `j4_asof_stream` carries a fixed
+    * stream-start cost (RocksDB init, two streams) that does NOT scale with
+    * data — read its ratio against that floor.
     */
   private val Probes = Seq(
     "events_by_type", "q1_pricing_summary",
     "j4_asof_join", "j4_asof_broadcast", "j5_range_join",
     "a3_merger", "p2_cdc_parse", "job_sessions", "job_mongo_to_kafka",
     "d_clean_corpus", "d_decontaminate_bloom", "d_dup_clusters",
-    "s_ann_lsh_multiprobe"
+    "s_ann_lsh_multiprobe",
+    // r6/r7 additions (VERDICT r6 #5)
+    "j4_asof_stream", "s_ann_pq", "s_ann_pq_ivf",
+    "d_semdedup", "d_semdedup_probe2",
+    "q_sketch_countmin", "q18_large_orders", "q_outliers"
   )
 
+  /** A table is reused only when its completion marker exists AND records
+    * the same replication factor — a partially-written dir from a crashed
+    * run, or one built with a different factor, is rebuilt instead of
+    * silently corrupting the measurement (ADVICE r6). The marker is written
+    * strictly AFTER the parquet commit.
+    */
   private def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit =
     ShiftRules.foreach { case (table, shifts) =>
       val target = new java.io.File(s"$outDir/$table.parquet")
-      if (!target.exists()) {
+      val marker = new java.io.File(target, s"_GRAFT_FACTOR_$factor")
+      if (!marker.exists()) {
+        if (target.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(); ()
+          }
+          rm(target)
+        }
         val src = spark.read.parquet(s"$srcDir/$table.parquet")
         val copies =
           if (shifts.isEmpty) Seq(src)
@@ -58,6 +79,8 @@ object ScaleProbe {
           }
         copies.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+        marker.createNewFile()
+        ()
       }
     }
 
@@ -81,6 +104,8 @@ object ScaleProbe {
     graft.jobs.JobFixtures.warm(spark, outDir)
     graft.queries.SourceQueries.warm(spark, srcDir)
     graft.queries.SourceQueries.warm(spark, outDir)
+    graft.queries.JoinQueries.warm(spark, srcDir)
+    graft.queries.JoinQueries.warm(spark, outDir)
 
     def timeWarm(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)

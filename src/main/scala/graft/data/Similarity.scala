@@ -468,6 +468,55 @@ object Similarity {
       )
   }
 
+  /** Int8-quantized ANN — the BANDWIDTH face (PQ is the memory face): both
+    * sides symmetric-int8 quantized ([[Embeddings.quantizeInt8]]), each
+    * candidate scored by the EXACT integer dot product of the codes,
+    * rescaled by the two per-vector scales. At 100 TB the corpus scan reads
+    * 1 byte per dimension instead of 4-8 — a 4-8× bandwidth cut with ~1%
+    * score error (bounded by scale/2 per axis); compose with the IVF
+    * bucket join for candidate pruning exactly as [[pqTopKPruned]]. The
+    * integer dot is order-free (exact), and the two float rescales are
+    * association-pinned, so the oracle replays scores bit-exactly.
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    val qz = Embeddings.quantizeInt8(col(vecCol))
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      qz.getField("scale").as("n_scale"),
+      qz.getField("q").as("n_q"))
+    val q = broadcast(
+      queries.select(
+        col(idCol).as("q_id"),
+        qz.getField("scale").as("q_scale"),
+        qz.getField("q").as("q_vq")))
+    val idot = aggregate(
+      zip_with(col("q_vq"), col("n_q"), (a, b) => (a * b).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x)
+    val scored = c
+      .join(q, col("n_id") =!= col("q_id"))
+      .withColumn("idot", idot)
+      // association pinned left-to-right: (idot·q_scale)·n_scale
+      .withColumn("approx", col("idot").cast("double") * col("q_scale") * col("n_scale"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        col("idot"),
+        floor(col("approx") * 1e6).cast("long").as("approx_e6")
+      )
+  }
+
   def bucketedTopK(
       corpus: DataFrame,
       queries: DataFrame,

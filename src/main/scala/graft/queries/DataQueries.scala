@@ -661,6 +661,44 @@ object DataQueries {
        |FROM ranked WHERE rank <= 10""".stripMargin
   }
 
+  /** Int8-quantized ANN — the bandwidth face: corpus AND queries carry
+    * symmetric-int8 codes (1 byte/dim, the 4-8× scan-bandwidth cut), each
+    * candidate scored by the exact integer code dot rescaled by the two
+    * per-vector scales. The oracle replays quantization (maxAbs fold,
+    * round(x/scale) — the `e_embed_stats` parity precedent covers
+    * negative-value rounding), the integer dot (order-free), and the
+    * association-pinned float rescale, so ranks AND both score columns
+    * hash-match exactly.
+    */
+  def sAnnInt8(spark: SparkSession, dir: String): DataFrame =
+    Similarity.int8TopK(
+      Tables.embeddings(spark, dir), annQueries(spark, dir), "vec_id", "embedding", k = 10)
+
+  val sAnnInt8Sql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale) AS INT) END) AS q
+      |  FROM (
+      |    SELECT vec_id, v,
+      |      list_reduce(list_transform(v, x -> abs(x)), (a,b) -> greatest(a,b)) / 127.0 AS scale
+      |    FROM e)),
+      |qs AS (SELECT vec_id AS q_id, scale AS q_scale, q AS qq FROM codes WHERE vec_id % 25 = 0),
+      |scored AS (
+      |  SELECT q_id, c.vec_id AS n_id,
+      |    list_reduce(list_transform(range(1, len(qq) + 1), k -> CAST(qq[k] AS BIGINT) * c.q[k]),
+      |      (a,b) -> a + b) AS idot,
+      |    (CAST(list_reduce(list_transform(range(1, len(qq) + 1), k -> CAST(qq[k] AS BIGINT) * c.q[k]),
+      |      (a,b) -> a + b) AS DOUBLE) * q_scale) * c.scale AS approx
+      |  FROM codes c JOIN qs ON c.vec_id <> q_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, idot, approx,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, CAST(idot AS BIGINT) AS idot,
+      |  CAST(floor(approx * 1e6) AS BIGINT) AS approx_e6
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Multi-probe SemDeDup: candidate buckets = each vector's top-2 centroids
     * (primary cluster label stays the nearest), recovering near-dup pairs
     * that straddle a cluster boundary — the documented recall loss of the
@@ -1301,6 +1339,7 @@ object DataQueries {
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_pq" -> sAnnPq,
     "s_ann_pq_ivf" -> sAnnPqIvf,
+    "s_ann_int8" -> sAnnInt8,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "d_stratified_sample" -> dStratifiedSample,
     "d_seq_pack" -> dSeqPack,
@@ -1344,6 +1383,7 @@ object DataQueries {
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
+    "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_seq_pack" -> dSeqPackSql,

@@ -844,7 +844,202 @@ object Relational {
       |  COUNT(*) AS n
       |FROM r GROUP BY event_type""".stripMargin
 
+  /** TPC-H Q8-style national market share: of the PROMO-part volume sold to
+    * customers in one region, the yearly fraction supplied from one nation.
+    * Plan shape: ONE real shuffle (lineitem ⋈ orders on orderkey — the two
+    * fact tables); part prunes lineitem FIRST via broadcast, and the
+    * customer-region gate and supplier-nation tag are broadcast maps. The
+    * share is integer parts-per-million (the q14 pattern — BIGINT div is
+    * exact and engine-independent).
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val regionCust = Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir).select($"n_nationkey", $"n_regionkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val supp = Tables.supplier(spark, dir).select($"s_suppkey", $"s_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)
+          .select($"n_nationkey", $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"supp_nation")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).filter($"p_type" === "PROMO").select($"p_partkey")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_suppkey",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("vol_cents"))
+    li.join(
+        Tables.orders(spark, dir).select(
+          $"o_orderkey", $"o_custkey",
+          year($"o_orderdate".cast("timestamp")).cast("long").as("o_year")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(regionCust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year")
+      .agg(
+        sum(when($"supp_nation" === "NATION_2", $"vol_cents").otherwise(lit(0L)))
+          .as("nation_cents"),
+        sum($"vol_cents").as("total_cents"))
+      .select($"o_year", $"nation_cents", $"total_cents",
+        expr("nation_cents * 1000000L div total_cents").as("share_ppm"))
+  }
+
+  val q8Sql: String =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_cents ELSE 0 END) AS BIGINT) AS nation_cents,
+      |  CAST(SUM(vol_cents) AS BIGINT) AS total_cents,
+      |  CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN vol_cents ELSE 0 END) * 1000000
+      |    // SUM(vol_cents) AS BIGINT) AS share_ppm
+      |FROM (
+      |  SELECT year(CAST(o.o_orderdate AS TIMESTAMP)) AS o_year, sn.n_name AS supp_nation,
+      |    CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100) AS BIGINT) AS vol_cents
+      |  FROM lineitem l
+      |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+      |GROUP BY o_year""".stripMargin
+
+  /** TPC-H Q13-style customer order-count distribution: how many customers
+    * placed exactly k orders (k = 0 included via the left join). Plan shape:
+    * two aggregates — per-customer count (shuffle on custkey), then the
+    * distribution over counts (tiny second shuffle). The distribution of a
+    * distribution is the classic "aggregate the aggregate" at 100 TB: the
+    * second pass input is |customers| rows, never the order fact.
+    */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_custkey")
+      .join(Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q15-style top supplier: the supplier(s) with maximum revenue in
+    * a quarter. Plan shape: one shuffle aggregate over the filtered scan to
+    * supplier grain, then the max is a one-row broadcast joined back — the
+    * "argmax over an aggregate" without a global sort, and ties surface
+    * (the spec's correlated = max subquery), not tie-broken away.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate".cast("timestamp") >= lit("1996-01-01") &&
+        $"l_shipdate".cast("timestamp") < lit("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(sum(cents($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_cents"))
+    rev.join(broadcast(rev.agg(max($"total_cents").as("max_cents"))),
+        $"total_cents" === $"max_cents")
+      .join(broadcast(Tables.supplier(spark, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_cents")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+      |  FROM lineitem
+      |  WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+      |    AND CAST(l_shipdate AS TIMESTAMP) < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_cents = (SELECT MAX(total_cents) FROM rev)""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of SMALL-type parts
+    * whose quantity is below 20% of that part's average quantity. The
+    * correlated average is an aggregate-then-broadcast-back (part grain is
+    * model-sized next to the fact), and the 0.2·avg comparison is EXACT
+    * integer cross-multiplication (5·qty·n < Σqty in cents) — no float
+    * ratio to diverge engines. Output follows the spec's sum/7 yearly
+    * average, as integer-cents div.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val smallParts = Tables.part(spark, dir)
+      .filter($"p_type" === "SMALL").select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(smallParts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", cents($"l_quantity").as("qty_cents"),
+        cents($"l_extendedprice").as("price_cents"))
+    val stats = li.groupBy($"l_partkey".as("stat_partkey"))
+      .agg(count(lit(1)).as("n"), sum($"qty_cents").as("sum_qty_cents"))
+    li.join(broadcast(stats), $"l_partkey" === $"stat_partkey")
+      .filter($"qty_cents" * 5 * $"n" < $"sum_qty_cents")
+      .agg(sum($"price_cents").as("sum_cents"))
+      .select($"sum_cents", expr("sum_cents div 7").as("avg_yearly_cents"))
+  }
+
+  val q17Sql: String =
+    """WITH li AS (
+      |  SELECT l_partkey,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_cents,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'SMALL'),
+      |stats AS (
+      |  SELECT l_partkey AS stat_partkey, COUNT(*) AS n,
+      |    CAST(SUM(qty_cents) AS BIGINT) AS sum_qty_cents
+      |  FROM li GROUP BY l_partkey)
+      |SELECT CAST(SUM(price_cents) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(price_cents) // 7 AS BIGINT) AS avg_yearly_cents
+      |FROM li JOIN stats ON l_partkey = stat_partkey
+      |WHERE qty_cents * 5 * n < sum_qty_cents""".stripMargin
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    * (brand, size-range, quantity-range) clauses over the part equi-join.
+    * The interesting plan property: the equi-join key stays a hash join
+    * (never a nested loop), the disjunction rides as a residual filter,
+    * and the per-branch part predicates still prune the broadcast side.
+    */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val branch1 = $"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+      $"l_quantity".between(1, 20)
+    val branch2 = $"p_brand" === "Brand#23" && $"p_size".between(1, 25) &&
+      $"l_quantity".between(10, 30)
+    val branch3 = $"p_brand" === "Brand#5" && $"p_size".between(1, 35) &&
+      $"l_quantity".between(20, 40)
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_quantity",
+        cents($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev_cents"))
+      .join(broadcast(Tables.part(spark, dir)
+          .filter($"p_brand".isin("Brand#12", "Brand#23", "Brand#5") && $"p_size".between(1, 35))
+          .select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .filter(branch1 || branch2 || branch3)
+      .agg(sum($"rev_cents").as("revenue_cents"))
+  }
+
+  val q19Sql: String =
+    """SELECT CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+      |   OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> q8MarketShare,
+    "q13_order_distribution" -> q13OrderDistribution,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_quantity" -> q17SmallQuantity,
+    "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
     "q_quartiles_disc" -> qQuartilesDisc,
     "q_rollup" -> qRollup,
     "q_window_funcs" -> qWindowFuncs,
@@ -870,6 +1065,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8Sql,
+    "q13_order_distribution" -> q13Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q17_small_quantity" -> q17Sql,
+    "q19_disjunctive_revenue" -> q19Sql,
     "q_quartiles_disc" -> qQuartilesDiscSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,

@@ -48,7 +48,15 @@ class JoinsSpec extends SparkSpec {
     // entry is now keyed on user_id; pin that the single hash exchange
     // actually spreads rows across more than 5 partitions.
     // the shared test session runs 4 shuffle partitions + AQE coalescing —
-    // widen the shuffle and pin partitioning for the duration of this probe
+    // widen the shuffle and pin partitioning for the duration of this probe,
+    // restoring whatever values the session actually had (not hardcoded
+    // defaults, which would clobber config if SparkSpec ever changes)
+    val prevParts = spark.conf.getOption("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    def restore(key: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -61,8 +69,8 @@ class JoinsSpec extends SparkSpec {
       val plan = out.queryExecution.executedPlan.toString
       assert(!plan.toLowerCase.contains("join"), plan.take(1500))
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      restore("spark.sql.shuffle.partitions", prevParts)
+      restore("spark.sql.adaptive.enabled", prevAqe)
     }
   }
 

@@ -68,6 +68,44 @@ class RelationalSpec extends SparkSpec {
     assert(!gs.exists(r => r.getAs[Long]("g_nation") == 1 && r.getAs[Long]("g_year") == 1))
   }
 
+  test("q8/q13/q15/q17/q19: results sane, dims broadcast, facts never nested-loop") {
+    import org.apache.spark.sql.functions._
+    // q8: shares are valid ppm fractions and the nation sum never exceeds total
+    val q8 = Relational.q8MarketShare(spark, sf).collect()
+    assert(q8.nonEmpty)
+    q8.foreach { r =>
+      val ppm = r.getAs[Long]("share_ppm")
+      assert(ppm >= 0 && ppm <= 1000000)
+      assert(r.getAs[Long]("nation_cents") <= r.getAs[Long]("total_cents"))
+    }
+    // q13: distribution covers every customer exactly once (including 0-order)
+    val q13 = Relational.q13OrderDistribution(spark, sf).collect()
+    assert(q13.map(_.getAs[Long]("custdist")).sum ===
+      graft.core.Tables.customer(spark, sf).count())
+    // q15: the max-revenue join keeps ties, never fabricates rows
+    val q15 = Relational.q15TopSupplier(spark, sf).collect()
+    assert(q15.nonEmpty)
+    assert(q15.map(_.getAs[Long]("total_cents")).distinct.length === 1)
+    // q17: integer cross-multiplied 0.2·avg filter yields a subset sum
+    val q17 = Relational.q17SmallQuantity(spark, sf).collect()
+    assert(q17.length === 1)
+    // q19: the disjunction filters, never explodes
+    val q19 = Relational.q19DisjunctiveRevenue(spark, sf).collect()
+    assert(q19.length === 1 && q19.head.getAs[Long]("revenue_cents") > 0)
+    // plan shapes: dims ride broadcast joins; no nested loop / cartesian
+    Seq(
+      "q8" -> Relational.q8MarketShare(spark, sf),
+      "q15" -> Relational.q15TopSupplier(spark, sf),
+      "q17" -> Relational.q17SmallQuantity(spark, sf),
+      "q19" -> Relational.q19DisjunctiveRevenue(spark, sf)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: ${plan.take(1200)}")
+      assert(!plan.toLowerCase.contains("cartesian") && !plan.toLowerCase.contains("nestedloop"),
+        s"$name: ${plan.take(1200)}")
+    }
+  }
+
   test("q_outliers: zero-variance group drops cleanly; squared-cents overflow fails LOUD") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
