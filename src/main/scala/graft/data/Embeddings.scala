@@ -25,8 +25,29 @@ object Embeddings {
     transform(toDouble(v), x => when(n === 0.0, 0.0).otherwise(x / n))
   }
 
+  /** The int8 scale alone: maxAbs/127 (left-to-right greatest fold). Pair
+    * with [[int8Codes]] via a pinned column when quantizing in bulk —
+    * embedding the scale INSIDE the per-element rounding lambda (as the
+    * one-shot [[quantizeInt8]] struct does) re-runs the maxAbs fold per
+    * element: O(dim²) per row.
+    */
+  def int8Scale(v: Column): Column =
+    aggregate(toDouble(v), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0
+
+  /** Codes for a PRE-COMPUTED scale column (see [[int8Scale]]): one fold +
+    * one transform per row. `scale` must be a plain attribute (pin it with
+    * [[graft.functions.ComputeOnce]] so CollapseProject cannot substitute
+    * the fold back into this lambda).
+    */
+  def int8Codes(v: Column, scale: Column): Column =
+    transform(toDouble(v), x => when(scale === 0.0, 0).otherwise(round(x / scale).cast("int")))
+
   /** Symmetric int8 quantization: scale = maxAbs/127, q_i = round(x_i/scale).
     * Returns struct(scale, q array<int>). maxAbs via a left-to-right fold.
+    * NOTE O(dim²) per row as a single expression (scale re-evaluated per
+    * element) — fine for stats/spot use; bulk paths use
+    * [[int8Scale]]/[[int8Codes]] (or the fused native
+    * [[graft.functions.EmbedStats]]).
     */
   def quantizeInt8(v: Column): Column = {
     val d = toDouble(v)

@@ -485,20 +485,20 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    val qz = Embeddings.quantizeInt8(col(vecCol))
-    val c = corpus.select(
-      col(idCol).as("n_id"),
-      qz.getField("scale").as("n_scale"),
-      qz.getField("q").as("n_q"))
-    val q = broadcast(
-      queries.select(
-        col(idCol).as("q_id"),
-        qz.getField("scale").as("q_scale"),
-        qz.getField("q").as("q_vq")))
-    val idot = aggregate(
-      zip_with(col("q_vq"), col("n_q"), (a, b) => (a * b).cast("long")),
-      lit(0L),
-      (acc, x) => acc + x)
+    // scale as a PINNED column (ComputeOnce defeats projection collapse):
+    // one maxAbs fold + one rounding transform per row, not O(dim²)
+    def quantized(df: DataFrame, idAs: String, scaleAs: String, qAs: String): DataFrame =
+      df.withColumn("_s", graft.functions.ComputeOnce(Embeddings.int8Scale(col(vecCol))))
+        .select(
+          col(idCol).as(idAs),
+          col("_s").as(scaleAs),
+          Embeddings.int8Codes(col(vecCol), col("_s")).as(qAs))
+    val c = quantized(corpus, "n_id", "n_scale", "n_q")
+    val q = broadcast(quantized(queries, "q_id", "q_scale", "q_vq"))
+    // native codegen'd integer dot (one fused primitive loop per pair) —
+    // integer adds are order-free, so it is EXACTLY the HOF fold and the
+    // oracle's list_reduce (FunctionsSpec cross-checks bit-parity)
+    val idot = graft.functions.IntDotProduct.column(col("q_vq"), col("n_q"))
     val scored = c
       .join(q, col("n_id") =!= col("q_id"))
       .withColumn("idot", idot)

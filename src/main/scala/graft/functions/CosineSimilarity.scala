@@ -105,6 +105,7 @@ object GraftFunctions {
       "cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)),
       "built-in")
+    reg.createOrReplaceTempFunction("int_dot", exprs => IntDotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash60", exprs => SimHash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("md5_hash60", exprs => Md5Hash60(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("embed_stats", exprs => EmbedStats(exprs.head), "built-in")

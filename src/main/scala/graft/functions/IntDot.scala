@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native integer dot product over two int-array columns (the int8-ANN hot
+  * loop: quantized code vectors scored per candidate pair).
+  *
+  * Replaces the `zip_with` + `aggregate` higher-order-function formulation,
+  * which allocates lambda frames per element and blocks whole-stage codegen
+  * around the join — measured 3.05 s → sub-second for `s_ann_int8` at
+  * sf0.1. Integer addition is associative and order-free, so the result is
+  * EXACTLY the HOF fold and the DuckDB `list_reduce` replay — no
+  * accumulation-order caveat at all (unlike the float expressions, which
+  * pin left-to-right order).
+  */
+case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"int_dot expects array<int> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += a.getInt(i).toLong * b.getInt(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names for every local incl. the loop variable — Janino
+      // rejects redefinition in the enclosing generated function, which
+      // silently drops the stage to interpreted execution
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $dot = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object IntDotProduct {
+  def column(a: Column, b: Column): Column =
+    ColumnBridge.column(IntDotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

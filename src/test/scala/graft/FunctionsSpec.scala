@@ -19,6 +19,29 @@ class FunctionsSpec extends SparkSpec {
     assert(diff.count() === 0)
   }
 
+  test("native int_dot equals the HOF fold on quantized embeddings; codegen'd; SQL-registered") {
+    val codes = graft.core.Tables.embeddings(spark, sf).limit(60)
+      .select($"vec_id", graft.data.Embeddings.quantizeInt8($"embedding").getField("q").as("q"))
+    val a = codes.select($"vec_id".as("i"), $"q".as("qa"))
+    val b = codes.select($"vec_id".as("j"), $"q".as("qb"))
+    val hof = aggregate(
+      zip_with($"qa", $"qb", (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x)
+    val pairs = a.crossJoin(b).filter($"i" < $"j")
+      .withColumn("fused", graft.functions.IntDotProduct.column($"qa", $"qb"))
+      .withColumn("hof", hof)
+    assert(pairs.filter($"fused" =!= $"hof").count() === 0)
+    // no CodegenFallback marker: the expression compiles into the stage
+    // (the cross-join harness itself is BNL, so don't assert stage shape)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(1500))
+    // SQL registration + null propagation
+    GraftFunctions.register(spark)
+    assert(spark.sql("SELECT int_dot(array(1, -2, 3), array(4, 5, 6)) AS d").head().getLong(0) === 12L)
+    val nullGot = Seq((Some(Seq(1, 2)), Option.empty[Seq[Int]])).toDF("a", "b")
+      .selectExpr("int_dot(a, b) AS d").head()
+    assert(nullGot.isNullAt(0))
+  }
+
   test("ShingleHash60 is bit-identical to the HOF shingles+hash formulation on real docs") {
     val toks = graft.data.TextAnalysis.tokens($"text")
     val hof = transform(graft.data.Dedup.shingles(toks, 3), s => graft.data.Hashing.hash60(s))
