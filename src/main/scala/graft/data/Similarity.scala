@@ -360,8 +360,16 @@ object Similarity {
     * codeword index (ties → lowest index, the [[assignNearest]] contract).
     * A 64-dim float vector compresses to m bytes-worth of codes: the
     * memory face of 100 TB ANN — the corpus ships codes, not vectors.
+    * Native fused kernel ([[graft.functions.PqEncode]]); the HOF
+    * formulation below is kept for bit-parity cross-checking.
     */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.Pq.encode(vec, codebooks)
+
+  /** The HOF formulation of [[pqEncode]] — m·k interpreted `aggregate`
+    * folds per row; cross-check fixture only.
+    */
+  def pqEncodeHof(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
     array(codebooks.zipWithIndex.map { case (cb, mi) =>
@@ -391,15 +399,13 @@ object Similarity {
       k: Int
   ): DataFrame = {
     val m = codebooks.length
-    val sub = codebooks.head.head.length
+    val cbK = codebooks.head.length
     val c = corpus.select(col(idCol).as("n_id"), pqEncode(col(vecCol), codebooks).as("n_codes"))
-    val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
-      val qv = slice(col(vecCol).cast("array<double>"), mi * sub + 1, sub)
-      array(cb.map(cw => dotConst(qv, cw)): _*)
-    }: _*)
+    // flattened native LUT: element mi·k + j = dot(query subvec mi, codeword j)
+    val lut = graft.functions.Pq.lut(col(vecCol), codebooks)
     val q = broadcast(queries.select(col(idCol).as("q_id"), lut.as("q_lut")))
     val score = (0 until m)
-      .map(mi => element_at(element_at(col("q_lut"), mi + 1), element_at(col("n_codes"), mi + 1) + 1))
+      .map(mi => element_at(col("q_lut"), lit(mi * cbK) + element_at(col("n_codes"), mi + 1) + 1))
       .reduce(_ + _) // left-assoc: subspace order, matches the oracle fold
     val scored = c.join(q, col("n_id") =!= col("q_id")).withColumn("score", score)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
@@ -436,22 +442,20 @@ object Similarity {
       probes: Int = 1
   ): DataFrame = {
     val m = codebooks.length
-    val sub = codebooks.head.head.length
+    val cbK = codebooks.head.length
     val c = corpus.select(
       col(idCol).as("n_id"),
       assignNearest(col(vecCol).cast("array<double>"), centroids).as("n_bk"),
       pqEncode(col(vecCol), codebooks).as("n_codes"))
-    val lut = array(codebooks.zipWithIndex.map { case (cb, mi) =>
-      val qv = slice(col(vecCol).cast("array<double>"), mi * sub + 1, sub)
-      array(cb.map(cw => dotConst(qv, cw)): _*)
-    }: _*)
+    // flattened native LUT: element mi·k + j = dot(query subvec mi, codeword j)
+    val lut = graft.functions.Pq.lut(col(vecCol), codebooks)
     val q = broadcast(
       queries.select(
         col(idCol).as("q_id"),
         lut.as("q_lut"),
         explode(assignTopP(col(vecCol).cast("array<double>"), centroids, probes)).as("q_bk")))
     val score = (0 until m)
-      .map(mi => element_at(element_at(col("q_lut"), mi + 1), element_at(col("n_codes"), mi + 1) + 1))
+      .map(mi => element_at(col("q_lut"), lit(mi * cbK) + element_at(col("n_codes"), mi + 1) + 1))
       .reduce(_ + _) // left-assoc: subspace order, matches the oracle fold
     val scored = c
       .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))

@@ -42,6 +42,38 @@ class FunctionsSpec extends SparkSpec {
     assert(nullGot.isNullAt(0))
   }
 
+  test("native PqEncode/PqLut are bit-identical to the HOF formulation on real embeddings") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+    // encode: same argmax codes (incl. tie/NaN contract) per subspace
+    val encDiff = emb
+      .withColumn("fused", Similarity.pqEncode($"embedding", cbs))
+      .withColumn("hof", Similarity.pqEncodeHof($"embedding", cbs))
+      .filter($"fused" =!= $"hof")
+    assert(encDiff.count() === 0)
+    // lut: flattened m·k dots equal the per-subspace HOF dot folds exactly
+    val sub = cbs.head.head.length
+    val hofLut = flatten(array(cbs.zipWithIndex.map { case (cb, mi) =>
+      val qv = slice($"embedding".cast("array<double>"), mi * sub + 1, sub)
+      array(cb.map { cw =>
+        aggregate(
+          zip_with(transform(qv, x => x.cast("double")), array(cw.map(lit): _*), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }: _*))
+    val lutDiff = emb
+      .withColumn("fused", graft.functions.Pq.lut($"embedding", cbs))
+      .withColumn("hof", hofLut)
+      .filter($"fused" =!= $"hof") // exact: any ULP difference fails
+    assert(lutDiff.count() === 0)
+    // both stay codegen'd
+    val plan = emb.select(
+      Similarity.pqEncode($"embedding", cbs).as("e"),
+      graft.functions.Pq.lut($"embedding", cbs).as("l"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(800))
+  }
+
   test("ShingleHash60 is bit-identical to the HOF shingles+hash formulation on real docs") {
     val toks = graft.data.TextAnalysis.tokens($"text")
     val hof = transform(graft.data.Dedup.shingles(toks, 3), s => graft.data.Hashing.hash60(s))
