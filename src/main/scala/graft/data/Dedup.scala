@@ -41,6 +41,37 @@ object Dedup {
       .withColumn("n_copies", count(lit(1)).over(w))
   }
 
+  /** Exact dedup with SOURCE PRECEDENCE — the corpus-union rule every
+    * mixture pipeline applies: when the same content appears in multiple
+    * sources (curated wiki dump AND a web crawl), keep the copy from the
+    * most trusted source, not the lowest id. `priority` maps source →
+    * rank (higher wins; unlisted sources get `defaultPriority`); ties
+    * break on lowest id so the verdict stays deterministic. Same scale
+    * shape as [[exactDedup]]: the window shuffles (hash, id, priority)
+    * only — text never moves.
+    */
+  def exactDedupPrioritized(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      priority: Map[String, Int],
+      defaultPriority: Int = 0
+  ): DataFrame = {
+    val prioMap = map(priority.toSeq.flatMap { case (s, p) => Seq(lit(s), lit(p)) }: _*)
+    val prio = coalesce(element_at(prioMap, col(sourceCol)), lit(defaultPriority))
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(col("_prio").desc, col(idCol).asc)
+    df.select(col(idCol), col(sourceCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("_prio", prio)
+      .withColumn("keep_id", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn(
+        "n_copies",
+        count(lit(1)).over(Window.partitionBy(col("content_hash"))))
+      .select(col(idCol), col(sourceCol), col("content_hash"), col("keep_id"), col("n_copies"))
+  }
+
   /** (id, shingle-hash) exploded view. Shingles travel as 60-bit longs —
     * an 8-byte shuffle key instead of a ~20-char string (the joins below are
     * shuffle-bound; hash collisions are identical in the oracle's replay of

@@ -157,6 +157,38 @@ object DataQueries {
       |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
       |FROM documents""".stripMargin
 
+  /** Source-precedence dedup over a corpus UNION: the documents table plus
+    * a synthetic re-crawl of the SAME content at LOWER ids tagged
+    * source='crawl'. Keep-lowest-id would keep every crawl copy; the
+    * priority rule (any curated source beats 'crawl') must keep the
+    * ORIGINAL — so the fixture genuinely discriminates the operator from
+    * [[Dedup.exactDedup]]. The oracle replays the union, the priority
+    * CASE, and the FIRST_VALUE window.
+    */
+  def dDedupPriority(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val crawl = docs.select(
+      (col("doc_id") - 1000000L).as("doc_id"), col("text"), lit("crawl").as("source"))
+    Dedup.exactDedupPrioritized(
+      docs.unionByName(crawl), "doc_id", "text", "source",
+      priority = Map("crawl" -> 0), defaultPriority = 10)
+  }
+
+  val dDedupPrioritySql: String =
+    """WITH u AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id - 1000000, text, 'crawl' FROM documents),
+      |p AS (
+      |  SELECT doc_id, source, md5(text) AS content_hash,
+      |    CASE WHEN source = 'crawl' THEN 0 ELSE 10 END AS prio
+      |  FROM u)
+      |SELECT doc_id, source, content_hash,
+      |  FIRST_VALUE(doc_id) OVER (PARTITION BY content_hash ORDER BY prio DESC, doc_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id,
+      |  COUNT(*) OVER (PARTITION BY content_hash) AS n_copies
+      |FROM p""".stripMargin
+
   def dJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -1326,6 +1358,7 @@ object DataQueries {
     "d_clean_corpus" -> dCleanCorpus,
     "e_embed_stats" -> eEmbedStats,
     "d_dedup_exact" -> dExact,
+    "d_dedup_priority" -> dDedupPriority,
     "d_ngram_jaccard" -> dJaccard,
     "d_ngram_jaccard_scoped" -> dJaccardScoped,
     "d_minhash_sig" -> dMinhashSig,
@@ -1370,6 +1403,7 @@ object DataQueries {
     "d_clean_corpus" -> dCleanCorpusSql,
     "e_embed_stats" -> eEmbedStatsSql,
     "d_dedup_exact" -> dExactSql,
+    "d_dedup_priority" -> dDedupPrioritySql,
     "d_ngram_jaccard" -> dJaccardSql,
     "d_ngram_jaccard_scoped" -> dJaccardScopedSql,
     "d_minhash_sig" -> dMinhashSigSql,

@@ -13,6 +13,25 @@ class DataOpsSpec extends SparkSpec {
     assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
   }
 
+  test("exactDedupPrioritized: source rank beats id order; ties fall back to min id; default rank applies") {
+    val df = Seq(
+      (1L, "a b c", "crawl"),   // lowest id but lowest-priority source
+      (2L, "a b c", "wiki"),    // the curated copy must win
+      (3L, "a b c", "crawl"),
+      (4L, "x y z", "crawl"),   // same-priority group: min id wins
+      (5L, "x y z", "crawl"),
+      (6L, "p q r", "unlisted") // unlisted source takes defaultPriority
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.exactDedupPrioritized(
+      df, "doc_id", "text", "source", priority = Map("wiki" -> 10, "crawl" -> 1),
+      defaultPriority = 0)
+    val got = out.select("doc_id", "keep_id", "n_copies").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 2L, 3L), (2L, 2L, 3L), (3L, 2L, 3L), // wiki copy kept despite id 1 < 2
+      (4L, 4L, 2L), (5L, 4L, 2L),               // equal priority -> min id
+      (6L, 6L, 1L)))
+  }
+
   test("shingles: distinct word 3-grams, short docs collapse to one shingle") {
     val df = Seq(Tuple1("a b c d"), Tuple1("a b")).toDF("text")
     val got = df.select(Dedup.shingles(TextAnalysis.tokens($"text"), 3).as("s"))
