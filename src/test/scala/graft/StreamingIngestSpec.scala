@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.data.CorpusIngest
+
+/** Streaming corpus-ingest capstone: scan-fused quality/lang gates feeding
+  * the keyed near-dup state — junk never reaches the state store, and the
+  * verdict is identical on batch and streaming frames.
+  */
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val en = "the quick brown fox jumps over the lazy dog and the cat is here tonight"
+  private val fr = "le chat et le chien sont dans les jardins de la maison un soir"
+  private val short = "too short"
+  private val junkIsh = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd"
+
+  test("verdict: first failing gate wins; batch and streaming agree row-for-row") {
+    val rows = Seq(
+      (1L, en),      // accepted
+      (2L, short),   // too_short (even though lang would also fail-ish)
+      (3L, fr),      // lang gate (allow-list is en-only)
+      (4L, junkIsh), // langId 'und' -> lang gate
+      (5L, en + " again and again the end")
+    )
+    val batch = CorpusIngest.verdict(rows.toDF("doc_id", "text"), "text", Seq("en"), 5)
+      .select($"doc_id", $"lang", $"reject_reason")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(batch === Set(
+      (1L, "en", None),
+      (2L, "und", Some("too_short")),
+      (3L, "fr", Some("lang")),
+      (4L, "und", Some("lang")),
+      (5L, "en", None)))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val (accepted, hits) = CorpusIngest.ingest(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text", Seq("en"), 5)
+      val qa = accepted.writeStream.format("memory").queryName("ingest_ok").outputMode("append").start()
+      val qh = hits.writeStream.format("memory").queryName("ingest_dup").outputMode("append").start()
+      try {
+        mem.addData(rows: _*)
+        qa.processAllAvailable(); qh.processAllAvailable()
+        // streaming accept set matches the batch verdict
+        val okIds = spark.table("ingest_ok").select($"doc_id").as[Long].collect().toSet
+        assert(okIds === Set(1L, 5L))
+        // a re-crawl of doc 1 in a later batch: passes the gates, flagged by state
+        mem.addData((6L, en))
+        qa.processAllAvailable(); qh.processAllAvailable()
+        assert(spark.table("ingest_ok").select($"doc_id").as[Long].collect().toSet === Set(1L, 5L, 6L))
+        val dup = spark.table("ingest_dup").as[(Long, Long)].collect().toSet
+        assert(dup.contains((6L, 1L)), s"dup stream must flag 6 against 1, got $dup")
+        // rejected docs never flag: the state only ever saw accepted ids
+        assert(!dup.exists(p => p._1 == 2L || p._1 == 3L || p._1 == 4L))
+      } finally { qa.stop(); qh.stop() }
+    } finally spark.conf.unset(key)
+  }
+}
