@@ -48,7 +48,8 @@ object ScaleProbe {
     // r6/r7 additions (VERDICT r6 #5)
     "j4_asof_stream", "s_ann_pq", "s_ann_pq_ivf",
     "d_semdedup", "d_semdedup_probe2",
-    "q_sketch_countmin", "q18_large_orders", "q_outliers"
+    "q_sketch_countmin", "q18_large_orders", "q_outliers",
+    "s_ann_int8", "d_dedup_priority", "q8_market_share", "q13_order_distribution"
   )
 
   /** A table is reused only when its completion marker exists AND records
