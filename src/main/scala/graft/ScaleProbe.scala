@@ -49,7 +49,8 @@ object ScaleProbe {
     "j4_asof_stream", "s_ann_pq", "s_ann_pq_ivf",
     "d_semdedup", "d_semdedup_probe2",
     "q_sketch_countmin", "q18_large_orders", "q_outliers",
-    "s_ann_int8", "d_dedup_priority", "q8_market_share", "q13_order_distribution"
+    "s_ann_int8", "s_ann_int8_ivf", "d_dedup_priority",
+    "q8_market_share", "q13_order_distribution"
   )
 
   /** A table is reused only when its completion marker exists AND records

@@ -521,6 +521,53 @@ object Similarity {
       )
   }
 
+  /** IVF-pruned int8 ANN — [[int8TopK]]'s scale path, the exact analogue
+    * of [[pqTopKPruned]]: the coarse quantizer prunes candidates to each
+    * query's probe buckets, then only the survivors pay the (native)
+    * integer code dot. Corpus ships (id, bucket, scale, codes) — 1
+    * byte/dim plus one int — and scored volume is probes·(n/k) per query
+    * instead of n. Scores bit-match [[int8TopK]] on shared candidates.
+    */
+  def int8TopKPruned(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Seq[Seq[Double]],
+      k: Int,
+      probes: Int = 1
+  ): DataFrame = {
+    def quantized(df: DataFrame): DataFrame =
+      df.withColumn("_s", graft.functions.ComputeOnce(Embeddings.int8Scale(col(vecCol))))
+    val c = quantized(corpus).select(
+      col(idCol).as("n_id"),
+      assignNearest(col(vecCol).cast("array<double>"), centroids).as("n_bk"),
+      col("_s").as("n_scale"),
+      Embeddings.int8Codes(col(vecCol), col("_s")).as("n_q"))
+    val q = broadcast(
+      quantized(queries).select(
+        col(idCol).as("q_id"),
+        col("_s").as("q_scale"),
+        Embeddings.int8Codes(col(vecCol), col("_s")).as("q_vq"),
+        explode(assignTopP(col(vecCol).cast("array<double>"), centroids, probes)).as("q_bk")))
+    val idot = graft.functions.IntDotProduct.column(col("q_vq"), col("n_q"))
+    val scored = c
+      .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
+      .withColumn("idot", idot)
+      .withColumn("approx", col("idot").cast("double") * col("q_scale") * col("n_scale"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        col("idot"),
+        floor(col("approx") * 1e6).cast("long").as("approx_e6")
+      )
+  }
+
   def bucketedTopK(
       corpus: DataFrame,
       queries: DataFrame,

@@ -731,6 +731,61 @@ object DataQueries {
       |  CAST(floor(approx * 1e6) AS BIGINT) AS approx_e6
       |FROM ranked WHERE rank <= 10""".stripMargin
 
+  /** IVF-pruned int8 ANN — the bandwidth face's scale path (the exact
+    * analogue of `s_ann_pq_ivf` for the int8 codes): coarse-quantizer
+    * top-2 probe pruning first, native integer code dots on the survivors
+    * only. The oracle composes the proven IVF-assignment CTEs with the
+    * int8 quantization/dot CTEs — ranks and both score columns hash-match.
+    */
+  def sAnnInt8Ivf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 16)
+    Similarity.int8TopKPruned(
+      e, annQueries(spark, dir), "vec_id", "embedding", cents, k = 10, probes = 2)
+  }
+
+  val sAnnInt8IvfSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |seeds AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+      |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 16)),
+      |sc AS (
+      |  SELECT e.vec_id, e.v, s.j, ${cosSql("e.v", "s.cv")} AS cosv
+      |  FROM e CROSS JOIN seeds s),
+      |ranked_assign AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosv DESC, j ASC) AS rn
+      |  FROM sc),
+      |assigned AS (SELECT vec_id, j AS bk FROM ranked_assign WHERE rn = 1),
+      |probes AS (
+      |  SELECT vec_id AS q_id, j AS q_bk FROM ranked_assign
+      |  WHERE rn <= 2 AND vec_id % 25 = 0),
+      |codes AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale) AS INT) END) AS q
+      |  FROM (
+      |    SELECT vec_id, v,
+      |      list_reduce(list_transform(v, x -> abs(x)), (a,b) -> greatest(a,b)) / 127.0 AS scale
+      |    FROM e)),
+      |cand AS (
+      |  SELECT p.q_id, a.vec_id AS n_id
+      |  FROM assigned a JOIN probes p ON a.bk = p.q_bk AND a.vec_id <> p.q_id),
+      |scored AS (
+      |  SELECT cand.q_id, cand.n_id,
+      |    list_reduce(list_transform(range(1, len(qc.q) + 1), k -> CAST(qc.q[k] AS BIGINT) * nc.q[k]),
+      |      (a,b) -> a + b) AS idot,
+      |    (CAST(list_reduce(list_transform(range(1, len(qc.q) + 1), k -> CAST(qc.q[k] AS BIGINT) * nc.q[k]),
+      |      (a,b) -> a + b) AS DOUBLE) * qc.scale) * nc.scale AS approx
+      |  FROM cand
+      |  JOIN codes qc ON qc.vec_id = cand.q_id
+      |  JOIN codes nc ON nc.vec_id = cand.n_id),
+      |ranked AS (
+      |  SELECT q_id, n_id, idot, approx,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rank
+      |  FROM scored)
+      |SELECT q_id, n_id, rank, CAST(idot AS BIGINT) AS idot,
+      |  CAST(floor(approx * 1e6) AS BIGINT) AS approx_e6
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Multi-probe SemDeDup: candidate buckets = each vector's top-2 centroids
     * (primary cluster label stays the nearest), recovering near-dup pairs
     * that straddle a cluster boundary — the documented recall loss of the
@@ -1373,6 +1428,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPq,
     "s_ann_pq_ivf" -> sAnnPqIvf,
     "s_ann_int8" -> sAnnInt8,
+    "s_ann_int8_ivf" -> sAnnInt8Ivf,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "d_stratified_sample" -> dStratifiedSample,
     "d_seq_pack" -> dSeqPack,
@@ -1418,6 +1474,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
     "s_ann_int8" -> sAnnInt8Sql,
+    "s_ann_int8_ivf" -> sAnnInt8IvfSql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_seq_pack" -> dSeqPackSql,

@@ -183,6 +183,35 @@ class SimilaritySpec extends SparkSpec {
     assert(sample._3 === expect, s"idot drift on ${(sample._1, sample._2)}")
   }
 
+  test("IVF-pruned int8: probes=all ≡ unpruned int8TopK; pruned scores bit-match") {
+    val corpus = emb.limit(200)
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val cents = Similarity.seedCentroids(corpus, "vec_id", "embedding", 16)
+    val full = Similarity.int8TopK(corpus, queries, "vec_id", "embedding", 10)
+      .select("q_id", "n_id", "rank", "idot", "approx_e6")
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    // probing every bucket removes the prune — must reproduce the unpruned
+    // face row for row (ranks, integer dots, rescaled scores, tiebreaks)
+    val all = Similarity.int8TopKPruned(
+      corpus, queries, "vec_id", "embedding", cents, 10, probes = cents.length)
+      .select("q_id", "n_id", "rank", "idot", "approx_e6")
+      .as[(Long, Long, Int, Long, Long)].collect().toSet
+    assert(all === full, "probes=all must be bit-identical to unpruned int8TopK")
+    // probes=2: a pruned survivor's scores must equal the unpruned scores
+    val pruned = Similarity.int8TopKPruned(
+      corpus, queries, "vec_id", "embedding", cents, 10, probes = 2)
+      .select("q_id", "n_id", "idot", "approx_e6").as[(Long, Long, Long, Long)].collect()
+    val fullScores = full.map { case (q, n, _, d, a) => (q, n) -> ((d, a)) }.toMap
+    pruned.foreach { case (q, n, d, a) =>
+      fullScores.get((q, n)).foreach(fs => assert(fs === ((d, a)), s"score drift on ($q,$n)"))
+    }
+    val recall = pruned.map(r => (r._1, r._2)).toSet
+      .intersect(full.map(t => (t._1, t._2))).size.toDouble / full.size
+    info(f"IVF-pruned int8 recall@10 vs unpruned=$recall%.3f")
+    println(f"[SimilaritySpec] IVF-pruned int8: recall@10 vs unpruned=$recall%.3f")
+    assert(recall > 0.0, "pruned face returned nothing — bucketing degenerated")
+  }
+
   test("IVF-pruned PQ: probes=all ≡ unpruned ADC; probes=2 recall measured, candidates cut") {
     def r(s: String): Double = (graft.functions.Md5Hash60.hash(s.getBytes("UTF-8")) % 2001 - 1000) / 1000.0
     val cdim = 16
