@@ -64,13 +64,8 @@ object ScaleProbe {
       val target = new java.io.File(s"$outDir/$table.parquet")
       val marker = new java.io.File(target, s"_GRAFT_FACTOR_$factor")
       if (!marker.exists()) {
-        if (target.exists()) {
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          rm(target)
-        }
+        if (target.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(target)
         val src = spark.read.parquet(s"$srcDir/$table.parquet")
         val copies =
           if (shifts.isEmpty) Seq(src)

@@ -40,7 +40,11 @@ object CorpusIngest {
       .withColumn("n_tokens", size(col("_toks")))
       .withColumn(
         "reject_reason",
-        when(col("n_tokens") < minTokens, lit("too_short"))
+        // NULL text first: size(null) is NULL so a bare `<` comparison
+        // would skip the gate entirely (and langId on null tokens returns
+        // the head profile constant, not 'und' — a null doc would sail
+        // through a matching allow-list into storage)
+        when(col(textCol).isNull || col("n_tokens") < minTokens, lit("too_short"))
           .when(!col("lang").isin(allowedLangs: _*), lit("lang")))
       .drop("_toks")
   }

@@ -13,10 +13,16 @@ import org.apache.spark.sql.types._
   * Replaces the `zip_with` + `aggregate` higher-order-function formulation,
   * which allocates lambda frames per element and blocks whole-stage codegen
   * around the join — measured 3.05 s → sub-second for `s_ann_int8` at
-  * sf0.1. Integer addition is associative and order-free, so the result is
-  * EXACTLY the HOF fold and the DuckDB `list_reduce` replay — no
-  * accumulation-order caveat at all (unlike the float expressions, which
-  * pin left-to-right order).
+  * sf0.1. Integer addition is associative and order-free, so on
+  * EQUAL-LENGTH inputs the result is exactly the HOF fold and the DuckDB
+  * `list_reduce` replay — no accumulation-order caveat at all (unlike the
+  * float expressions, which pin left-to-right order).
+  *
+  * Ragged inputs diverge BY DESIGN: this kernel dots the common prefix
+  * (min length), while the HOF `zip_with` null-pads the shorter side and
+  * nulls the whole sum. Every ANN path feeds same-quantizer codes (equal
+  * length by construction); don't rely on either behavior for ragged
+  * arrays.
   */
 case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
 

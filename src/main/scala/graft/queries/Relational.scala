@@ -546,22 +546,28 @@ object Relational {
     val stats = ev.groupBy($"event_type").agg(
       count(lit(1)).as("n"),
       sum($"c").as("s1"),
-      sum(cDec * cDec).as("s2"))
+      sum(cDec * cDec).as("s2"),
+      min($"c").as("_cmin"),
+      max($"c").as("_cmax"))
       // The overflow assert sits FIRST in the filter conjunction — with
       // ANSI off a decimal overflow degrades to NULL, and a bare
-      // `null > …` predicate would drop the group silently instead of
+      // comparison on NULL would drop the group silently instead of
       // failing the job.
-      // Zero-variance guard: n·s2 == s1² ⟺ sd == 0. Exact integer compare,
-      // so degenerate groups drop IDENTICALLY on both engines — unguarded,
-      // Spark yields z = NaN (rows silently filtered) while DuckDB divides
-      // by zero to ±inf and errors on the BIGINT cast: engine divergence,
-      // not a hash mismatch.
+      // Zero-variance guard: sd == 0 ⟺ every c in the group is equal
+      // ⟺ min(c) == max(c). Exact, CANNOT overflow (the earlier
+      // n·s2 > s1² cross-multiplication form could itself exceed
+      // DECIMAL(38)/HUGEINT around n ~ 1e10 of c ~ 3e9 and NULL-drop or
+      // error divergently), and degenerate groups drop IDENTICALLY on
+      // both engines — unguarded, Spark yields z = NaN (rows silently
+      // filtered) while DuckDB divides by zero to ±inf and errors on the
+      // BIGINT cast.
       .filter(
         coalesce(
           assert_true($"s2".isNotNull, lit("qOutliers: sum(cents²) overflowed DECIMAL(38)"))
             .cast("boolean"),
           lit(true)) &&
-        $"s2" * $"n" > $"s1".cast("decimal(38,0)") * $"s1".cast("decimal(38,0)"))
+        $"_cmin" < $"_cmax")
+      .drop("_cmin", "_cmax")
     val mu = $"s1".cast("double") / $"n"
     val sd = sqrt($"s2".cast("double") / $"n" - mu * mu)
     ev.join(broadcast(stats), Seq("event_type"))
@@ -578,8 +584,7 @@ object Relational {
       |  SELECT event_type, COUNT(*) AS n,
       |    CAST(SUM(c) AS BIGINT) AS s1, SUM(CAST(c AS HUGEINT) * c) AS s2
       |  FROM ev GROUP BY event_type
-      |  HAVING SUM(CAST(c AS HUGEINT) * c) * COUNT(*)
-      |       > CAST(CAST(SUM(c) AS BIGINT) AS HUGEINT) * CAST(SUM(c) AS BIGINT))
+      |  HAVING MIN(c) < MAX(c))
       |SELECT event_id, ev.event_type, c AS cents,
       |  CAST(floor((c - CAST(s1 AS DOUBLE) / n)
       |    / sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
@@ -636,10 +641,13 @@ object Relational {
         sum(when($"p_type".startsWith("PROMO"), $"rev_cents").otherwise(lit(0L))).as("promo_cents"),
         sum($"rev_cents").as("total_cents"))
       .select($"promo_cents", $"total_cents",
-        // integer parts-per-million, not a float ratio: long division is
-        // exact and engine-independent, so the oracle hash-matches (div,
-        // not /: Spark's / on BIGINTs returns DOUBLE)
-        expr("promo_cents * 1000000L div total_cents").as("promo_share_ppm"))
+        // integer parts-per-million, not a float ratio: integral division
+        // is exact and engine-independent, so the oracle hash-matches (div,
+        // not /: Spark's / returns DOUBLE). DECIMAL(38) widen before the
+        // ×1e6 — a BIGINT multiply wraps past ~9.2e12 cents of promo
+        // volume while the DuckDB side is HUGEINT-exact.
+        expr("CAST(promo_cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+          .as("promo_share_ppm"))
   }
 
   val q14Sql: String =
@@ -883,7 +891,12 @@ object Relational {
           .as("nation_cents"),
         sum($"vol_cents").as("total_cents"))
       .select($"o_year", $"nation_cents", $"total_cents",
-        expr("nation_cents * 1000000L div total_cents").as("share_ppm"))
+        // DECIMAL(38) widen before the ×1e6: a BIGINT multiply wraps
+        // negative once a year-group's nation volume passes ~9.2e12 cents
+        // (~sf70+) while the DuckDB side is HUGEINT-exact — same regime,
+        // same answer, at every SF
+        expr("CAST(nation_cents AS DECIMAL(38,0)) * 1000000 div total_cents")
+          .as("share_ppm"))
   }
 
   val q8Sql: String =

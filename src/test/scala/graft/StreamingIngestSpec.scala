@@ -32,6 +32,13 @@ class StreamingIngestSpec extends SparkSpec {
       (3L, "fr", Some("lang")),
       (4L, "und", Some("lang")),
       (5L, "en", None)))
+    // NULL text must reject as too_short — size(null) is NULL (skips a bare
+    // `<` gate) and langId(null) returns the head profile constant, so an
+    // unguarded verdict would accept a null doc under a matching allow-list
+    val nullRow = CorpusIngest.verdict(
+      Seq((9L, Option.empty[String])).toDF("doc_id", "text"), "text", Seq("en", "de"), 5)
+      .select($"doc_id", $"reject_reason").as[(Long, Option[String])].collect()
+    assert(nullRow.toSeq === Seq((9L, Some("too_short"))))
 
     val key = "spark.sql.streaming.stateStore.providerClass"
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
