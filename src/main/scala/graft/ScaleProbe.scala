@@ -104,6 +104,9 @@ object ScaleProbe {
     graft.queries.JoinQueries.warm(spark, srcDir)
     graft.queries.JoinQueries.warm(spark, outDir)
 
+    // a failing probe records NaN and the sweep CONTINUES — one broken
+    // query must not abort the measurement of everything after it, and a
+    // NaN line is loud in the table (same failure contract as Bench)
     def timeWarm(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -111,8 +114,12 @@ object ScaleProbe {
         fn(spark, dir).write.mode("overwrite").format("noop").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // absorb codegen/JIT
-      math.min(once(), once()) // steady state: min of two warm reps
+      try { once(); math.min(once(), once()) } // 1 codegen rep + min of 2 warm
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[scaleprobe] $name failed in $dir: ${e.getMessage}")
+          Double.NaN
+      }
     }
 
     println(f"${"query"}%-24s ${"sf0.1(s)"}%10s ${"sf1(s)"}%10s ${"ratio"}%8s")
@@ -123,8 +130,11 @@ object ScaleProbe {
       println(f"$name%-24s $small%10.2f $big%10.2f $ratio%8.1f")
       (name, small, big, ratio)
     }
-    val flagged = rows.filter(_._4 > 12.0)
-    println(f"TOTAL ${rows.map(_._2).sum}%10.2f ${rows.map(_._3).sum}%10.2f")
+    val ok = rows.filterNot(r => r._2.isNaN || r._3.isNaN)
+    val failed = rows.filterNot(r => ok.contains(r)).map(_._1)
+    val flagged = ok.filter(_._4 > 12.0)
+    println(f"TOTAL ${ok.map(_._2).sum}%10.2f ${ok.map(_._3).sum}%10.2f")
+    if (failed.nonEmpty) println(s"FAILED (excluded from totals): ${failed.mkString(", ")}")
     if (flagged.nonEmpty)
       println(s"SUPERLINEAR (>12x): ${flagged.map(r => f"${r._1}:${r._4}%.1fx").mkString(", ")}")
     spark.stop()

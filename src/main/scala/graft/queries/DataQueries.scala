@@ -315,6 +315,31 @@ object DataQueries {
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
   }
 
+  /** Duplicate-cluster size histogram — the "dedup impact report" a corpus
+    * run reads before committing: how many clusters of each size exist and
+    * how many documents they absorb (docs removed = n_docs − n_clusters
+    * per row). Aggregate-the-aggregate on top of the connected-components
+    * output: the histogram input is cluster-grain, never the corpus. The
+    * oracle extends the proven recursive-CTE cluster replay with the same
+    * two-level aggregation.
+    */
+  def dDupClusterStats(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(minhashPairsShared(spark, dir))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("cluster_size")).as("n_docs"))
+
+  val dDupClusterStatsSql: String =
+    // same recursive replay as d_dup_clusters, with the histogram tail
+    dDupClustersSql.replace(
+      "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id",
+      """, clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM clusters GROUP BY 1)
+        |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+        |FROM szs GROUP BY cluster_size""".stripMargin)
+
   def dSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
 
@@ -1420,6 +1445,7 @@ object DataQueries {
     "d_minhash_pairs" -> dMinhashPairs,
     "d_simhash" -> dSimhash,
     "d_dup_clusters" -> dDupClusters,
+    "d_dup_cluster_stats" -> dDupClusterStats,
     "d_embed_pairs" -> dEmbedPairs,
     "s_ann_brute" -> sAnnBrute,
     "s_ann_ivf" -> sAnnIvf,
@@ -1466,6 +1492,7 @@ object DataQueries {
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_simhash" -> dSimhashSql,
     "d_dup_clusters" -> dDupClustersSql,
+    "d_dup_cluster_stats" -> dDupClusterStatsSql,
     "d_embed_pairs" -> dEmbedPairsSql,
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_ivf" -> sAnnIvfSql,
