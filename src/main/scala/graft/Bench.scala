@@ -20,9 +20,15 @@ object Bench {
     graft.queries.SourceQueries.warm(spark, sfDir)
     graft.queries.JoinQueries.warm(spark, sfDir)
     // Ground-truth-only queries: deliberately quadratic oracle verifiers,
-    // excluded from the timed loop (a scoped variant IS benched). Listed in
-    // the output line so the exclusion is visible, never silent.
-    val oracleOnly = Set("d_ngram_jaccard")
+    // excluded from the timed loop (a scoped/pruned variant IS benched).
+    // Listed in the output line so the exclusion is visible, never silent.
+    //  - d_ngram_jaccard: all-pairs Jaccard; d_ngram_jaccard_scoped is benched.
+    //  - s_ann_pq / s_ann_int8: score-every-candidate ground-truth faces
+    //    (11.1x / 6.3x wall at 10x rows in the sf1 probe — both corpus and
+    //    query set grow, so work grows ~100x). The benched production shapes
+    //    are the IVF-pruned s_ann_pq_ivf / s_ann_int8_ivf (1.8x / 1.4x).
+    //    Recall-vs-ground-truth stays asserted in SimilaritySpec.
+    val oracleOnly = Set("d_ngram_jaccard", "s_ann_pq", "s_ann_int8")
     val benched = SparkEntry.queries.toSeq.filterNot { case (n, _) => oracleOnly(n) }
     // noop sink: materializes EVERY output column (count() would let
     // Catalyst prune the computed columns and measure only the scan)
@@ -87,8 +93,15 @@ object Bench {
     // comma-decimal locale it would emit "12,345" and break the JSON line
     def fmt(v: Double, dp: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    val skipped = oracleOnly.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val skipped = oracleOnly.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // A query that fails ALL passes is absent from `total`, so the headline
+    // number would DECREASE on a crash. Emit value:null in that case — a
+    // totals-only consumer comparing round-over-round can never read a
+    // crashed query as a speedup; the per-query map + "failed" list carry
+    // the partial detail.
+    val totalJson = if (failedAll.nonEmpty) "null" else fmt(total, 2)
+    val totalJson3 = if (failedAll.nonEmpty) "null" else fmt(total, 3)
     val coldOk = cold.filterNot(_._2.isNaN)
     val coldTotal = if (coldOk.nonEmpty) coldOk.values.sum else 0.0
     // NaN is not valid JSON — failed passes are dropped from the per-pass
@@ -98,7 +111,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
     val byName = results.toSeq.sortBy(_._1)
     val detail =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":${qjson(byName, 3)},"cold_queries":${qjson(cold.toSeq.sortBy(_._1), 3)},"warm1_queries":${qjson(warm1.toSeq.sortBy(_._1), 3)},"warm2_queries":${qjson(warm2.toSeq.sortBy(_._1), 3)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfDir","cold_total":${fmt(coldTotal, 3)},"methodology":"warm: per-query min of non-failed passes (1 cold + 2 order-shuffled warm) in one JVM; failed pass = NaN, excluded from min; session state cleared between passes"}
+      s"""{"metric":"total","value":$totalJson3,"unit":"sec","queries":${qjson(byName, 3)},"cold_queries":${qjson(cold.toSeq.sortBy(_._1), 3)},"warm1_queries":${qjson(warm1.toSeq.sortBy(_._1), 3)},"warm2_queries":${qjson(warm2.toSeq.sortBy(_._1), 3)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfDir","cold_total":${fmt(coldTotal, 3)},"methodology":"warm: per-query min of non-failed passes (1 cold + 2 order-shuffled warm) in one JVM; failed pass = NaN, excluded from min; session state cleared between passes"}
 """
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), detail.getBytes("UTF-8"))
@@ -110,7 +123,7 @@ object Bench {
     // query prefix, before it would ever overflow the capture window.
     def render(entries: Seq[(String, Double)], dp: Int, trimmed: Boolean): String = {
       val extra = if (trimmed) ""","queries_trimmed":true""" else ""
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":${qjson(entries, dp)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfShort","cold_total":${fmt(coldTotal, 1)},"detail":"bench_full.json"$extra}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(entries, dp)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfShort","cold_total":${fmt(coldTotal, 1)},"detail":"bench_full.json"$extra}"""
     }
     val budget = 1850 // 2000-char tail with margin for any stray trailing log
     val slowestFirst = results.toSeq.sortBy(-_._2)

@@ -76,8 +76,12 @@ object ScaleProbe {
           }
         copies.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
-        marker.createNewFile()
-        ()
+        // failure direction is safe (rebuild next run) but must be loud —
+        // a silently unwritable marker means paying a full rebuild forever
+        if (!marker.createNewFile())
+          System.err.println(
+            s"[scaleprobe] WARNING: could not write completion marker $marker — " +
+              s"$table will rebuild on every run")
       }
     }
 

@@ -18,15 +18,19 @@ import org.apache.spark.sql.types._
   * `list_reduce` replay — no accumulation-order caveat at all (unlike the
   * float expressions, which pin left-to-right order).
   *
-  * Ragged inputs diverge BY DESIGN: this kernel dots the common prefix
-  * (min length), while the HOF `zip_with` null-pads the shorter side and
-  * nulls the whole sum. Every ANN path feeds same-quantizer codes (equal
-  * length by construction); don't rely on either behavior for ragged
-  * arrays.
+  * Ragged inputs yield NULL — the same answer as the HOF `zip_with` +
+  * `aggregate` formulation (which null-pads the shorter side and nulls the
+  * whole sum) and the DuckDB replay, so the `int_dot` SQL registration has
+  * no silent common-prefix surprise for ad-hoc callers. Every ANN path
+  * feeds same-quantizer codes (equal length by construction), so the
+  * length check never fires on the hot path.
   */
 case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = LongType
+
+  // result is null on ragged inputs even when both children are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -40,10 +44,15 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
         s"int_dot expects array<int> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null // ragged: match zip_with's null
     var dot = 0L
     var i = 0
     while (i < n) {
@@ -62,12 +71,16 @@ case class IntDotProduct(left: Expression, right: Expression) extends BinaryExpr
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $dot = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $dot = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += (long) $a.getInt($i) * (long) $b.getInt($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 

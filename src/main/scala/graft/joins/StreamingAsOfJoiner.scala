@@ -119,8 +119,22 @@ object StreamingAsOfJoiner {
         hist.appendList(
           versions.sortBy(_.tsUs).map(v => VersionRow(v.tsUs, v.payload)).toArray)
       }
-      if (events.isEmpty) Iterator.empty
-      else {
+      if (events.isEmpty) {
+        // Version-only batch: the probe frontier did not advance, but the
+        // EXISTING high-water mark still bounds what future probes can reach
+        // — compact against it so a key fed only version rows for many
+        // batches cannot grow state unboundedly while waiting for its next
+        // event (the horizon just doesn't advance until one arrives).
+        if (compactLagUs >= 0 && versions.nonEmpty && maxProbe.exists()) {
+          val h = {
+            val buf = Vector.newBuilder[VersionRow]
+            hist.get().foreach(buf += _)
+            buf.result().sortBy(_.tsUs)
+          }
+          compactBehind(h, maxProbe.get() - compactLagUs)
+        }
+        Iterator.empty
+      } else {
         // one state read per touched key per batch; appends above keep the
         // list sorted only per-append, so order once here (out-of-order
         // version arrival across batches is legal)
@@ -140,20 +154,26 @@ object StreamingAsOfJoiner {
             if (maxProbe.exists()) maxProbe.get() else Long.MinValue,
             events.iterator.map(_.tsUs).max)
           maxProbe.update(hwm)
-          val horizon = hwm - compactLagUs
-          // first index with tsUs > horizon; keep from the latest
-          // at-or-before the horizon (idx-1) — the gap-filler — onward
-          val idx = h.indexWhere(_.tsUs > horizon) match {
-            case -1 => h.length
-            case i => i
-          }
-          val from = math.max(idx - 1, 0)
-          if (from > 0) {
-            hist.clear()
-            hist.appendList(h.drop(from).toArray)
-          }
+          compactBehind(h, hwm - compactLagUs)
         }
         out.iterator
+      }
+    }
+
+    /** Drop every version older than `horizon`, KEEPING the latest
+      * at-or-before it (the gap-filler — still the answer for probes
+      * between the horizon and the next version).
+      */
+    private def compactBehind(h: Vector[VersionRow], horizon: Long): Unit = {
+      // first index with tsUs > horizon; keep from idx-1 onward
+      val idx = h.indexWhere(_.tsUs > horizon) match {
+        case -1 => h.length
+        case i => i
+      }
+      val from = math.max(idx - 1, 0)
+      if (from > 0) {
+        hist.clear()
+        hist.appendList(h.drop(from).toArray)
       }
     }
   }

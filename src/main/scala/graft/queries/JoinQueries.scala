@@ -346,8 +346,12 @@ object JoinQueries {
         // memory-sink table is already materialized, and leaving native
         // RocksDB state behind measurably taxes UNRELATED queries later in
         // a bench pass (BisectBench pairwise: v1_schema_dlq 1.1 → 2.8 s
-        // after repeated j4_asof_stream runs without this)
-        org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
+        // after repeated j4_asof_stream runs without this). unloadAll is
+        // JVM-global — it would force a concurrently running streaming
+        // query into a checkpoint reload mid-run — so only fire when no
+        // OTHER stream is active (ours is already stopped above).
+        if (spark.streams.active.isEmpty)
+          org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
       }
       spark.table(qname).select(
         col("payload").cast("long").as("event_id"),

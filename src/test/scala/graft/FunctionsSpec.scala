@@ -40,6 +40,16 @@ class FunctionsSpec extends SparkSpec {
     val nullGot = Seq((Some(Seq(1, 2)), Option.empty[Seq[Int]])).toDF("a", "b")
       .selectExpr("int_dot(a, b) AS d").head()
     assert(nullGot.isNullAt(0))
+    // ragged arrays null the whole sum — same answer as the zip_with HOF,
+    // so the SQL-registered face has no common-prefix surprise (both the
+    // literal/interpreted path and the column/codegen path)
+    assert(spark.sql("SELECT int_dot(array(1, 2, 3), array(4, 5)) AS d").head().isNullAt(0))
+    val ragged = Seq((Seq(1, 2, 3), Seq(4, 5))).toDF("a", "b")
+      .withColumn("d", graft.functions.IntDotProduct.column($"a", $"b"))
+      .withColumn("hofd", aggregate(
+        zip_with($"a", $"b", (x, y) => (x * y).cast("long")), lit(0L), (acc, x) => acc + x))
+      .head()
+    assert(ragged.isNullAt(2) && ragged.isNullAt(3))
   }
 
   test("native PqEncode/PqLut are bit-identical to the HOF formulation on real embeddings") {

@@ -166,4 +166,37 @@ class StreamingAsOfSpec extends SparkSpec {
       assert(stateRows < 1000, s"state not compacted: $stateRows rows for $n versions")
     }
   }
+
+  test("version-only batches compact against the stored probe high-water mark") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val vMem = MemoryStream[AsOfVersion]
+      val eMem = MemoryStream[AsOfEvent]
+      val out = StreamingAsOfJoiner.enrich(eMem.toDS(), vMem.toDS(), compactLagUs = 100L)
+      val q = out.writeStream.format("memory").queryName("sasof_vonly").outputMode("append").start()
+      val (rowsAfterVersionOnly, rowsAfterProbe) =
+        try {
+          // establish a probe high-water mark at ts=10_000
+          vMem.addData((0 until 50).map(i => AsOfVersion("k", i * 100L, s"v$i")))
+          q.processAllAvailable()
+          eMem.addData(AsOfEvent("k", 10000L, "e0"))
+          q.processAllAvailable()
+          val afterProbe = q.lastProgress.stateOperators(0).numRowsTotal
+          // now feed ONLY old versions for several batches: without the
+          // version-only compaction they would accumulate behind the
+          // stalled frontier; with it each batch compacts against the
+          // stored hwm (10_000 − lag) and state stays flat
+          (0 until 5).foreach { b =>
+            vMem.addData((0 until 200).map(i => AsOfVersion("k", b * 200L + i, s"w$b-$i")))
+            q.processAllAvailable()
+          }
+          (q.lastProgress.stateOperators(0).numRowsTotal, afterProbe)
+        } finally q.stop()
+      // 1000 stale versions entered after the probe; all are older than the
+      // hwm horizon, so state must stay near the post-probe floor (the
+      // gap-filler + bookkeeping), not grow by the thousand
+      assert(rowsAfterVersionOnly < rowsAfterProbe + 10,
+        s"version-only batches grew state: $rowsAfterProbe -> $rowsAfterVersionOnly")
+    }
+  }
 }
