@@ -196,7 +196,21 @@ object KafkaToMongoJob extends GraftJob {
       clock: Column
   ): (DataFrame, Option[DataFrame]) = {
     val (envelopes, parseDlq) = EnvelopeParser.parse(raw, "value", clock, source = name)
-    val enriched = refs.zipWithIndex.foldLeft(envelopes) { case (df, ((refName, ref), i)) =>
+    val (good, gateDlq) = buildFromEnvelopes(envelopes, refs, clock)
+    (good, Some(parseDlq.unionByName(gateDlq)))
+  }
+
+  /** The pipeline downstream of the parse (broadcast enrichment →
+    * constraint gate) — also the re-entry point for DLQ replay, which
+    * re-parses dead letters and pushes the recovered envelopes back
+    * through exactly this composition.
+    */
+  def buildFromEnvelopes(
+      envelopes: DataFrame,
+      refs: Seq[(String, DataFrame)],
+      clock: Column
+  ): (DataFrame, DataFrame) = {
+    val enriched = refs.foldLeft(envelopes) { case (df, (refName, ref)) =>
       val compact = StaticJoiner("primaryKey", "r_key")
         .latestPerKey(ref.select(col("primaryKey").as("r_key"), col("payloadJson").as("r_payload"),
           col("eventTime").as("r_ts"), col("traceId").as("r_tie")), "r_ts", "r_tie")
@@ -213,7 +227,27 @@ object KafkaToMongoJob extends GraftJob {
     val withId = enriched.withColumn("_id_check", get_json_object(col("payloadJson"), "$._id"))
     val (good, bad) = ConstraintEnforcer(Seq(NotNullRule("_id_check"))).enforce(withId)
     val dlq = Dlq.toDlq(bad, graft.model.ErrorCodes.ConstraintViolation, col("violations"), name, col("payloadJson"), clock)
-    (good.drop("_id_check"), Some(Dlq.union(Seq(parseDlq, dlq)).get))
+    (good.drop("_id_check"), dlq)
+  }
+
+  /** DLQ replay (reference docs/recovery/dlq-replay-guide.md §5): the
+    * operator inspects the DLQ, applies a fix to `rawEvent` (caller's
+    * domain knowledge — done BEFORE this call), and re-injects through the
+    * originating pipeline. Rows that fail the parse again come back as a
+    * fresh DLQ frame whose errorMessage carries an incrementing
+    * `(replay attempt N)` marker so a poison message is detectable instead
+    * of cycling forever; rows that recover run the full enrichment +
+    * constraint gate and converge idempotently via the keyed upsert.
+    * Returns (recovered good rows, still-dead DLQ).
+    */
+  def replayDlq(
+      fixedDlq: DataFrame,
+      refs: Seq[(String, DataFrame)],
+      clock: Column
+  ): (DataFrame, DataFrame) = {
+    val (envelopes, stillDead) = Dlq.replay(fixedDlq, clock)
+    val (good, gateDlq) = buildFromEnvelopes(envelopes, refs, clock)
+    (good, stillDead.unionByName(gateDlq))
   }
 
   /** Streaming face: parse → stream-static broadcast enrichment →

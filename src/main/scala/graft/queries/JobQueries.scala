@@ -99,6 +99,81 @@ object JobQueries {
        |WHERE CAST(primaryKey AS BIGINT) % 41 = 0
        |   OR (upper(operation) <> 'DELETE' AND CAST(primaryKey AS BIGINT) % 37 = 0)""".stripMargin
 
+  /** DLQ replay runbook (reference docs/recovery/dlq-replay-guide.md §5):
+    * a keyed slice of the feed arrives corrupted — pk%23 keys wrapped in a
+    * transport-frame prefix (fixable once the frame bug is known), pk%29
+    * keys truncated beyond repair (poison). First pass: pipeline runs, bad
+    * rows dead-letter, good rows upsert. Replay: strip the frame prefix
+    * from `rawEvent` (the operator's fix) and re-inject through the
+    * originating pipeline; recovered rows converge onto the same keyed
+    * table. Oracle = the clean run's table minus the poison keys —
+    * hash-matching it proves the replayed batch converged exactly.
+    *
+    * Poisoning is BY KEY (primaryKey drives both slices), so each key's
+    * full history lands in one upsert batch and last-op-per-key semantics
+    * compose across the two applyBatch calls.
+    */
+  private def dlqReplayRun(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val raw = JobFixtures.rawEnvelopesCached(spark, dir)
+    val pk = get_json_object(col("value"), "$.primaryKey").cast("long")
+    val poisoned = raw.select(
+      when(pk % 23 === 0, concat(lit("CORRUPT|"), col("value")))
+        .when(pk % 29 === 0, concat(lit("CORRUPT|TRUNCATED:"), pk))
+        .otherwise(col("value"))
+        .as("value"))
+    val ref = Tables.eventsAsEnvelopes(spark, dir).filter(col("source") === "signup")
+    val refs = Seq("Ref1" -> ref)
+    val (good, dlq) = KafkaToMongoJob.build(poisoned, refs, JobFixtures.fixedClock)
+    val table1 = graft.connectors.UpsertSink
+      .applyBatch(graft.connectors.UpsertSink.emptyTable(spark), good, "eventTime", "traceId")
+    val fixed = dlq.get.withColumn("rawEvent", regexp_replace(col("rawEvent"), "^CORRUPT\\|", ""))
+    val (recovered, stillDead) = KafkaToMongoJob.replayDlq(fixed, refs, JobFixtures.fixedClock)
+    (table1, recovered, stillDead)
+  }
+
+  def jobDlqReplay(spark: SparkSession, dir: String): DataFrame = {
+    val (table1, recovered, _) = dlqReplayRun(spark, dir)
+    graft.connectors.UpsertSink
+      .applyBatch(table1, recovered, "eventTime", "traceId")
+      .select(col("_id"), col("doc"), unix_micros(col("updated_at")).as("up_us"))
+  }
+
+  val jobDlqReplaySql: String =
+    s"""$envCte,
+       |u AS (
+       |  SELECT primaryKey, operation, eventTime,
+       |    '{"_id": "' || primaryKey || '", "k": ' || json_extract_string(payloadJson, '$$.k') || '}' AS doc,
+       |    ROW_NUMBER() OVER (PARTITION BY primaryKey ORDER BY eventTime DESC) AS rn
+       |  FROM env)
+       |SELECT primaryKey AS _id, doc, epoch_us(eventTime) AS up_us
+       |FROM u
+       |WHERE rn = 1 AND upper(operation) <> 'DELETE'
+       |  AND NOT (CAST(primaryKey AS BIGINT) % 29 = 0 AND CAST(primaryKey AS BIGINT) % 23 <> 0)""".stripMargin
+
+  /** Replay accounting (the guide's post-replay verification): recovered
+    * rows vs still-dead rows with their `(replay attempt N)` counter — the
+    * signal an operator watches to catch an incomplete fix.
+    */
+  def jobDlqReplayAudit(spark: SparkSession, dir: String): DataFrame = {
+    val (_, recovered, stillDead) = dlqReplayRun(spark, dir)
+    recovered
+      .select(lit("recovered").as("outcome"), lit(null).cast("int").as("attempt"))
+      .unionByName(stillDead.select(
+        lit("still_dead").as("outcome"),
+        nullif(regexp_extract(col("errorMessage"), "replay attempt (\\d+)", 1), lit(""))
+          .cast("int").as("attempt")))
+      .groupBy(col("outcome"), col("attempt"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val jobDlqReplayAuditSql: String =
+    s"""$envCte
+       |SELECT 'recovered' AS outcome, CAST(NULL AS INT) AS attempt, COUNT(*) AS n
+       |FROM env WHERE CAST(primaryKey AS BIGINT) % 23 = 0
+       |UNION ALL
+       |SELECT 'still_dead', 1, COUNT(*)
+       |FROM env WHERE CAST(primaryKey AS BIGINT) % 29 = 0 AND CAST(primaryKey AS BIGINT) % 23 <> 0""".stripMargin
+
   // --------------------------------------------------- OrderPaymentJoin
   def jobOrderPaymentJoin(spark: SparkSession, dir: String): DataFrame = {
     val env = Tables.eventsAsEnvelopes(spark, dir)
@@ -231,6 +306,8 @@ object JobQueries {
     "job_mongo_to_kafka" -> jobMongoToKafka,
     "job_kafka_to_mongo" -> jobKafkaToMongo,
     "job_kafka_to_mongo_dlq" -> jobKafkaToMongoDlq,
+    "job_dlq_replay" -> jobDlqReplay,
+    "job_dlq_replay_audit" -> jobDlqReplayAudit,
     "job_order_payment_join" -> jobOrderPaymentJoin,
     "job_merged_ingest" -> jobMergedIngest,
     "job_event_router" -> jobEventRouter,
@@ -242,6 +319,8 @@ object JobQueries {
     "job_mongo_to_kafka" -> jobMongoToKafkaSql,
     "job_kafka_to_mongo" -> jobKafkaToMongoSql,
     "job_kafka_to_mongo_dlq" -> jobKafkaToMongoDlqSql,
+    "job_dlq_replay" -> jobDlqReplaySql,
+    "job_dlq_replay_audit" -> jobDlqReplayAuditSql,
     "job_order_payment_join" -> jobOrderPaymentJoinSql,
     "job_merged_ingest" -> jobMergedIngestSql,
     "job_event_router" -> jobEventRouterSql,

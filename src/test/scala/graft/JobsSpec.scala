@@ -86,4 +86,47 @@ class JobsSpec extends SparkSpec {
     assert(counts.values.sum === env.count())
     assert(counts("orders") === env.filter($"source" === "purchase").count())
   }
+
+  test("DLQ replay: fixable rows converge onto the table; poison rows re-DLQ with attempt counter, no loss") {
+    val raw = JobFixtures.rawEnvelopes(spark, sf)
+    val pk = get_json_object($"value", "$.primaryKey").cast("long")
+    val poisoned = raw.select(
+      when(pk % 7 === 0, concat(lit("CORRUPT|"), $"value"))
+        .when(pk % 5 === 0, concat(lit("CORRUPT|TRUNCATED:"), pk))
+        .otherwise($"value").as("value"))
+    val ref = graft.core.Tables.eventsAsEnvelopes(spark, sf).filter($"source" === "signup")
+    val refs = Seq("Ref1" -> ref)
+
+    val (good, dlqOpt) = KafkaToMongoJob.build(poisoned, refs, JobFixtures.fixedClock)
+    val dlq = dlqOpt.get.cache()
+    val dlqCount = dlq.count()
+    assert(dlqCount > 0, "fixture produced no dead letters — poison slices empty at this sf")
+
+    // the operator's fix: strip the transport-frame prefix, then re-inject
+    val fixed = dlq.withColumn("rawEvent", regexp_replace($"rawEvent", "^CORRUPT\\|", ""))
+    val (recovered, still1) = KafkaToMongoJob.replayDlq(fixed, refs, JobFixtures.fixedClock)
+    val (recCount, still1Count) = (recovered.cache().count(), still1.cache().count())
+    assert(recCount > 0 && still1Count > 0, "need both recovered and poison rows to exercise the paths")
+    assert(recCount + still1Count === dlqCount, "replay lost or duplicated dead letters")
+    assert(still1.filter($"errorMessage".contains("replay attempt 1")).count() === still1Count)
+
+    // second failure: replaying the poison rows again (no further fix) re-DLQs
+    // them all with an incremented attempt counter — detectable, never lost
+    val (recovered2, still2) = KafkaToMongoJob.replayDlq(still1, refs, JobFixtures.fixedClock)
+    assert(recovered2.count() === 0)
+    assert(still2.cache().count() === still1Count)
+    assert(still2.filter($"errorMessage".contains("replay attempt 2")).count() === still1Count)
+
+    // convergence: first-pass table + replayed batch == clean run minus poison keys
+    val replayedTable = UpsertSink
+      .applyBatch(
+        UpsertSink.applyBatch(UpsertSink.emptyTable(spark), good, "eventTime", "traceId"),
+        recovered, "eventTime", "traceId")
+    val (cleanGood, _) = KafkaToMongoJob.build(raw, refs, JobFixtures.fixedClock)
+    val k = $"_id".cast("long")
+    val cleanTable = UpsertSink
+      .applyBatch(UpsertSink.emptyTable(spark), cleanGood, "eventTime", "traceId")
+      .filter(!(k % 5 === 0 && k % 7 =!= 0))
+    assert(replayedTable.exceptAll(cleanTable).isEmpty && cleanTable.exceptAll(replayedTable).isEmpty)
+  }
 }
