@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * result). This is a throughput probe, not an oracle input — correctness
   * stays gated on the driver-generated fixtures.
   *
-  * usage: runMain graft.ScaleProbe [srcDir] [outDir] [factor]
+  * usage: runMain graft.ScaleProbe [srcDir] [outDir] [factor] [query...]
+  * (trailing query names restrict the sweep — fast targeted re-measurement
+  * of one family after a change, same idea as Verify's trailing filter)
   */
 object ScaleProbe {
 
@@ -126,8 +128,15 @@ object ScaleProbe {
       }
     }
 
+    val selected =
+      if (args.length > 3) {
+        val want = args.drop(3).toSet
+        val unknown = want -- SparkEntry.queries.keySet
+        require(unknown.isEmpty, s"unknown probe queries: ${unknown.mkString(", ")}")
+        want.toSeq.sorted
+      } else Probes
     println(f"${"query"}%-24s ${"sf0.1(s)"}%10s ${"sf1(s)"}%10s ${"ratio"}%8s")
-    val rows = Probes.map { name =>
+    val rows = selected.map { name =>
       val small = timeWarm(name, srcDir)
       val big = timeWarm(name, outDir)
       val ratio = big / small

@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** sf0.1 → sf1 scale probe for the STREAMING stateful faces under the
+  * RocksDB state store provider — the batch-face [[ScaleProbe]] never
+  * exercises per-key state growth, micro-batch scheduling, or the RocksDB
+  * native layer under data that exceeds heap comfort (VERDICT r7 #6).
+  *
+  * Faces (all file-stream driven — no driver-side MemoryStream staging,
+  * the corpus streams from parquet exactly as a production file/CDC source
+  * would):
+  *  - `cdc_pipeline`: the flagship MongoToKafka streaming composition
+  *    (fused dedup + change-suppression in ONE transformWithState pass,
+  *    schema gate, per-epoch sinks)
+  *  - `neardup_gate`: the banded-MinHash streaming near-dup candidate gate
+  *    over `documents` (keyed bucket-owner state)
+  *  - `asof_nolag` / `asof_lag`: the streaming as-of joiner with version
+  *    history kept forever vs compacted behind the probe high-water mark
+  *    (`compactLagUs`) — the knob's effect on state size, measured at both
+  *    scales
+  *
+  * Prints wall seconds, total state rows, and state bytes (RocksDB SST +
+  * in-memory) per (face, scale), plus the sf1/sf0.1 ratios. Expects the
+  * scaled tables to exist (run [[ScaleProbe]] first — it writes them).
+  *
+  * usage: runMain graft.StreamScaleProbe [srcDir] [scaledDir] [face...]
+  */
+object StreamScaleProbe {
+
+  private def stateMetrics(q: StreamingQuery): (Long, Long) = {
+    val ops = Option(q.lastProgress).map(_.stateOperators.toSeq).getOrElse(Seq.empty)
+    val rows = ops.map(_.numRowsTotal).sum
+    val bytes = ops.map { op =>
+      val custom = op.customMetrics
+      op.memoryUsedBytes +
+        Seq("rocksdbSstFileSize", "rocksdbTotalMemoryUsage")
+          .map(k => Option(custom.get(k)).map(_.longValue()).getOrElse(0L))
+          .sum
+    }.sum
+    (rows, bytes)
+  }
+
+  /** Run a started query to completion of all available data, then return
+    * (wall seconds, state rows, state bytes). Unloads the JVM-global state
+    * store providers afterwards so faces don't tax each other (the r7
+    * dirty-pass lesson).
+    */
+  private def drive(spark: SparkSession)(start: String => StreamingQuery): (Double, Long, Long) = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sprobe-ckpt").toString
+    val t0 = System.nanoTime()
+    val q = start(ckpt)
+    try {
+      q.processAllAvailable()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (rows, bytes) = stateMetrics(q)
+      (wall, rows, bytes)
+    } finally {
+      q.stop()
+      if (spark.streams.active.isEmpty)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
+    }
+  }
+
+  private def outTmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-sprobe-$tag").toString
+
+  /** CDC fixture parquet → MongoToKafkaJob.startStreaming. maxFilesPerTrigger
+    * slices the fixture into several micro-batches so keyed state actually
+    * accumulates across batches instead of one mega-batch.
+    */
+  private def cdcPipeline(spark: SparkSession, dir: String): (Double, Long, Long) = {
+    val path = graft.jobs.JobFixtures.cdcFixturePath(spark, dir)
+    val schema = spark.read.parquet(path).schema
+    val out = outTmp("cdc-out")
+    drive(spark) { ckpt =>
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(path)
+      graft.jobs.MongoToKafkaJob.startStreaming(stream, s"$out/data", s"$out/dlq", ckpt)
+    }
+  }
+
+  /** documents parquet → streaming near-dup candidate gate. */
+  private def neardupGate(spark: SparkSession, dir: String): (Double, Long, Long) = {
+    val path = s"$dir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val out = outTmp("neardup-out")
+    drive(spark) { ckpt =>
+      val stream = spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .parquet(path)
+        .select(col("doc_id"), col("text"))
+      graft.data.Dedup
+        .streamingNearDupCandidates(stream, "doc_id", "text")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/hits")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
+  }
+
+  /** Version/event parquet stages for the as-of faces: every event is a
+    * version row (history IS the state axis), a 1-in-10 slice probes.
+    * Written once per dir, several files each so both file sources
+    * interleave across micro-batches and compaction horizons advance.
+    */
+  private def asofStage(spark: SparkSession, dir: String): (String, String) = {
+    val base = s"/tmp/graft-sprobe-asof-${math.abs(dir.hashCode)}"
+    val vDir = s"$base/versions"
+    val eDir = s"$base/events"
+    if (!new java.io.File(s"$base/_DONE").exists()) {
+      val e = graft.core.Tables.events(spark, dir)
+      e.select(
+        col("user_id").cast("string").as("key"),
+        unix_micros(col("ts")).as("tsUs"),
+        round(col("value") * 100).cast("long").cast("string").as("value"))
+        .repartition(10).write.mode("overwrite").parquet(vDir)
+      e.filter(col("event_id") % 10 === 0)
+        .select(
+          col("user_id").cast("string").as("key"),
+          unix_micros(col("ts")).as("tsUs"),
+          col("event_id").cast("string").as("payload"))
+        .repartition(10).write.mode("overwrite").parquet(eDir)
+      new java.io.File(s"$base/_DONE").createNewFile()
+      ()
+    }
+    (vDir, eDir)
+  }
+
+  private def asof(spark: SparkSession, dir: String, compactLagUs: Long): (Double, Long, Long) = {
+    import spark.implicits._
+    import graft.joins.StreamingAsOfJoiner.{AsOfEvent, AsOfVersion}
+    val (vDir, eDir) = asofStage(spark, dir)
+    val out = outTmp("asof-out")
+    drive(spark) { ckpt =>
+      def src(path: String) = spark.readStream
+        .schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(path)
+      graft.joins.StreamingAsOfJoiner
+        .enrich(
+          src(eDir).as[AsOfEvent],
+          src(vDir).as[AsOfVersion],
+          ttlMs = 0,
+          compactLagUs = compactLagUs)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/enriched")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val scaledDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
+    require(
+      new java.io.File(s"$scaledDir/events.parquet").exists(),
+      s"$scaledDir missing — run graft.ScaleProbe first to build the scaled tables")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // compaction horizon: a tenth of the event-time span, so the lag face
+    // actually trims history while staying data-derived and deterministic
+    def lagFor(dir: String): Long = {
+      val mm = graft.core.Tables.events(spark, dir)
+        .select(unix_micros(min(col("ts"))), unix_micros(max(col("ts")))).head()
+      (mm.getLong(1) - mm.getLong(0)) / 10
+    }
+
+    val faces: Seq[(String, String => (Double, Long, Long))] = Seq(
+      "cdc_pipeline" -> (d => cdcPipeline(spark, d)),
+      "neardup_gate" -> (d => neardupGate(spark, d)),
+      "asof_nolag" -> (d => asof(spark, d, -1L)),
+      "asof_lag" -> (d => asof(spark, d, lagFor(d)))
+    )
+    val selected =
+      if (args.length > 2) faces.filter(f => args.drop(2).contains(f._1)) else faces
+
+    println(f"${"face"}%-14s ${"scale"}%-8s ${"wall(s)"}%9s ${"stateRows"}%12s ${"stateMB"}%9s")
+    val results = for {
+      (name, run) <- selected
+      (tag, dir) <- Seq("sf0.1" -> srcDir, "sf1" -> scaledDir)
+    } yield {
+      val (wall, rows, bytes) =
+        try run(dir)
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[streamprobe] $name failed in $dir: ${e.getMessage}")
+            (Double.NaN, -1L, -1L)
+        }
+      println(f"$name%-14s $tag%-8s $wall%9.2f $rows%12d ${bytes / 1e6}%9.1f")
+      (name, tag, wall, rows, bytes)
+    }
+    results.groupBy(_._1).foreach { case (name, rs) =>
+      (rs.find(_._2 == "sf0.1"), rs.find(_._2 == "sf1")) match {
+        case (Some(s), Some(b)) if !s._3.isNaN && !b._3.isNaN =>
+          println(f"RATIO $name%-14s wall ${b._3 / s._3}%5.1fx  stateRows ${
+            if (s._4 > 0) b._4.toDouble / s._4 else Double.NaN}%5.1fx")
+        case _ => ()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -100,6 +100,72 @@ object Decontaminate {
       .agg(count_distinct(col("_g")).as("n_hits"))
   }
 
+  /** Build the campaign-level bloom model ONCE: the serialized bloom over
+    * the benchmark's distinct n-grams. An eval set is fixed for the life of
+    * a decontamination campaign while the training corpus arrives in many
+    * batches/queries — rebuilding the bloom per run repays the whole eval
+    * scan every time (the measured data-proportional cost of the
+    * scalar-subquery face). The model is driver state of
+    * ~1.44·n·log2(1/fpp) bits (a 10M-gram eval set at 3% fpp is ~9 MB) —
+    * the same "fetch the trained model" collect the IVF centroids use, NOT
+    * a data collect.
+    */
+  def buildBloomModel(
+      bench: DataFrame,
+      textCol: String,
+      n: Int,
+      expectedGrams: Long = 1L << 22
+  ): Array[Byte] = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    require(expectedGrams > 0, s"expectedGrams must be positive, got $expectedGrams")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.XxHash64
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    withGrams(bench, textCol, n)
+      .select(explode(col("_grams")).as("_g"))
+      .distinct()
+      .select(
+        ColumnBridge.column(
+          new BloomFilterAggregate(
+            new XxHash64(Seq(ColumnBridge.expression(col("_g")))),
+            expectedGrams
+          ).toAggregateExpression()
+        ).as("bloom"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** [[hitsBloom]] with a prebuilt model ([[buildBloomModel]]): the bloom
+    * rides the plan as a binary literal, so the per-run cost is the corpus
+    * probe + the exact broadcast join only. Output byte-identical to
+    * [[hits]] for the same inputs — the bloom remains a pure pruner.
+    */
+  def hitsBloomWith(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      bloomModel: Array[Byte]
+  ): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    val benchGrams = withGrams(bench, textCol, n)
+      .select(explode(col("_grams")).as("_g"))
+      .distinct()
+    val probe = (g: Column) =>
+      ColumnBridge.column(
+        BloomFilterMightContain(
+          Literal(bloomModel, org.apache.spark.sql.types.BinaryType),
+          new XxHash64(Seq(ColumnBridge.expression(g)))))
+    withGrams(train, textCol, n)
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .filter(probe(col("_g")))
+      .join(broadcast(benchGrams), Seq("_g"))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("_g")).as("n_hits"))
+  }
+
   /** The one-call clean face: `train` minus every contaminated doc (LEFT
     * ANTI join on the hit list — the id-only hit frame joins, the text
     * column never shuffles).

@@ -424,10 +424,19 @@ object Dedup {
         (assigned, assigned.select(col(idCol), col("_bk").cast("long").as("cluster")))
       } else {
         // Multi-probe: primary label = head of the top-P list, materialized
-        // BEFORE the explode so the 16-cosine argmax runs once per row.
+        // BEFORE the explode so the k-cosine argmax runs once per row. The
+        // cosine array is pinned in its own ComputeOnce column first: the
+        // top-P argmax passes reference it ~3^p times, and without the
+        // barrier each reference re-runs all k·dim cosine loops on the
+        // interpreted HOF path (measured: the sf1 auto-k probe crawled at
+        // k=625 with the array inlined).
         val assigned = base
-          .withColumn("_bks", Similarity.assignTopP(col("_v"), centroids, probes))
+          .withColumn(
+            "_cos",
+            graft.functions.ComputeOnce(Similarity.centroidCosines(col("_v"), centroids)))
+          .withColumn("_bks", Similarity.topPFromCosines(col("_cos"), centroids.length, probes))
           .withColumn("_bk0", element_at(col("_bks"), 1))
+          .drop("_cos")
         (assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk")),
          assigned.select(col(idCol), col("_bk0").cast("long").as("cluster")))
       }

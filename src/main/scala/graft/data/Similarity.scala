@@ -196,6 +196,48 @@ object Similarity {
       .map(_.getSeq[Double](0).toVector)
       .toVector
 
+  /** Rows-per-bucket auto-k rule for the coarse quantizer: k grows
+    * linearly with the corpus so the average bucket population stays
+    * task-sized and the per-bucket quadratic (semdedup's (n/k)² pair
+    * fence, IVF's n/k candidate lists) stays CONSTANT per bucket as the
+    * corpus scales — k ∝ n is the only choice that makes total semdedup
+    * pair work linear in n (k ∝ √n still leaves n^1.5). minK pins the
+    * small-fixture value so the sf0.01 oracle replays a fixed seed count.
+    */
+  def autoK(n: Long, targetPerBucket: Int = 32, minK: Int = 16): Int = {
+    require(n >= 0 && targetPerBucket > 0 && minK > 0)
+    math.max(minK.toLong, (n + targetPerBucket - 1) / targetPerBucket).toInt
+  }
+
+  /** Centroids beyond this count switch from the unrolled per-centroid
+    * expression array (plan size O(k·dim) nodes — the proven oracle form)
+    * to the native fused [[graft.functions.CentroidCosines]] kernel (plan
+    * size O(1), one codegen'd k×dim multiply-add nest). The kernels are
+    * bit-identical; the split exists only to leave the small-k oracle
+    * plans byte-for-byte untouched while auto-k scales k with the corpus.
+    * (A `transform`-over-literal HOF form was tried first: it drops to
+    * interpreted lambda evaluation with per-element boxing — 50× wall at
+    * k=625 on the sf1 probe.) 32 keeps the oracle fixtures' k=16 unrolled
+    * while the sf0.1 auto-k (63) already gets the kernel — measured faster
+    * there too (the 63-cosine unrolled plan pays ~1 s analysis+codegen per
+    * run).
+    */
+  private val UnrolledCentroidMax = 32
+
+  /** The k per-centroid cosines as ONE array column; both argmax faces
+    * build on this. Identical float semantics on either path: the same
+    * left-to-right accumulation per centroid in the same order — only the
+    * plan shape differs. Callers that reference the result more than once
+    * (multi-probe argmax passes) should materialize it behind a
+    * [[graft.functions.ComputeOnce]] column first so the k·dim work runs
+    * once per row.
+    */
+  private[graft] def centroidCosines(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    if (centroids.length <= UnrolledCentroidMax)
+      array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+    else
+      graft.functions.GraftFunctions.centroid_cosines(vec, centroids)
+
   /** Nearest-centroid assignment (spherical: argmax cosine, ties → lowest
     * centroid index) as a pure column — k fused cosine loops per row, zero
     * shuffle, zero row blow-up. This is the IVF coarse quantizer: centroids
@@ -211,7 +253,7 @@ object Similarity {
     // first-match semantics give the lowest index on ties (matching the
     // oracle's ORDER BY cos DESC, j ASC). greatest(...) guards the
     // cannot-find case (all-NaN cosines) to bucket 0 instead of -1.
-    val arr = array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
+    val arr = centroidCosines(vec, centroids)
     greatest(array_position(arr, array_max(arr)) - 1, lit(0L)).cast("int")
   }
 
@@ -226,20 +268,57 @@ object Similarity {
   def assignTopP(vec: Column, centroids: Seq[Seq[Double]], p: Int): Column = {
     require(centroids.nonEmpty, "assignTopP: need at least one centroid")
     require(p >= 1 && p <= centroids.length, s"assignTopP: p=$p out of 1..${centroids.length}")
-    val k = centroids.length
-    val arr = array(centroids.map(c => cosine(vec, array(c.map(lit): _*))): _*)
-    val zipped = zip_with(
-      arr,
-      sequence(lit(0), lit(k - 1)),
-      (c, i) => struct(c.as("c"), i.as("i")))
-    val sorted = array_sort(
-      zipped,
-      (l, r) =>
-        when(l("c") > r("c"), -1)
-          .when(l("c") < r("c"), 1)
-          .otherwise(l("i") - r("i"))
-          .cast("int"))
-    transform(slice(sorted, 1, p), s => s("i").cast("int"))
+    topPFromCosines(centroidCosines(vec, centroids), centroids.length, p)
+  }
+
+  /** [[assignTopP]] over an already-computed cosine array — the form for
+    * callers that pin the k·dim cosine work in its own [[graft.functions.ComputeOnce]]
+    * column (the argmax passes below reference `arr` ~3^min(p,4) times, and
+    * an inline cosine array would be re-evaluated at every reference on
+    * the interpreted HOF path).
+    */
+  def topPFromCosines(arr: Column, k: Int, p: Int): Column = {
+    if (p <= 4) {
+      // p linear argmax passes, NOT a full array_sort: the sort's
+      // interpreted comparator lambda plus per-element struct allocation is
+      // O(k log k) per row and dominated the sf1 probe at k=625 (auto-k),
+      // while multi-probe p is 2–4. Each pass SPLICES -Inf over the
+      // previous pick with slice/concat — codegen'd array ops whose index
+      // operand evaluates once per row — and re-runs the same first-match
+      // argmax as [[assignNearest]], so ties break to the lowest index on
+      // every pass (the oracle's ORDER BY cos DESC, j ASC) and element 1
+      // is bit-identical to the assignNearest winner. Deliberately NOT a
+      // zip_with mask: a lambda that captures the pick re-evaluates it per
+      // ELEMENT on the interpreted HOF path — k² per row, measured 49×
+      // wall at k=625 on the sf1 probe. The fold nests prior picks into
+      // each splice (~3^p tree growth), which is why large p falls through
+      // to the sort below.
+      def argmax(a: Column): Column = greatest(array_position(a, array_max(a)) - 1, lit(0L))
+      def splice(a: Column, at: Column): Column = concat(
+        slice(a, lit(1), at.cast("int")),
+        array(lit(Double.NegativeInfinity)),
+        slice(a, at.cast("int") + 2, lit(k) - at.cast("int") - 1))
+      val (picks, _) = (1 until p).foldLeft((Seq(argmax(arr)), arr)) {
+        case ((sel, masked), _) =>
+          val nextMasked = splice(masked, sel.last)
+          (sel :+ argmax(nextMasked), nextMasked)
+      }
+      array(picks.map(_.cast("int")): _*)
+    } else {
+      // large p (e.g. the probes=all equivalence spec): full rank order
+      val zipped = zip_with(
+        arr,
+        sequence(lit(0), lit(k - 1)),
+        (c, i) => struct(c.as("c"), i.as("i")))
+      val sorted = array_sort(
+        zipped,
+        (l, r) =>
+          when(l("c") > r("c"), -1)
+            .when(l("c") < r("c"), 1)
+            .otherwise(l("i") - r("i"))
+            .cast("int"))
+      transform(slice(sorted, 1, p), s => s("i").cast("int"))
+    }
   }
 
   /** Lloyd-refined coarse quantizer (spherical k-means): seed with

@@ -98,6 +98,9 @@ object GraftFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  def centroid_cosines(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(CentroidCosines(ColumnBridge.expression(vec), centroids))
+
   /** Register graft's native expressions for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

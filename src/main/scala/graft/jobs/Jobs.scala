@@ -593,8 +593,20 @@ object JobFixtures {
     * query. Stage + atomic rename so an interrupted run can't leave a
     * half-written cache.
     */
+  private def fixturePath(name: String, dir: String): String =
+    s"/tmp/graft-fixture-$name-${math.abs(dir.hashCode)}"
+
+  /** Path of the materialized CDC fixture for `sfDir` (built if absent) —
+    * lets streaming probes FILE-STREAM the same frames the batch faces
+    * read, instead of collecting them through a driver-side MemoryStream.
+    */
+  def cdcFixturePath(spark: SparkSession, sfDir: String): String = {
+    cdcFromEventsCached(spark, sfDir)
+    fixturePath("cdc", sfDir)
+  }
+
   private def cached(spark: SparkSession, name: String, dir: String)(build: => DataFrame): DataFrame = {
-    val path = s"/tmp/graft-fixture-$name-${math.abs(dir.hashCode)}"
+    val path = fixturePath(name, dir)
     val dst = new java.io.File(path)
     if (!dst.exists()) {
       val stage = path + ".stage"

@@ -246,22 +246,23 @@ object Processors {
     * session buffers in transformWithState state with event-time timers.
     *
     * Spark drops input rows older than the stream's watermark before they
-    * reach a stateful operator, so the engine watermark is DELAYED by the
-    * lateness (withWatermark delay = out-of-orderness + lateness — late
-    * rows within the lateness pass the filter) and the timers compensate by
-    * firing `lateness` early: with flinkWm = sparkWm + lateness,
+    * reach a stateful operator, so the engine watermark is DELAYED by
+    * lateness + gap (withWatermark delay = out-of-orderness + lateness +
+    * gap) and every timer compensates by firing `lateness + gap` early:
+    * with flinkWm = sparkWm + lateness + gap,
     *
-    *  - close timer at (end − lateness) ⇔ flinkWm ≥ end → session fires
-    *    (firing 1) exactly when Flink's on-watermark firing would
+    *  - close timer at (end − lateness − gap) ⇔ flinkWm ≥ end → session
+    *    fires (firing 1) exactly when Flink's on-watermark firing would
     *  - a late event that passed the filter and lands in a FIRED session
     *    merges into the kept buffer and RE-FIRES immediately (firing 2, 3…)
-    *  - cleanup timer at `end` ⇔ flinkWm ≥ end + lateness — Flink's state
-    *    cleanup horizon
-    *  - boundary delta: Spark's filter drops rows with ts < flinkWm −
-    *    lateness; Flink keeps a row while its WINDOW is within lateness
-    *    (ts + gap + lateness > flinkWm) — a gap-width sliver of very-late
-    *    rows Flink would still absorb is filtered here (they'd go to the
-    *    late-output tag → route to a DLQ upstream if needed)
+    *  - cleanup timer at (end − gap) ⇔ flinkWm ≥ end + lateness — Flink's
+    *    state cleanup horizon
+    *  - admission boundary: Spark's filter drops ts < flinkWm − lateness −
+    *    gap ⇔ ts + gap + lateness < flinkWm — BYTE-EXACT Flink semantics
+    *    (Flink keeps a session row while its window is within lateness:
+    *    ts + gap + lateness > flinkWm). The extra gap in the delay exists
+    *    purely to close what used to be a gap-width dropped sliver; it
+    *    admits no row the operator doesn't immediately absorb or re-fire
     *
     * Emits an update stream (append sink of session-result versions keyed
     * by (key, sessionStartUs); downstream compacts last-firing-wins —
@@ -277,6 +278,11 @@ object Processors {
   class SessionLatenessProcessor(gapMs: Long, latenessMs: Long)
       extends StatefulProcessor[String, StreamEnvelop, SessionUpdate] {
     @transient private var st: ValueState[SessState] = _
+
+    /** Every timer fires this much earlier than its Flink-time meaning —
+      * the exact lag [[sessionsWithLateness]] adds to the watermark delay.
+      */
+    private val wmLagMs = latenessMs + gapMs
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[SessState]("sessions", Encoders.product[SessState], TTLConfig.NONE)
@@ -309,8 +315,8 @@ object Processors {
         // one per extension and fire useless handleExpiredTimer passes;
         // same-key windows can't share an expiry (disjoint ⇒ distinct ends)
         overlapping.foreach { w =>
-          if (w.firings == 0) getHandle.deleteTimer(w.endUs / 1000L - latenessMs)
-          else getHandle.deleteTimer(w.endUs / 1000L)
+          if (w.firings == 0) getHandle.deleteTimer(w.endUs / 1000L - wmLagMs)
+          else getHandle.deleteTimer(w.endUs / 1000L - gapMs)
         }
         val merged = SessWindow(
           startUs = (tsUs +: overlapping.map(_.startUs)).min,
@@ -329,10 +335,10 @@ object Processors {
           val refired = merged.copy(firings = merged.firings + 1)
           out += result(key, refired)
           windows = rest :+ refired
-          getHandle.registerTimer(refired.endUs / 1000L) // fresh cleanup horizon
+          getHandle.registerTimer(refired.endUs / 1000L - gapMs) // fresh cleanup horizon
         } else {
           windows = rest :+ merged
-          getHandle.registerTimer(merged.endUs / 1000L - latenessMs) // close (lateness-early)
+          getHandle.registerTimer(merged.endUs / 1000L - wmLagMs) // close (wmLag-early)
         }
       }
       st.update(SessState(windows))
@@ -350,15 +356,15 @@ object Processors {
       var windows = st.get().windows
       // first firing: flink-watermark passed lastEvent+gap
       windows = windows.map { w =>
-        if (w.firings == 0 && w.endUs / 1000L - latenessMs <= expiry) {
+        if (w.firings == 0 && w.endUs / 1000L - wmLagMs <= expiry) {
           val fired = w.copy(firings = 1)
           out += result(key, fired)
-          getHandle.registerTimer(w.endUs / 1000L) // cleanup (= end+lateness in flink time)
+          getHandle.registerTimer(w.endUs / 1000L - gapMs) // cleanup (= end+lateness in flink time)
           fired
         } else w
       }
       // cleanup: flink-watermark passed end + lateness
-      windows = windows.filterNot(w => w.firings > 0 && w.endUs / 1000L <= expiry)
+      windows = windows.filterNot(w => w.firings > 0 && w.endUs / 1000L - gapMs <= expiry)
       if (windows.isEmpty) st.clear() else st.update(SessState(windows))
       out.iterator
     }
@@ -374,7 +380,10 @@ object Processors {
       outOfOrdernessMs: Long = 0
   ): Dataset[SessionUpdate] = {
     import ds.sparkSession.implicits._
-    ds.withWatermark("eventTime", s"${outOfOrdernessMs + latenessMs} milliseconds")
+    // delay = ooo + lateness + GAP: the gap term admits the band of
+    // very-late rows Flink would still absorb into a session within
+    // lateness (ts + gap + lateness > flinkWm) — see the processor scaladoc
+    ds.withWatermark("eventTime", s"${outOfOrdernessMs + latenessMs + gapMs} milliseconds")
       .groupByKey(_.primaryKey)
       .transformWithState(
         new SessionLatenessProcessor(gapMs, latenessMs),

@@ -140,6 +140,40 @@ class ProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("sessionsWithLateness: gap-band sliver row is absorbed exactly like Flink, not watermark-dropped") {
+    // Flink admits a session event while ts + gap + lateness > flinkWm;
+    // Spark's plain lateness-delayed watermark dropped the band
+    // [flinkWm - gap - lateness, flinkWm - lateness). With the delay
+    // widened by gap: ts=104 at flinkWm=165 (gap 10 s, lateness 60 s) is
+    // INSIDE that band (104 < 165 - 60) and must merge + re-fire, while
+    // ts=94 (94 + 70 < 165) stays dropped on both engines.
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[StreamEnvelop]
+      val out = Processors.sessionsWithLateness(mem.toDS(), gapMs = 10000, latenessMs = 60000)
+      val q = out.writeStream.format("memory").queryName("sess_sliver").outputMode("append").start()
+      try {
+        mem.addData(mkEnv("a1", "u1", "{}", 100), mkEnv("a2", "u1", "{}", 104))
+        q.processAllAvailable()
+        mem.addData(mkEnv("x", "u2", "{}", 165)) // flinkWm -> 165
+        q.processAllAvailable()
+        mem.addData(mkEnv("y", "u2", "{}", 166))
+        q.processAllAvailable() // u1 [100,114) fires (firing 1, count 2)
+        // sliver row: older than flinkWm - lateness = 105, within window+lateness
+        mem.addData(mkEnv("a3", "u1", "{}", 104))
+        q.processAllAvailable()
+        val u1 = spark.table("sess_sliver").filter($"key" === "u1")
+          .select("firing", "eventCount", "actions").as[(Int, Long, String)].collect().toSet
+        assert(u1.contains((1, 2L, "a1,a2")), s"initial firing missing: $u1")
+        assert(u1.contains((2, 3L, "a1,a2,a3")), s"sliver row not absorbed: $u1")
+        // beyond window end + lateness on BOTH engines: dropped, no firing
+        mem.addData(mkEnv("a4", "u1", "{}", 94))
+        q.processAllAvailable()
+        assert(spark.table("sess_sliver").filter($"key" === "u1").count() === 2)
+      } finally q.stop()
+    }
+  }
+
   test("Processors.flowDisruption (transformWithState): timer fires DISRUPTED, next event RECOVERED") {
     withRocksDb {
       implicit val sc = spark.sqlContext

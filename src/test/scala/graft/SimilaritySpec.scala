@@ -339,4 +339,44 @@ class SimilaritySpec extends SparkSpec {
     info(f"cluster purity after refinement: $purity%.3f")
     assert(purity >= 0.8, f"purity $purity%.3f below 0.8 — quantizer not learning the clusters")
   }
+
+  test("autoK: rows-per-bucket rule pins 16 at the oracle fixture, grows linearly beyond") {
+    assert(Similarity.autoK(500) === 16) // sf0.01 embeddings — the oracle's LIMIT 16
+    assert(Similarity.autoK(10) === 16) // floor
+    assert(Similarity.autoK(2000) === 63) // sf0.1 bench
+    assert(Similarity.autoK(20000) === 625) // sf1 probe
+    // linear: 10x rows -> ~10x buckets -> constant per-bucket population
+    assert(Similarity.autoK(20000) >= 9 * Similarity.autoK(2000))
+  }
+
+  test("bulk centroid path (k > 64): assignment matches a driver-side replay, top-P head = nearest") {
+    // 70 centroids forces the single-literal HOF path; the driver-side
+    // replay reimplements argmax-cosine with the same left-to-right float
+    // accumulation, so assignments must agree exactly
+    val k = 70
+    val cents: Seq[Seq[Double]] = Similarity.seedCentroids(emb, "vec_id", "embedding", k)
+    val assigned = emb
+      .select($"vec_id",
+        Similarity.assignNearest($"embedding".cast("array<double>"), cents).as("bk"),
+        Similarity.assignTopP($"embedding".cast("array<double>"), cents, 3).as("bks"))
+      .collect()
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(assigned.length === 500)
+    assigned.foreach { row =>
+      val v = vecs(row.getLong(0))
+      val cs = cents.map(c => cos(v, c))
+      val expect = cs.indexOf(cs.max)
+      assert(row.getInt(1) === expect, s"vec ${row.getLong(0)}: bulk argmax diverged")
+      val bks = row.getSeq[Int](2)
+      assert(bks.length === 3 && bks.head === expect, "top-P head must be the assignNearest winner")
+      assert(bks.distinct.length === 3)
+    }
+  }
 }
