@@ -159,9 +159,17 @@ object MongoToKafkaJob extends GraftJob {
       outPath: String,
       dlqPath: String,
       checkpoint: String,
-      ttlMs: Long = 10 * 60 * 1000
+      ttlMs: Long = 10 * 60 * 1000,
+      // A processing-time TTL keeps TransformWithStateExec.shouldRunAnotherBatch
+      // true, so the default trigger runs no-data batches back-to-back forever
+      // (correct for a long-lived service — TTL eviction needs them) and
+      // processAllAvailable() never unblocks. Bounded drives (probes, backfills)
+      // must pass Trigger.AvailableNow() and awaitTermination() instead.
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L)
   ): org.apache.spark.sql.streaming.StreamingQuery =
     dedupedPipeline(cdcStream, ttlMs).writeStream
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
         val (good, bad) = streamingEnforcer.enforce(batch)
         finishGood(good).write.mode("overwrite").parquet(s"$outPath/epoch=$epoch")
