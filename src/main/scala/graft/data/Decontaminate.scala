@@ -110,25 +110,39 @@ object Decontaminate {
     * the same "fetch the trained model" collect the IVF centroids use, NOT
     * a data collect.
     */
+  /** `expectedGrams` ≤ 0 means AUTO: count the benchmark's distinct grams
+    * first and size the filter to the measurement. The default 2²² sizing
+    * that [[hitsBloom]] uses inline would hand a ~1k-gram eval set a
+    * ~4 MB filter — a 4 MB literal serialized into EVERY task binary of
+    * every consuming stage, and a probe working set that falls out of L2.
+    * Right-sized, the same eval set is a few KB (1.44·n·log2(1/fpp) bits),
+    * and since the eval scan already runs once per campaign to build the
+    * filter, the extra counting pass is one cheap job over the (small,
+    * fixed) eval set. False-positive rate is unchanged (3% at the measured
+    * n); output stays byte-identical either way — the bloom only prunes.
+    */
   def buildBloomModel(
       bench: DataFrame,
       textCol: String,
       n: Int,
-      expectedGrams: Long = 1L << 22
+      expectedGrams: Long = -1L
   ): Array[Byte] = {
     require(n > 0, s"n-gram size must be positive, got $n")
-    require(expectedGrams > 0, s"expectedGrams must be positive, got $expectedGrams")
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.catalyst.expressions.XxHash64
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    withGrams(bench, textCol, n)
+    val grams = withGrams(bench, textCol, n)
       .select(explode(col("_grams")).as("_g"))
       .distinct()
+    val sized =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(grams.count(), 64L)
+    grams
       .select(
         ColumnBridge.column(
           new BloomFilterAggregate(
             new XxHash64(Seq(ColumnBridge.expression(col("_g")))),
-            expectedGrams
+            sized
           ).toAggregateExpression()
         ).as("bloom"))
       .head().getAs[Array[Byte]](0)
