@@ -19,6 +19,7 @@ object Bench {
     graft.jobs.JobFixtures.warm(spark, sfDir)
     graft.queries.SourceQueries.warm(spark, sfDir)
     graft.queries.JoinQueries.warm(spark, sfDir)
+    graft.queries.Relational.warm(spark, sfDir)
     // Ground-truth-only queries: deliberately quadratic oracle verifiers,
     // excluded from the timed loop (a scoped/pruned variant IS benched).
     // Listed in the output line so the exclusion is visible, never silent.

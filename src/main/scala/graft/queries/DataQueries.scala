@@ -1465,7 +1465,82 @@ object DataQueries {
        |FROM documents""".stripMargin
   }
 
+  // ------------------------------------------------------ incremental corpus
+  /** Snapshot diff face: "prev" is the corpus minus the docs crawled since
+    * (doc_id % 7 == 3), holding an older revision of every 11th doc; "curr"
+    * drops the docs deleted since (doc_id % 13 == 5). The carving is a pure
+    * function of doc_id, so the oracle replays it exactly.
+    */
+  def dSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prev = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .withColumn(
+        "text",
+        when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit("|v0")))
+          .otherwise(col("text")))
+    val curr = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+    SnapshotOps.snapshotDiff(prev, curr, "doc_id", "text")
+  }
+
+  val dSnapshotDiffSql: String =
+    """WITH prev AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 11 = 0 THEN text || '|v0' ELSE text END) AS prev_hash
+      |  FROM documents WHERE doc_id % 7 <> 3),
+      |curr AS (
+      |  SELECT doc_id, md5(text) AS curr_hash
+      |  FROM documents WHERE doc_id % 13 <> 5)
+      |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+      |  CASE WHEN p.doc_id IS NULL THEN 'added'
+      |       WHEN c.doc_id IS NULL THEN 'removed'
+      |       WHEN prev_hash = curr_hash THEN 'unchanged'
+      |       ELSE 'changed' END AS status
+      |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id""".stripMargin
+
+  /** Incremental dedup face: every third doc arrives as the delta batch,
+    * deduped against the rest of the corpus as the pre-ingested index. A
+    * recrawl slice (doc_id % 5 == 1, re-submitted under a new id) rides
+    * along in the delta so every verdict branch fires: recrawls of ingested
+    * docs → `dup_corpus`, recrawls of docs also in this delta →
+    * `dup_delta`, the rest → `new`.
+    */
+  def dDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val recrawl = docs
+      .filter(pmod(col("doc_id"), lit(5)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    SnapshotOps.incrementalDedup(
+      corpusIndex = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+      delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(recrawl),
+      idCol = "doc_id",
+      textCol = "text")
+  }
+
+  val dDedupIncrementalSql: String =
+    """WITH corpus AS (
+      |  SELECT DISTINCT md5(text) AS content_hash
+      |  FROM documents WHERE doc_id % 3 <> 0),
+      |delta AS (
+      |  SELECT doc_id, md5(text) AS content_hash
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS content_hash
+      |  FROM documents WHERE doc_id % 5 = 1),
+      |marked AS (
+      |  SELECT d.doc_id, d.content_hash,
+      |    (c.content_hash IS NOT NULL) AS in_corpus,
+      |    MIN(d.doc_id) OVER (PARTITION BY d.content_hash) AS keep_id
+      |  FROM delta d LEFT JOIN corpus c USING (content_hash))
+      |SELECT doc_id, content_hash,
+      |  CASE WHEN in_corpus THEN 'dup_corpus'
+      |       WHEN doc_id <> keep_id THEN 'dup_delta'
+      |       ELSE 'new' END AS verdict
+      |FROM marked""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_snapshot_diff" -> dSnapshotDiff,
+    "d_dedup_incremental" -> dDedupIncremental,
     "t_quality" -> tQuality,
     "t_quality_model" -> tQualityModel,
     "d_source_cap" -> dSourceCap,
@@ -1513,6 +1588,8 @@ object DataQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d_snapshot_diff" -> dSnapshotDiffSql,
+    "d_dedup_incremental" -> dDedupIncrementalSql,
     "t_quality" -> tQualitySql,
     "t_quality_model" -> tQualityModelSql,
     "d_source_cap" -> dSourceCapSql,

@@ -1376,6 +1376,52 @@ object Relational {
       |ORDER BY numwait DESC, s_name ASC
       |LIMIT 100""".stripMargin
 
+  /** The co-located fact-fact join: lineitem⋈orders on the orderkey both
+    * tables are BUCKETED by ([[graft.connectors.Bucketing.ensureBucketed]],
+    * write-once under /tmp), aggregated to revenue per order priority.
+    * With both sides clustered+sorted into the same 16 buckets the
+    * sort-merge join plans with ZERO Exchange on either side
+    * (ScaleMechanicsSpec pins that plan shape; the residual Sort is a
+    * local pass over one pre-sorted task-sized file — Spark 3+ re-sorts
+    * bucketed scans rather than trust file order) — at 100 TB this is the
+    * layout that turns the every-run two-sided fact shuffle into a
+    * write-once cost. The `merge` hint keeps the comparison honest
+    * (broadcast would hide the exchange question); the oracle replays the
+    * identical join over the flat tables — bucketing must never change
+    * results, only the plan.
+    */
+  def qBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_bucketed/$slug"
+    val li = graft.connectors.Bucketing.ensureBucketed(
+      spark, Tables.lineitem(spark, dir),
+      s"graft_bkt_lineitem$slug", s"$base/lineitem", "l_orderkey", 16)
+    val ord = graft.connectors.Bucketing.ensureBucketed(
+      spark, Tables.orders(spark, dir),
+      s"graft_bkt_orders$slug", s"$base/orders", "o_orderkey", 16)
+    li.hint("merge")
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        (asDouble(sum(cents($"l_extendedprice") * (lit(100) - pct($"l_discount")))) / 10000.0)
+          .as("revenue"))
+  }
+
+  val qBucketedJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)*(100-CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** Prebuild the write-once bucketed layout outside bench timers —
+    * `ensureBucketed` materializes eagerly at DataFrame-construction time,
+    * so building the query (not running it) is enough.
+    */
+  def warm(spark: SparkSession, dir: String): Unit = { qBucketedJoin(spark, dir); () }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q9_product_profit" -> q9ProductProfit,
@@ -1387,6 +1433,7 @@ object Relational {
     "q8_market_share" -> q8MarketShare,
     "q13_order_distribution" -> q13OrderDistribution,
     "q15_top_supplier" -> q15TopSupplier,
+    "q_bucketed_join" -> qBucketedJoin,
     "q17_small_quantity" -> q17SmallQuantity,
     "q19_disjunctive_revenue" -> q19DisjunctiveRevenue,
     "q_quartiles_disc" -> qQuartilesDisc,
@@ -1447,6 +1494,7 @@ object Relational {
     "q1_pricing_summary" -> q1Sql,
     "q3_top_revenue" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,
+    "q_bucketed_join" -> qBucketedJoinSql,
     "events_by_type" -> eventsByTypeSql
   )
 }

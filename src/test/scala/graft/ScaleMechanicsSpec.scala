@@ -93,4 +93,48 @@ class ScaleMechanicsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
     }
   }
+
+  test("ensureBucketed: write-once marker, catalog re-registration, exchange+sort-free join") {
+    import graft.connectors.Bucketing
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString
+    val li0 = graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord0 = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    try {
+      val li = Bucketing.ensureBucketed(
+        spark, li0, "bkt_spec_li", s"$base/li", "l_orderkey", 8)
+      val ord = Bucketing.ensureBucketed(
+        spark, ord0, "bkt_spec_ord", s"$base/ord", "o_orderkey", 8)
+      // one file per bucket → the reader trusts the sort order
+      val dataFiles = new java.io.File(s"$base/li").listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(dataFiles === 8, s"expected 1 file/bucket, got $dataFiles")
+      val joined = li.hint("merge").join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the exchange is gone on BOTH sides; the residual per-bucket Sort is
+      // a local pass over one pre-sorted ~task-sized file (Spark 3+ always
+      // re-sorts bucketed scans rather than trust file order)
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(1200)}")
+      assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n${plan.take(1200)}")
+      assert(joined.count() === li0.count())
+      // drop from the catalog (fresh-JVM simulation): re-registers from the
+      // marker DDL without rewriting the data
+      val mtimes = new java.io.File(s"$base/li").listFiles().map(f => f.getName -> f.lastModified).toMap
+      spark.sql("DROP TABLE bkt_spec_li")
+      val reRegistered = Bucketing.ensureBucketed(
+        spark, sys.error("must not re-read the source"): org.apache.spark.sql.DataFrame,
+        "bkt_spec_li", s"$base/li", "l_orderkey", 8)
+      assert(reRegistered.count() === li0.count())
+      val mtimesAfter = new java.io.File(s"$base/li").listFiles().map(f => f.getName -> f.lastModified).toMap
+      assert(mtimesAfter === mtimes, "re-registration rewrote the bucketed files")
+      // and the re-registered table still joins exchange-free
+      val plan2 = reRegistered.hint("merge")
+        .join(ord, reRegistered("l_orderkey") === ord("o_orderkey"))
+        .queryExecution.executedPlan.toString
+      assert(!plan2.contains("Exchange"), s"re-registered join shuffles:\n${plan2.take(1200)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_li")
+      spark.sql("DROP TABLE IF EXISTS bkt_spec_ord")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
 }
