@@ -52,7 +52,10 @@ object ScaleProbe {
     "d_semdedup", "d_semdedup_probe2",
     "q_sketch_countmin", "q18_large_orders", "q_outliers",
     "s_ann_int8", "s_ann_int8_ivf", "d_dedup_priority",
-    "q8_market_share", "q13_order_distribution"
+    "q8_market_share", "q13_order_distribution",
+    // r8 additions: incremental-corpus ops + the bucketed co-located join
+    "d_snapshot_diff", "d_dedup_incremental", "d_boilerplate_strip",
+    "q_bucketed_join"
   )
 
   /** A table is reused only when its completion marker exists AND records
@@ -109,6 +112,9 @@ object ScaleProbe {
     graft.queries.SourceQueries.warm(spark, outDir)
     graft.queries.JoinQueries.warm(spark, srcDir)
     graft.queries.JoinQueries.warm(spark, outDir)
+    // bucketed-layout builds are write-once fixture work, not engine work
+    graft.queries.Relational.warm(spark, srcDir)
+    graft.queries.Relational.warm(spark, outDir)
 
     // a failing probe records NaN and the sweep CONTINUES — one broken
     // query must not abort the measurement of everything after it, and a

@@ -285,4 +285,62 @@ object CorpusOps {
     df.withColumn("cap_rank", row_number().over(w).cast("long"))
       .filter(col("cap_rank") <= n)
   }
+
+  /** C4-style boilerplate removal: a chunk (non-overlapping `chunkTokens`
+    * token run — the corpus's paragraph stand-in) that appears in at least
+    * `minDocs` DISTINCT documents is boilerplate (nav bars, license
+    * headers, cookie banners); every occurrence is stripped and the
+    * surviving chunks are re-joined in order. Emits per doc: chunk counts
+    * and the cleaned text.
+    *
+    * Scale shape: the boilerplate verdict travels as (md5, doc_id,
+    * chunk_idx) rows — the text is hashed in-scan and never shuffles for
+    * the counting pass. The boilerplate SET (distinct chunks above the
+    * threshold) is tiny by construction — boilerplate is few distinct
+    * strings repeated often — so the verdict join broadcasts it. The one
+    * text-bearing exchange is the final doc-grain join of documents
+    * against their removed-index lists, i.e. the op's own output grain: a
+    * corpus rewrite moves the corpus once, nothing more. The rebuild is a
+    * HOF over the token array (filter surviving chunk windows, flatten,
+    * join) — codegen, no UDF.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      minDocs: Int
+  ): DataFrame = {
+    require(minDocs >= 2, s"stripBoilerplate: minDocs must be >= 2, got $minDocs")
+    val chunks = chunkDocs(df, idCol, textCol, chunkTokens, chunkTokens)
+      .select(col(idCol), col("chunk_idx"), md5(col("chunk")).as("_h"))
+    val boilerplate = chunks
+      .select(col("_h"), col(idCol)).distinct()
+      .groupBy(col("_h")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"))
+    val removed = chunks
+      .join(boilerplate, Seq("_h"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("chunk_idx")).as("_removed"))
+    val toks = graft.functions.ComputeOnce(graft.data.TextAnalysis.tokens(col(textCol)))
+    val n = size(col("_toks"))
+    val nChunks = (floor((greatest(n - chunkTokens, lit(0)) + lit(chunkTokens - 1)) / lit(chunkTokens)) + 1)
+      .cast("long")
+    val removedSafe = coalesce(col("_removed"), array().cast("array<long>"))
+    val keptIdx = filter(
+      when(n > 0, sequence(lit(0L), nChunks - 1)).otherwise(array().cast("array<bigint>")),
+      i => !array_contains(removedSafe, i))
+    val cleaned = array_join(
+      flatten(transform(keptIdx, i =>
+        slice(col("_toks"), (i * chunkTokens + 1).cast("int"), lit(chunkTokens)))),
+      " ")
+    df.join(removed, Seq(idCol), "left")
+      .withColumn("_toks", toks)
+      .select(
+        col(idCol),
+        when(n > 0, nChunks).otherwise(lit(0L)).as("n_chunks"),
+        size(removedSafe).cast("long").as("n_removed"),
+        cleaned.as("cleaned"))
+  }
 }

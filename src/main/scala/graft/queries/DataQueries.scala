@@ -1465,6 +1465,40 @@ object DataQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Boilerplate strip face: 10-token chunks shared by ≥2 distinct docs are
+    * removed everywhere and the doc is rebuilt from the survivors.
+    */
+  def dBoilerplateStrip(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.stripBoilerplate(
+      Tables.documents(spark, dir), "doc_id", "text", chunkTokens = 10, minDocs = 2)
+
+  val dBoilerplateStripSql: String =
+    s"""WITH $toksCte,
+       |k AS (
+       |  SELECT doc_id, t, unnest(range(0, (len(t) + 9) // 10)) AS chunk_idx
+       |  FROM toks WHERE len(t) > 0),
+       |c AS (
+       |  SELECT doc_id, chunk_idx,
+       |    array_to_string(list_slice(t, chunk_idx*10 + 1, chunk_idx*10 + 10), ' ') AS chunk
+       |  FROM k),
+       |ch AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM c),
+       |bp AS (
+       |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
+       |  WHERE nd >= 2),
+       |rem AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
+       |  FROM ch WHERE h IN (SELECT h FROM bp) GROUP BY 1),
+       |agg AS (
+       |  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS cleaned
+       |  FROM ch WHERE h NOT IN (SELECT h FROM bp) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST((len(t.t) + 9) // 10 AS BIGINT) AS n_chunks,
+       |  COALESCE(r.n_removed, 0) AS n_removed,
+       |  COALESCE(a.cleaned, '') AS cleaned
+       |FROM toks t
+       |LEFT JOIN rem r USING (doc_id)
+       |LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   // ------------------------------------------------------ incremental corpus
   /** Snapshot diff face: "prev" is the corpus minus the docs crawled since
     * (doc_id % 7 == 3), holding an older revision of every 11th doc; "curr"
@@ -1541,6 +1575,7 @@ object DataQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_snapshot_diff" -> dSnapshotDiff,
     "d_dedup_incremental" -> dDedupIncremental,
+    "d_boilerplate_strip" -> dBoilerplateStrip,
     "t_quality" -> tQuality,
     "t_quality_model" -> tQualityModel,
     "d_source_cap" -> dSourceCap,
@@ -1590,6 +1625,7 @@ object DataQueries {
   val oracles: Map[String, String] = Map(
     "d_snapshot_diff" -> dSnapshotDiffSql,
     "d_dedup_incremental" -> dDedupIncrementalSql,
+    "d_boilerplate_strip" -> dBoilerplateStripSql,
     "t_quality" -> tQualitySql,
     "t_quality_model" -> tQualityModelSql,
     "d_source_cap" -> dSourceCapSql,

@@ -209,4 +209,39 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("stripBoilerplate: shared chunks removed everywhere, unique text survives in order") {
+    // 2-token chunks; "nav bar" opens docs 1-3 (boilerplate), "cookie notice"
+    // closes docs 1-2 (boilerplate), middles are unique
+    val docs = Seq(
+      (1L, "nav bar alpha one cookie notice"),
+      (2L, "nav bar beta two cookie notice"),
+      (3L, "nav bar gamma three"),
+      (4L, "delta four echo five"), // untouched
+      (5L, "") // empty doc
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.stripBoilerplate(docs, "doc_id", "text", chunkTokens = 2, minDocs = 2)
+      .select($"doc_id", $"n_chunks", $"n_removed", $"cleaned")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 3L, 2L, "alpha one")))
+    assert(got(1) === ((2L, 3L, 2L, "beta two")))
+    assert(got(2) === ((3L, 2L, 1L, "gamma three")))
+    assert(got(3) === ((4L, 2L, 0L, "delta four echo five")))
+    assert(got(4) === ((5L, 0L, 0L, "")))
+  }
+
+  test("stripBoilerplate: within-doc repeats don't count toward the distinct-doc threshold") {
+    val docs = Seq(
+      (1L, "spam spam spam spam unique tail"), // "spam spam" twice in ONE doc
+      (2L, "other words here now")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.stripBoilerplate(docs, "doc_id", "text", chunkTokens = 2, minDocs = 2)
+      .select($"doc_id", $"n_removed").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 0L))
+    // an all-boilerplate doc rebuilds to empty, not null
+    val all = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    val cleaned = CorpusOps.stripBoilerplate(all, "doc_id", "text", 2, 2)
+      .select($"cleaned").as[String].collect()
+    assert(cleaned === Array("", ""))
+  }
 }
