@@ -29,4 +29,44 @@ object CorpusWriter {
       .mode("overwrite")
       .partitionBy("_date")
       .parquet(path)
+
+  /** Small-file compaction — the maintenance pass every streaming sink
+    * needs: micro-batches write a file per trigger per partition, and a
+    * week of that turns a table into millions of KB-files whose open/footer
+    * overhead dominates every downstream scan. Rewrites `srcPath` into
+    * `dstPath` as ceil(totalBytes / targetFileBytes) files.
+    *
+    * Sizing comes from the FILE MANIFEST (driver-side listing — metadata,
+    * not data), so no extra scan of the table. With `keyCols` the rewrite
+    * range-partitions + sorts, restoring tight min/max footer stats for
+    * row-group skipping (compaction is the natural moment to re-sort:
+    * you're rewriting anyway); without, it round-robins rows evenly.
+    * Rewrite-to-new-path rather than in-place: the swap is the caller's
+    * one atomic rename, and a crashed compaction leaves the source intact.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String,
+      dstPath: String,
+      targetFileBytes: Long,
+      keyCols: Seq[String] = Nil
+  ): Unit = {
+    require(targetFileBytes > 0, s"compact: targetFileBytes must be positive, got $targetFileBytes")
+    val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hadoopPath, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
+    }
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val src = spark.read.parquet(srcPath)
+    val laidOut =
+      if (keyCols.nonEmpty)
+        src.repartitionByRange(nFiles, keyCols.map(col): _*)
+          .sortWithinPartitions(keyCols.map(col): _*)
+      else src.repartition(nFiles)
+    laidOut.write.mode("overwrite").parquet(dstPath)
+  }
 }

@@ -1,0 +1,63 @@
+package graft.data
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Persistence for the corpus-trained ANN models (coarse-quantizer
+  * centroids, PQ codebooks) — the cross-JVM face of the in-session memo in
+  * `queries/DataQueries`.
+  *
+  * A production campaign trains its quantizer ONCE per corpus snapshot and
+  * ships the model to every indexing / search / semdedup job that follows;
+  * retraining per job would both waste the training scans and silently
+  * version-skew the bucket assignments between writer and reader. Models
+  * are tiny driver values (k·dim doubles), stored as parquet so the
+  * round-trip is IEEE-exact: parquet DOUBLE is the same 8-byte IEEE-754
+  * value — a reloaded model reproduces bucket assignments and ADC scores
+  * bit-for-bit (pinned in SimilaritySpec).
+  */
+object ModelStore {
+
+  private val centroidSchema = StructType(Seq(
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Persist coarse-quantizer centroids; `centroids(i)` is bucket i. */
+  def saveCentroids(spark: SparkSession, path: String, centroids: Seq[Seq[Double]]): Unit = {
+    val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centroidSchema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload centroids in bucket order — the exact doubles that were saved. */
+  def loadCentroids(spark: SparkSession, path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path)
+      .collect()
+      .sortBy(_.getAs[Int]("bucket"))
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+      .toSeq
+
+  private val codebookSchema = StructType(Seq(
+    StructField("subspace", IntegerType, nullable = false),
+    StructField("code", IntegerType, nullable = false),
+    StructField("center", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Persist PQ codebooks; `codebooks(m)(c)` is subspace m's code-c center. */
+  def saveCodebooks(spark: SparkSession, path: String, codebooks: Seq[Seq[Seq[Double]]]): Unit = {
+    val rows = for {
+      (sub, m) <- codebooks.zipWithIndex
+      (center, c) <- sub.zipWithIndex
+    } yield Row(m, c, center)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), codebookSchema)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload codebooks in (subspace, code) order. */
+  def loadCodebooks(spark: SparkSession, path: String): Seq[Seq[Seq[Double]]] =
+    spark.read.parquet(path)
+      .collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getAs[Int]("code"),
+        r.getAs[scala.collection.Seq[Double]]("center").toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+}

@@ -36,4 +36,38 @@ class CorpusWriterSpec extends SparkSpec {
       assert(got === Map("u1" -> Some("gold"), "u3" -> None)) // miss passes through
     } finally q.stop()
   }
+
+  test("compact: many small files become few target-sized files, content preserved") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    // simulate a micro-batch-fragmented table: 40 files for a small table
+    graft.core.Tables.events(spark, sf).repartition(40).write.parquet(src)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet"))
+    val before = parquetFiles(src)
+    assert(before.length === 40)
+    val total = before.map(_.length).sum
+    // target ~quarter of the table per file → expect ~4 files
+    CorpusWriter.compact(spark, src, dst, targetFileBytes = total / 4)
+    val after = parquetFiles(dst)
+    assert(after.length < 10, s"still fragmented: ${after.length} files")
+    // content identical
+    val a = spark.read.parquet(src).select($"event_id").as[Long].collect().sorted
+    val b = spark.read.parquet(dst).select($"event_id").as[Long].collect().sorted
+    assert(a === b)
+  }
+
+  test("compact with keyCols: re-sorted layout restores row-group skipping stats") {
+    val base = java.nio.file.Files.createTempDirectory("compact_sorted").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    graft.core.Tables.events(spark, sf).repartition(20).write.parquet(src)
+    CorpusWriter.compact(spark, src, dst, targetFileBytes = Long.MaxValue, keyCols = Seq("user_id"))
+    // single file, range-sorted: its min/max footer covers the full range but
+    // rows are in user_id order — verify the sort actually happened
+    val rows = spark.read.parquet(dst).select($"user_id").as[Long].collect()
+    assert(rows.sameElements(rows.sorted), "keyCols compaction did not sort")
+    assert(spark.read.parquet(dst).count() === graft.core.Tables.events(spark, sf).count())
+  }
 }

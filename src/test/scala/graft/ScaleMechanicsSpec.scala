@@ -116,6 +116,11 @@ class ScaleMechanicsSpec extends SparkSpec {
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n${plan.take(1200)}")
       assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n${plan.take(1200)}")
       assert(joined.count() === li0.count())
+      // the same layout drops the exchange from a groupBy on the bucket key
+      val aggPlan = li.groupBy(li("l_orderkey"))
+        .agg(org.apache.spark.sql.functions.sum($"l_quantity"))
+        .queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"), s"bucketed agg still shuffles:\n${aggPlan.take(1200)}")
       // drop from the catalog (fresh-JVM simulation): re-registers from the
       // marker DDL without rewriting the data
       val mtimes = new java.io.File(s"$base/li").listFiles().map(f => f.getName -> f.lastModified).toMap

@@ -379,4 +379,28 @@ class SimilaritySpec extends SparkSpec {
       assert(bks.distinct.length === 3)
     }
   }
+
+  test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
+    import graft.data.{ModelStore, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("modelstore").toString
+    val e = graft.core.Tables.embeddings(spark, sf)
+    val cents = Similarity.seedCentroids(e, "vec_id", "embedding", k = 8)
+    ModelStore.saveCentroids(spark, s"$base/cents", cents)
+    val centsBack = ModelStore.loadCentroids(spark, s"$base/cents")
+    // exact doubles, exact order — == on nested Seq[Double] is bitwise here
+    // (no NaNs in trained centroids)
+    assert(centsBack === cents)
+    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", m = 4, k = 16)
+    ModelStore.saveCodebooks(spark, s"$base/cbs", cbs)
+    val cbsBack = ModelStore.loadCodebooks(spark, s"$base/cbs")
+    assert(cbsBack === cbs)
+    // the point of persistence: a reader JVM's model reproduces the writer's
+    // scores row-for-row
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") % 100 === 0)
+    val trained = Similarity.pqTopK(e, queries, "vec_id", "embedding", cbs, k = 5)
+      .collect().map(_.toString).sorted
+    val reloaded = Similarity.pqTopK(e, queries, "vec_id", "embedding", cbsBack, k = 5)
+      .collect().map(_.toString).sorted
+    assert(reloaded === trained)
+  }
 }
