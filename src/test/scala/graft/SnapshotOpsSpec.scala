@@ -46,6 +46,38 @@ class SnapshotOpsSpec extends SparkSpec {
       1L -> "dup_corpus", 2L -> "new", 3L -> "dup_delta", 4L -> "new"))
   }
 
+  test("snapshotDiff: swapping snapshots swaps added and removed, fixes changed/unchanged") {
+    val a = (0L until 120L).map(i => (i, s"text ${i % 40}")).toDF("doc_id", "text")
+    val b = (30L until 150L).map(i => (i, s"text ${i % 37}")).toDF("doc_id", "text")
+    val fwd = SnapshotOps.snapshotDiff(a, b, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val rev = SnapshotOps.snapshotDiff(b, a, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fwd.keySet === rev.keySet)
+    fwd.foreach { case (id, st) =>
+      val expect = st match {
+        case "added" => "removed"
+        case "removed" => "added"
+        case other => other
+      }
+      assert(rev(id) === expect, s"doc $id: fwd=$st rev=${rev(id)}")
+    }
+  }
+
+  test("incrementalDedup converges: absorbing the 'new' keepers makes a replayed delta all-dup_corpus") {
+    // texts drawn from a small pool so corpus-hits and within-delta dups both occur
+    val corpus = (0L until 40L).map(i => (i, s"pool ${i % 25}")).toDF("doc_id", "text")
+    val delta = (100L until 160L).map(i => (i, s"pool ${i % 37}")).toDF("doc_id", "text")
+    val verdicts = SnapshotOps.incrementalDedup(corpus, delta, "doc_id", "text")
+    val newIds = verdicts.filter($"verdict" === "new")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(newIds.nonEmpty) // the property is vacuous otherwise
+    val absorbed = corpus.unionByName(delta.filter($"doc_id".isInCollection(newIds)))
+    val replayed = SnapshotOps.incrementalDedup(absorbed, delta, "doc_id", "text")
+    val counts = replayed.groupBy($"verdict").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("dup_corpus" -> 60L), s"replay not converged: $counts")
+  }
+
   test("incrementalDedupByHash: duplicate hashes in the manifest don't fan the delta out") {
     val manifest = Seq("a", "a", "b").toDF("h")
       .select(md5($"h").as("content_hash"))
