@@ -49,6 +49,40 @@ object Decontaminate {
       .agg(count_distinct(col("_g")).as("n_hits"))
   }
 
+  /** Multi-benchmark decontamination in ONE corpus scan. A real campaign
+    * screens against MANY eval sets at once (every benchmark in the
+    * harness), and the naive loop re-scans the 100 TB corpus once per set.
+    * Here every eval set's distinct grams are tagged with the set name,
+    * union'd into one (gram, eval_set) index — still eval-sized, still one
+    * broadcast — and the corpus explodes its grams exactly once, probing
+    * all sets in the same join. Output grain is (doc, eval_set): per-set
+    * distinct-gram hit counts, ready for per-benchmark thresholds.
+    * N-set screening costs one corpus pass instead of N.
+    */
+  def hitsMulti(
+      train: DataFrame,
+      benches: Seq[(String, DataFrame)],
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    require(benches.nonEmpty, "hitsMulti: need at least one benchmark set")
+    val benchGrams = benches
+      .map { case (name, bench) =>
+        withGrams(bench, textCol, n)
+          .select(explode(col("_grams")).as("_g"))
+          .distinct()
+          .select(lit(name).as("eval_set"), col("_g"))
+      }
+      .reduce(_ unionByName _)
+    withGrams(train, textCol, n)
+      .select(col(idCol), explode(col("_grams")).as("_g"))
+      .join(broadcast(benchGrams), Seq("_g"))
+      .groupBy(col(idCol), col("eval_set"))
+      .agg(count_distinct(col("_g")).as("n_hits"))
+  }
+
   /** [[hits]] with a BLOOM-FILTER pre-probe on the corpus side — the shape
     * production decontamination takes at 100 TB. The broadcast hash join in
     * [[hits]] ships every corpus gram row into the join; here a bloom

@@ -1183,6 +1183,41 @@ object DataQueries {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  /** Multi-benchmark face: three eval sets carved on coprime moduli, the
+    * rest of the corpus screened against all three in one scan. Word
+    * 3-grams so every set produces a real hit population at sf0.01.
+    */
+  def dDecontaminateMulti(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def slice(m: Int) = docs.filter(pmod(col("doc_id"), lit(m)) === 0)
+    val train = docs.filter(
+      pmod(col("doc_id"), lit(97)) =!= 0 &&
+        pmod(col("doc_id"), lit(89)) =!= 0 &&
+        pmod(col("doc_id"), lit(83)) =!= 0)
+    Decontaminate.hitsMulti(
+      train,
+      Seq("evalA" -> slice(97), "evalB" -> slice(89), "evalC" -> slice(83)),
+      "doc_id", "text", n = 3)
+  }
+
+  val dDecontaminateMultiSql: String =
+    s"""WITH $toksCte,
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t)-2, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS g
+       |  FROM toks),
+       |bg AS (
+       |  SELECT 'evalA' AS eval_set, g FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+       |  UNION ALL
+       |  SELECT 'evalB' AS eval_set, g FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0)
+       |  UNION ALL
+       |  SELECT 'evalC' AS eval_set, g FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 83 = 0))
+       |SELECT doc_id, eval_set, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits
+       |FROM grams JOIN bg USING (g)
+       |WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0 AND doc_id % 83 <> 0
+       |GROUP BY doc_id, eval_set""".stripMargin
+
   /** The bloom-pruned face of decontamination at word 3-grams (shorter
     * grams -> 171 contaminated docs at sf0.01, a real result set where the
     * 4-gram exact face sees 8): identical output contract to
@@ -1576,6 +1611,7 @@ object DataQueries {
     "d_snapshot_diff" -> dSnapshotDiff,
     "d_dedup_incremental" -> dDedupIncremental,
     "d_boilerplate_strip" -> dBoilerplateStrip,
+    "d_decontaminate_multi" -> dDecontaminateMulti,
     "t_quality" -> tQuality,
     "t_quality_model" -> tQualityModel,
     "d_source_cap" -> dSourceCap,
@@ -1626,6 +1662,7 @@ object DataQueries {
     "d_snapshot_diff" -> dSnapshotDiffSql,
     "d_dedup_incremental" -> dDedupIncrementalSql,
     "d_boilerplate_strip" -> dBoilerplateStripSql,
+    "d_decontaminate_multi" -> dDecontaminateMultiSql,
     "t_quality" -> tQualitySql,
     "t_quality_model" -> tQualityModelSql,
     "d_source_cap" -> dSourceCapSql,

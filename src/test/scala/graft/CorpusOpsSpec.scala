@@ -66,6 +66,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cleaned === Set(3L, 4L))
   }
 
+  test("hitsMulti: one scan over N eval sets equals the per-set single runs") {
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val sets = Seq(97, 89, 83)
+    val train = docs.filter(sets.map(m => pmod($"doc_id", lit(m)) =!= 0).reduce(_ && _))
+    val benches = sets.map(m => s"eval$m" -> docs.filter(pmod($"doc_id", lit(m)) === 0))
+    val multi = graft.data.Decontaminate.hitsMulti(train, benches, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(multi.nonEmpty, "fixture produced no contamination — test is vacuous")
+    assert(multi.map(_._2).size >= 2, "fewer than two eval sets hit — weak fixture")
+    val singles = benches.flatMap { case (name, bench) =>
+      graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 3)
+        .as[(Long, Long)].collect().map { case (id, hits) => (id, name, hits) }
+    }.toSet
+    assert(multi === singles)
+  }
+
   test("decontaminate bloom face: identical output to exact face, bloom probe in the plan") {
     // real-ish corpus so the bloom prunes something: documents at sf0.001
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
