@@ -68,19 +68,28 @@ object Decontaminate {
   ): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
     require(benches.nonEmpty, "hitsMulti: need at least one benchmark set")
+    // unlike [[hits]], grams travel as 60-bit md5 shingle hashes
+    // ([[graft.functions.ShingleHash60]], per-doc distinct by construction):
+    // an 8-byte broadcast key + probe instead of a ~25-char string, and the
+    // per-(doc,set) hit count degrades to a plain count. Collisions replay
+    // identically in the oracle's md5, so results still bit-match (the
+    // shingleRows precedent). Short docs contribute their one partial
+    // shingle (shingle semantics), where the string face drops them.
+    def gramHashes(df: DataFrame) =
+      df.select(
+        col(idCol),
+        explode(graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n)).as("_gh"))
     val benchGrams = benches
       .map { case (name, bench) =>
-        withGrams(bench, textCol, n)
-          .select(explode(col("_grams")).as("_g"))
-          .distinct()
-          .select(lit(name).as("eval_set"), col("_g"))
+        gramHashes(bench)
+          .select(col("_gh")).distinct()
+          .select(lit(name).as("eval_set"), col("_gh"))
       }
       .reduce(_ unionByName _)
-    withGrams(train, textCol, n)
-      .select(col(idCol), explode(col("_grams")).as("_g"))
-      .join(broadcast(benchGrams), Seq("_g"))
+    gramHashes(train)
+      .join(broadcast(benchGrams), Seq("_gh"))
       .groupBy(col(idCol), col("eval_set"))
-      .agg(count_distinct(col("_g")).as("n_hits"))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   /** [[hits]] with a BLOOM-FILTER pre-probe on the corpus side — the shape

@@ -1202,19 +1202,15 @@ object DataQueries {
 
   val dDecontaminateMultiSql: String =
     s"""WITH $toksCte,
-       |grams AS (
-       |  SELECT doc_id, unnest(list_transform(
-       |    range(1, greatest(len(t)-2, 0)+1),
-       |    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS g
-       |  FROM toks),
+       |$shCte,
        |bg AS (
-       |  SELECT 'evalA' AS eval_set, g FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+       |  SELECT 'evalA' AS eval_set, sh FROM (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
        |  UNION ALL
-       |  SELECT 'evalB' AS eval_set, g FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0)
+       |  SELECT 'evalB' AS eval_set, sh FROM (SELECT DISTINCT sh FROM sh WHERE doc_id % 89 = 0)
        |  UNION ALL
-       |  SELECT 'evalC' AS eval_set, g FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 83 = 0))
-       |SELECT doc_id, eval_set, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_hits
-       |FROM grams JOIN bg USING (g)
+       |  SELECT 'evalC' AS eval_set, sh FROM (SELECT DISTINCT sh FROM sh WHERE doc_id % 83 = 0))
+       |SELECT doc_id, eval_set, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |FROM sh JOIN bg USING (sh)
        |WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0 AND doc_id % 83 <> 0
        |GROUP BY doc_id, eval_set""".stripMargin
 
