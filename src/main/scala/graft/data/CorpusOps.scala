@@ -312,8 +312,11 @@ object CorpusOps {
       minDocs: Int
   ): DataFrame = {
     require(minDocs >= 2, s"stripBoilerplate: minDocs must be >= 2, got $minDocs")
+    // chunks travel as 60-bit md5 hashes (8-byte keys through the counting
+    // exchange, not 32-char hex strings) — collisions replay identically in
+    // the oracle's md5, so the verdict still bit-matches (shingleRows rule)
     val chunks = chunkDocs(df, idCol, textCol, chunkTokens, chunkTokens)
-      .select(col(idCol), col("chunk_idx"), md5(col("chunk")).as("_h"))
+      .select(col(idCol), col("chunk_idx"), graft.functions.Md5Hash60(col("chunk")).as("_h"))
     val boilerplate = chunks
       .select(col("_h"), col(idCol)).distinct()
       .groupBy(col("_h")).agg(count(lit(1)).as("_nd"))

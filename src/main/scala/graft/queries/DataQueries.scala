@@ -1512,7 +1512,7 @@ object DataQueries {
        |  SELECT doc_id, chunk_idx,
        |    array_to_string(list_slice(t, chunk_idx*10 + 1, chunk_idx*10 + 10), ' ') AS chunk
        |  FROM k),
-       |ch AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS h FROM c),
+       |ch AS (SELECT doc_id, chunk_idx, chunk, ${hash60Sql("chunk")} AS h FROM c),
        |bp AS (
        |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ch GROUP BY 1)
        |  WHERE nd >= 2),
