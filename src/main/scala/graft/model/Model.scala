@@ -95,3 +95,11 @@ case class BandRow(sid: Long, bucket: String)
   * on at least the band that produced this row.
   */
 case class NearDupHit(sid: Long, dupOf: Long)
+
+/** One (group, item) observation of the streaming heavy-hitter gate. */
+case class ItemObservation(group: String, item: String)
+
+/** One Misra-Gries summary row for `group` after a micro-batch:
+  * `estimate` undercounts by at most groupTotal/k (the MG guarantee).
+  */
+case class HeavyHitter(group: String, item: String, estimate: Long, groupTotal: Long)

@@ -80,6 +80,77 @@ object Processors {
         OutputMode.Append())
   }
 
+  /** Streaming heavy hitters per group (Misra-Gries summary in MapState):
+    * the "domain flood / trending token" monitor of a crawl-ingest
+    * pipeline. State per group is AT MOST k counters no matter how many
+    * distinct items flow through — the property that makes the gate viable
+    * on an unbounded stream — and every reported `estimate` obeys
+    * `true - groupTotal/k <= estimate <= true`, so any item with true
+    * frequency above groupTotal/k is guaranteed present in the summary.
+    *
+    * Each micro-batch emits the group's full updated summary (append mode:
+    * monitoring reads the rows with the highest `groupTotal` per group).
+    * Within a batch, rows fold in item order so replays are deterministic
+    * under any partitioning (MG estimates are order-sensitive; pinning the
+    * fold order pins the output). The decrement step costs O(k) — the
+    * classic MG trade for bounded memory.
+    */
+  class HeavyHittersProcessor(k: Int, ttlMs: Long)
+      extends StatefulProcessor[String, graft.model.ItemObservation, graft.model.HeavyHitter] {
+    require(k >= 1, s"heavyHitters: k must be >= 1, got $k")
+    @transient private var counters: MapState[String, Long] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counters = getHandle.getMapState[String, Long](
+        "mg", Encoders.STRING, Encoders.scalaLong, ttlConfig(ttlMs))
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, ttlConfig(ttlMs))
+    }
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[graft.model.ItemObservation],
+        timerValues: TimerValues
+    ): Iterator[graft.model.HeavyHitter] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      counters.iterator().foreach { case (i, c) => m(i) = c }
+      var n = if (total.exists()) total.get() else 0L
+      rows.toVector.sortBy(_.item).foreach { r =>
+        n += 1
+        m.get(r.item) match {
+          case Some(c) => m(r.item) = c + 1
+          case None if m.size < k => m(r.item) = 1L
+          case None =>
+            m.keysIterator.toVector.foreach { ki =>
+              val c = m(ki) - 1
+              if (c == 0) m.remove(ki) else m(ki) = c
+            }
+        }
+      }
+      total.update(n)
+      counters.clear()
+      m.foreach { case (i, c) => counters.updateValue(i, c) }
+      m.toVector
+        .sortBy { case (i, c) => (-c, i) }
+        .map { case (i, c) => graft.model.HeavyHitter(key, i, c, n) }
+        .iterator
+    }
+  }
+
+  /** [[HeavyHittersProcessor]] wired to a stream of observations. */
+  def heavyHitters(
+      ds: Dataset[graft.model.ItemObservation],
+      k: Int,
+      ttlMs: Long = 0L
+  ): Dataset[graft.model.HeavyHitter] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.group)
+      .transformWithState(
+        new HeavyHittersProcessor(k, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** First-seen-wins dedup: ValueState[Boolean] "seen" with native state TTL
     * (reference pattern/dedup/Deduplicator.java:18-72).
     */
