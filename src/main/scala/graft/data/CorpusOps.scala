@@ -286,6 +286,41 @@ object CorpusOps {
       .filter(col("cap_rank") <= n)
   }
 
+  /** Deterministic train/val/test split assignment: each row draws a
+    * uniform md5 ticket from (seed, id) and lands in the first split whose
+    * cumulative-fraction threshold exceeds it. The verdict is a pure
+    * function of (seed, id) — independent of corpus size, ordering and
+    * partitioning — so growing the corpus NEVER migrates an existing doc
+    * between splits: the eval set stays eval forever, which is what keeps
+    * a rebuilt training corpus leak-free. Changing the seed redraws the
+    * whole assignment. Scale shape: embarrassingly parallel scan, zero
+    * shuffle; thresholds fold into the codegen'd when-chain as literals.
+    *
+    * `splits` are (name, fraction) with fractions summing to ~1; the last
+    * split absorbs rounding, so every row gets exactly one label.
+    */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      seed: String
+  ): DataFrame = {
+    require(splits.size >= 2, s"assignSplits: need at least 2 splits, got ${splits.size}")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"assignSplits: fractions must sum to 1, got $total")
+    val ticket = pmod(
+      graft.functions.Md5Hash60(concat(lit(seed), lit("|"), col(idCol).cast("string"))),
+      lit(1000000L))
+    // integer ppm thresholds (floor, like stratifiedSample) — exact and
+    // SQL-replayable; the final otherwise() absorbs the rounding remainder
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val thresholds = cum.init.map(c => math.floor(c * 1e6).toLong)
+    val verdict = splits.init.zip(thresholds).foldRight(lit(splits.last._1)) {
+      case (((name, _), t), rest) => when(ticket < t, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", verdict)
+  }
+
   /** C4-style boilerplate removal: a chunk (non-overlapping `chunkTokens`
     * token run — the corpus's paragraph stand-in) that appears in at least
     * `minDocs` DISTINCT documents is boilerplate (nav bars, license

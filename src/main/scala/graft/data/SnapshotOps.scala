@@ -85,7 +85,7 @@ object SnapshotOps {
       idCol: String,
       textCol: String
   ): DataFrame = {
-    val idx = hashIndex.select(col("content_hash")).distinct
+    val idx = hashIndex.select(col("content_hash")).distinct()
       .withColumn("_in_corpus", lit(true))
     val w = Window.partitionBy(col("content_hash"))
     delta

@@ -74,7 +74,7 @@ object AsOfJoin {
       .select(
         (keys.map(col) ++ Seq(col("_asof_ts"), col("_asof_r"), col("_asof_is_r")) ++
           leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
-    val unioned = l.unionByName(r.select(l.columns.map(col): _*))
+    val unioned = l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))
     // right rows first on timestamp ties -> inclusive <= semantics
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)

@@ -1530,6 +1530,24 @@ object DataQueries {
        |LEFT JOIN rem r USING (doc_id)
        |LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Stable train/val/test assignment at 90/5/5 under seed "split0". */
+  def dSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.assignSplits(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed = "split0")
+
+  val dSplitAssignSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN t < 900000 THEN 'train'
+       |       WHEN t < 950000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id,
+       |    ${hash60Sql("'split0|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS t
+       |  FROM documents)""".stripMargin
+
   // ------------------------------------------------------ incremental corpus
   /** Snapshot diff face: "prev" is the corpus minus the docs crawled since
     * (doc_id % 7 == 3), holding an older revision of every 11th doc; "curr"
@@ -1608,6 +1626,7 @@ object DataQueries {
     "d_dedup_incremental" -> dDedupIncremental,
     "d_boilerplate_strip" -> dBoilerplateStrip,
     "d_decontaminate_multi" -> dDecontaminateMulti,
+    "d_split_assign" -> dSplitAssign,
     "t_quality" -> tQuality,
     "t_quality_model" -> tQualityModel,
     "d_source_cap" -> dSourceCap,
@@ -1659,6 +1678,7 @@ object DataQueries {
     "d_dedup_incremental" -> dDedupIncrementalSql,
     "d_boilerplate_strip" -> dBoilerplateStripSql,
     "d_decontaminate_multi" -> dDecontaminateMultiSql,
+    "d_split_assign" -> dSplitAssignSql,
     "t_quality" -> tQualitySql,
     "t_quality_model" -> tQualityModelSql,
     "d_source_cap" -> dSourceCapSql,

@@ -3,6 +3,13 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.data.CorpusOps
 
+object CorpusOpsSpecHelpers {
+  def labels(df: org.apache.spark.sql.DataFrame): Map[Long, String] = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", $"split").as[(Long, String)].collect().toMap
+  }
+}
+
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
@@ -224,6 +231,32 @@ class CorpusOpsSpec extends SparkSpec {
         cum += r.getAs[Long]("n_tokens")
       }
     }
+  }
+
+  test("assignSplits: exhaustive+disjoint labels, rate-respecting, stable under growth, seed redraws") {
+    val docs = (0L until 4000L).map(i => Tuple1(i)).toDF("doc_id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val got = CorpusOps.assignSplits(docs, "doc_id", splits, "s1")
+    val byLabel = got.groupBy("split").count().as[(String, Long)].collect().toMap
+    // every row gets exactly one label; fractions hold within tolerance
+    assert(byLabel.values.sum === 4000L)
+    assert(byLabel("train") > 3450 && byLabel("train") < 3750, s"train off: $byLabel")
+    assert(byLabel("val") > 120 && byLabel("val") < 280, s"val off: $byLabel")
+    assert(byLabel("test") > 120 && byLabel("test") < 280, s"test off: $byLabel")
+    // stability: the first 2000 docs keep their labels when the corpus doubles
+    val half = CorpusOpsSpecHelpers.labels(
+      CorpusOps.assignSplits(docs.filter($"doc_id" < 2000), "doc_id", splits, "s1"))
+    val full = CorpusOpsSpecHelpers.labels(got.filter($"doc_id" < 2000))
+    assert(half === full, "labels migrated when the corpus grew")
+    // a different seed actually redraws
+    val redrawn = CorpusOpsSpecHelpers.labels(
+      CorpusOps.assignSplits(docs, "doc_id", splits, "s2"))
+    assert(redrawn !== CorpusOpsSpecHelpers.labels(got))
+    // bad fractions rejected
+    val e = intercept[IllegalArgumentException] {
+      CorpusOps.assignSplits(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4), "s1")
+    }
+    assert(e.getMessage.contains("sum to 1"))
   }
 
   test("stripBoilerplate: shared chunks removed everywhere, unique text survives in order") {
