@@ -1621,7 +1621,81 @@ object DataQueries {
       |       ELSE 'new' END AS verdict
       |FROM marked""".stripMargin
 
+  /** The incremental-rebuild capstone — the nightly job of a living corpus,
+    * composing the r8 ops end-to-end in ONE plan: snapshot diff (what
+    * changed since the last crawl) → delta-vs-store incremental dedup
+    * (never re-dedup the ingested corpus) → light quality gate → stable
+    * split assignment for the accepted rows. Output is exactly what the
+    * training store ingests: (doc_id, content_hash, split) for new, unique,
+    * quality-passing content. Every stage is the already-verified operator;
+    * the oracle replays the whole chain.
+    */
+  def dIncrementalRebuild(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val prev = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .withColumn(
+        "text",
+        when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit("|v0")))
+          .otherwise(col("text")))
+    val curr = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+    val diff = SnapshotOps.snapshotDiff(prev, curr, "doc_id", "text")
+    val delta = curr.join(diff.filter(col("status").isin("added", "changed")), Seq("doc_id"))
+    val store = curr.join(diff.filter(col("status") === "unchanged"), Seq("doc_id"))
+    val fresh = delta.join(
+      SnapshotOps.incrementalDedup(store, delta, "doc_id", "text")
+        .filter(col("verdict") === "new")
+        .select(col("doc_id"), col("content_hash")),
+      Seq("doc_id"))
+    val gated = fresh
+      .filter(col("n_chars") >= 80 && col("lang").isin("en", "de", "es", "fr"))
+      .select(col("doc_id"), col("content_hash"))
+    CorpusOps.assignSplits(
+      gated, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = "split0")
+  }
+
+  val dIncrementalRebuildSql: String =
+    s"""WITH prev AS (
+       |  SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 11 = 0 THEN text || '|v0' ELSE text END) AS prev_hash
+       |  FROM documents WHERE doc_id % 7 <> 3),
+       |curr AS (
+       |  SELECT doc_id, lang, n_chars, md5(text) AS curr_hash
+       |  FROM documents WHERE doc_id % 13 <> 5),
+       |diff AS (
+       |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+       |    CASE WHEN p.doc_id IS NULL THEN 'added'
+       |         WHEN c.doc_id IS NULL THEN 'removed'
+       |         WHEN prev_hash = curr_hash THEN 'unchanged'
+       |         ELSE 'changed' END AS status
+       |  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id),
+       |store AS (
+       |  SELECT DISTINCT curr_hash AS content_hash
+       |  FROM curr JOIN diff USING (doc_id) WHERE status = 'unchanged'),
+       |delta AS (
+       |  SELECT c.doc_id, c.curr_hash AS content_hash, c.lang, c.n_chars
+       |  FROM curr c JOIN diff USING (doc_id) WHERE status IN ('added', 'changed')),
+       |marked AS (
+       |  SELECT d.doc_id, d.content_hash, d.lang, d.n_chars,
+       |    (s.content_hash IS NOT NULL) AS in_corpus,
+       |    MIN(d.doc_id) OVER (PARTITION BY d.content_hash) AS keep_id
+       |  FROM delta d LEFT JOIN store s USING (content_hash)),
+       |gated AS (
+       |  SELECT doc_id, content_hash FROM marked
+       |  WHERE NOT in_corpus AND doc_id = keep_id
+       |    AND n_chars >= 80 AND lang IN ('en', 'de', 'es', 'fr'))
+       |SELECT doc_id, content_hash,
+       |  CASE WHEN t < 900000 THEN 'train'
+       |       WHEN t < 950000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, content_hash,
+       |    ${hash60Sql("'split0|' || CAST(doc_id AS VARCHAR)")} % 1000000 AS t
+       |  FROM gated)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_incremental_rebuild" -> dIncrementalRebuild,
     "d_snapshot_diff" -> dSnapshotDiff,
     "d_dedup_incremental" -> dDedupIncremental,
     "d_boilerplate_strip" -> dBoilerplateStrip,
@@ -1674,6 +1748,7 @@ object DataQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "d_incremental_rebuild" -> dIncrementalRebuildSql,
     "d_snapshot_diff" -> dSnapshotDiffSql,
     "d_dedup_incremental" -> dDedupIncrementalSql,
     "d_boilerplate_strip" -> dBoilerplateStripSql,
