@@ -55,7 +55,8 @@ object ScaleProbe {
     "q8_market_share", "q13_order_distribution",
     // r8 additions: incremental-corpus ops + the bucketed co-located join
     "d_snapshot_diff", "d_dedup_incremental", "d_boilerplate_strip",
-    "q_bucketed_join", "d_decontaminate_multi", "d_incremental_rebuild"
+    "q_bucketed_join", "d_decontaminate_multi", "d_incremental_rebuild",
+    "d_split_assign"
   )
 
   /** A table is reused only when its completion marker exists AND records

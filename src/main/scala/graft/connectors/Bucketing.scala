@@ -16,18 +16,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * same layout also drops the exchange from `groupBy(key)` aggregates.
   *
   * `ensureBucketed` is write-once: the first call materializes the bucketed
-  * copy and drops a completion marker holding the schema DDL; later calls
-  * (including fresh JVMs — the in-memory catalog is empty at startup)
-  * re-register the existing files with `CREATE TABLE ... CLUSTERED BY ...
-  * LOCATION` and never rewrite. Bucket-count rule at scale: pick
-  * size/buckets ≈ one task's comfortable input (~1 GB), and keep the count
-  * IDENTICAL across tables that join — mismatched counts shuffle one side.
+  * copy and drops a completion marker; later calls (including fresh JVMs —
+  * the in-memory catalog is empty at startup) re-register the existing
+  * files with `CREATE TABLE ... CLUSTERED BY ... LOCATION` and never
+  * rewrite. The marker records the FULL build spec (schema, key, bucket
+  * count, caller's source stamp), and any mismatch rebuilds instead of
+  * re-registering: trusting a stale or differently-bucketed layout would
+  * plan exchange-free joins over wrongly-hashed files — silent wrong
+  * results, the one failure mode a layout cache must never have.
+  * Bucket-count rule at scale: pick size/buckets ≈ one task's comfortable
+  * input (~1 GB), and keep the count IDENTICAL across tables that join —
+  * mismatched counts shuffle one side.
   */
 object Bucketing {
 
   /** Register (materializing if needed) a bucketed copy of `df` as
     * `tableName` at `path`, clustered and sorted by `keyCol` into
     * `nBuckets`. Returns the bucketed table as a DataFrame.
+    *
+    * `sourceStamp` identifies the source data version (e.g. a digest of
+    * the source files' names/sizes/mtimes — see [[stampDir]]); pass it so
+    * a regenerated source invalidates the cached layout. An empty stamp
+    * disables that axis of invalidation (key/bucket/schema checks remain).
     */
   def ensureBucketed(
       spark: SparkSession,
@@ -35,19 +45,44 @@ object Bucketing {
       tableName: String,
       path: String,
       keyCol: String,
-      nBuckets: Int
+      nBuckets: Int,
+      sourceStamp: String = ""
   ): DataFrame = synchronized {
-    if (!spark.catalog.tableExists(tableName)) {
-      val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
-      if (marker.exists()) {
-        val ddl = new String(
+    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+
+    def specOf(schemaDdl: String): String =
+      s"key=$keyCol\nbuckets=$nBuckets\nstamp=$sourceStamp\nschema=$schemaDdl"
+
+    def readMarker(): Option[String] =
+      if (marker.exists())
+        Some(new String(
           java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
+          java.nio.charset.StandardCharsets.UTF_8))
+      else None
+
+    def schemaFrom(spec: String): String =
+      spec.linesIterator.find(_.startsWith("schema=")).map(_.stripPrefix("schema=")).getOrElse("")
+
+    def specMatches(spec: String): Boolean =
+      spec == specOf(schemaFrom(spec)) && schemaFrom(spec).nonEmpty
+
+    if (spark.catalog.tableExists(tableName)) {
+      // in-catalog table: still validate the on-disk spec — a prior run in
+      // this JVM may have registered it before the source was regenerated
+      readMarker() match {
+        case Some(spec) if specMatches(spec) => return spark.table(tableName)
+        case _ => spark.sql(s"DROP TABLE IF EXISTS $tableName")
+      }
+    }
+
+    readMarker() match {
+      case Some(spec) if specMatches(spec) =>
         spark.sql(
-          s"""CREATE TABLE $tableName ($ddl) USING PARQUET
+          s"""CREATE TABLE $tableName (${schemaFrom(spec)}) USING PARQUET
              |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS
              |LOCATION '$path'""".stripMargin)
-      } else {
+      case stale =>
+        if (stale.isDefined) marker.delete() // spec drift: rebuild, never trust
         val src = df
         // repartition on the bucket hash first: each task then holds exactly
         // one bucket's keys and writes ONE file per bucket — without this,
@@ -64,9 +99,22 @@ object Bucketing {
           .saveAsTable(tableName)
         java.nio.file.Files.write(
           marker.toPath,
-          src.schema.toDDL.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
+          specOf(src.schema.toDDL).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     spark.table(tableName)
+  }
+
+  /** Cheap driver-side content stamp for a source directory: file count +
+    * total bytes + max mtime over its parquet files. Metadata-only (no data
+    * scan); changes whenever the source is regenerated.
+    */
+  def stampDir(dir: String): String = {
+    val root = new java.io.File(dir)
+    val files =
+      if (root.isFile) Array(root)
+      else Option(root.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    s"n${files.length}b${files.map(_.length).sum}m${if (files.isEmpty) 0L else files.map(_.lastModified).max}"
   }
 }

@@ -49,7 +49,8 @@ object CorpusWriter {
       srcPath: String,
       dstPath: String,
       targetFileBytes: Long,
-      keyCols: Seq[String] = Nil
+      keyCols: Seq[String] = Nil,
+      partitionCols: Seq[String] = Nil
   ): Unit = {
     require(targetFileBytes > 0, s"compact: targetFileBytes must be positive, got $targetFileBytes")
     val hadoopPath = new org.apache.hadoop.fs.Path(srcPath)
@@ -60,13 +61,25 @@ object CorpusWriter {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) totalBytes += f.getLen
     }
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // clamp: a tiny target over a huge table must not overflow Int and
+    // hand repartition() a negative count
+    val nFiles = math.min(
+      math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes),
+      Int.MaxValue.toLong).toInt
     val src = spark.read.parquet(srcPath)
+    // a partitioned source (writeTimePartitioned's layout) must stay
+    // partitioned — compacting it flat would silently destroy the
+    // time-axis pruning the layout exists for, so callers pass the
+    // partition columns and the rewrite re-emits partitionBy with the
+    // partition key leading the range distribution (keeps each output
+    // task writing into few partition dirs)
+    val orderCols = (partitionCols ++ keyCols).map(col)
     val laidOut =
-      if (keyCols.nonEmpty)
-        src.repartitionByRange(nFiles, keyCols.map(col): _*)
-          .sortWithinPartitions(keyCols.map(col): _*)
+      if (orderCols.nonEmpty)
+        src.repartitionByRange(nFiles, orderCols: _*).sortWithinPartitions(orderCols: _*)
       else src.repartition(nFiles)
-    laidOut.write.mode("overwrite").parquet(dstPath)
+    val writer = laidOut.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(dstPath)
   }
 }

@@ -85,6 +85,18 @@ object CorpusOps {
     * output size is input tokens × (chunk/stride) overlap factor, stated so
     * the blow-up is a deliberate knob, not a surprise.
     */
+  /** Window count shared by [[chunkDocs]] (which EMITS the chunk indices)
+    * and [[stripBoilerplate]] (which rebuilds docs from those indices) —
+    * one definition so the two index spaces can never desync. Standard
+    * sliding-window count: stop once a window reaches the end of the doc —
+    * ceil(n/stride) would emit trailing chunks fully contained in their
+    * predecessor (pure duplicates in a RAG index).
+    */
+  private[data] def chunkCount(nTokens: Column, chunkTokens: Int, strideTokens: Int): Column =
+    floor(
+      (greatest(nTokens - chunkTokens, lit(0)) + lit(strideTokens - 1)) / lit(strideTokens)
+    ) + 1
+
   def chunkDocs(
       df: DataFrame,
       idCol: String,
@@ -97,12 +109,7 @@ object CorpusOps {
       strideTokens > 0 && strideTokens <= chunkTokens,
       s"chunkDocs: stride must be in [1, chunkTokens], got $strideTokens")
     val n = size(col("_toks"))
-    // standard sliding-window count: stop once a window reaches the end of
-    // the doc — ceil(n/stride) would emit trailing chunks fully contained
-    // in their predecessor (pure duplicates in a RAG index)
-    val nChunks = (floor(
-      (greatest(n - chunkTokens, lit(0)) + lit(strideTokens - 1)) / lit(strideTokens)
-    ) + 1).cast("int")
+    val nChunks = chunkCount(n, chunkTokens, strideTokens).cast("int")
     // ComputeOnce: the token array feeds the explode bound AND every chunk
     // slice — without the barrier the tokenizer would inline into each
     df.withColumn("_toks", graft.functions.ComputeOnce(graft.data.TextAnalysis.tokens(col(textCol))))
@@ -363,8 +370,7 @@ object CorpusOps {
       .agg(collect_set(col("chunk_idx")).as("_removed"))
     val toks = graft.functions.ComputeOnce(graft.data.TextAnalysis.tokens(col(textCol)))
     val n = size(col("_toks"))
-    val nChunks = (floor((greatest(n - chunkTokens, lit(0)) + lit(chunkTokens - 1)) / lit(chunkTokens)) + 1)
-      .cast("long")
+    val nChunks = chunkCount(n, chunkTokens, chunkTokens).cast("long")
     val removedSafe = coalesce(col("_removed"), array().cast("array<long>"))
     val keptIdx = filter(
       when(n > 0, sequence(lit(0L), nChunks - 1)).otherwise(array().cast("array<bigint>")),

@@ -34,14 +34,19 @@ object SnapshotOps {
       idCol: String,
       textCol: String
   ): DataFrame = {
-    val p = prev.select(col(idCol).as("_id"), md5(col(textCol)).as("prev_hash"))
-    val c = curr.select(col(idCol).as("_id"), md5(col(textCol)).as("curr_hash"))
+    // explicit presence flags: inferring presence from hash nullness would
+    // misclassify a doc whose TEXT is null (md5(null) = null) as
+    // added/removed even when the id exists on both sides
+    val p = prev.select(
+      col(idCol).as("_id"), md5(col(textCol)).as("prev_hash"), lit(true).as("_in_prev"))
+    val c = curr.select(
+      col(idCol).as("_id"), md5(col(textCol)).as("curr_hash"), lit(true).as("_in_curr"))
     p.join(c, Seq("_id"), "full_outer")
       .select(
         col("_id").as(idCol),
-        when(col("prev_hash").isNull, lit("added"))
-          .when(col("curr_hash").isNull, lit("removed"))
-          .when(col("prev_hash") === col("curr_hash"), lit("unchanged"))
+        when(col("_in_prev").isNull, lit("added"))
+          .when(col("_in_curr").isNull, lit("removed"))
+          .when(col("prev_hash") <=> col("curr_hash"), lit("unchanged"))
           .otherwise(lit("changed"))
           .as("status"))
   }

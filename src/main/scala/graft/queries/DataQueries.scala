@@ -1549,12 +1549,14 @@ object DataQueries {
        |  FROM documents)""".stripMargin
 
   // ------------------------------------------------------ incremental corpus
-  /** Snapshot diff face: "prev" is the corpus minus the docs crawled since
-    * (doc_id % 7 == 3), holding an older revision of every 11th doc; "curr"
-    * drops the docs deleted since (doc_id % 13 == 5). The carving is a pure
-    * function of doc_id, so the oracle replays it exactly.
+  /** Shared prev/curr snapshot carving for the diff + rebuild faces (one
+    * definition so the two faces and their SQL oracles can't drift):
+    * "prev" is the corpus minus the docs crawled since (doc_id % 7 == 3),
+    * holding an older revision of every 11th doc; "curr" drops the docs
+    * deleted since (doc_id % 13 == 5). Pure function of doc_id, so the
+    * oracle replays it exactly.
     */
-  def dSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+  private def snapshotCarving(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val docs = Tables.documents(spark, dir)
     val prev = docs
       .filter(pmod(col("doc_id"), lit(7)) =!= 3)
@@ -1563,6 +1565,12 @@ object DataQueries {
         when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit("|v0")))
           .otherwise(col("text")))
     val curr = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+    (prev, curr)
+  }
+
+  /** Snapshot diff face over [[snapshotCarving]]. */
+  def dSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val (prev, curr) = snapshotCarving(spark, dir)
     SnapshotOps.snapshotDiff(prev, curr, "doc_id", "text")
   }
 
@@ -1577,7 +1585,7 @@ object DataQueries {
       |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
       |  CASE WHEN p.doc_id IS NULL THEN 'added'
       |       WHEN c.doc_id IS NULL THEN 'removed'
-      |       WHEN prev_hash = curr_hash THEN 'unchanged'
+      |       WHEN prev_hash IS NOT DISTINCT FROM curr_hash THEN 'unchanged'
       |       ELSE 'changed' END AS status
       |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id""".stripMargin
 
@@ -1631,14 +1639,7 @@ object DataQueries {
     * the oracle replays the whole chain.
     */
   def dIncrementalRebuild(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val prev = docs
-      .filter(pmod(col("doc_id"), lit(7)) =!= 3)
-      .withColumn(
-        "text",
-        when(pmod(col("doc_id"), lit(11)) === 0, concat(col("text"), lit("|v0")))
-          .otherwise(col("text")))
-    val curr = docs.filter(pmod(col("doc_id"), lit(13)) =!= 5)
+    val (prev, curr) = snapshotCarving(spark, dir)
     val diff = SnapshotOps.snapshotDiff(prev, curr, "doc_id", "text")
     val delta = curr.join(diff.filter(col("status").isin("added", "changed")), Seq("doc_id"))
     val store = curr.join(diff.filter(col("status") === "unchanged"), Seq("doc_id"))
@@ -1667,7 +1668,7 @@ object DataQueries {
        |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
        |    CASE WHEN p.doc_id IS NULL THEN 'added'
        |         WHEN c.doc_id IS NULL THEN 'removed'
-       |         WHEN prev_hash = curr_hash THEN 'unchanged'
+       |         WHEN prev_hash IS NOT DISTINCT FROM curr_hash THEN 'unchanged'
        |         ELSE 'changed' END AS status
        |  FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id),
        |store AS (

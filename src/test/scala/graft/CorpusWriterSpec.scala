@@ -58,6 +58,22 @@ class CorpusWriterSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("compact with partitionCols: partitioned layout survives the rewrite") {
+    val base = java.nio.file.Files.createTempDirectory("compact_part").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    CorpusWriter.writeTimePartitioned(
+      graft.core.Tables.events(spark, sf), src, tsCol = "ts", keyCol = "user_id", filesPerDay = 8)
+    CorpusWriter.compact(spark, src, dst, targetFileBytes = Long.MaxValue,
+      keyCols = Seq("user_id"), partitionCols = Seq("_date"))
+    // partition dirs preserved → a date filter still prunes at planning time
+    assert(new java.io.File(dst).listFiles.exists(_.getName.startsWith("_date=")),
+      "compacted table lost its partition layout")
+    val pruned = spark.read.parquet(dst).filter($"_date" === "2024-01-15")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(_date"))
+    assert(spark.read.parquet(dst).count() === graft.core.Tables.events(spark, sf).count())
+  }
+
   test("compact with keyCols: re-sorted layout restores row-group skipping stats") {
     val base = java.nio.file.Files.createTempDirectory("compact_sorted").toString
     val src = s"$base/src"

@@ -136,6 +136,15 @@ class ScaleMechanicsSpec extends SparkSpec {
         .join(ord, reRegistered("l_orderkey") === ord("o_orderkey"))
         .queryExecution.executedPlan.toString
       assert(!plan2.contains("Exchange"), s"re-registered join shuffles:\n${plan2.take(1200)}")
+      // spec drift must REBUILD, never trust: asking for a different bucket
+      // count over the same path rewrites the files instead of registering
+      // wrong bucket metadata over 8-bucket data
+      val rebuilt = Bucketing.ensureBucketed(
+        spark, li0, "bkt_spec_li", s"$base/li", "l_orderkey", 4)
+      val filesAfter = new java.io.File(s"$base/li").listFiles()
+        .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      assert(filesAfter === 4, s"bucket-count change did not rebuild: $filesAfter files")
+      assert(rebuilt.count() === li0.count())
     } finally {
       spark.sql("DROP TABLE IF EXISTS bkt_spec_li")
       spark.sql("DROP TABLE IF EXISTS bkt_spec_ord")
