@@ -528,11 +528,21 @@ object Similarity {
       pqEncode(col(vecCol), codebooks).as("n_codes"))
     // flattened native LUT: element mi·k + j = dot(query subvec mi, codeword j)
     val lut = graft.functions.Pq.lut(col(vecCol), codebooks)
+    // cosine array pinned in ComputeOnce BEFORE the top-p argmax: the splice
+    // fold references it ~3^p times, and inlined it would replicate the
+    // O(k·dim) unrolled-cosine subtree at every reference (measured +1.1 s
+    // fixed analysis/codegen cost per run at k=16) — the exact hazard the
+    // topPFromCosines scaladoc pins
     val q = broadcast(
-      queries.select(
-        col(idCol).as("q_id"),
-        lut.as("q_lut"),
-        explode(assignTopP(col(vecCol).cast("array<double>"), centroids, probes)).as("q_bk")))
+      queries
+        .withColumn(
+          "_cos",
+          graft.functions.ComputeOnce(
+            centroidCosines(col(vecCol).cast("array<double>"), centroids)))
+        .select(
+          col(idCol).as("q_id"),
+          lut.as("q_lut"),
+          explode(topPFromCosines(col("_cos"), centroids.length, probes)).as("q_bk")))
     val score = (0 until m)
       .map(mi => element_at(col("q_lut"), lit(mi * cbK) + element_at(col("n_codes"), mi + 1) + 1))
       .reduce(_ + _) // left-assoc: subspace order, matches the oracle fold
@@ -623,12 +633,19 @@ object Similarity {
       assignNearest(col(vecCol).cast("array<double>"), centroids).as("n_bk"),
       col("_s").as("n_scale"),
       Embeddings.int8Codes(col(vecCol), col("_s")).as("n_q"))
+    // cosine array pinned like [[pqTopKPruned]]'s: inlining it into the
+    // top-p splice fold replicates the unrolled-cosine subtree ~3^p times
     val q = broadcast(
-      quantized(queries).select(
-        col(idCol).as("q_id"),
-        col("_s").as("q_scale"),
-        Embeddings.int8Codes(col(vecCol), col("_s")).as("q_vq"),
-        explode(assignTopP(col(vecCol).cast("array<double>"), centroids, probes)).as("q_bk")))
+      quantized(queries)
+        .withColumn(
+          "_cos",
+          graft.functions.ComputeOnce(
+            centroidCosines(col(vecCol).cast("array<double>"), centroids)))
+        .select(
+          col(idCol).as("q_id"),
+          col("_s").as("q_scale"),
+          Embeddings.int8Codes(col(vecCol), col("_s")).as("q_vq"),
+          explode(topPFromCosines(col("_cos"), centroids.length, probes)).as("q_bk")))
     val idot = graft.functions.IntDotProduct.column(col("q_vq"), col("n_q"))
     val scored = c
       .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
