@@ -66,11 +66,32 @@ object Bucketing {
     def specMatches(spec: String): Boolean =
       spec == specOf(schemaFrom(spec)) && schemaFrom(spec).nonEmpty
 
+    // the registered catalog entry must actually BE the layout at `path`
+    // with the requested clustering — a name reused for a different path
+    // (or registered elsewhere in this JVM) would otherwise return the
+    // wrong table's data and plan exchange-free joins over it
+    def catalogMatches(): Boolean =
+      try {
+        val detail = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName").collect()
+          .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+          .toMap
+        val locOk = detail.get("Location").exists { loc =>
+          new java.io.File(loc.stripPrefix("file:")).getCanonicalPath ==
+            new java.io.File(path).getCanonicalPath
+        }
+        locOk &&
+          detail.get("Num Buckets").exists(_.trim == nBuckets.toString) &&
+          detail.get("Bucket Columns").exists(_.contains(keyCol))
+      } catch { case _: Throwable => false }
+
     if (spark.catalog.tableExists(tableName)) {
-      // in-catalog table: still validate the on-disk spec — a prior run in
-      // this JVM may have registered it before the source was regenerated
+      // in-catalog table: still validate the on-disk spec AND that the
+      // catalog entry points at this path with this bucket spec — a prior
+      // run in this JVM may have registered it before the source was
+      // regenerated, or under the same name for a different layout
       readMarker() match {
-        case Some(spec) if specMatches(spec) => return spark.table(tableName)
+        case Some(spec) if specMatches(spec) && catalogMatches() =>
+          return spark.table(tableName)
         case _ => spark.sql(s"DROP TABLE IF EXISTS $tableName")
       }
     }
@@ -104,17 +125,28 @@ object Bucketing {
     spark.table(tableName)
   }
 
-  /** Cheap driver-side content stamp for a source directory: file count +
-    * total bytes + max mtime over its parquet files. Metadata-only (no data
-    * scan); changes whenever the source is regenerated.
+  /** Cheap driver-side content stamp for a source file or directory tree:
+    * an md5 digest of the sorted per-file (relative path, size, mtime)
+    * manifest, walked RECURSIVELY so partitioned/nested layouts are
+    * visible. Metadata-only (no data scan); unlike an aggregate
+    * (count, total bytes, max mtime), a regenerated source with the same
+    * totals cannot escape invalidation — any file's name, size, or mtime
+    * changing changes the digest.
     */
   def stampDir(dir: String): String = {
     val root = new java.io.File(dir)
-    val files =
-      if (root.isFile) Array(root)
-      else Option(root.listFiles())
-        .getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    s"n${files.length}b${files.map(_.length).sum}m${if (files.isEmpty) 0L else files.map(_.lastModified).max}"
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) Seq(f)
+      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+        .flatMap(walk)
+    val base = root.toPath
+    val manifest = walk(root)
+      .map(f => s"${base.relativize(f.toPath)}|${f.length}|${f.lastModified}")
+      .sorted
+      .mkString("\n")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md5.take(8).map(b => f"$b%02x").mkString
   }
 }

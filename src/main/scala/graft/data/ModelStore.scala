@@ -18,6 +18,55 @@ import org.apache.spark.sql.types._
   */
 object ModelStore {
 
+  /** Per-corpus store root. One directory per corpus dir; callers append a
+    * model name that embeds the training params AND a source-content stamp
+    * ([[graft.connectors.Bucketing.stampDir]]) so a regenerated corpus can
+    * never silently reuse a stale model — the same invalidation contract
+    * the bucketed-layout cache uses.
+    */
+  def rootFor(dir: String): String = s"/tmp/graft-models-${math.abs(dir.hashCode)}"
+
+  private def done(path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
+  /** Load the centroids at `path` if a completed save exists there,
+    * otherwise train (by-name), persist, and return them. The reloaded
+    * values are the exact IEEE doubles that were saved (SimilaritySpec), so
+    * first-run and every-later-run callers compute identical plans.
+    */
+  def centroidsOrTrain(spark: SparkSession, path: String)(
+      train: => Seq[Seq[Double]]): Seq[Seq[Double]] =
+    if (done(path)) loadCentroids(spark, path)
+    else { val m = train; saveCentroids(spark, path, m); m }
+
+  /** [[centroidsOrTrain]] for PQ codebooks. */
+  def codebooksOrTrain(spark: SparkSession, path: String)(
+      train: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
+    if (done(path)) loadCodebooks(spark, path)
+    else { val m = train; saveCodebooks(spark, path, m); m }
+
+  /** Opaque byte-array models (e.g. a serialized campaign bloom filter):
+    * written to a temp file then atomically moved, so a concurrent reader
+    * never sees a torn model.
+    */
+  def saveBytes(path: String, bytes: Array[Byte]): Unit = {
+    val target = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(target.getParent)
+    val tmp = java.nio.file.Files.createTempFile(target.getParent, ".model", ".tmp")
+    java.nio.file.Files.write(tmp, bytes)
+    java.nio.file.Files.move(
+      tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Load the byte model at `path`, or train-and-persist on first use. */
+  def bytesOrTrain(path: String)(train: => Array[Byte]): Array[Byte] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) java.nio.file.Files.readAllBytes(p)
+    else { val m = train; saveBytes(path, m); m }
+  }
+
   private val centroidSchema = StructType(Seq(
     StructField("bucket", IntegerType, nullable = false),
     StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))

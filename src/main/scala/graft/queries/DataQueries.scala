@@ -535,17 +535,34 @@ object DataQueries {
     * Keyed by directory only: the values are data-derived, not
     * session-bound, so a fresh session reuses them safely.
     */
+  /** The in-JVM memos are backed by [[ModelStore]] on disk, keyed by the
+    * corpus dir plus a metadata stamp of the source file — the production
+    * contract: a campaign trains its models ONCE per corpus snapshot, and
+    * every job (including a fresh JVM) reloads the persisted values instead
+    * of re-running the training scans. Reloads are IEEE-exact
+    * (SimilaritySpec), so first-run and reload plans are bit-identical; a
+    * regenerated corpus changes the stamp and retrains rather than reusing
+    * a stale model.
+    */
+  private def annModelPath(dir: String, name: String): String = {
+    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/embeddings.parquet")
+    s"${ModelStore.rootFor(dir)}/$name-$stamp"
+  }
   private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def embCount(spark: SparkSession, dir: String): Long =
-    corpusCounts.computeIfAbsent(dir, _ => Long.box(Tables.embeddings(spark, dir).count())).longValue()
+    corpusCounts.computeIfAbsent(dir, _ => Long.box(
+      new String(ModelStore.bytesOrTrain(annModelPath(dir, "embcount"))(
+        Tables.embeddings(spark, dir).count().toString.getBytes("UTF-8")), "UTF-8").toLong)).longValue()
   private val seedMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def seedsFor(spark: SparkSession, dir: String, k: Int): Seq[Seq[Double]] =
     seedMemo.computeIfAbsent(s"$dir#$k", _ =>
-      Similarity.seedCentroids(Tables.embeddings(spark, dir), "vec_id", "embedding", k))
+      ModelStore.centroidsOrTrain(spark, annModelPath(dir, s"centroids-k$k"))(
+        Similarity.seedCentroids(Tables.embeddings(spark, dir), "vec_id", "embedding", k)))
   private val cbMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
   private def codebooksFor(spark: SparkSession, dir: String, m: Int, k: Int): Seq[Seq[Seq[Double]]] =
     cbMemo.computeIfAbsent(s"$dir#$m#$k", _ =>
-      Similarity.pqCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", m, k))
+      ModelStore.codebooksOrTrain(spark, annModelPath(dir, s"codebooks-m$m-k$k"))(
+        Similarity.pqCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", m, k)))
 
   def sAnnIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -1252,6 +1269,29 @@ object DataQueries {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  /** The CAMPAIGN face of bloom decontamination: the model comes from the
+    * persistent [[ModelStore]] (train-once-per-corpus-snapshot), so every
+    * run after the first — in ANY JVM — pays only the corpus probe + exact
+    * join, never the eval-set scans that size and build the filter. Output
+    * is byte-identical to [[dDecontaminateBloom]] (same grams, same exact
+    * join decides; the bloom only prunes), so both faces share one oracle
+    * shape. The in-JVM memo makes repeat runs skip even the file read.
+    */
+  def dDecontaminateCampaign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    val model = bloomModels.computeIfAbsent(
+      s"$dir#3#campaign",
+      _ => ModelStore.bytesOrTrain(s"${ModelStore.rootFor(dir)}/bloom-n3-$stamp")(
+        Decontaminate.buildBloomModel(bench, "text", n = 3)))
+    Decontaminate.hitsBloomWith(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      bench, "doc_id", "text", n = 3, model)
+  }
+
+  val dDecontaminateCampaignSql: String = dDecontaminateBloomSql
+
   // ------------------------------------------------------ BM25 ranking
   /** Top-50 docs for a 3-term topic query, rational-idf BM25 (see
     * [[TextAnalysis.bm25TopK]] for why the log-free variant hash-matches).
@@ -1735,6 +1775,7 @@ object DataQueries {
     "d_corpus_assembly" -> dCorpusAssembly,
     "d_decontaminate" -> dDecontaminate,
     "d_decontaminate_bloom" -> dDecontaminateBloom,
+    "d_decontaminate_campaign" -> dDecontaminateCampaign,
     "d_semdedup" -> dSemDedup,
     "d_semdedup_probe2" -> dSemDedupProbe2,
     "t_bm25" -> tBm25,
@@ -1788,6 +1829,7 @@ object DataQueries {
     "d_corpus_assembly" -> dCorpusAssemblySql,
     "d_decontaminate" -> dDecontaminateSql,
     "d_decontaminate_bloom" -> dDecontaminateBloomSql,
+    "d_decontaminate_campaign" -> dDecontaminateCampaignSql,
     "d_semdedup" -> dSemDedupSql,
     "d_semdedup_probe2" -> dSemDedupProbe2Sql,
     "t_bm25" -> tBm25Sql,

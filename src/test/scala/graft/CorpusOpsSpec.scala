@@ -74,7 +74,13 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("hitsMulti: one scan over N eval sets equals the per-set single runs") {
+    // equality holds only over docs with >= n tokens: shorter docs emit one
+    // partial shingle on the hashed face and nothing on the string face
+    // (documented divergence, pinned in the next test) — filter them out
+    // HERE so a fixture regeneration with short docs can't produce a
+    // confusing failure in this test
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(size(graft.data.TextAnalysis.tokens($"text")) >= 3)
     val sets = Seq(97, 89, 83)
     val train = docs.filter(sets.map(m => pmod($"doc_id", lit(m)) =!= 0).reduce(_ && _))
     val benches = sets.map(m => s"eval$m" -> docs.filter(pmod($"doc_id", lit(m)) === 0))
@@ -87,6 +93,40 @@ class CorpusOpsSpec extends SparkSpec {
         .as[(Long, Long)].collect().map { case (id, hits) => (id, name, hits) }
     }.toSet
     assert(multi === singles)
+  }
+
+  test("hitsMulti vs hits on short docs: hashed face sees partial shingles, string face drops them") {
+    // a 2-token doc at n=3: ShingleHash60 emits its one partial shingle, so
+    // identical short docs "contaminate" each other on the hashed face; the
+    // string-gram face emits no gram at all. This is the documented
+    // divergence the >= n filter in the equality test exists for.
+    val short2 = "alpha beta"
+    val bench = Seq((100L, short2)).toDF("doc_id", "text")
+    val train = Seq((1L, short2), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val multi = graft.data.Decontaminate.hitsMulti(train, Seq("e" -> bench), "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().toSet
+    assert(multi === Set((1L, "e", 1L)), s"hashed face should flag the identical short doc: $multi")
+    val single = graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(single === Set.empty, s"string face should drop sub-n docs entirely: $single")
+  }
+
+  test("decontaminate campaign face: ModelStore-backed model, output identical to the in-session bloom face") {
+    import graft.queries.DataQueries
+    val dir = "/root/testdata/sf0.001"
+    val inSession = DataQueries.dDecontaminateBloom(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val campaign = DataQueries.dDecontaminateCampaign(spark, dir)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(inSession.nonEmpty, "fixture produced no contamination — test is vacuous")
+    assert(campaign === inSession)
+    // the persisted model is on disk and a second run loads it: train must
+    // not be re-invoked (bytesOrTrain's by-name train would throw)
+    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    val path = s"${graft.data.ModelStore.rootFor(dir)}/bloom-n3-$stamp"
+    assert(new java.io.File(path).isFile, s"campaign model not persisted at $path")
+    val reloaded = graft.data.ModelStore.bytesOrTrain(path)(sys.error("must not retrain"))
+    assert(reloaded.nonEmpty)
   }
 
   test("decontaminate bloom face: identical output to exact face, bloom probe in the plan") {

@@ -151,4 +151,59 @@ class ScaleMechanicsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
     }
   }
+
+  test("ensureBucketed: a catalog name reused for a DIFFERENT path re-registers, never returns the old table") {
+    import graft.connectors.Bucketing
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt_reuse").toString
+    val li0 = graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val ord0 = graft.core.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    try {
+      // register the name against path A, and independently build path B
+      // (valid marker on disk) under another name, then drop that name
+      Bucketing.ensureBucketed(spark, li0, "bkt_reuse", s"$base/a", "l_orderkey", 4)
+      Bucketing.ensureBucketed(spark, ord0, "bkt_reuse_other", s"$base/b", "o_orderkey", 4)
+      spark.sql("DROP TABLE bkt_reuse_other")
+      // same NAME now asked for path B: the in-catalog entry points at A,
+      // so trusting it would silently return lineitem rows for an orders
+      // request — it must re-register B's layout instead (from B's marker,
+      // without evaluating the source)
+      val b = Bucketing.ensureBucketed(
+        spark, sys.error("must not re-read the source"): org.apache.spark.sql.DataFrame,
+        "bkt_reuse", s"$base/b", "o_orderkey", 4)
+      assert(b.columns.contains("o_orderkey"), s"wrong table returned: ${b.columns.mkString(",")}")
+      assert(b.count() === ord0.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_reuse")
+      spark.sql("DROP TABLE IF EXISTS bkt_reuse_other")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    }
+  }
+
+  test("stampDir: sees nested files and distinguishes same-aggregate layouts") {
+    import graft.connectors.Bucketing
+    val base = java.nio.file.Files.createTempDirectory("graft_stamp").toFile
+    try {
+      val f1 = new java.io.File(base, "part-0.parquet")
+      val f2 = new java.io.File(base, "part-1.parquet")
+      java.nio.file.Files.write(f1.toPath, "xy".getBytes)
+      java.nio.file.Files.write(f2.toPath, "z".getBytes)
+      val t = 1700000000000L
+      f1.setLastModified(t); f2.setLastModified(t)
+      val s1 = Bucketing.stampDir(base.toString)
+      // swap the sizes: file count (2), total bytes (3) and max mtime are
+      // all UNCHANGED — an aggregate stamp could not tell these apart
+      java.nio.file.Files.write(f1.toPath, "x".getBytes)
+      java.nio.file.Files.write(f2.toPath, "yz".getBytes)
+      f1.setLastModified(t); f2.setLastModified(t)
+      val s2 = Bucketing.stampDir(base.toString)
+      assert(s1 !== s2, "size swap with identical aggregates escaped the stamp")
+      // a file appearing in a NESTED partition dir changes the stamp too
+      val sub = new java.io.File(base, "date=2024-01-01"); sub.mkdirs()
+      java.nio.file.Files.write(new java.io.File(sub, "part-2.parquet").toPath, "w".getBytes)
+      val s3 = Bucketing.stampDir(base.toString)
+      assert(s2 !== s3, "nested file invisible to the stamp")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+    }
+  }
 }
