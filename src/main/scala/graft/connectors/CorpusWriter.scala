@@ -74,9 +74,17 @@ object CorpusWriter {
     // partition key leading the range distribution (keeps each output
     // task writing into few partition dirs)
     val orderCols = (partitionCols ++ keyCols).map(col)
+    // trailing row-id tiebreaker in the RANGE distribution (not the sort):
+    // with low-cardinality order columns alone, repartitionByRange cannot
+    // form nFiles distinct ranges — every row of one (date, key) value
+    // collapses into a single task and its file blows past targetFileBytes.
+    // The tiebreaker lets ranges split WITHIN a key value, so file sizing
+    // holds at any key cardinality, while files still cover contiguous key
+    // ranges and the within-file sort (footer min/max stats) is unchanged.
     val laidOut =
       if (orderCols.nonEmpty)
-        src.repartitionByRange(nFiles, orderCols: _*).sortWithinPartitions(orderCols: _*)
+        src.repartitionByRange(nFiles, orderCols :+ monotonically_increasing_id(): _*)
+          .sortWithinPartitions(orderCols: _*)
       else src.repartition(nFiles)
     val writer = laidOut.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)

@@ -74,6 +74,26 @@ class CorpusWriterSpec extends SparkSpec {
     assert(spark.read.parquet(dst).count() === graft.core.Tables.events(spark, sf).count())
   }
 
+  test("compact with a single-value key column still honors targetFileBytes") {
+    // low-cardinality order columns alone cannot form nFiles distinct
+    // ranges — the row-id tiebreaker in the range distribution must split
+    // WITHIN the constant key so file sizing holds
+    val base = java.nio.file.Files.createTempDirectory("compact_const").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    graft.core.Tables.events(spark, sf)
+      .withColumn("const_key", lit(1L))
+      .repartition(40).write.parquet(src)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.filter(_.getName.endsWith(".parquet"))
+    val total = parquetFiles(src).map(_.length).sum
+    CorpusWriter.compact(spark, src, dst, targetFileBytes = total / 4, keyCols = Seq("const_key"))
+    val after = parquetFiles(dst)
+    assert(after.length >= 3 && after.length < 10,
+      s"constant key collapsed the range distribution: ${after.length} files")
+    assert(spark.read.parquet(dst).count() === graft.core.Tables.events(spark, sf).count())
+  }
+
   test("compact with keyCols: re-sorted layout restores row-group skipping stats") {
     val base = java.nio.file.Files.createTempDirectory("compact_sorted").toString
     val src = s"$base/src"
