@@ -31,7 +31,7 @@ trait GraftJob {
   * latency → observer → metadata → processor(traceId+processedTime) →
   * keyed Kafka sink.
   */
-object MongoToKafkaJob extends GraftJob {
+class MongoToKafkaJob extends GraftJob {
   val name = "MongoToKafka"
 
   def build(cdc: DataFrame, clock: Column): (DataFrame, Option[DataFrame]) = {
@@ -195,7 +195,7 @@ object MongoToKafkaJob extends GraftJob {
 /** Kafka → keyed store upsert with optional broadcast reference enrichment.
   * reference job/cdc/KafkaToMongoJob.java:37-92.
   */
-object KafkaToMongoJob extends GraftJob {
+class KafkaToMongoJob extends GraftJob {
   val name = "KafkaToMongo"
 
   def build(
@@ -306,7 +306,7 @@ object KafkaToMongoJob extends GraftJob {
 /** Order/payment stream join: payment payload lands in order metadata.
   * reference job/join/OrderPaymentJoinJob.java:32-78.
   */
-object OrderPaymentJoinJob extends GraftJob {
+class OrderPaymentJoinJob extends GraftJob {
   val name = "OrderPaymentJoin"
 
   def build(orders: DataFrame, payments: DataFrame, ttlMs: Long): DataFrame = {
@@ -368,7 +368,7 @@ object OrderPaymentJoinJob extends GraftJob {
 }
 
 /** Watermark-aligned multi-topic ingest. reference job/ingest/MergedIngestJob.java:32-69. */
-object MergedIngestJob extends GraftJob {
+class MergedIngestJob extends GraftJob {
   val name = "MergedIngest"
 
   def build(sources: Seq[(String, DataFrame)]): DataFrame =
@@ -392,7 +392,7 @@ object MergedIngestJob extends GraftJob {
   * Streaming: one input, persist per micro-batch, N writes (foreachBatch) —
   * the side-output pattern without re-reading the source.
   */
-object EventRouterJob extends GraftJob {
+class EventRouterJob extends GraftJob {
   val name = "EventRouter"
 
   val routes = Seq(
@@ -439,7 +439,7 @@ object EventRouterJob extends GraftJob {
 /** Latest-state materialization → compacted changelog topic.
   * reference job/materialize/UserStateMaterializeJob.java:35-90.
   */
-object UserStateMaterializeJob extends GraftJob {
+class UserStateMaterializeJob extends GraftJob {
   val name = "UserStateMaterialize"
 
   /** ChangelogEvent frame → changelog envelope (reference toEnvelop :65-90). */
@@ -495,7 +495,7 @@ object UserStateMaterializeJob extends GraftJob {
 /** Session analytics → session envelopes.
   * reference job/session/UserSessionAnalysisJob.java:40-95.
   */
-object UserSessionAnalysisJob extends GraftJob {
+class UserSessionAnalysisJob extends GraftJob {
   val name = "UserSessionAnalysis"
 
   /** `carryCols`: typed session columns to keep alongside the envelope so
@@ -664,12 +664,34 @@ object JobFixtures {
   }
 }
 
-/** Job SPI: name → job (reference core/launcher/JobRegistry.java + Launcher.java). */
+// Singleton faces of the jobs for direct composition (queries/specs call
+// e.g. `MongoToKafkaJob.runBatch`); the classes above exist so
+// java.util.ServiceLoader can instantiate each job through its public
+// no-arg constructor — jobs are stateless, so instances are equivalent.
+object MongoToKafkaJob extends MongoToKafkaJob
+object KafkaToMongoJob extends KafkaToMongoJob
+object OrderPaymentJoinJob extends OrderPaymentJoinJob
+object MergedIngestJob extends MergedIngestJob
+object EventRouterJob extends EventRouterJob
+object UserStateMaterializeJob extends UserStateMaterializeJob
+object UserSessionAnalysisJob extends UserSessionAnalysisJob
+
+/** Job SPI: name → job, discovered via `java.util.ServiceLoader` over
+  * `META-INF/services/graft.jobs.GraftJob` (reference
+  * core/launcher/JobRegistry.java + Launcher.java +
+  * META-INF/services/com.streamforge.core.launcher.StreamJob): a user adds
+  * a job by shipping a GraftJob implementation and a services entry on the
+  * classpath — no registry edit, no rebuild of this library.
+  */
 object JobRegistry {
-  val jobs: Map[String, GraftJob] = Seq(
-    MongoToKafkaJob, KafkaToMongoJob, OrderPaymentJoinJob, MergedIngestJob,
-    EventRouterJob, UserStateMaterializeJob, UserSessionAnalysisJob
-  ).map(j => j.name -> j).toMap
+  val jobs: Map[String, GraftJob] = {
+    import scala.jdk.CollectionConverters._
+    val loaded = java.util.ServiceLoader
+      .load(classOf[GraftJob], classOf[GraftJob].getClassLoader)
+      .asScala.toSeq
+    require(loaded.nonEmpty, "JobRegistry: no GraftJob services on the classpath")
+    loaded.map(j => j.name -> j).toMap
+  }
 }
 
 object Launcher {

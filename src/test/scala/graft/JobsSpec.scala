@@ -11,6 +11,11 @@ class JobsSpec extends SparkSpec {
   private val outDir = java.nio.file.Files.createTempDirectory("graft-jobs").toString
 
   test("all 7 registered jobs run end-to-end on the sf0.001 fixtures") {
+    // the registry is ServiceLoader-discovered (META-INF/services), not a
+    // static map — all 7 shipped jobs must be found by name
+    assert(JobRegistry.jobs.keySet === Set(
+      "MongoToKafka", "KafkaToMongo", "OrderPaymentJoin", "MergedIngest",
+      "EventRouter", "UserStateMaterialize", "UserSessionAnalysis"))
     JobRegistry.jobs.values.foreach { job =>
       val out = job.runBatch(spark, sf, outDir)
       assert(out.count() > 0, s"${job.name} produced no rows")
