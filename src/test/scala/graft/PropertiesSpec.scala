@@ -125,6 +125,92 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: stripBoilerplate matches a driver-side mirror and strip∘strip = strip") {
+    // idempotence is structural: removal is by WHOLE chunk, so surviving
+    // chunks keep their boundaries, their content, and their global doc
+    // sets — every kept chunk's count stays below minDocs on a second pass
+    val c = 5
+    val minDocs = 2
+    Seq(11L, 23L, 59L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 40).map(i => s"w$i")
+      val boiler = (0 until c).map(i => s"B$i").mkString(" ")
+      val docs = (1L to 40L).map { id =>
+        val body = Seq.fill(rnd.nextInt(5) * c + rnd.nextInt(c + 1))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        // chunk-aligned plant at position 0 in ~half the docs
+        (id, if (rnd.nextBoolean()) s"$boiler $body".trim else body)
+      }
+      def chunksOf(t: String) =
+        t.split("\\s+").filter(_.nonEmpty).grouped(c).map(_.mkString(" ")).toVector
+      val nDocs = docs.flatMap { case (id, t) => chunksOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val boilerSet = nDocs.filter(_._2 >= minDocs).keySet
+      assert(boilerSet.contains(boiler), s"seed=$seed: planted boilerplate not detected by mirror")
+      val expect = docs.map { case (id, t) =>
+        val cs = chunksOf(t)
+        val kept = cs.filterNot(boilerSet)
+        id -> (cs.size.toLong, (cs.size - kept.size).toLong, kept.mkString(" "))
+      }.toMap
+      val got = graft.data.CorpusOps
+        .stripBoilerplate(docs.toDF("doc_id", "text"), "doc_id", "text", c, minDocs)
+        .select($"doc_id", $"n_chunks", $"n_removed", $"cleaned")
+        .as[(Long, Long, Long, String)].collect()
+        .map { case (id, nc, nr, cl) => id -> (nc, nr, cl) }.toMap
+      assert(got === expect, s"seed=$seed")
+      assert(got.exists(_._2._2 > 0), s"seed=$seed: nothing stripped — vacuous case")
+      // doc untouched ⇔ none of its chunks are in the boilerplate set
+      docs.foreach { case (id, t) =>
+        val shares = chunksOf(t).exists(boilerSet)
+        assert((got(id)._2 > 0) === shares, s"seed=$seed doc=$id untouched⇔no-shared-chunk broken")
+      }
+      // strip∘strip = strip: the second pass removes nothing and is a no-op
+      val again = graft.data.CorpusOps
+        .stripBoilerplate(
+          got.toSeq.map { case (id, (_, _, cl)) => (id, cl) }.toDF("doc_id", "text"),
+          "doc_id", "text", c, minDocs)
+        .select($"doc_id", $"n_removed", $"cleaned").as[(Long, Long, String)].collect()
+      again.foreach { case (id, nr, cl) =>
+        assert(nr === 0L, s"seed=$seed: second strip removed chunks for doc $id")
+        assert(cl === got(id)._3, s"seed=$seed: second strip changed doc $id")
+      }
+    }
+  }
+
+  test("property: replayDlq of a replay converges — counter monotone per round, no loss, fixpoint until fixed") {
+    import graft.jobs.{JobFixtures, KafkaToMongoJob}
+    val ref = graft.core.Tables.eventsAsEnvelopes(spark, sf).filter($"source" === "signup")
+    val refs = Seq("Ref1" -> ref)
+    Seq((7, 3), (11, 4)).foreach { case (mod, rounds) =>
+      val raw = JobFixtures.rawEnvelopes(spark, sf)
+      val pk = get_json_object($"value", "$.primaryKey").cast("long")
+      val poisoned = raw.select(
+        when(pk % mod === 0, concat(lit("CORRUPT|"), $"value")).otherwise($"value").as("value"))
+      val (_, dlqOpt) = KafkaToMongoJob.build(poisoned, refs, JobFixtures.fixedClock)
+      var dead = dlqOpt.get.cache()
+      val n0 = dead.count()
+      assert(n0 > 0, s"mod=$mod produced no dead letters — vacuous")
+      val attemptOf = regexp_extract($"errorMessage", "replay attempt (\\d+)", 1).cast("int")
+      (1 to rounds).foreach { r =>
+        val (good, still) = KafkaToMongoJob.replayDlq(dead, refs, JobFixtures.fixedClock)
+        assert(good.count() === 0, s"mod=$mod round $r recovered unfixed rows")
+        dead = still.cache()
+        // no loss, and EVERY row's counter equals the round — monotone by
+        // exactly one per replay, with no stalls and no extra counters
+        assert(dead.count() === n0, s"mod=$mod round $r lost/duplicated rows")
+        assert(dead.filter(attemptOf === r).count() === n0, s"mod=$mod round $r counter wrong")
+        assert(
+          dead.filter($"errorMessage".contains("replay attempt") &&
+            !($"errorMessage".rlike("\\(replay attempt \\d+\\)$"))).count() === 0,
+          s"mod=$mod round $r counter not a single trailing suffix")
+      }
+      // the operator's fix recovers every row; the DLQ drains completely
+      val fixedRaw = dead.withColumn("rawEvent", regexp_replace($"rawEvent", "^CORRUPT\\|", ""))
+      val (rec, still) = KafkaToMongoJob.replayDlq(fixedRaw, refs, JobFixtures.fixedClock)
+      assert(rec.count() === n0 && still.count() === 0, s"mod=$mod fixed replay did not drain")
+    }
+  }
+
   test("property: upsert applyBatch is idempotent (replay converges)") {
     Seq(5L, 13L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
