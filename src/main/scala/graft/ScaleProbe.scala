@@ -65,8 +65,14 @@ object ScaleProbe {
     * silently corrupting the measurement (ADVICE r6). The marker is written
     * strictly AFTER the parquet commit.
     */
-  private def buildScaled(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit =
-    ShiftRules.foreach { case (table, shifts) =>
+  def buildScaled(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      factor: Int,
+      only: Set[String] = Set.empty
+  ): Unit =
+    ShiftRules.filter(r => only.isEmpty || only(r._1)).foreach { case (table, shifts) =>
       val target = new java.io.File(s"$outDir/$table.parquet")
       val marker = new java.io.File(target, s"_GRAFT_FACTOR_$factor")
       if (!marker.exists()) {

@@ -94,6 +94,64 @@ object StreamScaleProbe {
   private def outTmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-sprobe-$tag").toString
 
+  /** TTL-eviction steady-state probe (VERDICT r8 #5): drive the full cdc
+    * fixture through the pipeline with a SHORT processing-time TTL, then —
+    * input drained — let the engine's no-data batches run the eviction
+    * path and sample state rows/bytes each second until three consecutive
+    * samples agree (the plateau) or a 90 s cap. The r8 probe measured
+    * state GROWTH under TTL; this measures the other half of the 100 TB
+    * claim: that eviction actually drains a saturated store back to its
+    * steady state once keys go quiet.
+    */
+  private def cdcEviction(spark: SparkSession, dir: String, ttlMs: Long): Unit = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val path = graft.jobs.JobFixtures.cdcFixturePath(spark, dir)
+    val fixture = spark.read.parquet(path)
+    val expected = fixture.count()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sprobe-evict-ckpt").toString
+    val out = outTmp("cdc-evict")
+    val seenByQuery = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        seenByQuery.merge(e.progress.id, java.lang.Long.valueOf(e.progress.numInputRows),
+          (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+        ()
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val q = graft.jobs.MongoToKafkaJob.startStreaming(
+      spark.readStream.schema(fixture.schema).option("maxFilesPerTrigger", "8").parquet(path),
+      s"$out/data", s"$out/dlq", ckpt, ttlMs = ttlMs,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    try {
+      while (!q.awaitTermination(200) &&
+        seenByQuery.getOrDefault(q.id, java.lang.Long.valueOf(0L)).longValue() < expected) ()
+      val (rows0, bytes0) = stateMetrics(q)
+      println(f"cdc_eviction   drained  ttl=${ttlMs / 1000}%ds state rows=$rows0%d MB=${bytes0 / 1e6}%.1f")
+      val t0 = System.nanoTime()
+      var samples = List.empty[(Double, Long, Long)]
+      var plateau = false
+      while (!plateau && (System.nanoTime() - t0) / 1e9 < 90 && !q.awaitTermination(1000)) {
+        val (r, b) = stateMetrics(q)
+        samples ::= (((System.nanoTime() - t0) / 1e9), r, b)
+        plateau = samples.take(3).map(_._2).distinct.size == 1 && samples.size >= 3
+      }
+      samples.reverse.foreach { case (t, r, b) =>
+        println(f"cdc_eviction   t=$t%5.1fs state rows=$r%d MB=${b / 1e6}%.1f")
+      }
+      samples.headOption.foreach { case (t, r, b) =>
+        println(f"cdc_eviction   PLATEAU at t=$t%.1fs: $rows0%d -> $r%d rows (${bytes0 / 1e6}%.1f -> ${b / 1e6}%.1f MB)")
+      }
+    } finally {
+      spark.streams.removeListener(listener)
+      q.stop()
+      if (spark.streams.active.isEmpty)
+        org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
+    }
+  }
+
   /** CDC fixture parquet → MongoToKafkaJob.startStreaming. maxFilesPerTrigger
     * slices the fixture into several micro-batches so keyed state actually
     * accumulates across batches instead of one mega-batch.
@@ -211,9 +269,6 @@ object StreamScaleProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val scaledDir = if (args.length > 1) args(1) else "/tmp/graft-sf1"
-    require(
-      new java.io.File(s"$scaledDir/events.parquet").exists(),
-      s"$scaledDir missing — run graft.ScaleProbe first to build the scaled tables")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -243,6 +298,23 @@ object StreamScaleProbe {
     )
     val selected =
       if (args.length > 2) faces.filter(f => args.drop(2).contains(f._1)) else faces
+    val wantEviction = args.drop(2).contains("cdc_eviction")
+
+    // build the scaled tables the SELECTED faces consume if absent — only
+    // those (a sf10/factor-100 run must not replicate lineitem 100×).
+    // SPARK_GRAFT_SCALE_FACTOR names the replication factor (default 10 =
+    // the sf1 decade; 100 = sf10), so one probe binary walks any decade.
+    val needed = selected.map {
+      case ("neardup_gate", _) => "documents"
+      case _ => "events"
+    }.toSet
+    val missing = needed.filterNot(t => new java.io.File(s"$scaledDir/$t.parquet").exists())
+    if (missing.nonEmpty) {
+      val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+      println(s"[streamprobe] building ${missing.mkString(",")} at ${factor}x into $scaledDir")
+      ScaleProbe.buildScaled(spark, srcDir, scaledDir, factor, only = missing)
+    }
+    val scaledTag = new java.io.File(scaledDir).getName.stripPrefix("graft-")
 
     println(f"${"face"}%-14s ${"scale"}%-8s ${"wall(s)"}%9s ${"stateRows"}%12s ${"stateMB"}%9s")
     // "warm" pass at sf0.01 first: the first measured drive otherwise absorbs
@@ -251,7 +323,7 @@ object StreamScaleProbe {
     val results = for {
       (name, run) <- selected
       (tag, dir) <- Seq(
-        "warm" -> "/root/testdata/sf0.01", "sf0.1" -> srcDir, "sf1" -> scaledDir)
+        "warm" -> "/root/testdata/sf0.01", "sf0.1" -> srcDir, scaledTag -> scaledDir)
     } yield {
       val (wall, rows, bytes) =
         try run(dir)
@@ -264,13 +336,15 @@ object StreamScaleProbe {
       (name, tag, wall, rows, bytes)
     }
     results.groupBy(_._1).foreach { case (name, rs) =>
-      (rs.find(_._2 == "sf0.1"), rs.find(_._2 == "sf1")) match {
+      (rs.find(_._2 == "sf0.1"), rs.find(_._2 == scaledTag)) match {
         case (Some(s), Some(b)) if !s._3.isNaN && !b._3.isNaN =>
           println(f"RATIO $name%-14s wall ${b._3 / s._3}%5.1fx  stateRows ${
             if (s._4 > 0) b._4.toDouble / s._4 else Double.NaN}%5.1fx")
         case _ => ()
       }
     }
+    // eviction plateau runs last (it leaves no providers loaded either)
+    if (wantEviction) cdcEviction(spark, srcDir, ttlMs = 5000)
     spark.stop()
   }
 }
