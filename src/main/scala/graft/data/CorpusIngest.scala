@@ -24,28 +24,53 @@ object CorpusIngest {
 
   /** Accept/reject verdict as columns: `(original columns, lang, n_tokens,
     * reject_reason)` — reason is NULL for accepted docs, else the FIRST
-    * failing gate ('too_short' before 'lang'), so a DLQ writer can split
-    * on one column ([[graft.core.Dlq]] pattern).
+    * failing gate ('too_short' before 'lang' before 'contaminated'), so a
+    * DLQ writer can split on one column ([[graft.core.Dlq]] pattern).
+    *
+    * `decontamination = Some((bloomModel, n))` adds the at-ingest face of
+    * benchmark decontamination: reject any document sharing a word n-gram
+    * with the campaign's eval sets, probed against the PREBUILT bloom
+    * model ([[Decontaminate.buildBloomModel]], persisted via
+    * [[ModelStore]]) riding the plan as a binary literal — no eval scan,
+    * no join, one codegen'd hash probe per gram with `exists`
+    * short-circuit, and the gate order means only docs that already
+    * passed the cheap gates pay it. The bloom's ~3% false positives
+    * reject clean docs — the standard ingest trade (losing a sliver of
+    * clean feed is cheap; training on the test set is not); false
+    * negatives are impossible, so every doc the exact join would flag is
+    * rejected. StreamingIngestSpec pins superset-of-exact and
+    * batch/streaming parity.
     */
   def verdict(
       docs: DataFrame,
       textCol: String,
       allowedLangs: Seq[String],
-      minTokens: Int
+      minTokens: Int,
+      decontamination: Option[(Array[Byte], Int)] = None
   ): DataFrame = {
     val toked = docs.withColumn(
       "_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
+    // NULL text first: size(null) is NULL so a bare `<` comparison
+    // would skip the gate entirely (and langId on null tokens returns
+    // the head profile constant, not 'und' — a null doc would sail
+    // through a matching allow-list into storage)
+    val cheapGates =
+      when(col(textCol).isNull || col("n_tokens") < minTokens, lit("too_short"))
+        .when(!col("lang").isin(allowedLangs: _*), lit("lang"))
+    val reason = decontamination.fold(cheapGates) { case (model, n) =>
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+      val hit = exists(
+        TextAnalysis.ngrams(col("_toks"), n),
+        g => ColumnBridge.column(BloomFilterMightContain(
+          Literal(model, org.apache.spark.sql.types.BinaryType),
+          new XxHash64(Seq(ColumnBridge.expression(g))))))
+      cheapGates.when(hit, lit("contaminated"))
+    }
     toked
       .withColumn("lang", TextAnalysis.langId(col("_toks")))
       .withColumn("n_tokens", size(col("_toks")))
-      .withColumn(
-        "reject_reason",
-        // NULL text first: size(null) is NULL so a bare `<` comparison
-        // would skip the gate entirely (and langId on null tokens returns
-        // the head profile constant, not 'und' — a null doc would sail
-        // through a matching allow-list into storage)
-        when(col(textCol).isNull || col("n_tokens") < minTokens, lit("too_short"))
-          .when(!col("lang").isin(allowedLangs: _*), lit("lang")))
+      .withColumn("reject_reason", reason)
       .drop("_toks")
   }
 
@@ -61,9 +86,10 @@ object CorpusIngest {
       textCol: String,
       allowedLangs: Seq[String],
       minTokens: Int,
-      dedupTtlMs: Long = 0L
+      dedupTtlMs: Long = 0L,
+      decontamination: Option[(Array[Byte], Int)] = None
   ): (DataFrame, Dataset[graft.model.NearDupHit]) = {
-    val v = verdict(docs, textCol, allowedLangs, minTokens)
+    val v = verdict(docs, textCol, allowedLangs, minTokens, decontamination)
     val accepted = v.filter(col("reject_reason").isNull).drop("reject_reason")
     val hits = Dedup.streamingNearDupCandidates(
       accepted.select(col(idCol), col(textCol)), idCol, textCol, ttlMs = dedupTtlMs)

@@ -71,11 +71,26 @@ object ModelStore {
     StructField("bucket", IntegerType, nullable = false),
     StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
+  /** Stage-then-rename parquet write (the JobFixtures.cached pattern, with
+    * a pid-unique stage so two JVMs training the same model concurrently
+    * never interleave into one directory): the first rename wins, the
+    * loser's stage is discarded — a reader at `path` only ever sees a
+    * complete model.
+    */
+  private def writeStaged(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    val dst = new java.io.File(path)
+    if (done(path)) return
+    val stage = s"$path.stage-${ProcessHandle.current().pid()}"
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    if (!dst.exists() && new java.io.File(stage).renameTo(dst)) ()
+    else org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+  }
+
   /** Persist coarse-quantizer centroids; `centroids(i)` is bucket i. */
   def saveCentroids(spark: SparkSession, path: String, centroids: Seq[Seq[Double]]): Unit = {
     val rows = centroids.zipWithIndex.map { case (c, i) => Row(i, c) }
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centroidSchema)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    writeStaged(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), centroidSchema), path)
   }
 
   /** Reload centroids in bucket order — the exact doubles that were saved. */
@@ -97,8 +112,8 @@ object ModelStore {
       (sub, m) <- codebooks.zipWithIndex
       (center, c) <- sub.zipWithIndex
     } yield Row(m, c, center)
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), codebookSchema)
-      .coalesce(1).write.mode("overwrite").parquet(path)
+    writeStaged(
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), codebookSchema), path)
   }
 
   /** Reload codebooks in (subspace, code) order. */

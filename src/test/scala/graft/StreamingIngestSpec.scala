@@ -66,4 +66,51 @@ class StreamingIngestSpec extends SparkSpec {
       } finally { qa.stop(); qh.stop() }
     } finally spark.conf.unset(key)
   }
+
+  test("decontamination gate: prebuilt bloom rejects every exact hit, FP-bounded; batch and streaming agree") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val bench = docs.filter(pmod($"doc_id", lit(97)) === 0)
+    val train = docs.filter(pmod($"doc_id", lit(97)) =!= 0)
+    val model = graft.data.Decontaminate.buildBloomModel(bench, "text", n = 3)
+    // neutralize the cheap gates (minTokens=0, allow every observed lang)
+    // so the decontamination verdict is isolated
+    val langs = CorpusIngest.verdict(train, "text", Seq("en"), 0)
+      .select($"lang").distinct().as[String].collect().toSeq
+    val gated = CorpusIngest.verdict(train, "text", langs, 0, Some((model, 3)))
+    val flagged = gated.filter($"reject_reason" === "contaminated")
+      .select($"doc_id").as[Long].collect().toSet
+    val exact = graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(exact.nonEmpty, "fixture produced no contamination — test is vacuous")
+    // a bloom has NO false negatives: every exact hit must be gated out
+    assert(exact.subsetOf(flagged), s"gate missed exact hits: ${(exact -- flagged).take(5)}")
+    // and false positives stay a sliver of the clean docs (3% nominal fpp)
+    val clean = train.count() - exact.size
+    assert(flagged.size - exact.size <= math.max(5L, (clean * 0.10).toLong),
+      s"FP rate out of band: ${flagged.size - exact.size} of $clean clean docs")
+
+    // streaming parity: the same verdict (stateless columns) over a
+    // micro-batched feed agrees row-for-row with the batch verdict
+    implicit val sc = spark.sqlContext
+    val sample = train.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sortBy(_._1).take(30)
+    assert(sample.exists(s => flagged(s._1)), "sample has no contaminated doc — weak parity check")
+    val mem = MemoryStream[(Long, String)]
+    val q = CorpusIngest.verdict(mem.toDS().toDF("doc_id", "text"), "text", langs, 0, Some((model, 3)))
+      .select($"doc_id", $"reject_reason")
+      .writeStream.format("memory").queryName("ingest_decon").outputMode("append").start()
+    try {
+      mem.addData(sample.take(15): _*)
+      q.processAllAvailable()
+      mem.addData(sample.drop(15): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest_decon")
+        .as[(Long, Option[String])].collect().toMap
+      val batch = CorpusIngest.verdict(
+        sample.toSeq.toDF("doc_id", "text"), "text", langs, 0, Some((model, 3)))
+        .select($"doc_id", $"reject_reason").as[(Long, Option[String])].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
