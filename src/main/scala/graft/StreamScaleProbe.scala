@@ -142,7 +142,12 @@ object StreamScaleProbe {
         println(f"cdc_eviction   t=$t%5.1fs state rows=$r%d MB=${b / 1e6}%.1f")
       }
       samples.headOption.foreach { case (t, r, b) =>
-        println(f"cdc_eviction   PLATEAU at t=$t%.1fs: $rows0%d -> $r%d rows (${bytes0 / 1e6}%.1f -> ${b / 1e6}%.1f MB)")
+        // only claim a plateau when three samples actually agreed — a 90 s
+        // cap expiry is a DIFFERENT finding and must not read as steady state
+        if (plateau)
+          println(f"cdc_eviction   PLATEAU at t=$t%.1fs: $rows0%d -> $r%d rows (${bytes0 / 1e6}%.1f -> ${b / 1e6}%.1f MB)")
+        else
+          println(f"cdc_eviction   NO PLATEAU within cap: still at $r%d rows (${b / 1e6}%.1f MB) at t=$t%.1fs")
       }
     } finally {
       spark.streams.removeListener(listener)
@@ -308,11 +313,12 @@ object StreamScaleProbe {
       case ("neardup_gate", _) => "documents"
       case _ => "events"
     }.toSet
-    val missing = needed.filterNot(t => new java.io.File(s"$scaledDir/$t.parquet").exists())
-    if (missing.nonEmpty) {
+    if (needed.nonEmpty) {
+      // ALWAYS route through buildScaled: its _GRAFT_FACTOR_<n> marker is
+      // the idempotence/validity check — a bare existence test here would
+      // silently reuse a partial build or a different-factor layout
       val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-      println(s"[streamprobe] building ${missing.mkString(",")} at ${factor}x into $scaledDir")
-      ScaleProbe.buildScaled(spark, srcDir, scaledDir, factor, only = missing)
+      ScaleProbe.buildScaled(spark, srcDir, scaledDir, factor, only = needed)
     }
     val scaledTag = new java.io.File(scaledDir).getName.stripPrefix("graft-")
 

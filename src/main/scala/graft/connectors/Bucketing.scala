@@ -79,9 +79,15 @@ object Bucketing {
           new java.io.File(loc.stripPrefix("file:")).getCanonicalPath ==
             new java.io.File(path).getCanonicalPath
         }
+        // exact column-list equality, not substring containment: a table
+        // clustered on `userkey2` must NOT satisfy a request for `key`
+        val bucketColsOk = detail.get("Bucket Columns").exists { raw =>
+          raw.stripPrefix("[").stripSuffix("]")
+            .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq == Seq(keyCol)
+        }
         locOk &&
           detail.get("Num Buckets").exists(_.trim == nBuckets.toString) &&
-          detail.get("Bucket Columns").exists(_.contains(keyCol))
+          bucketColsOk
       } catch { case _: Throwable => false }
 
     if (spark.catalog.tableExists(tableName)) {

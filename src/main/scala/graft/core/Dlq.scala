@@ -51,14 +51,15 @@ object Dlq {
       clock: Column = current_timestamp()
   ): (DataFrame, DataFrame) = {
     // prior attempt count per raw event, parsed back out of errorMessage.
-    // array_max over ALL counter occurrences, not regexp_extract's FIRST
-    // match: a message that somehow carries several counters (e.g. the
-    // original error text mentioning one) must advance from the highest —
-    // first-match would re-read the oldest and stall the counter.
+    // ANCHORED to the single trailing "(replay attempt N)" suffix this
+    // module itself writes — an unanchored pattern would read (and the
+    // rewrite below would strip) counter-like text inside the preserved
+    // original error message, e.g. a quoted raw event that cycled through
+    // an outer replay system.
     val prevAttempt = coalesce(
-      array_max(transform(
-        regexp_extract_all(col("errorMessage"), lit("replay attempt (\\d+)"), lit(1)),
-        _.cast("int"))),
+      nullif(
+        regexp_extract(col("errorMessage"), "\\(replay attempt (\\d+)\\)$", 1), lit(""))
+        .cast("int"),
       lit(0))
     val prev = dlq
       .groupBy(col("rawEvent").as("_raw"))
@@ -73,11 +74,12 @@ object Dlq {
       .join(prev, bad("rawEvent") === prev("_raw"), "left")
       .select(
         col("errorType"),
-        // REPLACE any prior counter suffix rather than appending another:
+        // REPLACE the prior counter suffix (trailing-anchored — original
+        // error text is never touched) rather than appending another:
         // after N replays the message carries one "(replay attempt N)",
         // not a growing chain — and the extraction above stays unambiguous
         concat(
-          regexp_replace(col("errorMessage"), " \\(replay attempt \\d+\\)", ""),
+          regexp_replace(col("errorMessage"), " \\(replay attempt \\d+\\)$", ""),
           lit(" (replay attempt "),
           (coalesce(col("_prev"), lit(0)) + 1).cast("string"),
           lit(")")).as("errorMessage"),

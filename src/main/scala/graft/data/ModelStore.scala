@@ -80,10 +80,18 @@ object ModelStore {
   private def writeStaged(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val dst = new java.io.File(path)
     if (done(path)) return
-    val stage = s"$path.stage-${ProcessHandle.current().pid()}"
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    if (!dst.exists() && new java.io.File(stage).renameTo(dst)) ()
-    else org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(stage))
+    // a dst without _SUCCESS is a torn write (crash before commit): remove
+    // it rather than letting it block the rename forever — otherwise every
+    // future JVM retrains, discards its stage, and persistence is silently
+    // dead
+    if (dst.exists()) org.apache.commons.io.FileUtils.deleteQuietly(dst)
+    val stage = new java.io.File(s"$path.stage-${ProcessHandle.current().pid()}")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      if (dst.exists() || !stage.renameTo(dst)) // concurrent writer won
+        org.apache.commons.io.FileUtils.deleteQuietly(stage)
+    } finally
+      if (stage.exists()) org.apache.commons.io.FileUtils.deleteQuietly(stage)
   }
 
   /** Persist coarse-quantizer centroids; `centroids(i)` is bucket i. */

@@ -686,10 +686,15 @@ object UserSessionAnalysisJob extends UserSessionAnalysisJob
 object JobRegistry {
   val jobs: Map[String, GraftJob] = {
     import scala.jdk.CollectionConverters._
-    val loaded = java.util.ServiceLoader
-      .load(classOf[GraftJob], classOf[GraftJob].getClassLoader)
-      .asScala.toSeq
+    // context classloader first: in a Spark deployment user jars land in
+    // the executor/driver child loader, which the library's own defining
+    // loader cannot see — scoping to it would silently drop user jobs
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(classOf[GraftJob].getClassLoader)
+    val loaded = java.util.ServiceLoader.load(classOf[GraftJob], loader).asScala.toSeq
     require(loaded.nonEmpty, "JobRegistry: no GraftJob services on the classpath")
+    val dup = loaded.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"JobRegistry: duplicate job names on the classpath: ${dup.mkString(", ")}")
     loaded.map(j => j.name -> j).toMap
   }
 }

@@ -211,8 +211,11 @@ class ProcessorsSpec extends SparkSpec {
         mem.addData(obs("a", 20) ++ obs("b", 6) ++ Seq("c", "d", "e", "f", "g2")
           .flatMap(obs(_, 1)): _*)
         q.processAllAvailable()
-        // batch 2: more of a, a new mid-weight item
-        mem.addData(obs("a", 10) ++ obs("h", 5): _*)
+        // batch 2: more of a, a new mid-weight item — plus an item equal to
+        // the reserved total key's bare name: item keys are "i"-prefixed in
+        // state, so "t" must flow as ordinary data, never crash or corrupt
+        // the total
+        mem.addData(obs("a", 10) ++ obs("h", 4) ++ obs("t", 1): _*)
         q.processAllAvailable()
         val rows = spark.table("hh")
           .as[graft.model.HeavyHitter].collect()
@@ -221,7 +224,7 @@ class ProcessorsSpec extends SparkSpec {
         val finalSummary = rows.filter(_.groupTotal == total)
         // bounded state: at most k counters survive
         assert(finalSummary.length <= 4, s"summary exceeds k: ${finalSummary.toSeq}")
-        val trueCounts = Map("a" -> 30L, "b" -> 6L, "h" -> 5L,
+        val trueCounts = Map("a" -> 30L, "b" -> 6L, "h" -> 4L, "t" -> 1L,
           "c" -> 1L, "d" -> 1L, "e" -> 1L, "f" -> 1L, "g2" -> 1L)
         // every item with true count > n/k MUST be present (MG guarantee);
         // n/k = 46/4 = 11.5 → "a" is guaranteed
