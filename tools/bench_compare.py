@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Compare a bench_full.json run against the anchored per-query floors.
+
+The floors (BENCH_FLOORS.json) are a clean 3-pass Bench run recorded on
+the current host with no concurrent load (SCALE.md "r9 bench re-anchor").
+This script turns "did anything regress?" into a mechanical check instead
+of cross-round table reading:
+
+    python3 tools/bench_compare.py [bench_full.json] [--threshold 1.5]
+
+Prints every query whose warm time exceeds floor*threshold (sorted by
+ratio), new/removed queries, and the total delta. Exits 1 if any query
+breaches the threshold — suitable as a round-end gate. Queries under
+0.3 s at the floor are reported but never gate (sub-300ms timings are
+noise-dominated at this harness's resolution).
+"""
+import json
+import sys
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bench_path = args[0] if args else "bench_full.json"
+    threshold = 1.5
+    for a in sys.argv[1:]:
+        if a.startswith("--threshold"):
+            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+
+    floors = json.load(open("BENCH_FLOORS.json"))["queries"]
+    run = json.load(open(bench_path))
+    cur = run["queries"]
+
+    new = sorted(set(cur) - set(floors))
+    gone = sorted(set(floors) - set(cur))
+    rows = []
+    for q in sorted(set(cur) & set(floors)):
+        f, c = floors[q], cur[q]
+        rows.append((c / f if f > 0 else float("inf"), q, f, c))
+    rows.sort(reverse=True)
+
+    breaches = [r for r in rows if r[0] > threshold and r[2] >= 0.3]
+    print(f"floors: {len(floors)} queries, run: {len(cur)} queries, threshold {threshold}x")
+    if new:
+        print(f"new (no floor yet): {', '.join(new)}")
+    if gone:
+        print(f"missing vs floors: {', '.join(gone)}")
+    print(f"{'ratio':>7} {'floor':>7} {'run':>7}  query")
+    for ratio, q, f, c in rows[:15]:
+        flag = " <-- REGRESSION" if (ratio > threshold and f >= 0.3) else ""
+        print(f"{ratio:7.2f} {f:7.2f} {c:7.2f}  {q}{flag}")
+    tf = sum(floors[q] for q in set(cur) & set(floors))
+    tc = sum(cur[q] for q in set(cur) & set(floors))
+    print(f"shared-query totals: floor {tf:.1f}s -> run {tc:.1f}s ({tc / tf:.2f}x)")
+    if breaches:
+        print(f"FAIL: {len(breaches)} queries above {threshold}x floor")
+        return 1
+    print("OK: no query above threshold")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
