@@ -403,4 +403,30 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(reloaded === trained)
   }
+
+  test("ModelStore: orTrain trains once then loads; a torn destination is replaced, not left blocking") {
+    import graft.data.{ModelStore, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("modelstore_ot").toString
+    val e = graft.core.Tables.embeddings(spark, sf)
+    var trainings = 0
+    def train() = { trainings += 1; Similarity.seedCentroids(e, "vec_id", "embedding", k = 4) }
+    val first = ModelStore.centroidsOrTrain(spark, s"$base/c")(train())
+    val second = ModelStore.centroidsOrTrain(spark, s"$base/c")(train())
+    assert(trainings === 1, "second call must load, not retrain")
+    assert(second === first)
+    // torn destination (dir exists, no _SUCCESS — crash before commit):
+    // the next orTrain must retrain and REPLACE it; leaving it in place
+    // would block the rename forever and silently retrain on every run
+    val torn = new java.io.File(s"$base/torn")
+    torn.mkdirs()
+    java.nio.file.Files.write(new java.io.File(torn, "part-junk.parquet").toPath, Array[Byte](1))
+    val healed = ModelStore.centroidsOrTrain(spark, s"$base/torn")(train())
+    assert(trainings === 2)
+    assert(new java.io.File(torn, "_SUCCESS").exists(), "torn dst not replaced by a committed model")
+    assert(ModelStore.centroidsOrTrain(spark, s"$base/torn")(train()) === healed)
+    assert(trainings === 2, "healed model must load without retraining")
+    // byte models: same contract
+    val bytes = ModelStore.bytesOrTrain(s"$base/b")(Array[Byte](1, 2, 3))
+    assert(ModelStore.bytesOrTrain(s"$base/b")(sys.error("must not retrain")) === bytes)
+  }
 }
