@@ -56,7 +56,9 @@ object ScaleProbe {
     // r8 additions: incremental-corpus ops + the bucketed co-located join
     "d_snapshot_diff", "d_dedup_incremental", "d_boilerplate_strip",
     "q_bucketed_join", "d_decontaminate_multi", "d_incremental_rebuild",
-    "d_split_assign"
+    "d_split_assign",
+    // r9: the ModelStore-backed campaign bloom face
+    "d_decontaminate_campaign"
   )
 
   /** A table is reused only when its completion marker exists AND records
