@@ -74,16 +74,22 @@ object CorpusWriter {
     // partition key leading the range distribution (keeps each output
     // task writing into few partition dirs)
     val orderCols = (partitionCols ++ keyCols).map(col)
-    // trailing row-id tiebreaker in the RANGE distribution (not the sort):
-    // with low-cardinality order columns alone, repartitionByRange cannot
-    // form nFiles distinct ranges — every row of one (date, key) value
-    // collapses into a single task and its file blows past targetFileBytes.
-    // The tiebreaker lets ranges split WITHIN a key value, so file sizing
-    // holds at any key cardinality, while files still cover contiguous key
-    // ranges and the within-file sort (footer min/max stats) is unchanged.
+    // trailing content-hash tiebreaker in the RANGE distribution (not the
+    // sort): with low-cardinality order columns alone, repartitionByRange
+    // cannot form nFiles distinct ranges — every row of one (date, key)
+    // value collapses into a single task and its file blows past
+    // targetFileBytes. The tiebreaker lets ranges split WITHIN a key value,
+    // so file sizing holds at any key cardinality, while files still cover
+    // contiguous key ranges and the within-file sort (footer min/max stats)
+    // is unchanged. xxhash64 over ALL columns, not
+    // monotonically_increasing_id(): the id is a function of (partitionId,
+    // row order), so under a task/stage retry a row could re-route to a
+    // different reducer across attempts — the duplicate/lost-row hazard
+    // SPARK-23207 fixed for round-robin. A content hash routes each row
+    // identically on every attempt.
     val laidOut =
       if (orderCols.nonEmpty)
-        src.repartitionByRange(nFiles, orderCols :+ monotonically_increasing_id(): _*)
+        src.repartitionByRange(nFiles, orderCols :+ xxhash64(src.columns.map(col): _*): _*)
           .sortWithinPartitions(orderCols: _*)
       else src.repartition(nFiles)
     val writer = laidOut.write.mode("overwrite")

@@ -23,8 +23,20 @@ object ModelStore {
     * ([[graft.connectors.Bucketing.stampDir]]) so a regenerated corpus can
     * never silently reuse a stale model — the same invalidation contract
     * the bucketed-layout cache uses.
+    *
+    * Keyed on a sanitized basename plus an MD5 digest of the full path —
+    * NOT `hashCode`: 32-bit collisions would let two distinct corpus dirs
+    * silently share a model root (and `math.abs(Int.MinValue)` is still
+    * negative). MD5-of-path makes cross-dir collision practically
+    * impossible; the basename keeps the root human-debuggable.
     */
-  def rootFor(dir: String): String = s"/tmp/graft-models-${math.abs(dir.hashCode)}"
+  def rootFor(dir: String): String = {
+    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+    s"/tmp/graft-models-$base-$md5"
+  }
 
   private def done(path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
@@ -88,8 +100,18 @@ object ModelStore {
     val stage = new java.io.File(s"$path.stage-${ProcessHandle.current().pid()}")
     try {
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      if (dst.exists() || !stage.renameTo(dst)) // concurrent writer won
-        org.apache.commons.io.FileUtils.deleteQuietly(stage)
+      if (dst.exists() || !stage.renameTo(dst)) {
+        // renameTo returning false is ambiguous: "concurrent writer won" and
+        // "rename failed" (cross-filesystem move, OS quirk) look identical.
+        // If no completed model actually exists at dst, a silent discard
+        // here would kill persistence forever (every future JVM retrains and
+        // loses the race against nobody) — so verify, then fall back to
+        // Files.move, which THROWS on failure instead of lying.
+        if (!done(path))
+          java.nio.file.Files.move(stage.toPath, dst.toPath)
+        else // concurrent writer won — first writer wins, discard our stage
+          org.apache.commons.io.FileUtils.deleteQuietly(stage)
+      }
     } finally
       if (stage.exists()) org.apache.commons.io.FileUtils.deleteQuietly(stage)
   }

@@ -128,7 +128,18 @@ object Processors {
       var n = 0L
       counters.iterator().foreach {
         case (TotalKey, c) => n = c
-        case (ki, c) => m(ki.drop(1)) = c
+        case (ki, c) if ki.startsWith("i") => m(ki.drop(1)) = c
+        case (ki, _) =>
+          // Version guard: the pre-r9 layout stored item keys UNPREFIXED
+          // (total in a sibling "total" ValueState). Restoring such a
+          // checkpoint under this layout would silently mangle every
+          // counter key via drop(1) and read an item named "t" as the
+          // group total — fail fast instead; the layout change is
+          // checkpoint-incompatible and needs a fresh checkpoint.
+          throw new IllegalStateException(
+            s"heavyHitters: state entry '$ki' is not 'i'-prefixed — this " +
+              "checkpoint was written by an older, incompatible state " +
+              "layout; restart the query from a fresh checkpoint location")
       }
       rows.toVector.sortBy(_.item).foreach { r =>
         n += 1

@@ -429,4 +429,21 @@ class SimilaritySpec extends SparkSpec {
     val bytes = ModelStore.bytesOrTrain(s"$base/b")(Array[Byte](1, 2, 3))
     assert(ModelStore.bytesOrTrain(s"$base/b")(sys.error("must not retrain")) === bytes)
   }
+
+  test("ModelStore.rootFor: distinct corpus dirs never share a model root") {
+    import graft.data.ModelStore
+    // hashCode-colliding strings were the r9 hazard ("Aa"/"BB" is the
+    // canonical 32-bit collision pair); md5-of-path keeps them apart
+    val dirs = Seq("/data/Aa", "/data/BB", "/data/corpus", "/data/corpus/",
+      "/other/corpus", "/data/corpus-v2", " weird/..")
+    val roots = dirs.map(ModelStore.rootFor)
+    assert(roots.distinct.length === dirs.length, s"collision in $roots")
+    // stable across calls (it keys an on-disk cache)
+    assert(dirs.map(ModelStore.rootFor) === roots)
+    // and filesystem-safe: single path segment under /tmp
+    roots.foreach { r =>
+      assert(r.startsWith("/tmp/graft-models-"))
+      assert(!r.drop("/tmp/".length).contains("/"), s"unsanitized separator in $r")
+    }
+  }
 }

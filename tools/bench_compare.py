@@ -14,17 +14,18 @@ breaches the threshold — suitable as a round-end gate. Queries under
 0.3 s at the floor are reported but never gate (sub-300ms timings are
 noise-dominated at this harness's resolution).
 """
+import argparse
 import json
 import sys
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    bench_path = args[0] if args else "bench_full.json"
-    threshold = 1.5
-    for a in sys.argv[1:]:
-        if a.startswith("--threshold"):
-            threshold = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("bench_path", nargs="?", default="bench_full.json")
+    p.add_argument("--threshold", type=float, default=1.5)
+    ns = p.parse_args()
+    bench_path = ns.bench_path
+    threshold = ns.threshold
 
     floors = json.load(open("BENCH_FLOORS.json"))["queries"]
     run = json.load(open(bench_path))
