@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object CorpusWriter {
 
+  /** True when `dt` contains a MapType anywhere — such columns cannot feed
+    * xxhash64 (Spark disallows map hashing; iteration order is undefined).
+    */
+  private def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+    case _ => false
+  }
+
   def writeTimePartitioned(
       df: DataFrame,
       path: String,
@@ -81,17 +91,28 @@ object CorpusWriter {
     // targetFileBytes. The tiebreaker lets ranges split WITHIN a key value,
     // so file sizing holds at any key cardinality, while files still cover
     // contiguous key ranges and the within-file sort (footer min/max stats)
-    // is unchanged. xxhash64 over ALL columns, not
+    // is unchanged. xxhash64 over the hashable columns, not
     // monotonically_increasing_id(): the id is a function of (partitionId,
     // row order), so under a task/stage retry a row could re-route to a
     // different reducer across attempts — the duplicate/lost-row hazard
     // SPARK-23207 fixed for round-robin. A content hash routes each row
-    // identically on every attempt.
+    // identically on every attempt. MapType columns are excluded (Spark
+    // rejects hashing maps — map iteration order is undefined, so their
+    // hash would not be content-deterministic anyway). EXACT duplicate rows
+    // all share one hash value, so a heavily duplicated pre-dedup corpus
+    // can still overfill a file within one hash value — the accepted cost
+    // of retry-determinism; compact AFTER dedup, or lead keyCols with a
+    // unique id, when that matters.
+    val hashable = src.schema.fields
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name)).toSeq
     val laidOut =
-      if (orderCols.nonEmpty)
-        src.repartitionByRange(nFiles, orderCols :+ xxhash64(src.columns.map(col): _*): _*)
+      if (orderCols.nonEmpty) {
+        val rangeCols =
+          if (hashable.nonEmpty) orderCols :+ xxhash64(hashable: _*) else orderCols
+        src.repartitionByRange(nFiles, rangeCols: _*)
           .sortWithinPartitions(orderCols: _*)
-      else src.repartition(nFiles)
+      } else src.repartition(nFiles)
     val writer = laidOut.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(dstPath)

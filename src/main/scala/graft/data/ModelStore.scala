@@ -15,8 +15,37 @@ import org.apache.spark.sql.types._
   * round-trip is IEEE-exact: parquet DOUBLE is the same 8-byte IEEE-754
   * value — a reloaded model reproduces bucket assignments and ADC scores
   * bit-for-bit (pinned in SimilaritySpec).
+  *
+  * ==Retention / eviction==
+  * Model names embed a source-content stamp, so every corpus regeneration
+  * STRANDS the previous stamp's models under the (stable) per-corpus root
+  * — they are never re-read, only accumulated. Operators should either
+  * call [[evictStale]] with the live stamp after retraining (what the
+  * query layer does), or clear `/tmp/graft-models-*` out-of-band — the
+  * store is a cache, and deleting a live model only costs one retrain.
   */
 object ModelStore {
+
+  /** Delete stamped models under `rootFor(dir)` whose name does NOT end in
+    * any of the `liveStamps` — the previous-generation models a corpus
+    * regeneration strands. `liveStamps` is a SET because one corpus root
+    * holds models stamped from different source tables (embeddings-derived
+    * quantizers, documents-derived blooms). Returns the number of entries
+    * removed. Safe against concurrent readers of a live stamp (only other
+    * stamps are touched); a reader of a stale stamp retrains, which is the
+    * cache contract.
+    */
+  def evictStale(dir: String, liveStamps: Set[String]): Int = {
+    val root = new java.io.File(rootFor(dir))
+    val stale = Option(root.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => liveStamps.exists(s => f.getName.endsWith(s"-$s")))
+      // never touch in-flight write artifacts: a concurrent writer's
+      // parquet stage (`<model>.stage-<pid>`) or saveBytes temp
+      // (`.model*.tmp`) is seconds from committing under the LIVE stamp
+      .filterNot(f => f.getName.contains(".stage-") || f.getName.endsWith(".tmp"))
+    stale.foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    stale.length
+  }
 
   /** Per-corpus store root. One directory per corpus dir; callers append a
     * model name that embeds the training params AND a source-content stamp
@@ -24,16 +53,27 @@ object ModelStore {
     * never silently reuse a stale model — the same invalidation contract
     * the bucketed-layout cache uses.
     *
-    * Keyed on a sanitized basename plus an MD5 digest of the full path —
-    * NOT `hashCode`: 32-bit collisions would let two distinct corpus dirs
-    * silently share a model root (and `math.abs(Int.MinValue)` is still
-    * negative). MD5-of-path makes cross-dir collision practically
-    * impossible; the basename keeps the root human-debuggable.
+    * Keyed on a sanitized basename plus an MD5 digest of the NORMALIZED
+    * absolute path — NOT `hashCode`: 32-bit collisions would let two
+    * distinct corpus dirs silently share a model root (and
+    * `math.abs(Int.MinValue)` is still negative). MD5-of-path makes
+    * cross-dir collision practically impossible; the basename keeps the
+    * root human-debuggable. Normalizing first ('/data/corpus' ≡
+    * '/data/corpus/' ≡ a relative spelling of the same dir) stops jobs
+    * that spell one corpus differently from silently retraining and
+    * version-skewing bucket assignments — the exact hazard this keying
+    * exists to prevent.
     */
   def rootFor(dir: String): String = {
-    val base = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    // un-normalizable spellings (e.g. an embedded NUL) fall back to the raw
+    // string — they can't name a real corpus dir, so the only contract that
+    // matters for them is stability + non-collision, which the digest keeps
+    val norm =
+      try new java.io.File(dir).getAbsoluteFile.toPath.normalize.toString
+      catch { case _: java.nio.file.InvalidPathException => dir }
+    val base = new java.io.File(norm).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(norm.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(8).map(b => f"$b%02x").mkString
     s"/tmp/graft-models-$base-$md5"
   }
@@ -108,7 +148,15 @@ object ModelStore {
         // loses the race against nobody) — so verify, then fall back to
         // Files.move, which THROWS on failure instead of lying.
         if (!done(path))
-          java.nio.file.Files.move(stage.toPath, dst.toPath)
+          try java.nio.file.Files.move(stage.toPath, dst.toPath)
+          catch {
+            // lost a race INSIDE the fallback window: a concurrent writer
+            // committed dst between the done() re-check and the move. That
+            // is the benign first-writer-wins outcome, not a failure — only
+            // rethrow if dst still lacks a completed model.
+            case e: java.nio.file.FileAlreadyExistsException =>
+              if (!done(path)) throw e
+          }
         else // concurrent writer won — first writer wins, discard our stage
           org.apache.commons.io.FileUtils.deleteQuietly(stage)
       }

@@ -544,8 +544,25 @@ object DataQueries {
     * regenerated corpus changes the stamp and retrains rather than reusing
     * a stale model.
     */
+  /** One stale-model eviction pass per corpus dir per JVM: the first model
+    * access after a corpus regeneration clears the PREVIOUS generation's
+    * stamped models ([[ModelStore.evictStale]]) — both live stamps (the
+    * embeddings-derived quantizers and the documents-derived blooms) are
+    * kept, everything else under the root is stranded cache.
+    */
+  private val evictedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def evictOnce(dir: String): Unit =
+    if (evictedDirs.add(dir)) {
+      // a missing table stamps as the empty manifest — a harmless extra
+      // live stamp, so no special-casing is needed
+      val live = Seq("embeddings", "documents")
+        .map(t => graft.connectors.Bucketing.stampDir(s"$dir/$t.parquet")).toSet
+      ModelStore.evictStale(dir, live)
+    }
+
   private def annModelPath(dir: String, name: String): String = {
     val stamp = graft.connectors.Bucketing.stampDir(s"$dir/embeddings.parquet")
+    evictOnce(dir)
     s"${ModelStore.rootFor(dir)}/$name-$stamp"
   }
   private val corpusCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -1281,6 +1298,7 @@ object DataQueries {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
     val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    evictOnce(dir)
     val model = bloomModels.computeIfAbsent(
       s"$dir#3#campaign",
       _ => ModelStore.bytesOrTrain(s"${ModelStore.rootFor(dir)}/bloom-n3-$stamp")(

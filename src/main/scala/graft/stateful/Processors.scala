@@ -115,6 +115,17 @@ object Processors {
       */
     private val TotalKey = "t"
 
+    /** Explicit layout-version marker, rewritten with every batch. The
+      * key-shape guard below is only probabilistic against the pre-r9
+      * UNPREFIXED layout: an old item literally named "iphone" parses as a
+      * new-layout entry (mangled to "phone"), and an old item "t" reads as
+      * the group total. Requiring this marker on every non-empty restore
+      * turns those silent corruptions into the same fail-fast the shape
+      * guard gives (ADVICE r10).
+      */
+    private val VersionKey = "v"
+    private val LayoutVersion = 2L
+
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       counters = getHandle.getMapState[String, Long](
         "mg", Encoders.STRING, Encoders.scalaLong, ttlConfig(ttlMs))
@@ -126,21 +137,41 @@ object Processors {
     ): Iterator[graft.model.HeavyHitter] = {
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       var n = 0L
-      counters.iterator().foreach {
-        case (TotalKey, c) => n = c
-        case (ki, c) if ki.startsWith("i") => m(ki.drop(1)) = c
-        case (ki, _) =>
-          // Version guard: the pre-r9 layout stored item keys UNPREFIXED
-          // (total in a sibling "total" ValueState). Restoring such a
-          // checkpoint under this layout would silently mangle every
-          // counter key via drop(1) and read an item named "t" as the
-          // group total — fail fast instead; the layout change is
-          // checkpoint-incompatible and needs a fresh checkpoint.
-          throw new IllegalStateException(
-            s"heavyHitters: state entry '$ki' is not 'i'-prefixed — this " +
-              "checkpoint was written by an older, incompatible state " +
-              "layout; restart the query from a fresh checkpoint location")
+      var sawVersion = false
+      var sawAny = false
+      counters.iterator().foreach { e =>
+        sawAny = true
+        e match {
+          case (VersionKey, ver) =>
+            if (ver != LayoutVersion)
+              throw new IllegalStateException(
+                s"heavyHitters: state layout version $ver != $LayoutVersion — " +
+                  "this checkpoint was written by an incompatible state " +
+                  "layout; restart the query from a fresh checkpoint location")
+            sawVersion = true
+          case (TotalKey, c) => n = c
+          case (ki, c) if ki.startsWith("i") => m(ki.drop(1)) = c
+          case (ki, _) =>
+            // Shape guard: the pre-r9 layout stored item keys UNPREFIXED
+            // (total in a sibling "total" ValueState). Restoring such a
+            // checkpoint under this layout would silently mangle every
+            // counter key via drop(1) and read an item named "t" as the
+            // group total — fail fast instead; the layout change is
+            // checkpoint-incompatible and needs a fresh checkpoint.
+            throw new IllegalStateException(
+              s"heavyHitters: state entry '$ki' is not 'i'-prefixed — this " +
+                "checkpoint was written by an older, incompatible state " +
+                "layout; restart the query from a fresh checkpoint location")
+        }
       }
+      if (sawAny && !sawVersion)
+        // non-empty state without the marker: every entry happened to parse
+        // under the new shape, but the writer predates the marker — the
+        // probabilistic hole the marker exists to close; fail fast.
+        throw new IllegalStateException(
+          "heavyHitters: restored state lacks the layout-version marker — " +
+            "this checkpoint was written by an older, incompatible state " +
+            "layout; restart the query from a fresh checkpoint location")
       rows.toVector.sortBy(_.item).foreach { r =>
         n += 1
         m.get(r.item) match {
@@ -154,6 +185,7 @@ object Processors {
         }
       }
       counters.clear()
+      counters.updateValue(VersionKey, LayoutVersion)
       counters.updateValue(TotalKey, n)
       m.foreach { case (i, c) => counters.updateValue("i" + i, c) }
       m.toVector

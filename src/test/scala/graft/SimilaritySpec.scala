@@ -434,16 +434,45 @@ class SimilaritySpec extends SparkSpec {
     import graft.data.ModelStore
     // hashCode-colliding strings were the r9 hazard ("Aa"/"BB" is the
     // canonical 32-bit collision pair); md5-of-path keeps them apart
-    val dirs = Seq("/data/Aa", "/data/BB", "/data/corpus", "/data/corpus/",
+    val dirs = Seq("/data/Aa", "/data/BB", "/data/corpus",
       "/other/corpus", "/data/corpus-v2", " weird/..")
     val roots = dirs.map(ModelStore.rootFor)
     assert(roots.distinct.length === dirs.length, s"collision in $roots")
     // stable across calls (it keys an on-disk cache)
     assert(dirs.map(ModelStore.rootFor) === roots)
+    // ...while SPELLINGS of one dir share a root: trailing separator,
+    // dot segment, and a redundant up-reference all normalize away (ADVICE
+    // r10 — a job spelling the same corpus differently must not silently
+    // retrain and version-skew bucket assignments)
+    assert(ModelStore.rootFor("/data/corpus/") === ModelStore.rootFor("/data/corpus"))
+    assert(ModelStore.rootFor("/data/./corpus") === ModelStore.rootFor("/data/corpus"))
+    assert(ModelStore.rootFor("/data/x/../corpus") === ModelStore.rootFor("/data/corpus"))
     // and filesystem-safe: single path segment under /tmp
     roots.foreach { r =>
       assert(r.startsWith("/tmp/graft-models-"))
       assert(!r.drop("/tmp/".length).contains("/"), s"unsanitized separator in $r")
     }
+  }
+
+  test("ModelStore.evictStale: stale stamps go, live stamps and in-flight writes stay") {
+    import graft.data.ModelStore
+    val corpus = java.nio.file.Files.createTempDirectory("evict-corpus").toString
+    val root = new java.io.File(ModelStore.rootFor(corpus))
+    root.mkdirs()
+    val names = Seq(
+      "centroids-k16-livestamp1", // live (quantizer family)
+      "bloom-n3-livestamp2", // live (documents family)
+      "centroids-k16-oldstamp", // stale → evicted
+      "bloom-n3-oldstamp", // stale → evicted
+      "centroids-k16-livestamp1.stage-9999", // in-flight parquet stage → kept
+      ".model123.tmp") // in-flight saveBytes temp → kept
+    names.foreach(n => java.nio.file.Files.write(
+      new java.io.File(root, n).toPath, Array[Byte](1)))
+    val removed = ModelStore.evictStale(corpus, Set("livestamp1", "livestamp2"))
+    assert(removed === 2)
+    val left = root.listFiles().map(_.getName).toSet
+    assert(left === Set(
+      "centroids-k16-livestamp1", "bloom-n3-livestamp2",
+      "centroids-k16-livestamp1.stage-9999", ".model123.tmp"))
   }
 }
