@@ -3,6 +3,77 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** k-growth probe (VERDICT r10 #2): the replication sweep holds k near
+  * minK, so the O(n·k) flat-assignment term stays invisible — this probe
+  * scales n AND lets [[graft.data.Similarity.autoK]] grow k across decades,
+  * timing the coarse-quantizer ASSIGNMENT STAGE alone: flat
+  * (`assignNearest`, k·dim per row) vs the two-level product quantizer
+  * (`imiAssign`, √k·dim per row). Expectation: the flat per-decade ratio
+  * grows ~10× per decade ON TOP of the row growth (k ∝ n), while the IMI
+  * ratio grows ~√10× — the measured evidence for the auto-k switch in
+  * DataQueries (FlatQuantizerMaxK). Models are trained OUTSIDE the timers
+  * (the ModelStore train-once contract); results recorded in SCALE.md.
+  *
+  * usage: runMain graft.KGrowthProbe [srcDir] [outBase] [maxFactor]
+  */
+object KGrowthProbe {
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outBase = if (args.length > 1) args(1) else "/tmp/graft-kgrowth"
+    val maxFactor = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.data.Similarity
+    val factors = Iterator.iterate(1)(_ * 10).takeWhile(_ <= maxFactor).toVector
+    println(f"${"n"}%10s ${"k"}%8s ${"kSub"}%6s ${"flat(s)"}%10s ${"imi(s)"}%10s")
+    val rows = factors.map { f =>
+      val dir =
+        if (f == 1) srcDir
+        else {
+          val d = s"$outBase/f$f"
+          ScaleProbe.buildScaled(spark, srcDir, d, f, only = Set("embeddings"))
+          d
+        }
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val k = Similarity.autoK(n)
+      val kSub = Similarity.imiKSub(k)
+      val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", k)
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 2, k = kSub)
+      // assignment stage ONLY: materialize the bucket column through the
+      // noop sink (1 codegen rep + min of 2 warm, the ScaleProbe protocol)
+      def time(c: org.apache.spark.sql.Column): Double = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          emb.withColumn("_bk", c).select("_bk").write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once(); math.min(once(), once())
+      }
+      val tFlat = time(Similarity.assignNearest(col("embedding").cast("array<double>"), seeds))
+      val tImi = time(Similarity.imiAssign(col("embedding"), cbs))
+      println(f"$n%10d $k%8d $kSub%6d $tFlat%10.2f $tImi%10.2f")
+      (n, k, kSub, tFlat, tImi)
+    }
+    rows.sliding(2).foreach {
+      case Seq(a, b) =>
+        println(
+          f"decade ${a._1}->${b._1} (rows x${b._1.toDouble / a._1}%.0f, k ${a._2}->${b._2}): " +
+            f"flat x${b._4 / a._4}%.1f  imi x${b._5 / a._5}%.1f")
+      case _ => ()
+    }
+    spark.stop()
+  }
+}
+
 /** One-off sf0.1 → sf1 scale probe: replicates the sf0.1 tables `factor`
   * times with shifted keys (id spaces AND key cardinalities scale linearly,
   * as the generator's own sf scaling does: user_id 150 → 1500 between

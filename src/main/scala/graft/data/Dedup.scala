@@ -440,6 +440,20 @@ object Dedup {
         (assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk")),
          assigned.select(col(idCol), col("_bk0").cast("long").as("cluster")))
       }
+    dupJoinTail(candidates, labeled, idCol, threshold)
+  }
+
+  /** Shared semdedup tail: within-bucket pair join (the per-bucket
+    * quadratic fence), keep-lowest-id verdicts, left-joined back onto the
+    * primary cluster labels. A pair meeting in several shared buckets
+    * (multi-probe) collapses in the min() aggregate.
+    */
+  private def dupJoinTail(
+      candidates: DataFrame,
+      labeled: DataFrame,
+      idCol: String,
+      threshold: Double
+  ): DataFrame = {
     val a = candidates.select(col("_bk"), col(idCol).as("_i"), col("_v").as("_va"))
     val b = candidates.select(col("_bk"), col(idCol).as("_j"), col("_v").as("_vb"))
     val dups = a.join(b, Seq("_bk"))
@@ -451,5 +465,56 @@ object Dedup {
     labeled
       .join(dups, Seq(idCol), "left")
       .withColumn("keep", col("dup_of").isNull)
+  }
+
+  /** [[semanticDedup]] on the two-level product (IMI) quantizer — the
+    * auto-k SCALE face: same contract and output shape (id, cluster,
+    * dup_of, keep), but the cluster space is the kSub² product cells of
+    * [[Similarity.imiAssign]] and assignment costs √k·dim per row instead
+    * of k·dim, with a √k·dim model instead of k·dim
+    * (see the [[Similarity.imiAssign]] scaladoc for the full scale
+    * argument). `pSub` is the per-half probe count: pSub=1 is classic
+    * single-cell SemDeDup; pSub=2 probes the 3 rank-sum-capped cells
+    * (primary + both single-substitution cells) — the product-quantizer
+    * recovery of cross-cell near-dup pairs (a boundary pair disagrees in
+    * ONE half's codeword with high probability). Candidate volume grows by
+    * at most pSub(pSub+1)/2 × per side; the per-cell quadratic fence
+    * stays.
+    */
+  def semanticDedupImi(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      threshold: Double,
+      pSub: Int = 1
+  ): DataFrame = {
+    require(codebooks.length == 2,
+      s"semanticDedupImi: need exactly 2 half-space codebooks, got ${codebooks.length}")
+    val kSub = codebooks.head.length
+    require(pSub >= 1 && pSub <= kSub, s"semanticDedupImi: pSub=$pSub out of 1..$kSub")
+    val base = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val (candidates, labeled) =
+      if (pSub == 1) {
+        // single-cell: plain scalar cell column, no explode (the flat
+        // face's argument — a single-element Generate would block plan
+        // collapse for zero candidate gain)
+        val assigned = base.withColumn("_bk", Similarity.imiAssign(col("_v"), codebooks))
+        (assigned, assigned.select(col(idCol), col("_bk").cast("long").as("cluster")))
+      } else {
+        // multi-probe: the per-half dot table is pinned in ComputeOnce —
+        // the top-p argmax passes reference its slices ~3^pSub times, and
+        // inlined each reference would re-run the fused kSub×dim dot nest
+        val assigned = base
+          .withColumn(
+            "_lut",
+            graft.functions.ComputeOnce(graft.functions.Pq.lut(col("_v"), codebooks)))
+          .withColumn("_bks", Similarity.imiProbeCells(col("_lut"), kSub, pSub))
+          .withColumn("_bk0", element_at(col("_bks"), 1))
+          .drop("_lut")
+        (assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk")),
+         assigned.select(col(idCol), col("_bk0").cast("long").as("cluster")))
+      }
+    dupJoinTail(candidates, labeled, idCol, threshold)
   }
 }

@@ -222,7 +222,7 @@ object Similarity {
     * there too (the 63-cosine unrolled plan pays ~1 s analysis+codegen per
     * run).
     */
-  private val UnrolledCentroidMax = 32
+  private[graft] val UnrolledCentroidMax = 32
 
   /** The k per-centroid cosines as ONE array column; both argmax faces
     * build on this. Identical float semantics on either path: the same
@@ -374,6 +374,85 @@ object Similarity {
       .map(c => cosine(col(vecCol).cast("array<double>"), array(c.map(lit): _*)))
       .reduce((a, b) => greatest(a, b))
     corpus.select(avg(best)).collect()(0).getDouble(0)
+  }
+
+  // --------------------------------- two-level product (IMI) quantizer
+  /** Codewords per half-space for a two-level product quantizer covering at
+    * least `k` cells: ⌈√k⌉ per half gives kSub² ≥ k product cells.
+    */
+  def imiKSub(k: Int): Int = {
+    require(k >= 1, s"imiKSub: k must be >= 1, got $k")
+    math.ceil(math.sqrt(k.toDouble)).toInt
+  }
+
+  /** Two-level product coarse quantizer cell assignment — the
+    * sub-linear-in-k scale path for the auto-k families (SemDeDup
+    * clustering, seeded-IVF bucketing).
+    *
+    * The flat quantizer stops scaling once k grows with the corpus
+    * ([[autoK]]): per-row assignment is a k·dim scan — O(n·k·dim) =
+    * O(n²·dim/targetPerBucket) total — and the k·dim model itself outgrows
+    * "tiny driver value" (n = 10⁹ rows → k ≈ 3·10⁷ centroids ≈ 15 GB,
+    * which neither collects nor ships). The inverted-multi-index
+    * decomposition (Babenko & Lempitsky, CVPR'12) fixes BOTH axes at once:
+    * split the vector into two halves, quantize each half against its own
+    * kSub-codeword codebook (the [[pqCodebooks]] m=2 seeding —
+    * deterministic, oracle-replayable), and let the cell be the code PAIR
+    * (code₀·kSub + code₁):
+    *   - model: 2·kSub·(dim/2) = √k·dim doubles (n = 10⁹ → ~2.8 MB — a
+    *     genuine driver value, one small per-executor reference object);
+    *   - assignment: one fused 2×kSub×(dim/2) = √k·dim multiply-add nest
+    *     per row ([[graft.functions.PqEncode]]) — O(n·√k·dim) total vs the
+    *     flat scan's O(n·k·dim);
+    *   - kSub² ≥ k cells keep the same rows-per-bucket fence, so the
+    *     downstream per-bucket quadratics (semdedup pair fence, IVF
+    *     candidate lists) are unchanged.
+    * The trade: cells partition on per-half nearest codewords, not global
+    * nearest-of-k centroids — a product-cell approximation whose
+    * cross-cell recall loss is recovered the standard way (per-half
+    * multi-probe, [[imiProbeCells]]).
+    *
+    * The cell id folds over the code array (`acc·kSub + code`), so the
+    * fused encode kernel is referenced exactly once per row. Ties inside
+    * each half break to the lowest codeword index ([[pqEncode]] contract).
+    */
+  def imiAssign(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    require(codebooks.length == 2,
+      s"imiAssign: need exactly 2 half-space codebooks, got ${codebooks.length}")
+    val kSub = codebooks.head.length
+    aggregate(
+      graft.functions.Pq.encode(vec, codebooks),
+      lit(0),
+      (acc, c) => acc * kSub + c)
+  }
+
+  /** Per-half multi-probe cell list over a pinned [[graft.functions.PqLut]]
+    * dot table (flattened: element h·kSub + j = dot(half h, codeword j)):
+    * the pSub best codewords per half (ties → lowest index,
+    * [[topPFromCosines]] over the dot slice) combined into the
+    * RANK-SUM-CAPPED probe sequence — all (rank₀, rank₁) pairs with
+    * rank₀ + rank₁ < pSub (0-indexed), ordered by (rank-sum, rank₀):
+    * pSub(pSub+1)/2 cells, element 1 always the [[imiAssign]] cell, then
+    * the single-substitution cells, then deeper substitutions. A near-dup
+    * pair straddling a cell boundary disagrees in ONE half's codeword with
+    * high probability, so the rank-1 substitutions carry nearly all the
+    * recovery of the full pSub² cross product at roughly half its
+    * candidate volume — the IMI analogue of [[lshProbes]] /
+    * [[assignTopP]]'s margin-ordered flips. Cells are distinct by
+    * construction (distinct codeword in at least one half), so no
+    * candidate dedup is needed. Callers pin `lut` behind
+    * [[graft.functions.ComputeOnce]]: the top-p argmax passes reference
+    * each slice ~3^pSub times.
+    */
+  def imiProbeCells(lut: Column, kSub: Int, pSub: Int): Column = {
+    require(pSub >= 1 && pSub <= kSub, s"imiProbeCells: pSub=$pSub out of 1..$kSub")
+    val top0 = topPFromCosines(slice(lut, 1, kSub), kSub, pSub)
+    val top1 = topPFromCosines(slice(lut, kSub + 1, kSub), kSub, pSub)
+    val pairs = (for { r0 <- 0 until pSub; r1 <- 0 until pSub if r0 + r1 < pSub }
+      yield (r0, r1)).sortBy { case (r0, r1) => (r0 + r1, r0) }
+    array(pairs.map { case (r0, r1) =>
+      (element_at(top0, r0 + 1) * kSub + element_at(top1, r1 + 1)).cast("int")
+    }: _*)
   }
 
   // ------------------------------------------------------------------ PQ

@@ -581,15 +581,37 @@ object DataQueries {
       ModelStore.codebooksOrTrain(spark, annModelPath(dir, s"codebooks-m$m-k$k"))(
         Similarity.pqCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", m, k)))
 
+  /** Flat-quantizer ceiling for the auto-k faces: up to this k the seeded
+    * flat assignment runs (the regime every sf0.01 oracle replays — 16
+    * seeds at the fixture); beyond it the face switches to the two-level
+    * product (IMI) quantizer, whose assignment is √k·dim per row with a
+    * √k·dim model (see [[Similarity.imiAssign]]). The IMI code path itself
+    * is oracle-gated at fixture scale by the dedicated `s_ann_imi` /
+    * `d_semdedup_imi*` entries (kSub = [[ImiOracleKSub]]), so the scale
+    * path is hash-verified code, just exercised at fixture k. The value
+    * matches [[Similarity.UnrolledCentroidMax]]: past it the flat path
+    * would leave its proven unrolled-plan regime anyway.
+    */
+  private val FlatQuantizerMaxK = Similarity.UnrolledCentroidMax
+
   def sAnnIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // rows-per-bucket auto-k: 16 at the sf0.01 oracle fixture (matching the
     // SQL's LIMIT 16), growing linearly with the corpus so per-bucket
     // candidate lists stay constant-sized at scale
-    val cents = seedsFor(spark, dir, Similarity.autoK(embCount(spark, dir)))
-    val bucketed = e.withColumn(
-      "_bk",
-      Similarity.assignNearest(col("embedding").cast("array<double>"), cents))
+    val k = Similarity.autoK(embCount(spark, dir))
+    val bucketed =
+      if (k <= FlatQuantizerMaxK) {
+        val cents = seedsFor(spark, dir, k)
+        e.withColumn(
+          "_bk",
+          Similarity.assignNearest(col("embedding").cast("array<double>"), cents))
+      } else {
+        // auto-k past the flat regime: two-level product cells — √k·dim
+        // assignment, √k·dim model (Similarity.imiAssign scaladoc)
+        val cbs = codebooksFor(spark, dir, m = 2, k = Similarity.imiKSub(k))
+        e.withColumn("_bk", Similarity.imiAssign(col("embedding"), cbs))
+      }
     Similarity.bucketedTopK(
       bucketed, bucketed.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", "_bk", k = 10)
   }
@@ -627,8 +649,14 @@ object DataQueries {
     val e = Tables.embeddings(spark, dir)
     // auto-k keeps the (n/k)² per-bucket pair fence constant-sized: 16 at
     // the sf0.01 oracle fixture (matching the SQL's LIMIT 16), ∝ n beyond
-    val cents = seedsFor(spark, dir, Similarity.autoK(embCount(spark, dir)))
-    Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40)
+    // — where the face switches to the IMI product cells (FlatQuantizerMaxK)
+    val k = Similarity.autoK(embCount(spark, dir))
+    if (k <= FlatQuantizerMaxK)
+      Dedup.semanticDedup(e, "vec_id", "embedding", seedsFor(spark, dir, k), threshold = 0.40)
+    else
+      Dedup.semanticDedupImi(
+        e, "vec_id", "embedding",
+        codebooksFor(spark, dir, m = 2, k = Similarity.imiKSub(k)), threshold = 0.40)
   }
 
   val dSemDedupSql: String =
@@ -881,8 +909,17 @@ object DataQueries {
     */
   def dSemDedupProbe2(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = seedsFor(spark, dir, Similarity.autoK(embCount(spark, dir)))
-    Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.40, probes = 2)
+    val k = Similarity.autoK(embCount(spark, dir))
+    if (k <= FlatQuantizerMaxK)
+      Dedup.semanticDedup(
+        e, "vec_id", "embedding", seedsFor(spark, dir, k), threshold = 0.40, probes = 2)
+    else
+      // IMI multi-probe: pSub=2 per half → 3 rank-sum-capped cells (the
+      // product-quantizer recovery of cross-cell pairs; candidates ×3)
+      Dedup.semanticDedupImi(
+        e, "vec_id", "embedding",
+        codebooksFor(spark, dir, m = 2, k = Similarity.imiKSub(k)),
+        threshold = 0.40, pSub = 2)
   }
 
   val dSemDedupProbe2Sql: String =
@@ -906,6 +943,118 @@ object DataQueries {
        |SELECT s.vec_id, CAST(s.bk AS BIGINT) AS cluster, d.dup_of,
        |  d.dup_of IS NULL AS keep
        |FROM (SELECT vec_id, bk FROM probed WHERE rn = 1) s
+       |LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
+
+  // ---------------------- two-level product (IMI) quantizer oracle faces
+  /** Fixture-scale parameters for the IMI oracle entries: kSub=4 codewords
+    * per half (seeded from the 4 smallest-id vectors, [[Similarity.pqCodebooks]]
+    * at m=2) → 16 product cells over the 64-dim embeddings (sub=32). The
+    * oracle replays the per-half argmax-dot encoding with the proven
+    * `s_ann_pq` CTEs at m=2 and folds the code pair into the cell id —
+    * hash-exact. These entries are what make the > FlatQuantizerMaxK
+    * switch in `s_ann_ivf_seeded` / `d_semdedup*` VERIFIED code (same
+    * `imiAssign` / `semanticDedupImi` path, fixture k) rather than an
+    * untested scale branch.
+    */
+  private val ImiKSub = 4
+  private val ImiSub = 32
+  private def imiDotSql(a: String, b: String) =
+    s"list_reduce(list_transform(range(1, $ImiSub + 1), i -> $a * $b), (x,y) -> x+y)"
+  // shared CTE block: seeds → per-half codes → product cell per vector
+  private val imiCellsSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $ImiKSub)),
+       |grid AS (SELECT unnest(range(2)) AS mi),
+       |codes0 AS (
+       |  SELECT e.vec_id, grid.mi, s.j,
+       |    ${imiDotSql(s"e.v[grid.mi * $ImiSub + i]", s"s.cv[grid.mi * $ImiSub + i]")} AS dotv
+       |  FROM e CROSS JOIN grid CROSS JOIN seeds s),
+       |rcodes AS (
+       |  SELECT vec_id, mi, j AS code,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY dotv DESC, j ASC) AS rn
+       |  FROM codes0),
+       |cells AS (
+       |  SELECT c0.vec_id, c0.code * $ImiKSub + c1.code AS bk
+       |  FROM rcodes c0 JOIN rcodes c1
+       |    ON c0.vec_id = c1.vec_id AND c0.mi = 0 AND c1.mi = 1
+       |   AND c0.rn = 1 AND c1.rn = 1)""".stripMargin
+
+  /** IVF ANN over the IMI product cells — the auto-k scale path's bucket
+    * shape at fixture scale (see [[ImiKSub]]).
+    */
+  def sAnnImi(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cbs = codebooksFor(spark, dir, m = 2, k = ImiKSub)
+    val bucketed = e.withColumn("_bk", Similarity.imiAssign(col("embedding"), cbs))
+    Similarity.bucketedTopK(
+      bucketed, bucketed.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", "_bk", k = 10)
+  }
+
+  val sAnnImiSql: String =
+    s"""$imiCellsSql,
+       |av AS (SELECT e.vec_id, e.v, c.bk FROM e JOIN cells c ON e.vec_id = c.vec_id),
+       |q AS (SELECT vec_id AS q_id, bk AS q_bk, v AS qv FROM av WHERE vec_id % 25 = 0),
+       |scored AS (
+       |  SELECT q_id, a.vec_id AS n_id, ${cosSql("qv", "a.v")} AS cosv
+       |  FROM av a JOIN q ON a.bk = q_bk AND a.vec_id <> q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cosv,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosv DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cosv * 1e6) AS BIGINT) AS cos_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** SemDeDup over the IMI product cells — [[Dedup.semanticDedupImi]]
+    * single-probe at fixture scale (see [[ImiKSub]]).
+    */
+  def dSemDedupImi(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupImi(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      codebooksFor(spark, dir, m = 2, k = ImiKSub), threshold = 0.40)
+
+  val dSemDedupImiSql: String =
+    s"""$imiCellsSql,
+       |av AS (SELECT e.vec_id, e.v, c.bk FROM e JOIN cells c ON e.vec_id = c.vec_id),
+       |dup AS (
+       |  SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+       |  FROM av a JOIN av b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.40
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, CAST(s.bk AS BIGINT) AS cluster, d.dup_of,
+       |  d.dup_of IS NULL AS keep
+       |FROM cells s LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
+
+  /** Multi-probe SemDeDup over the IMI cells — pSub=2 per half → the 3
+    * rank-sum-capped cells (primary + the two single-substitution cells,
+    * [[Similarity.imiProbeCells]]); the oracle replays the same rn <= 2
+    * per-half ranking with the rank-sum cap (c0.rn + c1.rn <= 3), verdicts
+    * unioned through the identical MIN() fold. Pins the multi-probe face
+    * of the scale path at fixture scale.
+    */
+  def dSemDedupImiProbe(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedupImi(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      codebooksFor(spark, dir, m = 2, k = ImiKSub), threshold = 0.40, pSub = 2)
+
+  val dSemDedupImiProbeSql: String =
+    s"""$imiCellsSql,
+       |probed AS (
+       |  SELECT c0.vec_id, c0.code * $ImiKSub + c1.code AS bk,
+       |    (c0.rn = 1 AND c1.rn = 1) AS is_primary
+       |  FROM rcodes c0 JOIN rcodes c1
+       |    ON c0.vec_id = c1.vec_id AND c0.mi = 0 AND c1.mi = 1
+       |   AND c0.rn <= 2 AND c1.rn <= 2 AND c0.rn + c1.rn <= 3),
+       |av AS (SELECT p.vec_id, e.v, p.bk FROM probed p JOIN e ON p.vec_id = e.vec_id),
+       |dup AS (
+       |  SELECT b.vec_id AS vid, MIN(a.vec_id) AS dup_of
+       |  FROM av a JOIN av b ON a.bk = b.bk AND a.vec_id < b.vec_id
+       |  WHERE ${cosSql("a.v", "b.v")} >= 0.40
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, CAST(s.bk AS BIGINT) AS cluster, d.dup_of,
+       |  d.dup_of IS NULL AS keep
+       |FROM (SELECT vec_id, bk FROM probed WHERE is_primary) s
        |LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
 
   /** Sign-LSH ANN: the label-free scale path — buckets from 8 deterministic
@@ -1781,6 +1930,7 @@ object DataQueries {
     "s_ann_brute" -> sAnnBrute,
     "s_ann_ivf" -> sAnnIvf,
     "s_ann_ivf_seeded" -> sAnnIvfSeeded,
+    "s_ann_imi" -> sAnnImi,
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_pq" -> sAnnPq,
     "s_ann_pq_ivf" -> sAnnPqIvf,
@@ -1796,6 +1946,8 @@ object DataQueries {
     "d_decontaminate_campaign" -> dDecontaminateCampaign,
     "d_semdedup" -> dSemDedup,
     "d_semdedup_probe2" -> dSemDedupProbe2,
+    "d_semdedup_imi" -> dSemDedupImi,
+    "d_semdedup_imi_probe" -> dSemDedupImiProbe,
     "t_bm25" -> tBm25,
     "t_repetition" -> tRepetition,
     "d_corpus_shuffle" -> dCorpusShuffle,
@@ -1835,6 +1987,7 @@ object DataQueries {
     "s_ann_brute" -> sAnnBruteSql,
     "s_ann_ivf" -> sAnnIvfSql,
     "s_ann_ivf_seeded" -> sAnnIvfSeededSql,
+    "s_ann_imi" -> sAnnImiSql,
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
@@ -1850,6 +2003,8 @@ object DataQueries {
     "d_decontaminate_campaign" -> dDecontaminateCampaignSql,
     "d_semdedup" -> dSemDedupSql,
     "d_semdedup_probe2" -> dSemDedupProbe2Sql,
+    "d_semdedup_imi" -> dSemDedupImiSql,
+    "d_semdedup_imi_probe" -> dSemDedupImiProbeSql,
     "t_bm25" -> tBm25Sql,
     "t_repetition" -> tRepetitionSql,
     "d_corpus_shuffle" -> dCorpusShuffleSql,

@@ -187,6 +187,35 @@ class DataOpsSpec extends SparkSpec {
     assert(clusters === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 2L))
   }
 
+  test("semanticDedupImi: product cells fence pairs; pSub=2 recovers the cross-cell dup") {
+    // explicit half-space codebooks (kSub=3 so top-2 is a strict subset):
+    // halves are dims [0,1] and [2,3]; cell = c0*3 + c1
+    val cbs = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0)), // half 0
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))) // half 1
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 1.0, 0.0)), // cell (0,0)=0
+      (2L, Seq(0.99, 0.01, 1.0, 0.0)), // cell 0, dup of 1 (cos ~0.99995)
+      (3L, Seq(1.0, 0.0, 0.52, 0.48)), // cell 0, boundary-adjacent in half 1
+      (4L, Seq(1.0, 0.0, 0.48, 0.52)), // cell (0,1)=1 — dup of 3 (cos ~0.9989) ACROSS the cell split
+      (5L, Seq(0.0, 1.0, 0.0, 1.0)) // cell (1,1)=4, singleton
+    ).toDF("vec_id", "v")
+    def foundPairs(pSub: Int): Set[(Long, Long)] = graft.data.Dedup
+      .semanticDedupImi(vecs, "vec_id", "v", cbs, threshold = 0.95, pSub = pSub)
+      .filter($"dup_of".isNotNull)
+      .select($"dup_of", $"vec_id").as[(Long, Long)].collect().toSet
+    val single = foundPairs(1)
+    val multi = foundPairs(2)
+    assert(single === Set((1L, 2L))) // (3,4) split by the half-1 codeword flip
+    assert(multi === Set((1L, 2L), (3L, 4L))) // recovered by the substitution cell
+    assert(single.subsetOf(multi))
+    // primary cluster labels are the imiAssign cells and unchanged by probing
+    val clusters = graft.data.Dedup
+      .semanticDedupImi(vecs, "vec_id", "v", cbs, threshold = 0.95, pSub = 2)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(clusters === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 4L))
+  }
+
   test("qualityModelScore: matches the plain-Scala mirror; empty doc scores 0") {
     val dims = 64
     val weights = graft.data.TextAnalysis.modelWeights(dims)

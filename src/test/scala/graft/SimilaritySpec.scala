@@ -380,6 +380,46 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IMI: cell fold matches per-half HOF codes; probe list leads with the assign cell") {
+    val kSub = 4
+    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 2, k = kSub)
+    // model is √k-sized: 2 half-space codebooks of kSub codewords, dim/2 each
+    assert(cbs.length === 2 && cbs.forall(_.length === kSub) &&
+      cbs.forall(_.forall(_.length === dim / 2)))
+    // bit-parity: the native cell (fused PqEncode + fold) equals the HOF
+    // per-half argmax codes folded the same way
+    val rows = emb.select(
+      Similarity.imiAssign($"embedding", cbs).as("cell"),
+      Similarity.pqEncodeHof($"embedding", cbs).as("codes"))
+      .as[(Int, Seq[Int])].collect()
+    assert(rows.length === 500)
+    rows.foreach { case (cell, codes) =>
+      assert(codes.length === 2)
+      assert(cell === codes(0) * kSub + codes(1))
+      assert(cell >= 0 && cell < kSub * kSub)
+    }
+    // probe list (pSub=2): element 1 is the assign cell; 4 pairwise-distinct
+    // cells; every probe substitutes at most one half's codeword rank
+    val probed = emb
+      .withColumn("_lut", graft.functions.ComputeOnce(
+        graft.functions.Pq.lut($"embedding", cbs)))
+      .select(
+        Similarity.imiAssign($"embedding", cbs).as("cell"),
+        Similarity.imiProbeCells($"_lut", kSub, 2).as("pr"))
+      .as[(Int, Seq[Int])].collect()
+    probed.foreach { case (cell, pr) =>
+      // rank-sum cap at pSub=2: primary + the two single-substitution cells
+      assert(pr.length === 3)
+      assert(pr.head === cell, s"probe list must lead with the assign cell: $pr vs $cell")
+      assert(pr.distinct.length === 3, s"duplicate probe cells: $pr")
+      pr.foreach(c => assert(c >= 0 && c < kSub * kSub))
+      // (rank-sum, rank0) order: probe 2 = (0,1) keeps half-0's winner,
+      // probe 3 = (1,0) keeps half-1's winner
+      assert(pr(1) / kSub === cell / kSub, "probe 2 must keep half-0's winner")
+      assert(pr(2) % kSub === cell % kSub, "probe 3 must keep half-1's winner")
+    }
+  }
+
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
     import graft.data.{ModelStore, Similarity}
     val base = java.nio.file.Files.createTempDirectory("modelstore").toString
