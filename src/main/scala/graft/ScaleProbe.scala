@@ -28,6 +28,7 @@ object KGrowthProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false") // GraftSession scaladoc: hang in checksum stream close
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -129,7 +130,10 @@ object ScaleProbe {
     "q_bucketed_join", "d_decontaminate_multi", "d_incremental_rebuild",
     "d_split_assign",
     // r9: the ModelStore-backed campaign bloom face
-    "d_decontaminate_campaign"
+    "d_decontaminate_campaign",
+    // r11: the decontaminate-on-ingest gate (campaign bloom riding the
+    // CorpusIngest verdict) and an IMI-branch auto-k face
+    "d_ingest_gate", "s_ann_ivf_seeded"
   )
 
   /** A table is reused only when its completion marker exists AND records
@@ -181,6 +185,7 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false") // GraftSession scaladoc: hang in checksum stream close
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

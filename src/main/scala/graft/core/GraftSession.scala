@@ -24,6 +24,16 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // Checkpoint-file checksums are disabled: in this Spark build,
+      // ChecksumCancellableFSDataOutputStream.close() can await a checksum
+      // future that never completes during a RocksDB snapshot zip upload
+      // (observed deterministically with a TTL-bearing transformWithState
+      // store: all commit threads park in zipToDfsFile while the checksum
+      // pool sits idle — a lost-completion race, no timeout on the await).
+      // The feature only adds corruption DETECTION for checkpoint files; a
+      // hung commit is strictly worse than an undetected-corruption risk
+      // the state-store format already guards with its own file listings.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(appName: String = "graft"): SparkSession = {

@@ -124,11 +124,14 @@ object ModelStore {
     StructField("centroid", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Stage-then-rename parquet write (the JobFixtures.cached pattern, with
-    * a pid-unique stage so two JVMs training the same model concurrently
-    * never interleave into one directory): the first rename wins, the
-    * loser's stage is discarded — a reader at `path` only ever sees a
-    * complete model.
+    * a (pid, counter)-unique stage so two concurrent trainers never
+    * interleave into one directory — the pid alone distinguishes JVMs but
+    * NOT two threads of one JVM, which PropertiesSpec's racing-writers
+    * test caught blending both models into a single stage): the first
+    * rename wins, the loser's stage is discarded — a reader at `path`
+    * only ever sees a complete model.
     */
+  private val stageCounter = new java.util.concurrent.atomic.AtomicLong()
   private def writeStaged(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
     val dst = new java.io.File(path)
     if (done(path)) return
@@ -137,7 +140,8 @@ object ModelStore {
     // future JVM retrains, discards its stage, and persistence is silently
     // dead
     if (dst.exists()) org.apache.commons.io.FileUtils.deleteQuietly(dst)
-    val stage = new java.io.File(s"$path.stage-${ProcessHandle.current().pid()}")
+    val stage = new java.io.File(
+      s"$path.stage-${ProcessHandle.current().pid()}-${stageCounter.incrementAndGet()}")
     try {
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
       if (dst.exists() || !stage.renameTo(dst)) {

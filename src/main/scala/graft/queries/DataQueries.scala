@@ -1459,6 +1459,37 @@ object DataQueries {
 
   val dDecontaminateCampaignSql: String = dDecontaminateBloomSql
 
+  /** The decontaminate-on-ingest capstone as a batch-face entry: the
+    * CAMPAIGN bloom model (ModelStore-persisted, shared with
+    * `d_decontaminate_campaign` via the same memo key) rides the
+    * [[CorpusIngest.verdict]] gate over the corpus — cheap token/lang
+    * gates first, then the at-ingest contamination probe, first failing
+    * gate named in `reject_reason`.
+    *
+    * Deliberately NO oracle SQL: unlike the `d_decontaminate*` faces
+    * (where the bloom only PRUNES and an exact join decides), the ingest
+    * gate REJECTS on the bloom verdict itself — false positives included,
+    * the documented ingest trade — and Spark's BloomFilter bit layout is
+    * not replayable in DuckDB. The driver records the rows-only check;
+    * StreamingIngestSpec pins the semantic contract (contaminated ⊇
+    * exact-join hits, FP-bounded, batch ≡ streaming) at bench scale.
+    */
+  def dIngestGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    evictOnce(dir)
+    val model = bloomModels.computeIfAbsent(
+      s"$dir#3#campaign",
+      _ => ModelStore.bytesOrTrain(s"${ModelStore.rootFor(dir)}/bloom-n3-$stamp")(
+        Decontaminate.buildBloomModel(bench, "text", n = 3)))
+    CorpusIngest.verdict(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      "text", allowedLangs = Seq("en"), minTokens = 5,
+      decontamination = Some((model, 3)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("reject_reason"))
+  }
+
   // ------------------------------------------------------ BM25 ranking
   /** Top-50 docs for a 3-term topic query, rational-idf BM25 (see
     * [[TextAnalysis.bm25TopK]] for why the log-free variant hash-matches).
@@ -1944,6 +1975,7 @@ object DataQueries {
     "d_decontaminate" -> dDecontaminate,
     "d_decontaminate_bloom" -> dDecontaminateBloom,
     "d_decontaminate_campaign" -> dDecontaminateCampaign,
+    "d_ingest_gate" -> dIngestGate,
     "d_semdedup" -> dSemDedup,
     "d_semdedup_probe2" -> dSemDedupProbe2,
     "d_semdedup_imi" -> dSemDedupImi,

@@ -242,4 +242,64 @@ class ProcessorsSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("Processors.heavyHitters: TTL expires counters, total, AND version marker atomically") {
+    // All entries — k counters, the reserved total, and the layout-version
+    // marker — live in ONE MapState rewritten every batch, so a TTL firing
+    // must take the whole summary or none of it. A partial expiry would
+    // either (a) leave a stale total over reset counters (groupTotal for
+    // the post-expiry batch would read old+new), or (b) strip the marker
+    // from surviving counters (the restore guard would throw). Both are
+    // observable below.
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // changelog checkpointing: with processing-time TTL the default
+      // trigger runs EMPTY micro-batches continuously during the expiry
+      // sleep, and under full-snapshot checkpointing each one pays a
+      // RocksDB snapshot zip — hundreds of batches turn this test into a
+      // filesystem stress test. Changelog checkpointing makes each empty
+      // commit a small delta append. (A throttled ProcessingTime trigger
+      // was tried instead and processAllAvailable never unblocked under
+      // it with TTL state in this Spark build — default trigger it is.)
+      val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val clPrev = spark.conf.getOption(clKey)
+      spark.conf.set(clKey, "true")
+      try {
+      val mem = MemoryStream[graft.model.ItemObservation]
+      val hh = graft.stateful.Processors.heavyHitters(mem.toDS(), k = 4, ttlMs = 900L)
+      val q = hh.writeStream.format("memory").queryName("hh_ttl").outputMode("append")
+        .start()
+      try {
+        def obs(item: String, times: Int) =
+          Seq.fill(times)(graft.model.ItemObservation("g", item))
+        // poll the sink rather than processAllAvailable: with TTL state the
+        // processing-time batch loop never satisfies processAllAvailable's
+        // completion check in this Spark build (parks forever while the
+        // stream idles) — the sink rows are the observable truth anyway
+        def awaitSink(what: String)(cond: => Boolean): Unit = {
+          val deadline = System.currentTimeMillis() + 60000
+          while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(200)
+          assert(cond, s"timed out waiting for $what")
+        }
+        def rows() = spark.table("hh_ttl").as[graft.model.HeavyHitter].collect()
+        mem.addData(obs("a", 5) ++ obs("b", 2): _*)
+        awaitSink("batch-1 summary")(rows().exists(_.groupTotal == 7))
+        Thread.sleep(2000) // > ttl: the whole batch-1 summary expires together
+        mem.addData(obs("c", 1): _*)
+        awaitSink("post-expiry summary")(rows().exists(_.item == "c"))
+        val afterExpiry = rows().filter(_.item == "c")
+        // atomic expiry: the new batch starts from an EMPTY summary — total
+        // is 1 (not 8 = stale total + 1), and the absent marker on truly
+        // empty state must not trip the restore guard
+        assert(afterExpiry.length === 1)
+        assert(afterExpiry.head.groupTotal === 1,
+          s"stale total survived expiry: ${afterExpiry.head}")
+        assert(afterExpiry.head.estimate === 1)
+      } finally q.stop()
+      } finally clPrev match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None => spark.conf.unset(clKey)
+      }
+    }
+  }
 }

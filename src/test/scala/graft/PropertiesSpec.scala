@@ -211,6 +211,115 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: bloom screen loses no true bench gram and bounds false positives") {
+    import graft.data.{Decontaminate, TextAnalysis}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    Seq(1L, 17L, 101L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 1 + rnd.nextInt(3) // gram size 1..3
+      def doc(words: Int, base: Int) =
+        Seq.fill(words)(s"w${base + rnd.nextInt(400)}").mkString(" ")
+      // every 3rd train doc embeds a bench doc VERBATIM (plus tail noise),
+      // so shared n-grams are guaranteed at any n <= 8 — same-vocab random
+      // docs alone can miss sharing a single bigram at some seeds
+      val benchRows = (1 to 30).map(i => (i.toLong, doc(8, 0)))
+      val bench = benchRows.toDF("doc_id", "text")
+      val train = (1 to 60)
+        .map { i =>
+          val t =
+            if (i % 3 == 0) s"${benchRows((i / 3 - 1) % 30)._2} ${doc(4, 100000)}"
+            else doc(10, 100000)
+          (i.toLong, t)
+        }
+        .toDF("doc_id", "text")
+      // end-to-end: bloom prunes, exact join decides -> byte-identical hits
+      val exact = Decontaminate.hits(train, bench, "doc_id", "text", n)
+        .as[(Long, Long)].collect().toMap
+      assert(exact.nonEmpty, s"seed=$seed n=$n: no contamination — vacuous")
+      val model = Decontaminate.buildBloomModel(bench, "text", n)
+      val bloom = Decontaminate
+        .hitsBloomWith(train, bench, "doc_id", "text", n, model)
+        .as[(Long, Long)].collect().toMap
+      assert(bloom === exact, s"seed=$seed n=$n: bloom face diverged from exact")
+      // probe-level: NO false negatives (every bench gram passes its own
+      // bloom — the superset guarantee the pruning correctness rests on),
+      // and the FP rate on known non-members stays within bound
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("_toks", TextAnalysis.tokens($"text"))
+        .select(explode(TextAnalysis.ngrams($"_toks", n)).as("_g"))
+        .distinct()
+      val probe = ColumnBridge.column(BloomFilterMightContain(
+        Literal(model, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression($"_g")))))
+      val benchGrams = grams(bench)
+      assert(benchGrams.filter(!probe).count() === 0,
+        s"seed=$seed n=$n: bloom rejected a true bench gram")
+      val benchSet = benchGrams.as[String].collect().toSet
+      val nonMembers = grams(train).filter(!$"_g".isin(benchSet.toSeq: _*))
+      val total = nonMembers.count()
+      val pass = nonMembers.filter(probe).count()
+      // default sizing targets 3% fpp; 15% is a generous noise-proof bound
+      assert(total > 50, s"seed=$seed n=$n: too few non-members to measure FP rate")
+      assert(pass.toDouble / total <= 0.15,
+        s"seed=$seed n=$n: FP rate ${pass.toDouble / total} above bound ($pass/$total)")
+    }
+  }
+
+  test("property: two racing ModelStore writers — one winner, reader never torn") {
+    import graft.data.ModelStore
+    (1 to 4).foreach { round =>
+      val base = java.nio.file.Files.createTempDirectory(s"race-$round").toString
+      val path = s"$base/model"
+      val mA = Seq(Seq(1.0 + round, 2.0), Seq(3.0, 4.0))
+      val mB = Seq(Seq(9.0 + round, 8.0), Seq(7.0, 6.0))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = Seq(mA, mB).map { m =>
+        new Thread(() =>
+          try { barrier.await(); ModelStore.centroidsOrTrain(spark, path)(m); () }
+          catch { case t: Throwable => errs.add(t) })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(60000))
+      // neither racer may fail: a lost first-writer race is benign
+      assert(errs.isEmpty, s"round=$round racer threw: ${errs.peek()}")
+      // exactly one COMPLETE model on disk — one of the two, never a blend
+      val winner = ModelStore.loadCentroids(spark, path)
+      assert(winner === mA || winner === mB, s"round=$round torn model: $winner")
+      // and later readers reuse it without retraining
+      val again = ModelStore.centroidsOrTrain(spark, path)(sys.error("must not retrain"))
+      assert(again === winner, s"round=$round reload mismatch")
+      // no stage debris left behind
+      val debris = new java.io.File(base).listFiles().map(_.getName).filter(_.contains(".stage-"))
+      assert(debris.isEmpty, s"round=$round stage debris: ${debris.toSeq}")
+    }
+  }
+
+  test("property: compact preserves the exact row multiset under heavy duplication") {
+    // exact duplicate rows share one xxhash64 tiebreaker value — the
+    // retry-determinism trade-off must never cost a row or mint one
+    import graft.connectors.CorpusWriter
+    Seq(5L, 29L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val base = java.nio.file.Files.createTempDirectory(s"compact-dup-$seed").toString
+      val src = s"$base/src"
+      val dst = s"$base/dst"
+      // 4000 rows over 15 distinct values -> ~266 copies of each row
+      (1 to 4000).map(_ => (s"k${rnd.nextInt(3)}", rnd.nextInt(5)))
+        .toDF("k", "v").repartition(25).write.parquet(src)
+      def parquetBytes(p: String) = new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      CorpusWriter.compact(spark, src, dst, targetFileBytes = parquetBytes(src) / 4,
+        keyCols = Seq("k"))
+      val before = spark.read.parquet(src).groupBy("k", "v").count()
+        .as[(String, Int, Long)].collect().toSet
+      val after = spark.read.parquet(dst).groupBy("k", "v").count()
+        .as[(String, Int, Long)].collect().toSet
+      assert(after === before, s"seed=$seed: row multiset changed")
+    }
+  }
+
   test("property: upsert applyBatch is idempotent (replay converges)") {
     Seq(5L, 13L).foreach { seed =>
       val rnd = new scala.util.Random(seed)

@@ -113,4 +113,63 @@ class StreamingIngestSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("bench scale (sf0.1): campaign-model ingest gate — superset of exact, FP-bounded, batch ≡ streaming") {
+    // VERDICT r10 #4: the end-to-end composition at BENCH scale — the
+    // ModelStore-persisted campaign bloom (the d_ingest_gate entry's model)
+    // gating the sf0.1 fixture corpus, not a crafted miniature
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.1"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val bench = docs.filter(pmod($"doc_id", lit(97)) === 0)
+    val train = docs.filter(pmod($"doc_id", lit(97)) =!= 0)
+    val gated = graft.queries.DataQueries.dIngestGate(spark, dir).cache()
+    try {
+      // every train doc gets exactly one verdict row
+      assert(gated.count() === train.count())
+      val flagged = gated.filter($"reject_reason" === "contaminated")
+        .select($"doc_id").as[Long].collect().toSet
+      val exact = graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 3)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(exact.nonEmpty, "sf0.1 fixture produced no contamination — vacuous")
+      // gate order: only docs that PASSED the cheap gates carry the
+      // contamination verdict, so compare on that population
+      val cheapRejected = gated
+        .filter($"reject_reason".isin("too_short", "lang"))
+        .select($"doc_id").as[Long].collect().toSet
+      val exactGateable = exact -- cheapRejected
+      assert(exactGateable.subsetOf(flagged),
+        s"gate missed exact hits: ${(exactGateable -- flagged).take(5)}")
+      // FPs stay a sliver of the gateable clean docs
+      val gateable = gated.filter($"reject_reason".isNull || $"reject_reason" === "contaminated")
+      val clean = gateable.count() - exactGateable.size
+      assert(flagged.size - exactGateable.size <= math.max(10L, (clean * 0.10).toLong),
+        s"FP rate out of band: ${flagged.size - exactGateable.size} of $clean")
+      // batch ≡ streaming on a mixed slice (includes contaminated docs)
+      implicit val sc = spark.sqlContext
+      val slice = (train.filter($"doc_id".isin(flagged.take(20).toSeq: _*))
+        .unionByName(train.limit(30)))
+        .select($"doc_id", $"text").as[(Long, String)].collect().distinct
+      val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+      val model = graft.data.ModelStore.bytesOrTrain(
+        s"${graft.data.ModelStore.rootFor(dir)}/bloom-n3-$stamp")(
+        sys.error("campaign model must already be persisted by dIngestGate"))
+      val mem = MemoryStream[(Long, String)]
+      val q = CorpusIngest.verdict(
+        mem.toDS().toDF("doc_id", "text"), "text", Seq("en"), 5, Some((model, 3)))
+        .select($"doc_id", $"reject_reason")
+        .writeStream.format("memory").queryName("ingest_sf01").outputMode("append").start()
+      try {
+        val (h, t) = slice.splitAt(slice.length / 2)
+        mem.addData(h: _*); q.processAllAvailable()
+        mem.addData(t: _*); q.processAllAvailable()
+        val streamed = spark.table("ingest_sf01").as[(Long, Option[String])].collect().toMap
+        val batchSlice = gated.filter($"doc_id".isin(slice.map(_._1): _*))
+          .select($"doc_id", $"reject_reason").as[(Long, Option[String])].collect().toMap
+        assert(streamed === batchSlice)
+        assert(streamed.values.exists(_.contains("contaminated")),
+          "parity slice exercised no contaminated verdict — weak check")
+      } finally q.stop()
+    } finally gated.unpersist()
+  }
 }
