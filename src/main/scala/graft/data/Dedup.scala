@@ -502,16 +502,24 @@ object Dedup {
         val assigned = base.withColumn("_bk", Similarity.imiAssign(col("_v"), codebooks))
         (assigned, assigned.select(col(idCol), col("_bk").cast("long").as("cluster")))
       } else {
-        // multi-probe: the per-half dot table is pinned in ComputeOnce —
-        // the top-p argmax passes reference its slices ~3^pSub times, and
-        // inlined each reference would re-run the fused kSub×dim dot nest
+        // multi-probe: the per-half dot table AND each half's top-p list
+        // are pinned in their own ComputeOnce columns — the probe array
+        // references each top list pSub+ times, and the top-p splice fold
+        // references its lut slice ~3^pSub times; inlined, every reference
+        // would re-run the whole subtree (the flat face's _cos precedent)
         val assigned = base
           .withColumn(
             "_lut",
             graft.functions.ComputeOnce(graft.functions.Pq.lut(col("_v"), codebooks)))
-          .withColumn("_bks", Similarity.imiProbeCells(col("_lut"), kSub, pSub))
+          .withColumn(
+            "_t0",
+            graft.functions.ComputeOnce(Similarity.imiTopCodes(col("_lut"), kSub, pSub, 0)))
+          .withColumn(
+            "_t1",
+            graft.functions.ComputeOnce(Similarity.imiTopCodes(col("_lut"), kSub, pSub, 1)))
+          .withColumn("_bks", Similarity.imiProbeCells(col("_t0"), col("_t1"), kSub, pSub))
           .withColumn("_bk0", element_at(col("_bks"), 1))
-          .drop("_lut")
+          .drop("_lut", "_t0", "_t1")
         (assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk")),
          assigned.select(col(idCol), col("_bk0").cast("long").as("cluster")))
       }

@@ -385,6 +385,32 @@ object Similarity {
     math.ceil(math.sqrt(k.toDouble)).toInt
   }
 
+  /** Half-space codebooks for the IMI quantizer: the m=2 [[pqCodebooks]]
+    * seeding with every codeword L2-NORMALIZED (left-to-right sum of
+    * squares, then one division per component — the oracle replays the
+    * identical fold bit-exactly). Normalization makes cell assignment
+    * norm-invariant: argmax dot against unit codewords ≡ per-half COSINE
+    * argmax, matching the flat quantizer's spherical semantics. With raw
+    * seeded codewords the argmax-DOT ranking lets high-norm seeds soak up
+    * disproportionate mass — measured as hotspot cells that blew the
+    * multi-probe semdedup pair join to 13.5× at the sf1 probe (the
+    * per-cell quadratic fence only holds when cells stay balanced).
+    * A zero-norm codeword is left raw (its dots are all 0.0 either way).
+    */
+  def imiCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kSub: Int
+  ): Seq[Seq[Seq[Double]]] =
+    pqCodebooks(corpus, idCol, vecCol, m = 2, k = kSub).map(_.map { cw =>
+      var ss = 0.0
+      var i = 0
+      while (i < cw.length) { ss += cw(i) * cw(i); i += 1 }
+      val norm = math.sqrt(ss)
+      if (norm == 0.0) cw else cw.map(_ / norm)
+    })
+
   /** Two-level product coarse quantizer cell assignment — the
     * sub-linear-in-k scale path for the auto-k families (SemDeDup
     * clustering, seeded-IVF bucketing).
@@ -444,10 +470,19 @@ object Similarity {
     * [[graft.functions.ComputeOnce]]: the top-p argmax passes reference
     * each slice ~3^pSub times.
     */
-  def imiProbeCells(lut: Column, kSub: Int, pSub: Int): Column = {
+  /** Top-pSub codeword indexes for half `h` (0 or 1) of a pinned lut —
+    * callers materialize BOTH halves behind [[graft.functions.ComputeOnce]]
+    * columns before [[imiProbeCells]] references them (the probe array
+    * references each top list pSub+ times, and an inlined top-p subtree
+    * would re-run its whole splice fold per reference).
+    */
+  def imiTopCodes(lut: Column, kSub: Int, pSub: Int, h: Int): Column = {
+    require(h == 0 || h == 1, s"imiTopCodes: h=$h must be 0 or 1")
+    topPFromCosines(slice(lut, h * kSub + 1, kSub), kSub, pSub)
+  }
+
+  def imiProbeCells(top0: Column, top1: Column, kSub: Int, pSub: Int): Column = {
     require(pSub >= 1 && pSub <= kSub, s"imiProbeCells: pSub=$pSub out of 1..$kSub")
-    val top0 = topPFromCosines(slice(lut, 1, kSub), kSub, pSub)
-    val top1 = topPFromCosines(slice(lut, kSub + 1, kSub), kSub, pSub)
     val pairs = (for { r0 <- 0 until pSub; r1 <- 0 until pSub if r0 + r1 < pSub }
       yield (r0, r1)).sortBy { case (r0, r1) => (r0 + r1, r0) }
     array(pairs.map { case (r0, r1) =>

@@ -580,6 +580,16 @@ object DataQueries {
     cbMemo.computeIfAbsent(s"$dir#$m#$k", _ =>
       ModelStore.codebooksOrTrain(spark, annModelPath(dir, s"codebooks-m$m-k$k"))(
         Similarity.pqCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", m, k)))
+  // unit-norm half-space codebooks for the IMI cell quantizer — distinct
+  // model name from the raw PQ codebooks: the ADC faces need RAW codewords
+  // (scores are inner products), the cell quantizer needs NORMALIZED ones
+  // (spherical assignment; see Similarity.imiCodebooks for the hotspot
+  // measurement behind this)
+  private val imiCbMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+  private def imiCodebooksFor(spark: SparkSession, dir: String, kSub: Int): Seq[Seq[Seq[Double]]] =
+    imiCbMemo.computeIfAbsent(s"$dir#$kSub", _ =>
+      ModelStore.codebooksOrTrain(spark, annModelPath(dir, s"imicb-k$kSub"))(
+        Similarity.imiCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", kSub)))
 
   /** Flat-quantizer ceiling for the auto-k faces: up to this k the seeded
     * flat assignment runs (the regime every sf0.01 oracle replays — 16
@@ -609,7 +619,7 @@ object DataQueries {
       } else {
         // auto-k past the flat regime: two-level product cells — √k·dim
         // assignment, √k·dim model (Similarity.imiAssign scaladoc)
-        val cbs = codebooksFor(spark, dir, m = 2, k = Similarity.imiKSub(k))
+        val cbs = imiCodebooksFor(spark, dir, Similarity.imiKSub(k))
         e.withColumn("_bk", Similarity.imiAssign(col("embedding"), cbs))
       }
     Similarity.bucketedTopK(
@@ -656,7 +666,7 @@ object DataQueries {
     else
       Dedup.semanticDedupImi(
         e, "vec_id", "embedding",
-        codebooksFor(spark, dir, m = 2, k = Similarity.imiKSub(k)), threshold = 0.40)
+        imiCodebooksFor(spark, dir, Similarity.imiKSub(k)), threshold = 0.40)
   }
 
   val dSemDedupSql: String =
@@ -918,7 +928,7 @@ object DataQueries {
       // product-quantizer recovery of cross-cell pairs; candidates ×3)
       Dedup.semanticDedupImi(
         e, "vec_id", "embedding",
-        codebooksFor(spark, dir, m = 2, k = Similarity.imiKSub(k)),
+        imiCodebooksFor(spark, dir, Similarity.imiKSub(k)),
         threshold = 0.40, pSub = 2)
   }
 
@@ -958,19 +968,30 @@ object DataQueries {
     */
   private val ImiKSub = 4
   private val ImiSub = 32
-  private def imiDotSql(a: String, b: String) =
-    s"list_reduce(list_transform(range(1, $ImiSub + 1), i -> $a * $b), (x,y) -> x+y)"
-  // shared CTE block: seeds → per-half codes → product cell per vector
+  // per-half unit-normalized codeword component (Similarity.imiCodebooks:
+  // norm = sqrt of the left-to-right sum of squares over the half slice,
+  // zero-norm codewords left raw) — the CASE replays the Scala guard
+  private def imiNormCwSql(mi: String, i: String) =
+    s"(CASE WHEN s.nrm[$mi + 1] = 0 THEN s.cv[$mi * $ImiSub + $i] " +
+      s"ELSE s.cv[$mi * $ImiSub + $i] / s.nrm[$mi + 1] END)"
+  // shared CTE block: seeds → per-half norms → per-half codes (spherical:
+  // argmax dot against UNIT codewords) → product cell per vector
   private val imiCellsSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |seeds AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
        |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $ImiKSub)),
+       |nseeds AS (
+       |  SELECT j, cv, [
+       |    sqrt(list_reduce(list_transform(range(1, $ImiSub + 1), i -> cv[i] * cv[i]), (x,y) -> x+y)),
+       |    sqrt(list_reduce(list_transform(range(1, $ImiSub + 1), i -> cv[$ImiSub + i] * cv[$ImiSub + i]), (x,y) -> x+y))
+       |  ] AS nrm FROM seeds),
        |grid AS (SELECT unnest(range(2)) AS mi),
        |codes0 AS (
        |  SELECT e.vec_id, grid.mi, s.j,
-       |    ${imiDotSql(s"e.v[grid.mi * $ImiSub + i]", s"s.cv[grid.mi * $ImiSub + i]")} AS dotv
-       |  FROM e CROSS JOIN grid CROSS JOIN seeds s),
+       |    list_reduce(list_transform(range(1, $ImiSub + 1), i ->
+       |      e.v[grid.mi * $ImiSub + i] * ${imiNormCwSql("grid.mi", "i")}), (x,y) -> x+y) AS dotv
+       |  FROM e CROSS JOIN grid CROSS JOIN nseeds s),
        |rcodes AS (
        |  SELECT vec_id, mi, j AS code,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY dotv DESC, j ASC) AS rn
@@ -986,7 +1007,7 @@ object DataQueries {
     */
   def sAnnImi(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cbs = codebooksFor(spark, dir, m = 2, k = ImiKSub)
+    val cbs = imiCodebooksFor(spark, dir, ImiKSub)
     val bucketed = e.withColumn("_bk", Similarity.imiAssign(col("embedding"), cbs))
     Similarity.bucketedTopK(
       bucketed, bucketed.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", "_bk", k = 10)
@@ -1012,7 +1033,7 @@ object DataQueries {
   def dSemDedupImi(spark: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedupImi(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
-      codebooksFor(spark, dir, m = 2, k = ImiKSub), threshold = 0.40)
+      imiCodebooksFor(spark, dir, ImiKSub), threshold = 0.40)
 
   val dSemDedupImiSql: String =
     s"""$imiCellsSql,
@@ -1036,7 +1057,7 @@ object DataQueries {
   def dSemDedupImiProbe(spark: SparkSession, dir: String): DataFrame =
     Dedup.semanticDedupImi(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
-      codebooksFor(spark, dir, m = 2, k = ImiKSub), threshold = 0.40, pSub = 2)
+      imiCodebooksFor(spark, dir, ImiKSub), threshold = 0.40, pSub = 2)
 
   val dSemDedupImiProbeSql: String =
     s"""$imiCellsSql,

@@ -382,10 +382,15 @@ class SimilaritySpec extends SparkSpec {
 
   test("IMI: cell fold matches per-half HOF codes; probe list leads with the assign cell") {
     val kSub = 4
-    val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 2, k = kSub)
+    val cbs = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub)
     // model is √k-sized: 2 half-space codebooks of kSub codewords, dim/2 each
     assert(cbs.length === 2 && cbs.forall(_.length === kSub) &&
       cbs.forall(_.forall(_.length === dim / 2)))
+    // spherical quantizer: every codeword is unit-norm (argmax dot against
+    // unit codewords == per-half cosine argmax — the cell-balance fix)
+    cbs.foreach(_.foreach { cw =>
+      assert(math.abs(cw.map(x => x * x).sum - 1.0) < 1e-9, s"non-unit codeword")
+    })
     // bit-parity: the native cell (fused PqEncode + fold) equals the HOF
     // per-half argmax codes folded the same way
     val rows = emb.select(
@@ -403,9 +408,13 @@ class SimilaritySpec extends SparkSpec {
     val probed = emb
       .withColumn("_lut", graft.functions.ComputeOnce(
         graft.functions.Pq.lut($"embedding", cbs)))
+      .withColumn("_t0", graft.functions.ComputeOnce(
+        Similarity.imiTopCodes($"_lut", kSub, 2, 0)))
+      .withColumn("_t1", graft.functions.ComputeOnce(
+        Similarity.imiTopCodes($"_lut", kSub, 2, 1)))
       .select(
         Similarity.imiAssign($"embedding", cbs).as("cell"),
-        Similarity.imiProbeCells($"_lut", kSub, 2).as("pr"))
+        Similarity.imiProbeCells($"_t0", $"_t1", kSub, 2).as("pr"))
       .as[(Int, Seq[Int])].collect()
     probed.foreach { case (cell, pr) =>
       // rank-sum cap at pSub=2: primary + the two single-substitution cells
