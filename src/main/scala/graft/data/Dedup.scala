@@ -217,6 +217,53 @@ object Dedup {
       .select(col("i"), col("j"), floor(col("jaccard") * 1e6).cast("long").as("jac_e6"))
   }
 
+  /** [[minhashPairs]] specialized for CLUSTERING consumers
+    * ([[duplicateClusters]]): exact-text duplicate groups collapse to
+    * their min-id representative BEFORE the LSH pipeline and rejoin as
+    * rep→member STAR edges. Connected components — and therefore every
+    * cluster-grain output — are IDENTICAL to running LSH on the full
+    * corpus: members carry bit-identical shingle sets and signatures to
+    * their representative, so any cross-group true pair exists at rep
+    * level too, and within a group the star provides exactly the
+    * connectivity the all-pairs clique would. But candidate work now
+    * scales with DISTINCT texts plus one linear hash-groupBy: under a
+    * duplicate flood (the factor-100 probe corpus: 500,000 rows, 4,992
+    * distinct texts) the naive within-bucket candidate join grows as
+    * duplicity² — 10⁴× pairs, OOM at any reasonable heap — while this
+    * path pays the distinct-corpus LSH cost. A 100 TB crawl that is 99%
+    * verbatim duplicates stresses the hash-only groupBy, never the
+    * quadratic verifier.
+    *
+    * NOT a drop-in for pair-LIST consumers: the output is a
+    * connectivity-preserving SUBSET of the true pair list (star edges
+    * carry jac_e6 = 1000000 — exact-duplicate pairs ARE jaccard-1 pairs:
+    * [[graft.functions.ShingleHash60]] emits at least one (partial)
+    * shingle for ANY token count, so identical texts always share their
+    * whole shingle set and always collide in every band). Use
+    * [[minhashPairs]] when the pair list itself is the product.
+    */
+  def minhashPairsForClustering(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      rows: Int = 2,
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val base = df.select(col(idCol).as("_sid"), col(textCol).as("_txt"))
+    val grouped = base.withColumn("_th", xxhash64(col("_txt")))
+    val reps = grouped.groupBy(col("_th")).agg(min(col("_sid")).as("_rep"))
+    val withRep = grouped.join(reps, Seq("_th"))
+    val stars = withRep
+      .filter(col("_sid") =!= col("_rep"))
+      .select(col("_rep").as("i"), col("_sid").as("j"), lit(1000000L).as("jac_e6"))
+    val repDocs = withRep
+      .filter(col("_sid") === col("_rep"))
+      .select(col("_sid").as(idCol), col("_txt").as(textCol))
+    minhashPairs(repDocs, idCol, textCol, n, k, rows, threshold).unionByName(stars)
+  }
+
   /** STREAMING near-dup candidate detection — the incremental face of
     * [[minhashPairs]]: documents arrive as a stream, each doc's banded
     * MinHash buckets probe a keyed state of bucket owners

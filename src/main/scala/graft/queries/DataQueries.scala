@@ -270,6 +270,25 @@ object DataQueries {
       Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text").localCheckpoint())
   }
 
+  /** The connectivity-preserving pair subset for the CLUSTER consumers
+    * (`d_dup_clusters`, `d_dup_cluster_stats`, `d_clean_corpus`):
+    * exact-text groups collapsed to reps + star edges
+    * ([[Dedup.minhashPairsForClustering]] — components identical to the
+    * full pair list, so the recursive-CTE oracles replay unchanged, but
+    * candidate work scales with distinct texts instead of duplicity²).
+    */
+  private def clusterPairsShared(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = pairsMemo.synchronized {
+      val it = pairsMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      pairsMemo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    perSession.getOrElseUpdate(
+      s"$dir#clusters",
+      Dedup.minhashPairsForClustering(Tables.documents(spark, dir), "doc_id", "text")
+        .localCheckpoint())
+  }
+
   def dMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsShared(spark, dir)
 
@@ -289,7 +308,7 @@ object DataQueries {
   }
 
   def dDupClusters(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(minhashPairsShared(spark, dir))
+    Dedup.duplicateClusters(clusterPairsShared(spark, dir))
 
   /** Recursive-CTE connected components over the (oracle-replayed) LSH
     * pair list: cluster id = min reachable doc id.
@@ -324,7 +343,7 @@ object DataQueries {
     * two-level aggregation.
     */
   def dDupClusterStats(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(minhashPairsShared(spark, dir))
+    Dedup.duplicateClusters(clusterPairsShared(spark, dir))
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -398,7 +417,7 @@ object DataQueries {
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"))
     val nearDupLosers = Dedup
-      .duplicateClusters(minhashPairsShared(spark, dir))
+      .duplicateClusters(clusterPairsShared(spark, dir))
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")

@@ -62,6 +62,42 @@ class DataOpsSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("minhashPairsForClustering: components identical to the full pair list under a duplicate flood") {
+    val a = "the quick brown fox jumps over the lazy dog today and more padding words here"
+    val aNear = "the quick brown fox jumps over the lazy dog today and more padding words there"
+    val b = "completely different text with many other tokens that share nothing at all ever"
+    // duplicate flood: text `a` ×4 (one group), its near-dup ×3 (second
+    // group, crosses groups via jaccard), `b` ×2 (separate component),
+    // a singleton, and two empty docs (which DO pair: ShingleHash60 emits
+    // one partial shingle at any token count, so identical empties are
+    // jaccard-1 — the full pipeline clusters them and so must the
+    // collapsed one)
+    val docs = (Seq.fill(4)(a).zipWithIndex.map { case (t, i) => (1L + i, t) } ++
+      Seq.fill(3)(aNear).zipWithIndex.map { case (t, i) => (10L + i, t) } ++
+      Seq.fill(2)(b).zipWithIndex.map { case (t, i) => (20L + i, t) } ++
+      Seq((30L, "isolated singleton document with its own vocabulary")) ++
+      Seq((40L, ""), (41L, ""))).toDF("doc_id", "text")
+    def clusters(pairs: org.apache.spark.sql.DataFrame) = Dedup
+      .duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val full = clusters(Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5))
+    val collapsed = clusters(
+      Dedup.minhashPairsForClustering(docs, "doc_id", "text", threshold = 0.5))
+    assert(full === collapsed)
+    // sanity on the geometry itself: a-group + near-group form ONE
+    // component keyed by the min id; b-group and the empty-doc group each
+    // their own; the singleton absent
+    assert(collapsed.view.filterKeys(k => k <= 12).values.toSet === Set(1L))
+    assert(collapsed(20L) === 20L && collapsed(21L) === 20L)
+    assert(collapsed(40L) === 40L && collapsed(41L) === 40L)
+    assert(!collapsed.contains(30L))
+    // and the collapsed pair list is the smaller one (stars, not cliques)
+    val nFull = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).count()
+    val nCollapsed = Dedup
+      .minhashPairsForClustering(docs, "doc_id", "text", threshold = 0.5).count()
+    assert(nCollapsed < nFull, s"collapse did not shrink the edge list: $nCollapsed vs $nFull")
+  }
+
   test("simhash: identical texts equal, near texts close in hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
