@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   * DataQueries (FlatQuantizerMaxK). Models are trained OUTSIDE the timers
   * (the ModelStore train-once contract); results recorded in SCALE.md.
   *
-  * usage: runMain graft.KGrowthProbe [srcDir] [outBase] [maxFactor]
+  * usage: runMain graft.KGrowthProbe [srcDir] [outBase] [maxFactor] [maxFlatK]
+  * (`maxFlatK` caps the FLAT arm: beyond it the flat measurement is
+  * skipped — loudly, never silently — because its O(n·k·dim) work grows
+  * ~100× per decade; the IMI arm runs at every decade)
   */
 object KGrowthProbe {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outBase = if (args.length > 1) args(1) else "/tmp/graft-kgrowth"
     val maxFactor = if (args.length > 2) args(2).toInt else 100
+    val maxFlatK = if (args.length > 3) args(3).toInt else Int.MaxValue
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,8 +51,7 @@ object KGrowthProbe {
       val n = emb.count()
       val k = Similarity.autoK(n)
       val kSub = Similarity.imiKSub(k)
-      val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", k)
-      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 2, k = kSub)
+      val cbs = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub)
       // assignment stage ONLY: materialize the bucket column through the
       // noop sink (1 codegen rep + min of 2 warm, the ScaleProbe protocol)
       def time(c: org.apache.spark.sql.Column): Double = {
@@ -59,7 +62,15 @@ object KGrowthProbe {
         }
         once(); math.min(once(), once())
       }
-      val tFlat = time(Similarity.assignNearest(col("embedding").cast("array<double>"), seeds))
+      val tFlat =
+        if (k <= maxFlatK) {
+          val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", k)
+          time(Similarity.assignNearest(col("embedding").cast("array<double>"), seeds))
+        } else {
+          println(s"[kgrowth] flat arm SKIPPED at k=$k > maxFlatK=$maxFlatK " +
+            "(O(n·k·dim) work; extrapolate from the measured decades)")
+          Double.NaN
+        }
       val tImi = time(Similarity.imiAssign(col("embedding"), cbs))
       println(f"$n%10d $k%8d $kSub%6d $tFlat%10.2f $tImi%10.2f")
       (n, k, kSub, tFlat, tImi)
