@@ -252,7 +252,15 @@ object Dedup {
       threshold: Double = 0.8
   ): DataFrame = {
     val base = df.select(col(idCol).as("_sid"), col(textCol).as("_txt"))
-    val grouped = base.withColumn("_th", xxhash64(col("_txt")))
+    // NULL texts never pair in the full pipeline (null tokens → null
+    // shingle sets → null jaccard, dropped by the filter) — give each a
+    // singleton group so it flows through as its own rep with no star
+    // edge, exactly as the full pipeline treats it (a shared xxhash64(null)
+    // group would mint jaccard-1 star edges the true pair list lacks)
+    val grouped = base.withColumn(
+      "_th",
+      when(col("_txt").isNotNull, concat(lit("t:"), xxhash64(col("_txt"))))
+        .otherwise(concat(lit("n:"), col("_sid"))))
     val reps = grouped.groupBy(col("_th")).agg(min(col("_sid")).as("_rep"))
     val withRep = grouped.join(reps, Seq("_th"))
     val stars = withRep

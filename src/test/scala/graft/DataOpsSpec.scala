@@ -76,7 +76,11 @@ class DataOpsSpec extends SparkSpec {
       Seq.fill(3)(aNear).zipWithIndex.map { case (t, i) => (10L + i, t) } ++
       Seq.fill(2)(b).zipWithIndex.map { case (t, i) => (20L + i, t) } ++
       Seq((30L, "isolated singleton document with its own vocabulary")) ++
-      Seq((40L, ""), (41L, ""))).toDF("doc_id", "text")
+      Seq((40L, ""), (41L, "")) ++
+      // NULL texts: never pair in the full pipeline, so the collapse must
+      // not invent a jaccard-1 group for them
+      Seq((50L, null.asInstanceOf[String]), (51L, null.asInstanceOf[String])))
+      .toDF("doc_id", "text")
     def clusters(pairs: org.apache.spark.sql.DataFrame) = Dedup
       .duplicateClusters(pairs)
       .as[(Long, Long)].collect().toMap
@@ -90,7 +94,7 @@ class DataOpsSpec extends SparkSpec {
     assert(collapsed.view.filterKeys(k => k <= 12).values.toSet === Set(1L))
     assert(collapsed(20L) === 20L && collapsed(21L) === 20L)
     assert(collapsed(40L) === 40L && collapsed(41L) === 40L)
-    assert(!collapsed.contains(30L))
+    assert(!collapsed.contains(30L) && !collapsed.contains(50L) && !collapsed.contains(51L))
     // and the collapsed pair list is the smaller one (stars, not cliques)
     val nFull = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).count()
     val nCollapsed = Dedup
