@@ -256,13 +256,24 @@ object Dedup {
     // shingle sets → null jaccard, dropped by the filter) — give each a
     // singleton group so it flows through as its own rep with no star
     // edge, exactly as the full pipeline treats it (a shared xxhash64(null)
-    // group would mint jaccard-1 star edges the true pair list lacks)
-    val grouped = base.withColumn(
-      "_th",
-      when(col("_txt").isNotNull, concat(lit("t:"), xxhash64(col("_txt"))))
-        .otherwise(concat(lit("n:"), col("_sid"))))
-    val reps = grouped.groupBy(col("_th")).agg(min(col("_sid")).as("_rep"))
-    val withRep = grouped.join(reps, Seq("_th"))
+    // group would mint jaccard-1 star edges the true pair list lacks).
+    // Group membership is decided by TEXT EQUALITY, not the 64-bit digest
+    // alone: the hash only pre-shards the shuffle (_th) while _tk carries
+    // the text into the grouping key, so a birthday-bound xxhash64
+    // collision between two DIFFERENT texts (~n²/2⁶⁵ — no longer
+    // negligible at billion-doc corpora) lands both in one shuffle
+    // partition but in two distinct groups instead of silently merging
+    // them into fabricated jaccard-1 star edges. NULL-text rows get a
+    // per-sid _th, so the sentinel "" in _tk can never collide with a
+    // real empty-string text (those carry the "t:" prefix).
+    val grouped = base
+      .withColumn(
+        "_th",
+        when(col("_txt").isNotNull, concat(lit("t:"), xxhash64(col("_txt"))))
+          .otherwise(concat(lit("n:"), col("_sid"))))
+      .withColumn("_tk", coalesce(col("_txt"), lit("")))
+    val reps = grouped.groupBy(col("_th"), col("_tk")).agg(min(col("_sid")).as("_rep"))
+    val withRep = grouped.join(reps, Seq("_th", "_tk"))
     val stars = withRep
       .filter(col("_sid") =!= col("_rep"))
       .select(col("_rep").as("i"), col("_sid").as("j"), lit(1000000L).as("jac_e6"))

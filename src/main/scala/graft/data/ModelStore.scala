@@ -85,17 +85,81 @@ object ModelStore {
     * otherwise train (by-name), persist, and return them. The reloaded
     * values are the exact IEEE doubles that were saved (SimilaritySpec), so
     * first-run and every-later-run callers compute identical plans.
+    *
+    * The load is race-hardened against [[evictStale]]: a concurrent JVM
+    * still resolving models under an older corpus stamp can pass `done()`
+    * and then lose the directory to another JVM's eviction mid-read. That
+    * reader falls through to retrain-and-persist (the cache contract:
+    * deleting a live model only ever costs one retrain) instead of
+    * surfacing a missing-file read failure — pinned by PropertiesSpec's
+    * evict-under-reader test.
     */
   def centroidsOrTrain(spark: SparkSession, path: String)(
-      train: => Seq[Seq[Double]]): Seq[Seq[Double]] =
-    if (done(path)) loadCentroids(spark, path)
-    else { val m = train; saveCentroids(spark, path, m); m }
+      train: => Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val loaded =
+      if (done(path))
+        try Some(loadCentroids(spark, path))
+        catch { case e: Exception if evictedUnderneath(path, e) => None }
+      else None
+    loaded.getOrElse {
+      val m = train
+      clearTorn(path)
+      saveCentroids(spark, path, m); m
+    }
+  }
 
-  /** [[centroidsOrTrain]] for PQ codebooks. */
+  /** [[centroidsOrTrain]] for PQ codebooks — same evict-race fallback. */
   def codebooksOrTrain(spark: SparkSession, path: String)(
-      train: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
-    if (done(path)) loadCodebooks(spark, path)
-    else { val m = train; saveCodebooks(spark, path, m); m }
+      train: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    val loaded =
+      if (done(path))
+        try Some(loadCodebooks(spark, path))
+        catch { case e: Exception if evictedUnderneath(path, e) => None }
+      else None
+    loaded.getOrElse {
+      val m = train
+      clearTorn(path)
+      saveCodebooks(spark, path, m); m
+    }
+  }
+
+  /** After a load-despite-marker failure, a lingering `_SUCCESS` (the tail
+    * of a mid-flight evict that removed the data files first) would make
+    * the retrain's staged save a silent no-op — writeStaged early-returns
+    * on `done`. Clear the torn directory so the retrained model actually
+    * re-persists. If a concurrent writer committed a GOOD model in the
+    * window, deleting it costs exactly one retrain (the cache contract)
+    * and our save immediately replaces it.
+    */
+  private def clearTorn(path: String): Unit =
+    if (done(path)) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+
+  /** True iff a load failure is the concurrent-eviction race (the model
+    * directory vanished — wholly or file-by-file — between `done()` and
+    * the parquet read) rather than a genuine data error: retraining is the
+    * correct recovery for a vanished cache entry. Two observable shapes:
+    * the directory is already gone when we re-check (`!done`), or the
+    * recursive delete is mid-flight and the read died on missing
+    * files/paths while `_SUCCESS` still lingers (deleteQuietly removes
+    * children in listing order, so a reader can catch the store with data
+    * files gone and the marker not yet). A corrupt-but-PRESENT model
+    * (parquet decode failure on files that exist) still rethrows —
+    * silently retraining over real corruption would mask it.
+    */
+  private def evictedUnderneath(path: String, e: Exception): Boolean =
+    !done(path) || missingUnderneath(e)
+
+  @annotation.tailrec
+  private def missingUnderneath(t: Throwable): Boolean = t match {
+    case null => false
+    case _: java.io.FileNotFoundException => true
+    case _: java.nio.file.NoSuchFileException => true
+    case ae: org.apache.spark.sql.AnalysisException
+        if Option(ae.getCondition).exists(c =>
+          c.contains("PATH_NOT_FOUND") || c.contains("UNABLE_TO_INFER_SCHEMA")) =>
+      true
+    case other => missingUnderneath(other.getCause)
+  }
 
   /** Opaque byte-array models (e.g. a serialized campaign bloom filter):
     * written to a temp file then atomically moved, so a concurrent reader

@@ -296,6 +296,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("evict-under-reader: a model vanishing mid-read falls back to retrain, not a crash") {
+    import graft.data.ModelStore
+    val m = Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    val m2 = Seq(Seq(5.0, 6.0), Seq(7.0, 8.0))
+    // shape 1: eviction mid-delete — parquet data files gone, _SUCCESS
+    // still present (deleteQuietly removes children in listing order, so a
+    // concurrent reader can observe exactly this). done() passes, the read
+    // fails on missing data, and the contract is retrain-and-persist.
+    val base1 = java.nio.file.Files.createTempDirectory("evict-read-1").toString
+    val p1 = s"$base1/model"
+    ModelStore.saveCentroids(spark, p1, m)
+    new java.io.File(p1).listFiles().filter(_.getName != "_SUCCESS").foreach(_.delete())
+    assert(new java.io.File(p1, "_SUCCESS").exists(), "precondition: marker lingers")
+    val recovered = ModelStore.centroidsOrTrain(spark, p1)(m2)
+    assert(recovered === m2, "reader must retrain when the model vanished underneath")
+    // and the retrained model was re-persisted for the next reader
+    assert(ModelStore.centroidsOrTrain(spark, p1)(sys.error("must not retrain")) === m2)
+    // shape 2: same race for codebooks, directory fully gone after done()
+    // is indistinguishable from first-run (covered by the !done branch) —
+    // here pin the mid-delete shape for the codebook loader too
+    val base2 = java.nio.file.Files.createTempDirectory("evict-read-2").toString
+    val p2 = s"$base2/model"
+    val cb = Seq(Seq(Seq(1.0, 2.0)), Seq(Seq(3.0, 4.0)))
+    val cb2 = Seq(Seq(Seq(9.0, 9.0)), Seq(Seq(8.0, 8.0)))
+    ModelStore.saveCodebooks(spark, p2, cb)
+    new java.io.File(p2).listFiles().filter(_.getName != "_SUCCESS").foreach(_.delete())
+    assert(ModelStore.codebooksOrTrain(spark, p2)(cb2) === cb2)
+    // a corrupt-but-present model must STILL rethrow (not silently retrain)
+    val base3 = java.nio.file.Files.createTempDirectory("evict-read-3").toString
+    val p3 = s"$base3/model"
+    ModelStore.saveCentroids(spark, p3, m)
+    new java.io.File(p3).listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, Array.fill[Byte](64)(0x5a))
+    }
+    val ex = intercept[Exception] {
+      ModelStore.centroidsOrTrain(spark, p3)(sys.error("RETRAIN-SENTINEL"))
+    }
+    // the rethrow must be the decode failure, not the retrain path firing
+    assert(!String.valueOf(ex.getMessage).contains("RETRAIN-SENTINEL"),
+      "corrupt-but-present model silently retrained instead of rethrowing")
+  }
+
   test("property: compact preserves the exact row multiset under heavy duplication") {
     // exact duplicate rows share one xxhash64 tiebreaker value — the
     // retry-determinism trade-off must never cost a row or mint one

@@ -35,9 +35,23 @@ def main() -> int:
     # each correction multiplies the floor and must carry cross-round
     # driver-side evidence in the adjacent "_note" key.
     corrections = floors_doc.get("harness_corrections", {})
+    applied = []
     for q, factor in corrections.items():
-        if q in floors and not q.startswith("_"):
+        if q.startswith("_"):
+            continue  # evidence keys (_note, _note_<q>), not corrections
+        # every correction must carry adjacent evidence: a bare factor is
+        # an invisible loosening of the regression gate — refuse to run.
+        if not any(k in corrections for k in (f"_note_{q}", "_note")):
+            print(f"FAIL: harness correction for '{q}' lacks an adjacent "
+                  f"_note/_note_{q} evidence entry in BENCH_FLOORS.json")
+            return 1
+        if q in floors:
             floors[q] = floors[q] * factor
+            applied.append((q, factor, floors[q]))
+    # corrections are never silent: show exactly how much each one loosens
+    # the gate so a regression can't hide behind an inflated floor.
+    for q, factor, eff in applied:
+        print(f"harness correction applied: {q} floor x{factor:.3f} -> {eff:.2f}s")
     run = json.load(open(bench_path))
     cur = run["queries"]
 
