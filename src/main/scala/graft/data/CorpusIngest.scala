@@ -74,6 +74,56 @@ object CorpusIngest {
       .drop("_toks")
   }
 
+  /** The EXACT-membership sibling of the bloom at-ingest gate: same gate
+    * order and output contract as [[verdict]] (`too_short` before `lang`
+    * before `contaminated`, reason NULL for accepted docs), but the
+    * contamination verdict is decided by exact n-gram membership against
+    * the eval set — a broadcast-sized distinct-gram join, no false
+    * positives — instead of the bloom probe.
+    *
+    * This is the AUDIT face of the gate: fully replayable by a SQL oracle
+    * (exact set membership is engine-independent; the bloom's bit layout
+    * is not), so the tokenize / lang-id / gate-order plumbing shared with
+    * the production bloom face gets a rows+schema+hash correctness row.
+    * Production ingest keeps [[verdict]]'s bloom (one codegen probe per
+    * gram, no join); this face re-tokenizes the cheap-gate survivors for
+    * the gram join — an extra pass you'd only pay in an audit run.
+    * The contaminated-id set is eval-overlap-sized; the join back to the
+    * verdict frame is id-keyed, so AQE broadcasts it when small and
+    * shuffles safely when a pathological corpus overlaps the eval set
+    * wholesale.
+    */
+  def verdictExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      allowedLangs: Seq[String],
+      minTokens: Int,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int
+  ): DataFrame = {
+    val base = verdict(docs, textCol, allowedLangs, minTokens, None)
+    val survivors = base.filter(col("reject_reason").isNull)
+    val benchGrams = bench
+      .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(benchTextCol))))
+      .select(explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
+      .distinct()
+    val contaminated = survivors
+      .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
+      .select(col(idCol), explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
+      .join(broadcast(benchGrams), Seq("_g"))
+      .select(col(idCol))
+      .distinct()
+      .withColumn("_contaminated", lit(true))
+    base
+      .join(contaminated, Seq(idCol), "left")
+      .withColumn(
+        "reject_reason",
+        coalesce(col("reject_reason"), when(col("_contaminated"), lit("contaminated"))))
+      .drop("_contaminated")
+  }
+
   /** The composed streaming pipeline: (accepted stream, near-dup hit
     * stream). Accepted = verdict-clean docs; the hit stream flags any
     * accepted doc whose MinHash bands collide with an earlier accepted doc

@@ -1530,6 +1530,66 @@ object DataQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("reject_reason"))
   }
 
+  /** The AUDIT sibling of [[dIngestGate]]: identical plumbing through
+    * [[CorpusIngest]] (same cheap gates, gate order, output shape) but the
+    * contamination verdict is EXACT n-gram membership against the eval
+    * slice ([[CorpusIngest.verdictExact]]) instead of the bloom probe — no
+    * false positives, fully DuckDB-replayable, so the gate's tokenize /
+    * lang-id / reject-reason logic carries a full rows+schema+hash
+    * correctness row (the bloom face stays rows-only by design: its bit
+    * layout is not oracle-replayable and its FPs are the documented
+    * ingest trade).
+    */
+  def dIngestGateExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusIngest.verdictExact(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      "doc_id", "text", allowedLangs = Seq("en"), minTokens = 5,
+      bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      benchTextCol = "text", n = 3)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("reject_reason"))
+  }
+
+  val dIngestGateExactSql: String = {
+    val profs = TextAnalysis.langProfiles
+    val scoreExprs = profs
+      .map { case (l, ws) =>
+        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_filter(t, x -> list_contains($lst, x))) AS s_$l"
+      }
+      .mkString(",\n  ")
+    val langs = profs.map(_._1)
+    val argmax = langs.init.zipWithIndex
+      .map { case (l, i) =>
+        val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }
+      .mkString("\n    ")
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val langCase =
+      s"CASE WHEN $allZero THEN 'und'\n    $argmax\n    ELSE '${langs.last}' END"
+    s"""WITH $toksCte,
+       |grams AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t)-2, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS g
+       |  FROM toks),
+       |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+       |cont AS (
+       |  SELECT DISTINCT doc_id FROM grams JOIN bg USING (g) WHERE doc_id % 97 <> 0),
+       |scored AS (
+       |  SELECT doc_id, t, len(t) AS n_tokens, $scoreExprs
+       |  FROM toks WHERE doc_id % 97 <> 0)
+       |SELECT doc_id,
+       |  $langCase AS lang,
+       |  n_tokens,
+       |  CASE WHEN t IS NULL OR n_tokens < 5 THEN 'too_short'
+       |    WHEN ($langCase) <> 'en' THEN 'lang'
+       |    WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+       |  END AS reject_reason
+       |FROM scored""".stripMargin
+  }
+
   // ------------------------------------------------------ BM25 ranking
   /** Top-50 docs for a 3-term topic query, rational-idf BM25 (see
     * [[TextAnalysis.bm25TopK]] for why the log-free variant hash-matches).
@@ -2016,6 +2076,7 @@ object DataQueries {
     "d_decontaminate_bloom" -> dDecontaminateBloom,
     "d_decontaminate_campaign" -> dDecontaminateCampaign,
     "d_ingest_gate" -> dIngestGate,
+    "d_ingest_gate_exact" -> dIngestGateExact,
     "d_semdedup" -> dSemDedup,
     "d_semdedup_probe2" -> dSemDedupProbe2,
     "d_semdedup_imi" -> dSemDedupImi,
@@ -2073,6 +2134,7 @@ object DataQueries {
     "d_decontaminate" -> dDecontaminateSql,
     "d_decontaminate_bloom" -> dDecontaminateBloomSql,
     "d_decontaminate_campaign" -> dDecontaminateCampaignSql,
+    "d_ingest_gate_exact" -> dIngestGateExactSql,
     "d_semdedup" -> dSemDedupSql,
     "d_semdedup_probe2" -> dSemDedupProbe2Sql,
     "d_semdedup_imi" -> dSemDedupImiSql,

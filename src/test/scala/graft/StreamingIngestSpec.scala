@@ -172,4 +172,44 @@ class StreamingIngestSpec extends SparkSpec {
       } finally q.stop()
     } finally gated.unpersist()
   }
+
+  test("verdictExact ≡ bloom gate minus FPs: exact face flags exactly the gateable exact hits") {
+    // the d_ingest_gate_exact entry's semantic tie to the bloom face: same
+    // gate order and cheap-gate verdicts, and its 'contaminated' set is
+    // EXACTLY the exact-join hits that survive the cheap gates (no FPs) —
+    // i.e. a subset of what the bloom face flags
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val bench = docs.filter(pmod($"doc_id", lit(97)) === 0)
+    val train = docs.filter(pmod($"doc_id", lit(97)) =!= 0)
+    val exactFace = graft.queries.DataQueries.dIngestGateExact(spark, dir).cache()
+    try {
+      assert(exactFace.count() === train.count())
+      val flaggedExact = exactFace.filter($"reject_reason" === "contaminated")
+        .select($"doc_id").as[Long].collect().toSet
+      val cheapRejected = exactFace
+        .filter($"reject_reason".isin("too_short", "lang"))
+        .select($"doc_id").as[Long].collect().toSet
+      val exactHits = graft.data.Decontaminate.hits(train, bench, "doc_id", "text", n = 3)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(flaggedExact === (exactHits -- cheapRejected),
+        "exact face must flag exactly the cheap-gate-surviving exact hits")
+      assert(flaggedExact.nonEmpty, "sf0.01 produced no exact contamination — vacuous")
+      // subset of the bloom face's flags (bloom adds only FPs on top)
+      val bloomFlagged = graft.queries.DataQueries.dIngestGate(spark, dir)
+        .filter($"reject_reason" === "contaminated")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(flaggedExact.subsetOf(bloomFlagged),
+        s"bloom face missed exact hits: ${(flaggedExact -- bloomFlagged).take(5)}")
+      // cheap-gate verdicts agree between the two faces row-for-row
+      val bloomCheap = graft.queries.DataQueries.dIngestGate(spark, dir)
+        .filter($"reject_reason".isin("too_short", "lang"))
+        .select($"doc_id", $"reject_reason").as[(Long, String)].collect().toMap
+      val exactCheap = exactFace
+        .filter($"reject_reason".isin("too_short", "lang"))
+        .select($"doc_id", $"reject_reason").as[(Long, String)].collect().toMap
+      assert(exactCheap === bloomCheap)
+    } finally exactFace.unpersist()
+  }
 }
