@@ -38,7 +38,8 @@ object KGrowthProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.data.Similarity
     val factors = Iterator.iterate(1)(_ * 10).takeWhile(_ <= maxFactor).toVector
-    println(f"${"n"}%10s ${"k"}%8s ${"kSub"}%6s ${"flat(s)"}%10s ${"imi(s)"}%10s")
+    println(f"${"n"}%10s ${"k"}%8s ${"kSub"}%6s ${"flat(s)"}%10s ${"imi(s)"}%10s " +
+      f"${"train(s)"}%9s ${"skewSeed"}%9s ${"skewTrn"}%8s ${"cells"}%8s ${"heapMB"}%7s")
     val rows = factors.map { f =>
       val dir =
         if (f == 1) srcDir
@@ -51,7 +52,11 @@ object KGrowthProbe {
       val n = emb.count()
       val k = Similarity.autoK(n)
       val kSub = Similarity.imiKSub(k)
-      val cbs = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub)
+      val cbsSeed = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub)
+      val t0 = System.nanoTime()
+      val cbsTrained = Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSub, iters = 2, sampleN = 256)
+      val tTrain = (System.nanoTime() - t0) / 1e9
       // assignment stage ONLY: materialize the bucket column through the
       // noop sink (1 codegen rep + min of 2 warm, the ScaleProbe protocol)
       def time(c: org.apache.spark.sql.Column): Double = {
@@ -62,6 +67,19 @@ object KGrowthProbe {
         }
         once(); math.min(once(), once())
       }
+      // cell-size skew (VERDICT r11 #2): max/mean over NON-EMPTY cells —
+      // the per-cell quadratic fence only holds while cells stay balanced,
+      // so the probe records whether Lloyd refinement actually narrows the
+      // hotspot the seeded codebooks might leave under content-correlated
+      // ids. Also reports how many of the kSub² product cells are live.
+      def skewOf(cbs: Seq[Seq[Seq[Double]]]): (Double, Long) = {
+        val r = emb.withColumn("_bk", Similarity.imiAssign(col("embedding"), cbs))
+          .groupBy(col("_bk")).count()
+          .agg(max(col("count")).as("mx"), avg(col("count")).as("mean"),
+            count(lit(1)).as("cells"))
+          .collect()(0)
+        (r.getLong(0) / r.getDouble(1), r.getLong(2))
+      }
       val tFlat =
         if (k <= maxFlatK) {
           val seeds = Similarity.seedCentroids(emb, "vec_id", "embedding", k)
@@ -71,8 +89,16 @@ object KGrowthProbe {
             "(O(n·k·dim) work; extrapolate from the measured decades)")
           Double.NaN
         }
-      val tImi = time(Similarity.imiAssign(col("embedding"), cbs))
-      println(f"$n%10d $k%8d $kSub%6d $tFlat%10.2f $tImi%10.2f")
+      val tImi = time(Similarity.imiAssign(col("embedding"), cbsTrained))
+      // assignment-stage heap (VERDICT r11 #7): used heap right after the
+      // timed runs — at n=20M the ~√k·dim model is no longer trivially
+      // cached per task, so record what the stage actually held live
+      val rt = Runtime.getRuntime
+      val heapMB = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      val (skewSeed, _) = skewOf(cbsSeed)
+      val (skewTrained, cellsLive) = skewOf(cbsTrained)
+      println(f"$n%10d $k%8d $kSub%6d $tFlat%10.2f $tImi%10.2f " +
+        f"$tTrain%9.2f $skewSeed%9.2f $skewTrained%8.2f $cellsLive%8d $heapMB%7d")
       (n, k, kSub, tFlat, tImi)
     }
     rows.sliding(2).foreach {

@@ -411,6 +411,108 @@ object Similarity {
       if (norm == 0.0) cw else cw.map(_ / norm)
     })
 
+  /** [[imiCodebooks]] + a fixed number of DETERMINISTIC spherical-Lloyd
+    * refinement iterations per half — the trained production codebooks,
+    * still oracle-replayable bit-for-bit (VERDICT r11 #2).
+    *
+    * Id-ordered seeds fixed the measured argmax-dot hotspot (normalize →
+    * per-half cosine), but seed VECTORS are still whatever the smallest
+    * ids happen to contain — under content-correlated ids the cells can
+    * skew. Lloyd refinement moves each codeword to the (normalized) mean
+    * of its assigned half-vectors, the standard k-means balance/quality
+    * step. Unlike [[trainCentroids]] (distributed float averaging — NOT
+    * order-replayable), every step here is pinned to a deterministic
+    * order, so a SQL oracle replays the whole training bit-for-bit:
+    *   - training sample: the `sampleN` rows smallest by
+    *     `(md5(cast(id as string)), id)` — content-DEcorrelated (md5
+    *     scrambles any id-content correlation), engine-independent, and a
+    *     bounded driver value (sample-based codebook training is the
+    *     standard production practice — the model has √k·dim/2 free
+    *     parameters per half, thousands of sample rows saturate it);
+    *   - assignment: per-half argmax dot against unit codewords,
+    *     components folded left-to-right, ties to the lowest codeword
+    *     index (the [[imiAssign]]/[[pqEncode]] contract);
+    *   - update: per-component sum over members in ASCENDING ID order,
+    *     one division by the member count, then the [[imiCodebooks]]
+    *     normalization (left-to-right sum of squares; zero-norm raw);
+    *     empty cells keep their previous codeword.
+    * The oracle unrolls `iters` iterations as chained CTEs (fixed count —
+    * no data-dependent convergence test, by construction).
+    *
+    * `idCol` must be integral (the update fold sorts members by id).
+    */
+  def imiCodebooksTrained(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kSub: Int,
+      iters: Int,
+      sampleN: Int
+  ): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 0, s"imiCodebooksTrained: iters must be >= 0, got $iters")
+    require(sampleN >= kSub, s"imiCodebooksTrained: sampleN=$sampleN < kSub=$kSub")
+    val seeded = imiCodebooks(corpus, idCol, vecCol, kSub)
+    if (iters == 0) return seeded
+    val sample = corpus
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dim = sample.head._2.length
+    require(dim % 2 == 0, s"imiCodebooksTrained: dim $dim not divisible by 2")
+    val sub = dim / 2
+    val halves: Array[Array[(Long, Array[Double])]] = Array.tabulate(2) { mi =>
+      sample.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)) }
+    }
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    var cbs = seeded
+    (0 until iters).foreach { _ =>
+      cbs = (0 until 2).map { mi =>
+        val cws = cbs(mi)
+        // assignment: strict > scan keeps the LOWEST index on ties
+        val assigned = halves(mi).map { case (id, hv) =>
+          var bestJ = 0
+          var bestD = dot(hv, cws(0))
+          var j = 1
+          while (j < kSub) {
+            val d = dot(hv, cws(j))
+            if (d > bestD) { bestD = d; bestJ = j }
+            j += 1
+          }
+          (bestJ, id, hv)
+        }
+        (0 until kSub).map { j =>
+          // halves(mi) is ascending-id, filter preserves order — the fold
+          // below adds members in ascending id order, the replayable order
+          val members = assigned.filter(_._1 == j)
+          if (members.isEmpty) cws(j)
+          else {
+            val cnt = members.length
+            val mean = new Array[Double](sub)
+            members.foreach { case (_, _, hv) =>
+              var i = 0
+              while (i < sub) { mean(i) += hv(i); i += 1 }
+            }
+            var i = 0
+            while (i < sub) { mean(i) /= cnt; i += 1 }
+            var ss = 0.0
+            i = 0
+            while (i < sub) { ss += mean(i) * mean(i); i += 1 }
+            val nrm = math.sqrt(ss)
+            (if (nrm == 0.0) mean else mean.map(_ / nrm)).toVector
+          }
+        }.toVector
+      }.toVector
+    }
+    cbs
+  }
+
   /** Two-level product coarse quantizer cell assignment — the
     * sub-linear-in-k scale path for the auto-k families (SemDeDup
     * clustering, seeded-IVF bucketing).

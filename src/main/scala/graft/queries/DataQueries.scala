@@ -604,11 +604,20 @@ object DataQueries {
   // (scores are inner products), the cell quantizer needs NORMALIZED ones
   // (spherical assignment; see Similarity.imiCodebooks for the hotspot
   // measurement behind this)
+  // Lloyd-trained (deterministic, oracle-replayable — the fixture SQL
+  // unrolls both iterations; Similarity.imiCodebooksTrained scaladoc).
+  // Training params live in the model NAME so an algorithm change can
+  // never silently reuse a previous generation's persisted codebooks.
+  private[queries] val ImiTrainIters = 2
+  private[queries] val ImiTrainSample = 256
   private val imiCbMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
   private def imiCodebooksFor(spark: SparkSession, dir: String, kSub: Int): Seq[Seq[Seq[Double]]] =
     imiCbMemo.computeIfAbsent(s"$dir#$kSub", _ =>
-      ModelStore.codebooksOrTrain(spark, annModelPath(dir, s"imicb-k$kSub"))(
-        Similarity.imiCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", kSub)))
+      ModelStore.codebooksOrTrain(
+        spark, annModelPath(dir, s"imicb-k$kSub-i$ImiTrainIters-s$ImiTrainSample"))(
+        Similarity.imiCodebooksTrained(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", kSub,
+          iters = ImiTrainIters, sampleN = ImiTrainSample)))
 
   /** Flat-quantizer ceiling for the auto-k faces: up to this k the seeded
     * flat assignment runs (the regime every sf0.01 oracle replays — 16
@@ -987,39 +996,79 @@ object DataQueries {
     */
   private val ImiKSub = 4
   private val ImiSub = 32
-  // per-half unit-normalized codeword component (Similarity.imiCodebooks:
-  // norm = sqrt of the left-to-right sum of squares over the half slice,
-  // zero-norm codewords left raw) — the CASE replays the Scala guard
-  private def imiNormCwSql(mi: String, i: String) =
-    s"(CASE WHEN s.nrm[$mi + 1] = 0 THEN s.cv[$mi * $ImiSub + $i] " +
-      s"ELSE s.cv[$mi * $ImiSub + $i] / s.nrm[$mi + 1] END)"
-  // shared CTE block: seeds → per-half norms → per-half codes (spherical:
-  // argmax dot against UNIT codewords) → product cell per vector
-  private val imiCellsSql: String =
+  // per-half unit normalization of a mean/seed vector — the CASE replays
+  // the Scala zero-norm-left-raw guard, norms as the left-to-right
+  // sum-of-squares fold (Similarity.imiCodebooks / imiCodebooksTrained)
+  private def imiNrmSql(v: String) =
+    s"sqrt(list_reduce(list_transform($v, x -> x * x), (x,y) -> x+y))"
+  // one unrolled deterministic-Lloyd iteration: assign the training
+  // sample to `prev`'s codewords (argmax dot, ties -> lowest j), then
+  // move each codeword to the normalized per-component mean of its
+  // members folded in ASCENDING vec_id order (list(hv ORDER BY vec_id)
+  // then a left list_reduce — the exact order the Scala trainer uses);
+  // empty cells keep their previous codeword
+  private def imiLloydIterSql(prev: String, cur: String): String =
+    s"""a_$cur AS (
+       |  SELECT sh.vec_id, sh.mi, sh.hv, cb.j,
+       |    ROW_NUMBER() OVER (PARTITION BY sh.vec_id, sh.mi ORDER BY
+       |      list_reduce(list_transform(range(1, $ImiSub + 1), i -> sh.hv[i] * cb.cw[i]), (x,y) -> x+y) DESC,
+       |      cb.j ASC) AS rn
+       |  FROM sh JOIN $prev cb ON cb.mi = sh.mi),
+       |u_$cur AS (
+       |  SELECT mi, j, list_transform(range(1, $ImiSub + 1), i ->
+       |    list_reduce(list_transform(lst, x -> x[i]), (x,y) -> x+y) / cnt) AS mv
+       |  FROM (SELECT mi, j, list(hv ORDER BY vec_id) AS lst, COUNT(*) AS cnt
+       |        FROM a_$cur WHERE rn = 1 GROUP BY mi, j)),
+       |$cur AS (
+       |  SELECT c.mi, c.j,
+       |    CASE WHEN u.mv IS NULL THEN c.cw
+       |         WHEN ${imiNrmSql("u.mv")} = 0 THEN u.mv
+       |         ELSE list_transform(u.mv, x -> x / ${imiNrmSql("u.mv")}) END AS cw
+       |  FROM $prev c LEFT JOIN u_$cur u ON u.mi = c.mi AND u.j = c.j)""".stripMargin
+  // shared CTE block: seeded codebooks → md5-ordered training sample →
+  // ImiTrainIters unrolled Lloyd iterations → per-half codes of the FULL
+  // corpus against the TRAINED codewords → product cell per vector.
+  // Exports `e`, `rcodes`, `cells` to the downstream query SQL.
+  private val imiCellsSql: String = {
+    require(ImiTrainIters == 2, "imiCellsSql unrolls exactly ImiTrainIters=2 Lloyd iterations")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |seeds AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
-       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $ImiKSub)),
-       |nseeds AS (
-       |  SELECT j, cv, [
-       |    sqrt(list_reduce(list_transform(range(1, $ImiSub + 1), i -> cv[i] * cv[i]), (x,y) -> x+y)),
-       |    sqrt(list_reduce(list_transform(range(1, $ImiSub + 1), i -> cv[$ImiSub + i] * cv[$ImiSub + i]), (x,y) -> x+y))
-       |  ] AS nrm FROM seeds),
-       |grid AS (SELECT unnest(range(2)) AS mi),
-       |codes0 AS (
-       |  SELECT e.vec_id, grid.mi, s.j,
-       |    list_reduce(list_transform(range(1, $ImiSub + 1), i ->
-       |      e.v[grid.mi * $ImiSub + i] * ${imiNormCwSql("grid.mi", "i")}), (x,y) -> x+y) AS dotv
-       |  FROM e CROSS JOIN grid CROSS JOIN nseeds s),
+       |hm AS (SELECT unnest(range(2)) AS mi),
+       |cb_0 AS (
+       |  SELECT mi, j,
+       |    CASE WHEN ${imiNrmSql("hv")} = 0 THEN hv
+       |         ELSE list_transform(hv, x -> x / ${imiNrmSql("hv")}) END AS cw
+       |  FROM (
+       |    SELECT hm.mi AS mi, s.j AS j,
+       |      list_transform(range(1, $ImiSub + 1), i -> s.sv[hm.mi * $ImiSub + i]) AS hv
+       |    FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS sv
+       |          FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $ImiKSub)) s
+       |    CROSS JOIN hm)),
+       |samp AS (
+       |  SELECT vec_id, v FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $ImiTrainSample),
+       |sh AS (
+       |  SELECT vec_id, hm.mi AS mi,
+       |    list_transform(range(1, $ImiSub + 1), i -> v[hm.mi * $ImiSub + i]) AS hv
+       |  FROM samp CROSS JOIN hm),
+       |${imiLloydIterSql("cb_0", "cb_1")},
+       |${imiLloydIterSql("cb_1", "cb_2")},
        |rcodes AS (
        |  SELECT vec_id, mi, j AS code,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY dotv DESC, j ASC) AS rn
-       |  FROM codes0),
+       |  FROM (
+       |    SELECT eh.vec_id, eh.mi, cb.j,
+       |      list_reduce(list_transform(range(1, $ImiSub + 1), i -> eh.hv[i] * cb.cw[i]), (x,y) -> x+y) AS dotv
+       |    FROM (
+       |      SELECT vec_id, hm.mi AS mi,
+       |        list_transform(range(1, $ImiSub + 1), i -> v[hm.mi * $ImiSub + i]) AS hv
+       |      FROM e CROSS JOIN hm) eh
+       |    JOIN cb_2 cb ON cb.mi = eh.mi)),
        |cells AS (
        |  SELECT c0.vec_id, c0.code * $ImiKSub + c1.code AS bk
        |  FROM rcodes c0 JOIN rcodes c1
        |    ON c0.vec_id = c1.vec_id AND c0.mi = 0 AND c1.mi = 1
        |   AND c0.rn = 1 AND c1.rn = 1)""".stripMargin
+  }
 
   /** IVF ANN over the IMI product cells — the auto-k scale path's bucket
     * shape at fixture scale (see [[ImiKSub]]).

@@ -429,6 +429,52 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IMI Lloyd training: deterministic, monotone on its sample objective, unit-norm, moves the seeds") {
+    val kSub = 4
+    val seeded = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub)
+    val trained = Similarity.imiCodebooksTrained(
+      emb, "vec_id", "embedding", kSub, iters = 2, sampleN = 256)
+    // deterministic: bit-identical across calls; iters=0 IS the seeding
+    assert(trained === Similarity.imiCodebooksTrained(
+      emb, "vec_id", "embedding", kSub, iters = 2, sampleN = 256))
+    assert(Similarity.imiCodebooksTrained(
+      emb, "vec_id", "embedding", kSub, iters = 0, sampleN = 256) === seeded)
+    // shape preserved; every codeword stays unit-norm (or zero-norm raw)
+    assert(trained.length === 2 && trained.forall(_.length === kSub) &&
+      trained.forall(_.forall(_.length === dim / 2)))
+    trained.foreach(_.foreach { cw =>
+      val n2 = cw.map(x => x * x).sum
+      assert(n2 == 0.0 || math.abs(n2 - 1.0) < 1e-9, "trained codeword not unit-norm")
+    })
+    // refinement must actually move the codebooks off the id-ordered seeds
+    assert(trained !== seeded, "Lloyd iterations were a no-op on the fixture")
+    // spherical k-means monotonicity ON ITS TRAINING SAMPLE: the summed
+    // best-codeword dot never decreases per iteration (assignment picks the
+    // argmax; the normalized mean is the unit argmax of the summed dot)
+    val sample = emb
+      .select($"vec_id".cast("long").as("_id"), $"embedding".cast("array<double>").as("_v"))
+      .orderBy(md5($"_id".cast("string")), $"_id")
+      .limit(256)
+      .as[(Long, Seq[Double])].collect()
+    def objective(cbs: Seq[Seq[Seq[Double]]]): Double =
+      sample.map { case (_, v) =>
+        (0 until 2).map { mi =>
+          val hv = v.slice(mi * (dim / 2), (mi + 1) * (dim / 2))
+          cbs(mi).map(cw => hv.lazyZip(cw).map(_ * _).sum).max
+        }.sum
+      }.sum
+    val objs = (0 to 2).map(i => objective(Similarity.imiCodebooksTrained(
+      emb, "vec_id", "embedding", kSub, iters = i, sampleN = 256)))
+    objs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-9, s"objective decreased across an iteration: $objs")
+    }
+    assert(objs.last > objs.head, s"two iterations produced zero objective gain: $objs")
+    // assignment against trained codebooks still yields valid product cells
+    val cells = emb.select(Similarity.imiAssign($"embedding", trained).as("c"))
+      .as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < kSub * kSub))
+  }
+
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
     import graft.data.{ModelStore, Similarity}
     val base = java.nio.file.Files.createTempDirectory("modelstore").toString
