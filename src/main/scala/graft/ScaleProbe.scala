@@ -55,7 +55,8 @@ object KGrowthProbe {
       val cbsSeed = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub)
       val t0 = System.nanoTime()
       val cbsTrained = Similarity.imiCodebooksTrained(
-        emb, "vec_id", "embedding", kSub, iters = 2, sampleN = 256)
+        emb, "vec_id", "embedding", kSub, iters = 2,
+        sampleN = Similarity.imiTrainSampleN(kSub))
       val tTrain = (System.nanoTime() - t0) / 1e9
       // assignment stage ONLY: materialize the bucket column through the
       // noop sink (1 codegen rep + min of 2 warm, the ScaleProbe protocol)
@@ -193,15 +194,29 @@ object ScaleProbe {
         if (target.exists())
           org.apache.commons.io.FileUtils.deleteDirectory(target)
         val src = spark.read.parquet(s"$srcDir/$table.parquet")
-        val copies =
-          if (shifts.isEmpty) Seq(src)
-          else (0 until factor).map { i =>
-            shifts.foldLeft(src) { case (df, (c, stride)) =>
-              df.withColumn(c, col(c) + lit(i * stride))
-            }
-          }
-        copies.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+        val scaled =
+          if (shifts.isEmpty) src
+          else if (factor > 1000)
+            // a factor-way union is a 10⁴-branch Catalyst plan (analysis
+            // alone chokes) — generate copies as a DISTRIBUTED range ×
+            // broadcast source instead: parallelism comes from the range
+            // partitions, each task stamps its copy indexes onto the
+            // broadcast rows. Only the small probe tables (embeddings at
+            // the k-growth fourth decade) take this path, so the
+            // broadcast stays model-sized.
+            shifts.foldLeft(
+              spark.range(0, factor, 1, spark.sparkContext.defaultParallelism)
+                .select(col("id").as("_ci"))
+                .crossJoin(broadcast(src))) { case (df, (c, stride)) =>
+              df.withColumn(c, col(c) + col("_ci") * stride)
+            }.drop("_ci")
+          else
+            (0 until factor).map { i =>
+              shifts.foldLeft(src) { case (df, (c, stride)) =>
+                df.withColumn(c, col(c) + lit(i * stride))
+              }
+            }.reduce(_ unionByName _)
+        scaled.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
         // failure direction is safe (rebuild next run) but must be loud —
         // a silently unwritable marker means paying a full rebuild forever
         if (!marker.createNewFile())

@@ -161,6 +161,26 @@ object Dedup {
   /** LSH candidate pairs: signatures banded (bands of `rows` hashes), docs
     * sharing any band bucket become candidates; candidates are verified with
     * true n-gram Jaccard >= threshold (two-phase, like production LSH).
+    *
+    * ==Duplicate-flood stance (the pair-LIST face)==
+    * The within-bucket candidate join is inherently duplicity²-quadratic:
+    * a corpus that is 99% verbatim copies of one document puts all copies
+    * in one bucket in EVERY band, and the d² candidate pairs are all TRUE
+    * jaccard-1 pairs — the quadratic lives in the OUTPUT, not just the
+    * work, so no candidate-side trick can fence it. This face therefore
+    * carries a LOUD per-bucket guard: before the join, any band bucket
+    * holding more than `maxBucketRows` docs fails the job with the top
+    * offender sizes — never a silent truncation (a capped pair list would
+    * read as "all near-dup pairs" downstream while missing the densest
+    * mass). Flood-shaped corpora have two supported contracts instead:
+    * [[minhashPairsForClustering]] when the consumer is cluster-grain
+    * (exact-dup groups collapse to min-id reps + star edges — candidate
+    * work scales with DISTINCT texts), or collapse+expand for pair
+    * consumers: run THIS face over the distinct-text reps, keep the
+    * rep→member map from the exact-dup groupBy, and expand rep pairs to
+    * member pairs lazily where the consumer actually needs them.
+    * DataOpsSpec pins the guard firing under a crafted flood and the
+    * clustering face sailing through the same corpus.
     */
   def minhashPairs(
       df: DataFrame,
@@ -169,9 +189,11 @@ object Dedup {
       n: Int = 3,
       k: Int = 16,
       rows: Int = 2,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBucketRows: Int = 10000
   ): DataFrame = {
     require(k % rows == 0, "k must be divisible by band rows")
+    require(maxBucketRows > 0, "maxBucketRows must be positive")
     val sig = minhashSignatures(df, idCol, textCol, n, k)
     val nBands = k / rows
     val bands = array((0 until nBands).map { b =>
@@ -182,6 +204,25 @@ object Dedup {
     }: _*)
     val banded = sig.select(col("sid"), explode(bands).as("bb"))
       .select(col("sid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // the flood guard: one (band,bucket)-count pass before the quadratic
+    // join — an extra linear scan buys the failure mode "clear error with
+    // the offender sizes" instead of "executor OOM mid-join"
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketRows)
+      .orderBy(col("_bc").desc)
+      .limit(3)
+      .collect()
+    if (oversized.nonEmpty) {
+      val tops = oversized.map(r => s"band=${r.get(0)} rows=${r.get(2)}").mkString(", ")
+      throw new IllegalStateException(
+        s"minhashPairs: duplicate flood — band bucket(s) above maxBucketRows=$maxBucketRows " +
+          s"($tops). The within-bucket pair join is duplicity²-quadratic and the pairs it " +
+          "would emit are quadratic OUTPUT, not just work. Use minhashPairsForClustering " +
+          "for cluster-grain consumers, or collapse exact-duplicate texts to reps, run " +
+          "minhashPairs on the reps, and expand rep pairs to member pairs lazily " +
+          "(see scaladoc); raise maxBucketRows only if the quadratic is truly intended.")
+    }
     val l = banded.select(col("band"), col("bucket"), col("sid").as("i"))
     val r = banded.select(col("band"), col("bucket"), col("sid").as("j"))
     // materialize the (tiny) candidate list once — it feeds the id semi-join

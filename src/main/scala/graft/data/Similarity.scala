@@ -441,6 +441,16 @@ object Similarity {
     *
     * `idCol` must be integral (the update fold sorts members by id).
     */
+  /** Training-sample size for [[imiCodebooksTrained]]: ~32 members per
+    * codeword per half, floored at 256 — a fixed 256 saturates the
+    * fixture's kSub=4 (the regime the oracle SQL replays byte-for-byte)
+    * but leaves most codewords member-less once kSub reaches the tens
+    * (measured: skew 3.01 → 2.98 at kSub=25 with a 256 sample — a no-op),
+    * so production sampling must scale with the codebook.
+    */
+  def imiTrainSampleN(kSub: Int, floor: Int = 256): Int =
+    math.max(floor, 32 * kSub)
+
   def imiCodebooksTrained(
       corpus: DataFrame,
       idCol: String,

@@ -611,13 +611,18 @@ object DataQueries {
   private[queries] val ImiTrainIters = 2
   private[queries] val ImiTrainSample = 256
   private val imiCbMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
-  private def imiCodebooksFor(spark: SparkSession, dir: String, kSub: Int): Seq[Seq[Seq[Double]]] =
+  private def imiCodebooksFor(spark: SparkSession, dir: String, kSub: Int): Seq[Seq[Seq[Double]]] = {
+    // sample scales with the codebook (~32 members per codeword per half;
+    // floored at ImiTrainSample so the fixture kSub=4 keeps the exact 256
+    // the oracle SQL replays)
+    val sampleN = Similarity.imiTrainSampleN(kSub, ImiTrainSample)
     imiCbMemo.computeIfAbsent(s"$dir#$kSub", _ =>
       ModelStore.codebooksOrTrain(
-        spark, annModelPath(dir, s"imicb-k$kSub-i$ImiTrainIters-s$ImiTrainSample"))(
+        spark, annModelPath(dir, s"imicb-k$kSub-i$ImiTrainIters-s$sampleN"))(
         Similarity.imiCodebooksTrained(
           Tables.embeddings(spark, dir), "vec_id", "embedding", kSub,
-          iters = ImiTrainIters, sampleN = ImiTrainSample)))
+          iters = ImiTrainIters, sampleN = sampleN)))
+  }
 
   /** Flat-quantizer ceiling for the auto-k faces: up to this k the seeded
     * flat assignment runs (the regime every sf0.01 oracle replays — 16

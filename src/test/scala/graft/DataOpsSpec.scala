@@ -102,6 +102,30 @@ class DataOpsSpec extends SparkSpec {
     assert(nCollapsed < nFull, s"collapse did not shrink the edge list: $nCollapsed vs $nFull")
   }
 
+  test("minhashPairs flood guard: oversized band bucket fails loudly; clustering face sails through") {
+    // a verbatim flood: 120 copies of one text — every copy lands in the
+    // same bucket of every band, so the pair face's candidate join (and
+    // its OUTPUT) would be duplicity²-quadratic
+    val flood = (1 to 120).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog with padding tokens"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      Dedup.minhashPairs(flood, "doc_id", "text", threshold = 0.5, maxBucketRows = 100).count()
+    }
+    assert(ex.getMessage.contains("duplicate flood") &&
+      ex.getMessage.contains("minhashPairsForClustering"),
+      s"guard message must name the problem and the remediation: ${ex.getMessage}")
+    // the documented remediation works on the SAME corpus: collapse+star
+    // keeps candidate work at distinct-text grain and emits linear edges
+    val stars = Dedup.minhashPairsForClustering(
+      flood, "doc_id", "text", threshold = 0.5)
+    assert(stars.count() === 119, "one rep + 119 star edges expected")
+    // an explicitly raised cap is honored — the quadratic is then intended
+    val full = Dedup.minhashPairs(
+      flood, "doc_id", "text", threshold = 0.5, maxBucketRows = 1000)
+    assert(full.count() === 120L * 119 / 2)
+  }
+
   test("simhash: identical texts equal, near texts close in hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

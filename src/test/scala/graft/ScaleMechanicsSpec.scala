@@ -206,4 +206,93 @@ class ScaleMechanicsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(base)
     }
   }
+
+  test("IMI auto-k operating point: flat-vs-IMI keep agreement and dup-pair recall, bounds pinned") {
+    // VERDICT r11 #1: the product-cell approximation's recall was assumed
+    // from the per-cell fence argument — here it is MEASURED at the real
+    // operating point (n=200k -> autoK k=6250, kSub=80), on a clustered
+    // corpus with genuine boundary geometry (NOT the scaled-copy fixture:
+    // verbatim copies land in the same cell by determinism and would make
+    // recall trivially 1.0). Both arms run the shipped faces; ground truth
+    // is a brute-force cosine sweep over a deterministic query sample.
+    import graft.data.{Dedup, Similarity}
+    val n = 200000L
+    // STRONG-dup regime — the production SemDeDup use case: σ=0.55 puts
+    // within-cluster cosines around E[cos] ≈ 1/(1+σ²) ≈ 0.77, and th=0.70
+    // makes "dup" mean "same-cluster member" while random cross-cluster
+    // pairs (cos σ ≈ 1/√dim = 0.125) essentially never qualify. A WEAK
+    // threshold (0.40 at dim 64) makes every doc a "dup" via random
+    // coincidence and measures co-location of barely-similar pairs — that
+    // regime's measured numbers are recorded in SCALE.md, not pinned here.
+    val th = 0.70
+    val emb = spark.range(n).map { id =>
+      val dim = 64
+      val c = (id / 50).toInt
+      val cRnd = new scala.util.Random(c * 7919L + 17)
+      val center = Array.fill(dim)(cRnd.nextGaussian())
+      val vRnd = new scala.util.Random(id * 6007L + 23)
+      val v = Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian())
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding").repartition(8).cache()
+    try {
+      val k = Similarity.autoK(emb.count())
+      assert(k === 6250 && k > 32, s"operating point drifted: k=$k")
+      val kSub = Similarity.imiKSub(k)
+      val flat = Dedup.semanticDedup(
+        emb, "vec_id", "embedding",
+        Similarity.seedCentroids(emb, "vec_id", "embedding", k), th)
+      val cbs = Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSub, iters = 2,
+        sampleN = Similarity.imiTrainSampleN(kSub))
+      def dupSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.filter(!$"keep").select($"vec_id").as[Long].collect().toSet
+      val flatDup = dupSet(flat)
+      // both shipped IMI arms: d_semdedup switches to pSub=1, the probe2
+      // face to pSub=2 — measure each against the flat arm it replaces
+      val imi1Dup = dupSet(Dedup.semanticDedupImi(emb, "vec_id", "embedding", cbs, th))
+      val imiDup = dupSet(Dedup.semanticDedupImi(emb, "vec_id", "embedding", cbs, th, pSub = 2))
+      assert(flatDup.size > 1000, s"corpus produced too few dups to measure: ${flatDup.size}")
+      // keep-set agreement: fraction of the corpus both arms verdict alike
+      val symDiff = ((flatDup -- imi1Dup) ++ (imi1Dup -- flatDup)).size
+      val keepAgree = 1.0 - symDiff.toDouble / n
+      // brute-force ground truth on every 401st id: a true dup has ANY
+      // smaller-id neighbor at/above threshold
+      val q = emb.filter(pmod($"vec_id", lit(401)) === 0)
+        .select($"vec_id".as("qid"), $"embedding".cast("array<double>").as("qv"))
+      val cand = emb.select($"vec_id".as("cid"), $"embedding".cast("array<double>").as("cv"))
+      val truth = q.join(cand, $"cid" < $"qid")
+        .filter(Similarity.cosine($"qv", $"cv") >= th)
+        .select($"qid").distinct().as[Long].collect().toSet
+      val sampleIds = q.select($"qid").as[Long].collect().toSet
+      assert(truth.size > 100, s"brute sample too thin: ${truth.size}")
+      val flatRecall = (flatDup & truth).size.toDouble / truth.size
+      val imi1Recall = (imi1Dup & truth).size.toDouble / truth.size
+      val imi2Recall = (imiDup & truth).size.toDouble / truth.size
+      // no false dups against brute truth on the sampled population: a doc
+      // with NO true neighbor must never be marked dup by any arm
+      // (cell-mates are verified by exact cosine, so this is structural)
+      assert(((flatDup & sampleIds) -- truth).isEmpty, "flat marked a non-dup as dup")
+      assert((((imi1Dup ++ imiDup) & sampleIds) -- truth).isEmpty, "IMI marked a non-dup as dup")
+      val recallVsFlat = (imi1Dup & flatDup).size.toDouble / flatDup.size
+      info(f"n=$n k=$k kSub=$kSub | flatDup=${flatDup.size} imi1Dup=${imi1Dup.size} " +
+        f"imi2Dup=${imiDup.size} keepAgree=$keepAgree%.4f recallVsFlat=$recallVsFlat%.4f | " +
+        f"sample=${sampleIds.size} trueDups=${truth.size} " +
+        f"flatRecall=$flatRecall%.4f imi1Recall=$imi1Recall%.4f imi2Recall=$imi2Recall%.4f")
+      // pinned bounds — measured on this deterministic corpus (r12:
+      // flatRecall 0.48, imi1 0.58, imi2 0.91, keepAgree 0.57,
+      // recallVsFlat 0.61; margins below measurement, see SCALE.md).
+      // The load-bearing findings: the IMI single-probe arm does NOT trail
+      // the flat arm it replaced, and the pSub=2 face recovers most of
+      // what EITHER single-probe arm misses — single-probe quantizer
+      // dedup is recall-limited regardless of quantizer shape, so the
+      // probe2 face is the production recommendation at auto-k.
+      assert(keepAgree >= 0.52, f"keep-set agreement $keepAgree%.4f below pin")
+      assert(recallVsFlat >= 0.55, f"IMI single-probe overlap vs flat $recallVsFlat%.4f below pin")
+      assert(imi1Recall >= flatRecall - 0.05,
+        f"IMI-1 brute recall $imi1Recall%.4f fell below flat $flatRecall%.4f - 0.05")
+      assert(imi2Recall >= 0.85, f"multi-probe brute recall $imi2Recall%.4f below pin")
+      assert(imi2Recall >= imi1Recall + 0.10,
+        f"multi-probe recall $imi2Recall%.4f did not meaningfully recover over $imi1Recall%.4f")
+    } finally emb.unpersist()
+  }
 }
