@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Single-thread CPU calibration: a fixed xorshift64 spin whose wall time
+    * tracks raw host speed. Recorded as `calib_s` in both bench outputs so
+    * a UNIFORM ratio shift against the anchored floors is attributable to
+    * the host (VM noisy neighbor, frequency change) instead of reading as
+    * a hundred simultaneous engine regressions — r12 measured exactly
+    * that: a 1.33× median shift across all 127 queries with byte-identical
+    * code, confirmed by steady-state BenchOne reps. min-of-3 for JIT
+    * steady state; the value is folded into a volatile sink so the loop
+    * cannot be dead-code-eliminated.
+    */
+  @volatile private var calibSink: Long = 0L
+  private def calibrate(): Double = {
+    def once(): Double = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < 400000000L) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        i += 1
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      calibSink ^= x
+      t
+    }
+    List(once(), once(), once()).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,6 +100,7 @@ object Bench {
     // steady-state estimator; the order shuffle makes a position-dependent
     // artifact (GC debt from the previous 80 queries) unable to hit the same
     // query in both warm passes, and min() then discards it.
+    val calib = calibrate()
     val cold = runPass(benched)
     resetSessionState()
     val warm1 = runPass(new scala.util.Random(1L).shuffle(benched))
@@ -113,7 +141,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }.mkString("{", ",", "}")
     val byName = results.toSeq.sortBy(_._1)
     val detail =
-      s"""{"metric":"total","value":$totalJson3,"unit":"sec","queries":${qjson(byName, 3)},"cold_queries":${qjson(cold.toSeq.sortBy(_._1), 3)},"warm1_queries":${qjson(warm1.toSeq.sortBy(_._1), 3)},"warm2_queries":${qjson(warm2.toSeq.sortBy(_._1), 3)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfDir","cold_total":${fmt(coldTotal, 3)},"methodology":"warm: per-query min of non-failed passes (1 cold + 2 order-shuffled warm) in one JVM; failed pass = NaN, excluded from min; session state cleared between passes"}
+      s"""{"metric":"total","value":$totalJson3,"unit":"sec","queries":${qjson(byName, 3)},"cold_queries":${qjson(cold.toSeq.sortBy(_._1), 3)},"warm1_queries":${qjson(warm1.toSeq.sortBy(_._1), 3)},"warm2_queries":${qjson(warm2.toSeq.sortBy(_._1), 3)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfDir","cold_total":${fmt(coldTotal, 3)},"calib_s":${fmt(calib, 3)},"methodology":"warm: per-query min of non-failed passes (1 cold + 2 order-shuffled warm) in one JVM; failed pass = NaN, excluded from min; session state cleared between passes; calib_s = min-of-3 single-thread xorshift spin (host-speed reference for floor comparisons)"}
 """
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), detail.getBytes("UTF-8"))
@@ -125,7 +153,7 @@ object Bench {
     // query prefix, before it would ever overflow the capture window.
     def render(entries: Seq[(String, Double)], dp: Int, trimmed: Boolean): String = {
       val extra = if (trimmed) ""","queries_trimmed":true""" else ""
-      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(entries, dp)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfShort","cold_total":${fmt(coldTotal, 1)},"detail":"bench_full.json"$extra}"""
+      s"""{"metric":"total","value":$totalJson,"unit":"sec","queries":${qjson(entries, dp)},"oracle_only":$skipped,"failed":$failedJson,"sf":"$sfShort","cold_total":${fmt(coldTotal, 1)},"calib_s":${fmt(calib, 2)},"detail":"bench_full.json"$extra}"""
     }
     val budget = 1850 // 2000-char tail with margin for any stray trailing log
     val slowestFirst = results.toSeq.sortBy(-_._2)

@@ -55,12 +55,30 @@ def main() -> int:
     run = json.load(open(bench_path))
     cur = run["queries"]
 
+    # host-speed calibration (Bench calib_s: single-thread xorshift spin).
+    # When BOTH the floors and the run carry a calibration, ratios are
+    # normalized by the host-speed ratio before gating — a VM whose CPU got
+    # 30% slower shifts every query uniformly (r12 measured a 1.33x median
+    # shift with byte-identical code) and would otherwise read as a hundred
+    # simultaneous regressions. The normalization factor is always printed;
+    # floors without calib_s (pre-r12 anchors) gate on raw ratios.
+    host = 1.0
+    run_calib = run.get("calib_s")
+    floor_calib = floors_doc.get("calib_s")
+    if run_calib:
+        if floor_calib:
+            host = run_calib / floor_calib
+            print(f"host calibration: floors {floor_calib:.2f}s -> run {run_calib:.2f}s "
+                  f"(x{host:.2f}); gating on calib-normalized ratios")
+        else:
+            print(f"host calibration: run {run_calib:.2f}s (floors carry none — raw gating)")
+
     new = sorted(set(cur) - set(floors))
     gone = sorted(set(floors) - set(cur))
     rows = []
     for q in sorted(set(cur) & set(floors)):
         f, c = floors[q], cur[q]
-        rows.append((c / f if f > 0 else float("inf"), q, f, c))
+        rows.append(((c / host) / f if f > 0 else float("inf"), q, f, c))
     rows.sort(reverse=True)
 
     breaches = [r for r in rows if r[0] > threshold and r[2] >= 0.3]
