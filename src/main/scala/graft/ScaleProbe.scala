@@ -268,6 +268,15 @@ object ScaleProbe {
         case e: Throwable =>
           System.err.println(s"[scaleprobe] $name failed in $dir: ${e.getMessage}")
           Double.NaN
+      } finally {
+        // Bench's in-pass hygiene lesson, learned here the hard way too:
+        // without it a preceding query's cached relations / broadcast
+        // debris inflate the NEXT query at the big scale — d_ingest_gate
+        // measured 3.9x in a 5-query sweep vs 1.5x isolated (r12); the
+        // min-of-2-warm can't discard an artifact that persists across
+        // both reps. Runs OUTSIDE the timers.
+        spark.catalog.clearCache()
+        System.gc()
       }
     }
 

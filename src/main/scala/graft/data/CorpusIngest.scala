@@ -47,6 +47,19 @@ object CorpusIngest {
       allowedLangs: Seq[String],
       minTokens: Int,
       decontamination: Option[(Array[Byte], Int)] = None
+  ): DataFrame =
+    verdictWithToks(docs, textCol, allowedLangs, minTokens, decontamination).drop("_toks")
+
+  /** [[verdict]] with the pinned token array still attached as `_toks` —
+    * lets composing faces ([[verdictExact]]'s gram join) reuse the one
+    * tokenization instead of paying a second regex pass over survivors.
+    */
+  private def verdictWithToks(
+      docs: DataFrame,
+      textCol: String,
+      allowedLangs: Seq[String],
+      minTokens: Int,
+      decontamination: Option[(Array[Byte], Int)]
   ): DataFrame = {
     val toked = docs.withColumn(
       "_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
@@ -71,7 +84,6 @@ object CorpusIngest {
       .withColumn("lang", TextAnalysis.langId(col("_toks")))
       .withColumn("n_tokens", size(col("_toks")))
       .withColumn("reject_reason", reason)
-      .drop("_toks")
   }
 
   /** The EXACT-membership sibling of the bloom at-ingest gate: same gate
@@ -86,12 +98,12 @@ object CorpusIngest {
     * is not), so the tokenize / lang-id / gate-order plumbing shared with
     * the production bloom face gets a rows+schema+hash correctness row.
     * Production ingest keeps [[verdict]]'s bloom (one codegen probe per
-    * gram, no join); this face re-tokenizes the cheap-gate survivors for
-    * the gram join — an extra pass you'd only pay in an audit run.
-    * The contaminated-id set is eval-overlap-sized; the join back to the
-    * verdict frame is id-keyed, so AQE broadcasts it when small and
-    * shuffles safely when a pathological corpus overlaps the eval set
-    * wholesale.
+    * gram, no join); this face reuses the gate's own pinned token array
+    * for the survivor gram join — one tokenization per doc, like the
+    * bloom face. The contaminated-id set is eval-overlap-sized; the join
+    * back to the verdict frame is id-keyed, so AQE broadcasts it when
+    * small and shuffles safely when a pathological corpus overlaps the
+    * eval set wholesale.
     */
   def verdictExact(
       docs: DataFrame,
@@ -103,20 +115,20 @@ object CorpusIngest {
       benchTextCol: String,
       n: Int
   ): DataFrame = {
-    val base = verdict(docs, textCol, allowedLangs, minTokens, None)
-    val survivors = base.filter(col("reject_reason").isNull)
+    val base = verdictWithToks(docs, textCol, allowedLangs, minTokens, None)
     val benchGrams = bench
       .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(benchTextCol))))
       .select(explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
       .distinct()
-    val contaminated = survivors
-      .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
+    val contaminated = base
+      .filter(col("reject_reason").isNull)
       .select(col(idCol), explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
       .join(broadcast(benchGrams), Seq("_g"))
       .select(col(idCol))
       .distinct()
       .withColumn("_contaminated", lit(true))
     base
+      .drop("_toks")
       .join(contaminated, Seq(idCol), "left")
       .withColumn(
         "reject_reason",
