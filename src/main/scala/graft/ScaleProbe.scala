@@ -53,6 +53,11 @@ object KGrowthProbe {
       val k = Similarity.autoK(n)
       val kSub = Similarity.imiKSub(k)
       val cbsSeed = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub)
+      // train(s) = the FULL model build from scratch (seeding scan +
+      // sample collection + Lloyd refinement) — what a fresh campaign
+      // pays before ModelStore persistence; cbsSeed above is held only
+      // for the skew comparison and re-derives the same seeding outside
+      // any timer
       val t0 = System.nanoTime()
       val cbsTrained = Similarity.imiCodebooksTrained(
         emb, "vec_id", "embedding", kSub, iters = 2,

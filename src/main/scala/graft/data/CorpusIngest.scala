@@ -97,13 +97,16 @@ object CorpusIngest {
     * (exact set membership is engine-independent; the bloom's bit layout
     * is not), so the tokenize / lang-id / gate-order plumbing shared with
     * the production bloom face gets a rows+schema+hash correctness row.
-    * Production ingest keeps [[verdict]]'s bloom (one codegen probe per
-    * gram, no join); this face reuses the gate's own pinned token array
-    * for the survivor gram join — one tokenization per doc, like the
-    * bloom face. The contaminated-id set is eval-overlap-sized; the join
-    * back to the verdict frame is id-keyed, so AQE broadcasts it when
-    * small and shuffles safely when a pathological corpus overlaps the
-    * eval set wholesale.
+    * Production ingest keeps [[verdict]]'s bloom (one corpus pass, one
+    * codegen probe per gram, no join); this face pays TWO corpus passes —
+    * the verdict-output branch and the survivor gram-probe branch each
+    * scan `docs` and tokenize once (they are two sides of a self-join;
+    * Spark does not share subplans across join branches, and caching the
+    * verdict frame would be wrong at corpus scale). That second pass is
+    * the audit face's price for SQL replayability. The contaminated-id
+    * set is eval-overlap-sized; the join back to the verdict frame is
+    * id-keyed, so AQE broadcasts it when small and shuffles safely when
+    * a pathological corpus overlaps the eval set wholesale.
     */
   def verdictExact(
       docs: DataFrame,

@@ -202,11 +202,20 @@ object Dedup {
         concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket")
       )
     }: _*)
+    // the (sid, band, bucket) frame feeds THREE consumers (flood guard,
+    // both sides of the candidate self-join) — localCheckpoint pays the
+    // tokenize+shingle+k-hash signature scan once instead of three lineage
+    // re-derivations (ids + hash strings only, never text: executor-local
+    // disk stays corpus-metadata-sized). Same pattern as `candidates`.
     val banded = sig.select(col("sid"), explode(bands).as("bb"))
       .select(col("sid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .localCheckpoint()
     // the flood guard: one (band,bucket)-count pass before the quadratic
-    // join — an extra linear scan buys the failure mode "clear error with
-    // the offender sizes" instead of "executor OOM mid-join"
+    // join — a cheap aggregation over the checkpointed frame buys the
+    // failure mode "clear error with the offender sizes" instead of
+    // "executor OOM mid-join". NOTE this makes construction EAGER (it
+    // runs a job and can throw before any action) — the documented
+    // contract of the pair face.
     val oversized = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_bc"))
       .filter(col("_bc") > maxBucketRows)
@@ -218,10 +227,12 @@ object Dedup {
       throw new IllegalStateException(
         s"minhashPairs: duplicate flood — band bucket(s) above maxBucketRows=$maxBucketRows " +
           s"($tops). The within-bucket pair join is duplicity²-quadratic and the pairs it " +
-          "would emit are quadratic OUTPUT, not just work. Use minhashPairsForClustering " +
-          "for cluster-grain consumers, or collapse exact-duplicate texts to reps, run " +
-          "minhashPairs on the reps, and expand rep pairs to member pairs lazily " +
-          "(see scaladoc); raise maxBucketRows only if the quadratic is truly intended.")
+          "would emit are quadratic OUTPUT, not just work. If the flood is VERBATIM copies, " +
+          "use minhashPairsForClustering for cluster-grain consumers, or collapse " +
+          "exact-duplicate texts to reps, run minhashPairs on the reps, and expand rep " +
+          "pairs to member pairs lazily (see scaladoc). If the flood is DISTINCT near-dup " +
+          "texts (the collapse cannot shrink it), the quadratic is inherent to the pair " +
+          "grain — pre-shard the corpus or raise maxBucketRows only if it is truly intended.")
     }
     val l = banded.select(col("band"), col("bucket"), col("sid").as("i"))
     val r = banded.select(col("band"), col("bucket"), col("sid").as("j"))
@@ -283,6 +294,14 @@ object Dedup {
     * whole shingle set and always collide in every band). Use
     * [[minhashPairs]] when the pair list itself is the product.
     */
+  /** @param maxBucketRows forwarded to the rep-level [[minhashPairs]]
+    *                       flood guard. The collapse removes VERBATIM
+    *                       duplicates, so a guard trip here means >
+    *                       maxBucketRows DISTINCT texts share a band
+    *                       bucket (a near-dup flood the collapse cannot
+    *                       shrink) — raise this cap deliberately if that
+    *                       distinct-grain quadratic is intended.
+    */
   def minhashPairsForClustering(
       df: DataFrame,
       idCol: String,
@@ -290,7 +309,8 @@ object Dedup {
       n: Int = 3,
       k: Int = 16,
       rows: Int = 2,
-      threshold: Double = 0.8
+      threshold: Double = 0.8,
+      maxBucketRows: Int = 10000
   ): DataFrame = {
     val base = df.select(col(idCol).as("_sid"), col(textCol).as("_txt"))
     // NULL texts never pair in the full pipeline (null tokens → null
@@ -321,7 +341,8 @@ object Dedup {
     val repDocs = withRep
       .filter(col("_sid") === col("_rep"))
       .select(col("_sid").as(idCol), col("_txt").as(textCol))
-    minhashPairs(repDocs, idCol, textCol, n, k, rows, threshold).unionByName(stars)
+    minhashPairs(repDocs, idCol, textCol, n, k, rows, threshold, maxBucketRows)
+      .unionByName(stars)
   }
 
   /** STREAMING near-dup candidate detection — the incremental face of

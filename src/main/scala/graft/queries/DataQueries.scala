@@ -84,10 +84,11 @@ object DataQueries {
     val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
     s"""WITH $toksCte,
        |scored AS (
-       |  SELECT doc_id, lang, $scoreExprs
+       |  SELECT doc_id, lang, t, $scoreExprs
        |  FROM toks)
        |SELECT doc_id, s_de, s_en, s_es, s_fr,
-       |  CASE WHEN $allZero THEN 'und'
+       |  CASE WHEN t IS NULL THEN '${langs.head}'
+       |    WHEN $allZero THEN 'und'
        |    $argmax
        |    ELSE '${langs.last}' END AS predicted,
        |  lang AS actual
@@ -1620,8 +1621,13 @@ object DataQueries {
       }
       .mkString("\n    ")
     val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    // NULL-text arm FIRST: Scala langId on null tokens returns the HEAD
+    // profile constant (all comparisons against NULL scores are false, so
+    // bestLang never moves off its init), while a bare SQL CASE would
+    // fall through every NULL condition to the ELSE (= the LAST profile)
+    // — a silent lang divergence on any NULL-text doc
     val langCase =
-      s"CASE WHEN $allZero THEN 'und'\n    $argmax\n    ELSE '${langs.last}' END"
+      s"CASE WHEN t IS NULL THEN '${langs.head}'\n    WHEN $allZero THEN 'und'\n    $argmax\n    ELSE '${langs.last}' END"
     s"""WITH $toksCte,
        |grams AS (
        |  SELECT doc_id, unnest(list_transform(

@@ -39,11 +39,13 @@ def main() -> int:
     for q, factor in corrections.items():
         if q.startswith("_"):
             continue  # evidence keys (_note, _note_<q>), not corrections
-        # every correction must carry adjacent evidence: a bare factor is
-        # an invisible loosening of the regression gate — refuse to run.
-        if not any(k in corrections for k in (f"_note_{q}", "_note")):
-            print(f"FAIL: harness correction for '{q}' lacks an adjacent "
-                  f"_note/_note_{q} evidence entry in BENCH_FLOORS.json")
+        # every correction must carry its OWN evidence entry (_note_<q>):
+        # a bare factor is an invisible loosening of the regression gate,
+        # and a single shared "_note" would let any future bare correction
+        # ride on an unrelated query's evidence — refuse to run.
+        if f"_note_{q}" not in corrections:
+            print(f"FAIL: harness correction for '{q}' lacks its own "
+                  f"_note_{q} evidence entry in BENCH_FLOORS.json")
             return 1
         if q in floors:
             floors[q] = floors[q] * factor
