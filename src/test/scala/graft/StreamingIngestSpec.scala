@@ -173,6 +173,25 @@ class StreamingIngestSpec extends SparkSpec {
     } finally gated.unpersist()
   }
 
+  test("NULL-text docs: verdict pins lang = head profile and reject_reason = too_short") {
+    // the contract the oracle SQL's `t IS NULL` arms replay (r12 review
+    // finding): Scala langId on null tokens returns the HEAD profile
+    // constant (comparisons against NULL scores never move bestLang), and
+    // the cheap gate catches the null before lang ever matters — pinned
+    // here because the driver fixtures carry no NULL texts to exercise it
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]),
+      (2L, "the a of and to is plenty of english tokens here")
+    ).toDF("doc_id", "text")
+    val v = CorpusIngest.verdict(docs, "text", Seq("en"), 5)
+      .select($"doc_id", $"lang", $"reject_reason")
+      .as[(Long, String, Option[String])].collect()
+      .map { case (k, l, r) => k -> ((l, r)) }.toMap
+    assert(v(1L) === (graft.data.TextAnalysis.langProfiles.head._1, Some("too_short")))
+    assert(v(2L) === ("en", None))
+  }
+
   test("verdictExact ≡ bloom gate minus FPs: exact face flags exactly the gateable exact hits") {
     // the d_ingest_gate_exact entry's semantic tie to the bloom face: same
     // gate order and cheap-gate verdicts, and its 'contaminated' set is
