@@ -123,10 +123,15 @@ object CorpusIngest {
       .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(benchTextCol))))
       .select(explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
       .distinct()
+    // no forced broadcast on the gram join: the eval-set gram table is
+    // usually broadcast-sized and AQE converts the join at runtime, but a
+    // campaign suite with tens of millions of DISTINCT grams must be able
+    // to fall back to a shuffled join instead of failing the 8 GB
+    // broadcast ceiling (r12 review finding)
     val contaminated = base
       .filter(col("reject_reason").isNull)
       .select(col(idCol), explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
-      .join(broadcast(benchGrams), Seq("_g"))
+      .join(benchGrams, Seq("_g"))
       .select(col(idCol))
       .distinct()
       .withColumn("_contaminated", lit(true))

@@ -293,14 +293,14 @@ object Dedup {
     * shingle for ANY token count, so identical texts always share their
     * whole shingle set and always collide in every band). Use
     * [[minhashPairs]] when the pair list itself is the product.
-    */
-  /** @param maxBucketRows forwarded to the rep-level [[minhashPairs]]
-    *                       flood guard. The collapse removes VERBATIM
-    *                       duplicates, so a guard trip here means >
-    *                       maxBucketRows DISTINCT texts share a band
-    *                       bucket (a near-dup flood the collapse cannot
-    *                       shrink) — raise this cap deliberately if that
-    *                       distinct-grain quadratic is intended.
+    *
+    * @param maxBucketRows forwarded to the rep-level [[minhashPairs]]
+    *                      flood guard. The collapse removes VERBATIM
+    *                      duplicates, so a guard trip here means >
+    *                      maxBucketRows DISTINCT texts share a band
+    *                      bucket (a near-dup flood the collapse cannot
+    *                      shrink) — raise this cap deliberately if that
+    *                      distinct-grain quadratic is intended.
     */
   def minhashPairsForClustering(
       df: DataFrame,
@@ -319,22 +319,24 @@ object Dedup {
     // edge, exactly as the full pipeline treats it (a shared xxhash64(null)
     // group would mint jaccard-1 star edges the true pair list lacks).
     // Group membership is decided by TEXT EQUALITY, not the 64-bit digest
-    // alone: the hash only pre-shards the shuffle (_th) while _tk carries
-    // the text into the grouping key, so a birthday-bound xxhash64
-    // collision between two DIFFERENT texts (~n²/2⁶⁵ — no longer
-    // negligible at billion-doc corpora) lands both in one shuffle
-    // partition but in two distinct groups instead of silently merging
-    // them into fabricated jaccard-1 star edges. NULL-text rows get a
-    // per-sid _th, so the sentinel "" in _tk can never collide with a
-    // real empty-string text (those carry the "t:" prefix).
-    val grouped = base
-      .withColumn(
-        "_th",
-        when(col("_txt").isNotNull, concat(lit("t:"), xxhash64(col("_txt"))))
-          .otherwise(concat(lit("n:"), col("_sid"))))
-      .withColumn("_tk", coalesce(col("_txt"), lit("")))
-    val reps = grouped.groupBy(col("_th"), col("_tk")).agg(min(col("_sid")).as("_rep"))
-    val withRep = grouped.join(reps, Seq("_th", "_tk"))
+    // alone: the hash only pre-shards the shuffle (_th) while _txt rides
+    // in the partition key, so a birthday-bound xxhash64 collision between
+    // two DIFFERENT texts (~n²/2⁶⁵ — no longer negligible at billion-doc
+    // corpora) lands both in one shuffle partition but in two distinct
+    // groups instead of silently merging them into fabricated jaccard-1
+    // star edges. A window-min attaches the rep in the SAME single
+    // shuffle that forms the groups — a groupBy+join formulation would
+    // ship every text through two exchanges (r12 review finding). NULL
+    // _txt partition keys group together only within one _th, which is
+    // per-sid unique for NULL texts — each stays a singleton.
+    val grouped = base.withColumn(
+      "_th",
+      when(col("_txt").isNotNull, concat(lit("t:"), xxhash64(col("_txt"))))
+        .otherwise(concat(lit("n:"), col("_sid"))))
+    val withRep = grouped.withColumn(
+      "_rep",
+      min(col("_sid")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("_th"), col("_txt"))))
     val stars = withRep
       .filter(col("_sid") =!= col("_rep"))
       .select(col("_rep").as("i"), col("_sid").as("j"), lit(1000000L).as("jac_e6"))

@@ -96,14 +96,15 @@ object ModelStore {
     */
   def centroidsOrTrain(spark: SparkSession, path: String)(
       train: => Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    val hadMarker = done(path)
     val loaded =
-      if (done(path))
+      if (hadMarker)
         try Some(loadCentroids(spark, path))
         catch { case e: Exception if evictedUnderneath(path, e) => None }
       else None
     loaded.getOrElse {
       val m = train
-      clearTorn(path)
+      if (hadMarker) clearTorn(path)
       saveCentroids(spark, path, m); m
     }
   }
@@ -111,14 +112,15 @@ object ModelStore {
   /** [[centroidsOrTrain]] for PQ codebooks — same evict-race fallback. */
   def codebooksOrTrain(spark: SparkSession, path: String)(
       train: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+    val hadMarker = done(path)
     val loaded =
-      if (done(path))
+      if (hadMarker)
         try Some(loadCodebooks(spark, path))
         catch { case e: Exception if evictedUnderneath(path, e) => None }
       else None
     loaded.getOrElse {
       val m = train
-      clearTorn(path)
+      if (hadMarker) clearTorn(path)
       saveCodebooks(spark, path, m); m
     }
   }
@@ -127,9 +129,14 @@ object ModelStore {
     * of a mid-flight evict that removed the data files first) would make
     * the retrain's staged save a silent no-op — writeStaged early-returns
     * on `done`. Clear the torn directory so the retrained model actually
-    * re-persists. If a concurrent writer committed a GOOD model in the
-    * window, deleting it costs exactly one retrain (the cache contract)
-    * and our save immediately replaces it.
+    * re-persists. Called ONLY on that load-failure path (`hadMarker`):
+    * in the plain first-train path a `done` directory appearing between
+    * the initial check and the save is a concurrent writer's GOOD model,
+    * and writeStaged's first-writer-wins early-return must keep it —
+    * deleting there would let a crash between delete and re-save strand
+    * the store with no model at all (r12 review finding). On the
+    * load-failure path the worst case of the same interleaving is one
+    * extra retrain, the cache contract.
     */
   private def clearTorn(path: String): Unit =
     if (done(path)) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))

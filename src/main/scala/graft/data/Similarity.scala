@@ -462,6 +462,12 @@ object Similarity {
     require(iters >= 0, s"imiCodebooksTrained: iters must be >= 0, got $iters")
     require(sampleN >= kSub, s"imiCodebooksTrained: sampleN=$sampleN < kSub=$kSub")
     val seeded = imiCodebooks(corpus, idCol, vecCol, kSub)
+    // pqCodebooks seeds one codeword per available corpus row — a corpus
+    // with fewer rows than kSub would make the assignment loop below index
+    // past the codebook; fail with context instead of an opaque IOOBE
+    require(seeded.forall(_.length == kSub),
+      s"imiCodebooksTrained: corpus has fewer rows than kSub=$kSub " +
+        s"(seeded ${seeded.head.length} codewords) — lower kSub to the corpus size")
     if (iters == 0) return seeded
     val sample = corpus
       .select(col(idCol).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))

@@ -67,13 +67,18 @@ def main() -> int:
     host = 1.0
     run_calib = run.get("calib_s")
     floor_calib = floors_doc.get("calib_s")
-    if run_calib:
-        if floor_calib:
-            host = run_calib / floor_calib
-            print(f"host calibration: floors {floor_calib:.2f}s -> run {run_calib:.2f}s "
-                  f"(x{host:.2f}); gating on calib-normalized ratios")
-        else:
-            print(f"host calibration: run {run_calib:.2f}s (floors carry none — raw gating)")
+    if run_calib and floor_calib:
+        host = run_calib / floor_calib
+        print(f"host calibration: floors {floor_calib:.2f}s -> run {run_calib:.2f}s "
+              f"(x{host:.2f}); gating on calib-normalized ratios")
+    elif run_calib:
+        print(f"host calibration: run {run_calib:.2f}s (floors carry none — raw gating)")
+    elif floor_calib:
+        # the asymmetric silent branch would let a pre-calibration run's
+        # uniform host-speed delta read as a fleet of regressions with no
+        # hint that normalization was unavailable — be loud about it
+        print(f"host calibration: floors carry {floor_calib:.2f}s but the run has no "
+              "calib_s (pre-r12 bench_full.json?) — raw gating, host shifts unattributed")
 
     new = sorted(set(cur) - set(floors))
     gone = sorted(set(floors) - set(cur))
@@ -95,7 +100,14 @@ def main() -> int:
         print(f"{ratio:7.2f} {f:7.2f} {c:7.2f}  {q}{flag}")
     tf = sum(floors[q] for q in set(cur) & set(floors))
     tc = sum(cur[q] for q in set(cur) & set(floors))
-    print(f"shared-query totals: floor {tf:.1f}s -> run {tc:.1f}s ({tc / tf:.2f}x)")
+    if host != 1.0:
+        # normalize the headline too — gating just attributed the uniform
+        # shift to the host, so the totals line must not re-report it as a
+        # tree-wide regression
+        print(f"shared-query totals: floor {tf:.1f}s -> run {tc:.1f}s raw "
+              f"({tc / tf:.2f}x), {tc / host:.1f}s calib-normalized ({tc / host / tf:.2f}x)")
+    else:
+        print(f"shared-query totals: floor {tf:.1f}s -> run {tc:.1f}s ({tc / tf:.2f}x)")
     if breaches:
         print(f"FAIL: {len(breaches)} queries above {threshold}x floor")
         return 1
