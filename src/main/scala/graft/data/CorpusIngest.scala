@@ -47,19 +47,6 @@ object CorpusIngest {
       allowedLangs: Seq[String],
       minTokens: Int,
       decontamination: Option[(Array[Byte], Int)] = None
-  ): DataFrame =
-    verdictWithToks(docs, textCol, allowedLangs, minTokens, decontamination).drop("_toks")
-
-  /** [[verdict]] with the pinned token array still attached as `_toks` —
-    * lets composing faces ([[verdictExact]]'s gram join) reuse the one
-    * tokenization instead of paying a second regex pass over survivors.
-    */
-  private def verdictWithToks(
-      docs: DataFrame,
-      textCol: String,
-      allowedLangs: Seq[String],
-      minTokens: Int,
-      decontamination: Option[(Array[Byte], Int)]
   ): DataFrame = {
     val toked = docs.withColumn(
       "_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
@@ -84,6 +71,7 @@ object CorpusIngest {
       .withColumn("lang", TextAnalysis.langId(col("_toks")))
       .withColumn("n_tokens", size(col("_toks")))
       .withColumn("reject_reason", reason)
+      .drop("_toks")
   }
 
   /** The EXACT-membership sibling of the bloom at-ingest gate: same gate
@@ -99,14 +87,21 @@ object CorpusIngest {
     * the production bloom face gets a rows+schema+hash correctness row.
     * Production ingest keeps [[verdict]]'s bloom (one corpus pass, one
     * codegen probe per gram, no join); this face pays TWO corpus passes —
-    * the verdict-output branch and the survivor gram-probe branch each
-    * scan `docs` and tokenize once (they are two sides of a self-join;
-    * Spark does not share subplans across join branches, and caching the
-    * verdict frame would be wrong at corpus scale). That second pass is
-    * the audit face's price for SQL replayability. The contaminated-id
-    * set is eval-overlap-sized; the join back to the verdict frame is
-    * id-keyed, so AQE broadcasts it when small and shuffles safely when
-    * a pathological corpus overlaps the eval set wholesale.
+    * the verdict-output branch and the gram-probe branch each scan `docs`
+    * and tokenize once (they are two sides of a self-join; Spark does not
+    * share subplans across join branches, and caching the verdict frame
+    * would be wrong at corpus scale). Only the verdict branch runs langId:
+    * the probe branch explodes grams for ALL docs rather than filtering to
+    * accepted ones — the accepted-only filter was a work-saver, never a
+    * semantic gate (the final coalesce lets `too_short`/`lang` win over
+    * `contaminated` regardless), and keeping it cost a second full langId
+    * pass, which steady-state measurement put at ~2.2× the bloom face;
+    * gram rows for would-be-rejected docs are the cheaper price. That
+    * second tokenize pass is the audit face's price for SQL replayability.
+    * The contaminated-id set is eval-overlap-sized; the join back to the
+    * verdict frame is id-keyed, so AQE broadcasts it when small and
+    * shuffles safely when a pathological corpus overlaps the eval set
+    * wholesale.
     */
   def verdictExact(
       docs: DataFrame,
@@ -118,7 +113,12 @@ object CorpusIngest {
       benchTextCol: String,
       n: Int
   ): DataFrame = {
-    val base = verdictWithToks(docs, textCol, allowedLangs, minTokens, None)
+    val base = verdict(docs, textCol, allowedLangs, minTokens, None)
+    // the ComputeOnce pin below each explode is load-bearing: an inline
+    // `explode(ngrams(tokens(text)))` puts the tokenize inside the
+    // generator child, which codegen re-evaluates per OUTPUT row — one
+    // regex pass per gram instead of per doc (measured 8× on the probe
+    // branch at sf0.1)
     val benchGrams = bench
       .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(benchTextCol))))
       .select(explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
@@ -128,15 +128,14 @@ object CorpusIngest {
     // campaign suite with tens of millions of DISTINCT grams must be able
     // to fall back to a shuffled join instead of failing the 8 GB
     // broadcast ceiling (r12 review finding)
-    val contaminated = base
-      .filter(col("reject_reason").isNull)
+    val contaminated = docs
+      .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
       .select(col(idCol), explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
       .join(benchGrams, Seq("_g"))
       .select(col(idCol))
       .distinct()
       .withColumn("_contaminated", lit(true))
     base
-      .drop("_toks")
       .join(contaminated, Seq(idCol), "left")
       .withColumn(
         "reject_reason",
