@@ -114,11 +114,12 @@ object CorpusIngest {
       n: Int
   ): DataFrame = {
     val base = verdict(docs, textCol, allowedLangs, minTokens, None)
-    // the ComputeOnce pin below each explode is load-bearing: an inline
-    // `explode(ngrams(tokens(text)))` puts the tokenize inside the
-    // generator child, which codegen re-evaluates per OUTPUT row — one
-    // regex pass per gram instead of per doc (measured 8× on the probe
-    // branch at sf0.1)
+    // the ComputeOnce pin below each explode is load-bearing (the
+    // TextAnalysis.ngrams contract): ngrams is a Column BUILDER that
+    // substitutes its `toks` argument into the size guard, the sequence
+    // bound, and the per-gram transform LAMBDA — an inline tokens(text)
+    // there re-runs the regex once per gram, not once per doc (measured
+    // 8× on this branch at sf0.1)
     val benchGrams = bench
       .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(benchTextCol))))
       .select(explode(TextAnalysis.ngrams(col("_toks"), n)).as("_g"))
