@@ -231,4 +231,22 @@ class StreamingIngestSpec extends SparkSpec {
       assert(exactCheap === bloomCheap)
     } finally exactFace.unpersist()
   }
+
+  test("verdictExact plan shape: one regex tokenize per corpus branch (ComputeOnce pin holds)") {
+    // TextAnalysis.ngrams is a Column BUILDER that substitutes its toks
+    // argument into the per-gram transform lambda — an unpinned
+    // tokens(text) there re-runs the regex once per GRAM (measured 8× at
+    // sf0.1). The exact face has exactly three tokenizing branches
+    // (verdict, probe, bench-gram), so the optimized plan must contain
+    // exactly three split(text…) occurrences; a fourth (or more) means a
+    // pin was dropped and the tokenizer leaked into a lambda or an
+    // optimizer-duplicated filter.
+    val plan = graft.queries.DataQueries
+      .dIngestGateExact(spark, "/root/testdata/sf0.01")
+      .queryExecution.optimizedPlan.treeString
+    val splits = "split\\(text".r.findAllIn(plan).size
+    assert(splits === 3,
+      s"expected exactly 3 tokenize sites (verdict/probe/bench branches), found $splits — " +
+        "a ComputeOnce pin below an explode(ngrams(...)) was probably dropped")
+  }
 }
