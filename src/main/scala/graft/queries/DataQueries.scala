@@ -688,6 +688,15 @@ object DataQueries {
     * space, within-cluster cosine >= 0.40 marks semantic duplicates,
     * keep-lowest-id. The oracle replays seed selection, argmax assignment,
     * and the cosine fold with the exact CTEs `s_ann_ivf_seeded` proved out.
+    *
+    * This is the SINGLE-probe face in both regimes (flat cells at k <= 32,
+    * one IMI product cell beyond). Single-probe quantizer dedup is
+    * recall-limited regardless of quantizer shape (measured ~0.5 brute
+    * recall at the auto-k operating point, ScaleMechanicsSpec /
+    * SCALE.md): each cell's min member goes unflagged and clusters split
+    * across cells. Production campaigns at auto-k should run
+    * [[dSemDedupProbe2]] — its pSub=2 IMI arm measured 0.91 brute recall
+    * for 3x the candidate work.
     */
   def dSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
