@@ -201,7 +201,7 @@ object ScaleProbe {
         val src = spark.read.parquet(s"$srcDir/$table.parquet")
         val scaled =
           if (shifts.isEmpty) src
-          else if (factor > 1000)
+          else if (factor >= 1000)
             // a factor-way union is a 10⁴-branch Catalyst plan (analysis
             // alone chokes) — generate copies as a DISTRIBUTED range ×
             // broadcast source instead: parallelism comes from the range

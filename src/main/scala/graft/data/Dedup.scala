@@ -194,7 +194,15 @@ object Dedup {
   ): DataFrame = {
     require(k % rows == 0, "k must be divisible by band rows")
     require(maxBucketRows > 0, "maxBucketRows must be positive")
+    // NULL-text docs carry NULL signatures (tokens(null) is null, so every
+    // h-column is null) and concat_ws collapses their bucket to "" in
+    // EVERY band — one shared quadratic bucket of rows that can never
+    // verify (null jaccard is dropped by the filter) yet would trip the
+    // flood guard first on a NULL-heavy crawl feed. They cannot pair, so
+    // they never enter banding; h0 is null iff the whole signature is
+    // (ShingleHash60 emits at least one shingle for any non-null tokens).
     val sig = minhashSignatures(df, idCol, textCol, n, k)
+      .filter(col("h0").isNotNull)
     val nBands = k / rows
     val bands = array((0 until nBands).map { b =>
       struct(
@@ -223,7 +231,9 @@ object Dedup {
       .limit(3)
       .collect()
     if (oversized.nonEmpty) {
-      val tops = oversized.map(r => s"band=${r.get(0)} rows=${r.get(2)}").mkString(", ")
+      val tops = oversized
+        .map(r => s"band=${r.get(0)} bucket=${r.get(1)} rows=${r.get(2)}")
+        .mkString(", ")
       throw new IllegalStateException(
         s"minhashPairs: duplicate flood — band bucket(s) above maxBucketRows=$maxBucketRows " +
           s"($tops). The within-bucket pair join is duplicity²-quadratic and the pairs it " +

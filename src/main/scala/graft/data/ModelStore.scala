@@ -95,33 +95,31 @@ object ModelStore {
     * evict-under-reader test.
     */
   def centroidsOrTrain(spark: SparkSession, path: String)(
-      train: => Seq[Seq[Double]]): Seq[Seq[Double]] = {
-    val hadMarker = done(path)
-    val loaded =
-      if (hadMarker)
-        try Some(loadCentroids(spark, path))
-        catch { case e: Exception if evictedUnderneath(path, e) => None }
-      else None
-    loaded.getOrElse {
-      val m = train
-      if (hadMarker) clearTorn(path)
-      saveCentroids(spark, path, m); m
-    }
-  }
+      train: => Seq[Seq[Double]]): Seq[Seq[Double]] =
+    orTrain(path)(loadCentroids(spark, path), saveCentroids(spark, path, _), train)
 
   /** [[centroidsOrTrain]] for PQ codebooks — same evict-race fallback. */
   def codebooksOrTrain(spark: SparkSession, path: String)(
-      train: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] = {
+      train: => Seq[Seq[Seq[Double]]]): Seq[Seq[Seq[Double]]] =
+    orTrain(path)(loadCodebooks(spark, path), saveCodebooks(spark, path, _), train)
+
+  /** The single recovery flow behind both typed loaders: marker check →
+    * load → evict-race classification → torn-marker clear → retrain-and-
+    * persist. One site, so a change to the race handling can never leave
+    * the centroid and codebook paths with divergent crash-recovery
+    * semantics (r12 review finding).
+    */
+  private def orTrain[M](path: String)(load: => M, save: M => Unit, train: => M): M = {
     val hadMarker = done(path)
     val loaded =
       if (hadMarker)
-        try Some(loadCodebooks(spark, path))
+        try Some(load)
         catch { case e: Exception if evictedUnderneath(path, e) => None }
       else None
     loaded.getOrElse {
       val m = train
       if (hadMarker) clearTorn(path)
-      saveCodebooks(spark, path, m); m
+      save(m); m
     }
   }
 

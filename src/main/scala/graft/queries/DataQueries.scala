@@ -65,35 +65,46 @@ object DataQueries {
     )
   }
 
-  val tLangIdSql: String = {
-    val profs = TextAnalysis.langProfiles
-    val scoreExprs = profs
-      .map { case (l, ws) =>
-        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(t, x -> list_contains($lst, x))) AS s_$l"
-      }
-      .mkString(",\n  ")
-    val langs = profs.map(_._1)
+  /** Per-language profile-score SELECT expressions (`s_<lang>` columns) —
+    * the SQL replay of [[TextAnalysis.profileScore]], shared by every
+    * oracle that language-IDs (`t_langid`, `d_ingest_gate_exact`) so a
+    * profile or tie-break change is single-sited.
+    */
+  private val langScoreExprsSql: String = TextAnalysis.langProfiles
+    .map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(t, x -> list_contains($lst, x))) AS s_$l"
+    }
+    .mkString(",\n  ")
+
+  /** The langId CASE over the `s_<lang>` score columns — the SQL replay of
+    * [[TextAnalysis.langId]]. NULL-text arm FIRST: Scala langId on null
+    * tokens returns the HEAD profile constant (all comparisons against
+    * NULL scores are false, so bestLang never moves off its init), while a
+    * bare SQL CASE would fall through every NULL condition to the ELSE
+    * (= the LAST profile) — a silent lang divergence on any NULL-text doc.
+    */
+  private val langCaseSql: String = {
+    val langs = TextAnalysis.langProfiles.map(_._1)
     val argmax = langs.init.zipWithIndex
       .map { case (l, i) =>
-        val rest = langs.drop(i + 1)
-        val conds = rest.map(r => s"s_$l >= s_$r").mkString(" AND ")
+        val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
         s"WHEN $conds THEN '$l'"
       }
       .mkString("\n    ")
     val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    s"CASE WHEN t IS NULL THEN '${langs.head}'\n    WHEN $allZero THEN 'und'\n    $argmax\n    ELSE '${langs.last}' END"
+  }
+
+  val tLangIdSql: String =
     s"""WITH $toksCte,
        |scored AS (
-       |  SELECT doc_id, lang, t, $scoreExprs
+       |  SELECT doc_id, lang, t, $langScoreExprsSql
        |  FROM toks)
        |SELECT doc_id, s_de, s_en, s_es, s_fr,
-       |  CASE WHEN t IS NULL THEN '${langs.head}'
-       |    WHEN $allZero THEN 'und'
-       |    $argmax
-       |    ELSE '${langs.last}' END AS predicted,
+       |  $langCaseSql AS predicted,
        |  lang AS actual
        |FROM scored""".stripMargin
-  }
 
   /** Hashed linear quality classifier over the corpus: md5-bucketed token
     * features against a broadcast-as-literal weight table, scan-fused. The
@@ -1614,29 +1625,7 @@ object DataQueries {
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("reject_reason"))
   }
 
-  val dIngestGateExactSql: String = {
-    val profs = TextAnalysis.langProfiles
-    val scoreExprs = profs
-      .map { case (l, ws) =>
-        val lst = ws.map(w => s"'$w'").mkString("[", ",", "]")
-        s"len(list_filter(t, x -> list_contains($lst, x))) AS s_$l"
-      }
-      .mkString(",\n  ")
-    val langs = profs.map(_._1)
-    val argmax = langs.init.zipWithIndex
-      .map { case (l, i) =>
-        val conds = langs.drop(i + 1).map(r => s"s_$l >= s_$r").mkString(" AND ")
-        s"WHEN $conds THEN '$l'"
-      }
-      .mkString("\n    ")
-    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
-    // NULL-text arm FIRST: Scala langId on null tokens returns the HEAD
-    // profile constant (all comparisons against NULL scores are false, so
-    // bestLang never moves off its init), while a bare SQL CASE would
-    // fall through every NULL condition to the ELSE (= the LAST profile)
-    // — a silent lang divergence on any NULL-text doc
-    val langCase =
-      s"CASE WHEN t IS NULL THEN '${langs.head}'\n    WHEN $allZero THEN 'und'\n    $argmax\n    ELSE '${langs.last}' END"
+  val dIngestGateExactSql: String =
     s"""WITH $toksCte,
        |grams AS (
        |  SELECT doc_id, unnest(list_transform(
@@ -1647,17 +1636,16 @@ object DataQueries {
        |cont AS (
        |  SELECT DISTINCT doc_id FROM grams JOIN bg USING (g) WHERE doc_id % 97 <> 0),
        |scored AS (
-       |  SELECT doc_id, t, len(t) AS n_tokens, $scoreExprs
+       |  SELECT doc_id, t, len(t) AS n_tokens, $langScoreExprsSql
        |  FROM toks WHERE doc_id % 97 <> 0)
        |SELECT doc_id,
-       |  $langCase AS lang,
+       |  $langCaseSql AS lang,
        |  n_tokens,
        |  CASE WHEN t IS NULL OR n_tokens < 5 THEN 'too_short'
-       |    WHEN ($langCase) <> 'en' THEN 'lang'
+       |    WHEN ($langCaseSql) <> 'en' THEN 'lang'
        |    WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
        |  END AS reject_reason
        |FROM scored""".stripMargin
-  }
 
   // ------------------------------------------------------ BM25 ranking
   /** Top-50 docs for a 3-term topic query, rational-idf BM25 (see

@@ -126,6 +126,30 @@ class DataOpsSpec extends SparkSpec {
     assert(full.count() === 120L * 119 / 2)
   }
 
+  test("minhashPairs: a NULL-text flood neither trips the guard nor enters banding") {
+    // NULL-text docs carry NULL signatures, and concat_ws would collapse
+    // their bucket to "" in every band — a shared quadratic bucket of rows
+    // that can never verify (null jaccard is filtered) yet used to trip
+    // the flood guard first on NULL-heavy crawl feeds. They are excluded
+    // from banding, so the guard stays quiet and the pair list matches the
+    // non-null corpus exactly; the clustering face gives each NULL doc a
+    // singleton group (no star edges) on the same corpus.
+    val rows = (1 to 50).map(i => (i.toLong, Option.empty[String])) ++ Seq(
+      (101L, Some("the quick brown fox jumps over the lazy dog tonight")),
+      (102L, Some("the quick brown fox jumps over the lazy dog tonight")))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(
+      df, "doc_id", "text", threshold = 0.5, maxBucketRows = 10)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((101L, 102L)),
+      s"NULL docs must not pair or abort the scan, got $pairs")
+    val clusterEdges = Dedup.minhashPairsForClustering(
+      df, "doc_id", "text", threshold = 0.5, maxBucketRows = 10)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(clusterEdges === Set((101L, 102L)),
+      s"clustering face must treat NULL docs as singletons, got $clusterEdges")
+  }
+
   test("simhash: identical texts equal, near texts close in hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
