@@ -579,7 +579,12 @@ object DataQueries {
     * access after a corpus regeneration clears the PREVIOUS generation's
     * stamped models ([[ModelStore.evictStale]]) — both live stamps (the
     * embeddings-derived quantizers and the documents-derived blooms) are
-    * kept, everything else under the root is stranded cache.
+    * kept, everything else under the root is stranded cache. Once-per-JVM
+    * is deliberate: a corpus regenerated MID-JVM strands the old stamp's
+    * models until the next restart (consistent with the memoized cache
+    * contract — the in-session memos pin the old generation anyway);
+    * long-lived services that swap corpora in place should call
+    * [[ModelStore.evictStale]] on their own cadence.
     */
   private val evictedDirs = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def evictOnce(dir: String): Unit =
