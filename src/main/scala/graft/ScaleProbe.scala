@@ -176,7 +176,10 @@ object ScaleProbe {
     "d_decontaminate_campaign",
     // r11: the decontaminate-on-ingest gate (campaign bloom riding the
     // CorpusIngest verdict) and an IMI-branch auto-k face
-    "d_ingest_gate", "s_ann_ivf_seeded"
+    "d_ingest_gate", "s_ann_ivf_seeded",
+    // r12: the composed IMI-pruned ANN faces (cell fence + ADC / int8
+    // scoring — the auto-k form of the s_ann_pq_ivf / s_ann_int8_ivf shape)
+    "s_ann_pq_imi", "s_ann_int8_imi"
   )
 
   /** A table is reused only when its completion marker exists AND records

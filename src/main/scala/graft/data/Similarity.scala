@@ -793,6 +793,92 @@ object Similarity {
       )
   }
 
+  /** IMI-pruned ADC — [[pqTopKPruned]] with the two-level product (IMI)
+    * coarse quantizer in place of the flat centroid list: the AUTO-K form
+    * of the composed 100 TB ANN query shape. Past the flat regime the
+    * centroid pruner stops scaling on both axes (k·dim per-row assignment,
+    * k·dim model — the [[imiAssign]] scaladoc's argument); here candidates
+    * are pruned to each query's rank-sum-capped probe CELLS
+    * (pSub(pSub+1)/2 of the kSub² product cells, [[imiProbeCells]]) and
+    * only the survivors are ADC-scored through the PQ lookup tables. The
+    * corpus side ships (id, cell, m codes) — vectors never leave the scan;
+    * per-query candidate volume is pSub(pSub+1)/2 · n/kSub² on balanced
+    * cells. Cell quantizer and score quantizer are INDEPENDENT models:
+    * `imiCodebooks` must be the unit-norm cell codebooks
+    * ([[imiCodebooksTrained]]), `pqCodebooks` the raw scoring codebooks
+    * ([[pqCodebooks]] — ADC scores are inner products against raw
+    * codewords). Scores bit-match [[pqTopK]] on shared candidates (same
+    * LUT dots, same subspace-ordered fold). A corpus row has exactly ONE
+    * cell and a query's probe cells are distinct by construction, so no
+    * candidate dedup is needed ([[multiProbeTopK]]'s argument).
+    */
+  def pqTopKPrunedImi(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      pSub: Int = 1
+  ): DataFrame = {
+    require(imiCodebooks.length == 2,
+      s"pqTopKPrunedImi: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
+    val kSub = imiCodebooks.head.length
+    require(pSub >= 1 && pSub <= kSub, s"pqTopKPrunedImi: pSub=$pSub out of 1..$kSub")
+    val m = pqCodebooks.length
+    val cbK = pqCodebooks.head.length
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      imiAssign(col(vecCol), imiCodebooks).as("n_bk"),
+      pqEncode(col(vecCol), pqCodebooks).as("n_codes"))
+    // flattened native LUT against the SCORING codebooks (raw codewords)
+    val lut = graft.functions.Pq.lut(col(vecCol), pqCodebooks)
+    val q = broadcast(
+      if (pSub == 1)
+        queries.select(
+          col(idCol).as("q_id"),
+          lut.as("q_lut"),
+          imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
+      else
+        // probe machinery pinned exactly like [[Dedup.semanticDedupImi]]:
+        // the per-half CELL dot table and both top-p lists each in their
+        // own ComputeOnce column — the probe array references each top
+        // list pSub+ times and the top-p splice fold references its lut
+        // slice ~3^pSub times; inlined, every reference would re-run the
+        // whole subtree on the interpreted HOF path
+        queries
+          .withColumn(
+            "_ilut",
+            graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+          .withColumn(
+            "_t0",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 0)))
+          .withColumn(
+            "_t1",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 1)))
+          .select(
+            col(idCol).as("q_id"),
+            lut.as("q_lut"),
+            explode(imiProbeCells(col("_t0"), col("_t1"), kSub, pSub)).as("q_bk")))
+    val score = (0 until m)
+      .map(mi => element_at(col("q_lut"), lit(mi * cbK) + element_at(col("n_codes"), mi + 1) + 1))
+      .reduce(_ + _) // left-assoc: subspace order, matches the oracle fold
+    val scored = c
+      .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
+      .withColumn("score", score)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        floor(col("score") * 1e6).cast("long").as("score_e6")
+      )
+  }
+
   /** Int8-quantized ANN — the BANDWIDTH face (PQ is the memory face): both
     * sides symmetric-int8 quantized ([[Embeddings.quantizeInt8]]), each
     * candidate scored by the EXACT integer dot product of the codes,
@@ -878,6 +964,79 @@ object Similarity {
           col("_s").as("q_scale"),
           Embeddings.int8Codes(col(vecCol), col("_s")).as("q_vq"),
           explode(topPFromCosines(col("_cos"), centroids.length, probes)).as("q_bk")))
+    val idot = graft.functions.IntDotProduct.column(col("q_vq"), col("n_q"))
+    val scored = c
+      .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
+      .withColumn("idot", idot)
+      .withColumn("approx", col("idot").cast("double") * col("q_scale") * col("n_scale"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("approx").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        col("idot"),
+        floor(col("approx") * 1e6).cast("long").as("approx_e6")
+      )
+  }
+
+  /** IMI-pruned int8 ANN — [[int8TopKPruned]] with the two-level product
+    * (IMI) coarse quantizer: the auto-k form of the bandwidth face, the
+    * exact analogue of [[pqTopKPrunedImi]] (see its scaladoc for the cell
+    * quantizer's scale argument). Candidates are pruned to each query's
+    * rank-sum-capped probe cells, then only survivors pay the native
+    * integer code dot; corpus ships (id, cell, scale, codes) — 1 byte/dim
+    * plus one int. Scores bit-match [[int8TopK]] on shared candidates.
+    */
+  def int8TopKPrunedImi(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      pSub: Int = 1
+  ): DataFrame = {
+    require(imiCodebooks.length == 2,
+      s"int8TopKPrunedImi: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
+    val kSub = imiCodebooks.head.length
+    require(pSub >= 1 && pSub <= kSub, s"int8TopKPrunedImi: pSub=$pSub out of 1..$kSub")
+    def quantized(df: DataFrame): DataFrame =
+      df.withColumn("_s", graft.functions.ComputeOnce(Embeddings.int8Scale(col(vecCol))))
+    val c = quantized(corpus).select(
+      col(idCol).as("n_id"),
+      imiAssign(col(vecCol), imiCodebooks).as("n_bk"),
+      col("_s").as("n_scale"),
+      Embeddings.int8Codes(col(vecCol), col("_s")).as("n_q"))
+    val q = broadcast {
+      val base = quantized(queries)
+      if (pSub == 1)
+        base.select(
+          col(idCol).as("q_id"),
+          col("_s").as("q_scale"),
+          Embeddings.int8Codes(col(vecCol), col("_s")).as("q_vq"),
+          imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
+      else
+        // probe machinery pinned like [[pqTopKPrunedImi]]'s (cell dot
+        // table + both top-p lists in their own ComputeOnce columns)
+        base
+          .withColumn(
+            "_ilut",
+            graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+          .withColumn(
+            "_t0",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 0)))
+          .withColumn(
+            "_t1",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 1)))
+          .select(
+            col(idCol).as("q_id"),
+            col("_s").as("q_scale"),
+            Embeddings.int8Codes(col(vecCol), col("_s")).as("q_vq"),
+            explode(imiProbeCells(col("_t0"), col("_t1"), kSub, pSub)).as("q_bk"))
+    }
     val idot = graft.functions.IntDotProduct.column(col("q_vq"), col("n_q"))
     val scored = c
       .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))

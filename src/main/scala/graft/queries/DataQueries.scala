@@ -1177,6 +1177,125 @@ object DataQueries {
        |FROM (SELECT vec_id, bk FROM probed WHERE is_primary) s
        |LEFT JOIN dup d ON s.vec_id = d.vid""".stripMargin
 
+  /** The 3 rank-sum-capped probe cells per query vector (pSub=2), shared
+    * by the two composed IMI ANN oracles below: per-half rn ≤ 2 with
+    * rn₀ + rn₁ ≤ 3 over the trained-codebook codes — the SQL replay of
+    * [[Similarity.imiProbeCells]] (1-indexed; the Scala contract is
+    * 0-indexed rank₀ + rank₁ < pSub). Same CTE shape `d_semdedup_imi_probe`
+    * proved, restricted to the query sample.
+    */
+  private val imiQueryProbesSql: String =
+    s"""qprobes AS (
+       |  SELECT c0.vec_id AS q_id, c0.code * $ImiKSub + c1.code AS q_bk
+       |  FROM rcodes c0 JOIN rcodes c1
+       |    ON c0.vec_id = c1.vec_id AND c0.mi = 0 AND c1.mi = 1
+       |   AND c0.rn <= 2 AND c1.rn <= 2 AND c0.rn + c1.rn <= 3
+       |  WHERE c0.vec_id % 25 = 0)""".stripMargin
+
+  /** IMI-pruned ADC ANN — the composed 100 TB query shape at AUTO-K: past
+    * [[FlatQuantizerMaxK]] the flat pruner of `s_ann_pq_ivf` stops scaling
+    * (k·dim per-row assignment, k·dim model), so the candidate fence
+    * becomes the kSub² product cells (multi-probe pSub=2 → the 3
+    * rank-sum-capped cells) and only survivors are ADC-scored through the
+    * PQ lookup tables. Cell model and score model are independent: the
+    * trained unit-norm IMI codebooks fence candidates, the raw m=8 PQ
+    * codebooks score them. The oracle composes three proven blocks — the
+    * trained IMI cell CTEs (`imiCellsSql`), the probe CTE shape of
+    * `d_semdedup_imi_probe`, and the PQ encode/LUT fold of `s_ann_pq` —
+    * so scores bit-match `s_ann_pq` on shared candidates.
+    */
+  def sAnnPqImi(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqTopKPrunedImi(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      imiCodebooksFor(spark, dir, ImiKSub), codebooksFor(spark, dir, m = PqM, k = PqK),
+      k = 10, pSub = 2)
+  }
+
+  val sAnnPqImiSql: String = {
+    val dotSql = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, $PqSub + 1), i -> $a * $b), (x,y) -> x+y)"
+    s"""$imiCellsSql,
+       |$imiQueryProbesSql,
+       |pseeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)),
+       |grid AS (SELECT unnest(range($PqM)) AS mi),
+       |codes0 AS (
+       |  SELECT e.vec_id, grid.mi, s.j,
+       |    ${dotSql(s"e.v[grid.mi * $PqSub + i]", s"s.cv[grid.mi * $PqSub + i]")} AS dotv
+       |  FROM e CROSS JOIN grid CROSS JOIN pseeds s),
+       |codes AS (
+       |  SELECT vec_id, mi, j AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY dotv DESC, j ASC) AS rn
+       |    FROM codes0)
+       |  WHERE rn = 1),
+       |qv AS (SELECT vec_id AS q_id, v AS qvec FROM e WHERE vec_id % 25 = 0),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM cells c JOIN qprobes p ON c.bk = p.q_bk AND c.vec_id <> p.q_id),
+       |terms AS (
+       |  SELECT cand.q_id, cand.n_id, c.mi,
+       |    ${dotSql(s"q.qvec[c.mi * $PqSub + i]", s"s.cv[c.mi * $PqSub + i]")} AS term
+       |  FROM cand
+       |  JOIN qv q ON q.q_id = cand.q_id
+       |  JOIN codes c ON c.vec_id = cand.n_id
+       |  JOIN pseeds s ON s.j = c.code),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(term ORDER BY mi), (a,b) -> a+b) AS score
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
+  /** IMI-pruned int8 ANN — the bandwidth face at AUTO-K, composing the IMI
+    * cell fence with the exact integer code dot of `s_ann_int8` (see
+    * [[sAnnPqImi]] for the cell quantizer's scale argument; corpus ships
+    * (id, cell, scale, codes) — 1 byte/dim). Scores bit-match `s_ann_int8`
+    * on shared candidates.
+    */
+  def sAnnInt8Imi(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.int8TopKPrunedImi(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      imiCodebooksFor(spark, dir, ImiKSub), k = 10, pSub = 2)
+  }
+
+  val sAnnInt8ImiSql: String =
+    s"""$imiCellsSql,
+       |$imiQueryProbesSql,
+       |icodes AS (
+       |  SELECT vec_id, scale,
+       |    list_transform(v, x -> CASE WHEN scale = 0 THEN 0 ELSE CAST(round(x / scale) AS INT) END) AS q
+       |  FROM (
+       |    SELECT vec_id, v,
+       |      list_reduce(list_transform(v, x -> abs(x)), (a,b) -> greatest(a,b)) / 127.0 AS scale
+       |    FROM e)),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM cells c JOIN qprobes p ON c.bk = p.q_bk AND c.vec_id <> p.q_id),
+       |scored AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    list_reduce(list_transform(range(1, len(qc.q) + 1), k -> CAST(qc.q[k] AS BIGINT) * nc.q[k]),
+       |      (a,b) -> a + b) AS idot,
+       |    (CAST(list_reduce(list_transform(range(1, len(qc.q) + 1), k -> CAST(qc.q[k] AS BIGINT) * nc.q[k]),
+       |      (a,b) -> a + b) AS DOUBLE) * qc.scale) * nc.scale AS approx
+       |  FROM cand
+       |  JOIN icodes qc ON qc.vec_id = cand.q_id
+       |  JOIN icodes nc ON nc.vec_id = cand.n_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, idot, approx,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(idot AS BIGINT) AS idot,
+       |  CAST(floor(approx * 1e6) AS BIGINT) AS approx_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** Sign-LSH ANN: the label-free scale path — buckets from 8 deterministic
     * hyperplanes (no natural coarse column needed), then the same bucket
     * equi-join as the IVF query. The oracle inlines the identical plane
@@ -2127,6 +2246,8 @@ object DataQueries {
     "s_ann_lsh" -> sAnnLsh,
     "s_ann_pq" -> sAnnPq,
     "s_ann_pq_ivf" -> sAnnPqIvf,
+    "s_ann_pq_imi" -> sAnnPqImi,
+    "s_ann_int8_imi" -> sAnnInt8Imi,
     "s_ann_int8" -> sAnnInt8,
     "s_ann_int8_ivf" -> sAnnInt8Ivf,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
@@ -2186,6 +2307,8 @@ object DataQueries {
     "s_ann_lsh" -> sAnnLshSql,
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
+    "s_ann_pq_imi" -> sAnnPqImiSql,
+    "s_ann_int8_imi" -> sAnnInt8ImiSql,
     "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_int8_ivf" -> sAnnInt8IvfSql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,

@@ -475,6 +475,82 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < kSub * kSub))
   }
 
+  test("IMI-pruned ADC + int8: pruned ranking ≡ independent replay of full scores ∩ probe-cell fence") {
+    val kSub = 4
+    val corpus = emb.limit(200)
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val icbs = Similarity.imiCodebooksTrained(
+      corpus, "vec_id", "embedding", kSub, iters = 2, sampleN = 256)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val n = corpus.count().toInt
+
+    // independent driver-side replay of the probe-cell candidate fence:
+    // per-half argmax dot (strict > scan keeps the lowest index — the
+    // pqEncode tie contract), top-2 codewords per half, rank-sum-capped
+    // pairs (r0 + r1 < 2) — primary + both single-substitution cells
+    val vecs = corpus.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def top2(hv: Seq[Double], cws: Seq[Seq[Double]]): Seq[Int] = {
+      val dots = cws.map(cw => hv.lazyZip(cw).map(_ * _).sum)
+      val first = dots.indices.maxBy(j => (dots(j), -j))
+      val second = dots.indices.filter(_ != first).maxBy(j => (dots(j), -j))
+      Seq(first, second)
+    }
+    def halves(v: Seq[Double]): Seq[Seq[Double]] =
+      Seq(v.slice(0, dim / 2), v.slice(dim / 2, dim))
+    val cellOf: Map[Long, Int] = vecs.map { case (id, v) =>
+      val Seq(h0, h1) = halves(v)
+      id -> (top2(h0, icbs(0)).head * kSub + top2(h1, icbs(1)).head)
+    }
+    val probesOf: Map[Long, Set[Int]] = vecs.map { case (id, v) =>
+      val Seq(h0, h1) = halves(v)
+      val (t0, t1) = (top2(h0, icbs(0)), top2(h1, icbs(1)))
+      // rank pairs (0,0), (0,1), (1,0)
+      id -> Set(t0(0) * kSub + t1(0), t0(0) * kSub + t1(1), t0(1) * kSub + t1(0))
+    }
+
+    // ADC face: the proven unpruned pqTopK at k=n yields the FULL exact
+    // ranking (its rank column orders by the exact doubles, not the floored
+    // _e6) — fence it to the replayed probe cells and re-rank in the
+    // driver; the composed operator must match exactly
+    val fullPq = Similarity.pqTopK(corpus, queries, "vec_id", "embedding", cbs, n)
+      .select("q_id", "n_id", "rank", "score_e6").as[(Long, Long, Int, Long)].collect()
+    val qIds = queries.select("vec_id").as[Long].collect().toSet
+    def expected(full: Seq[(Long, Long, Int, Long)]): Set[(Long, Long, Int, Long)] =
+      full.groupBy(_._1).flatMap { case (q, rows) =>
+        rows.filter { case (_, nid, _, _) => probesOf(q).contains(cellOf(nid)) }
+          .sortBy(_._3)
+          .take(10).zipWithIndex
+          .map { case ((_, nid, _, s), i) => (q, nid, i + 1, s) }
+      }.toSet
+    val gotPq = Similarity.pqTopKPrunedImi(
+      corpus, queries, "vec_id", "embedding", icbs, cbs, k = 10, pSub = 2)
+      .select("q_id", "n_id", "rank", "score_e6")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(gotPq === expected(fullPq),
+      "IMI-pruned ADC must equal the full ADC ranking fenced to the replayed probe cells")
+    assert(gotPq.nonEmpty && qIds.forall(q => gotPq.exists(_._1 == q)),
+      "every query must surface candidates through its probe cells")
+
+    // int8 face: same fence, exact ranking from the unpruned int8TopK
+    val fullI8 = Similarity.int8TopK(corpus, queries, "vec_id", "embedding", n)
+      .select("q_id", "n_id", "rank", "approx_e6").as[(Long, Long, Int, Long)].collect()
+    val gotI8 = Similarity.int8TopKPrunedImi(
+      corpus, queries, "vec_id", "embedding", icbs, k = 10, pSub = 2)
+      .select("q_id", "n_id", "rank", "approx_e6")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(gotI8 === expected(fullI8),
+      "IMI-pruned int8 must equal the full int8 ranking fenced to the replayed probe cells")
+
+    // the prune's measured cost at fixture scale: recall vs the unpruned
+    // top-10, printed (the operating-point recall story lives in the
+    // ScaleMechanicsSpec agreement gate / SCALE.md)
+    val fullTop = fullPq.filter(_._3 <= 10).map(r => (r._1, r._2)).toSet
+    val recall = gotPq.map(r => (r._1, r._2)).intersect(fullTop).size.toDouble / fullTop.size
+    println(f"[SimilaritySpec] IMI-pruned ADC: recall@10 vs unpruned=$recall%.3f")
+    assert(recall > 0.0, "pruned face returned nothing — cell fence degenerated")
+  }
+
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
     import graft.data.{ModelStore, Similarity}
     val base = java.nio.file.Files.createTempDirectory("modelstore").toString
