@@ -49,6 +49,46 @@ object Decontaminate {
       .agg(count_distinct(col("_g")).as("n_hits"))
   }
 
+  /** Graded contamination REPORT: per training doc, its distinct n-gram
+    * count, the count hitting the benchmark set, and the overlap fraction,
+    * thresholded — the graded form of the standard n-gram-overlap
+    * contamination metric: a doc is flagged when a meaningful FRACTION of
+    * its grams appears in the eval set, not on a single stray collision
+    * (the [[hits]] face's any-hit semantics). Every doc with at least one
+    * gram appears in the output (zero-hit docs carry overlap 0.0); docs
+    * shorter than n tokens have no grams and are absent — nothing to
+    * measure.
+    *
+    * Scale shape: distinct eval grams still broadcast; the corpus scans
+    * once, dedups its grams PER ROW (`array_distinct` — no shuffle), and
+    * the per-doc aggregate map-side-combines to one row per doc before the
+    * only shuffle. The hit marker rides a left join against the broadcast,
+    * so clean docs never leave their scan partition un-aggregated.
+    */
+  def overlap(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    require(threshold >= 0.0 && threshold <= 1.0, s"threshold out of [0,1]: $threshold")
+    val benchGrams = withGrams(bench, textCol, n)
+      .select(explode(col("_grams")).as("_g"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    withGrams(train, textCol, n)
+      .withColumn("_dg", array_distinct(col("_grams")))
+      .select(col(idCol), size(col("_dg")).cast("long").as("n_grams"), explode(col("_dg")).as("_g"))
+      .join(broadcast(benchGrams), Seq("_g"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .withColumn("overlap", col("n_hits").cast("double") / col("n_grams"))
+      .withColumn("contaminated", col("overlap") >= threshold)
+  }
+
   /** Multi-benchmark decontamination in ONE corpus scan. A real campaign
     * screens against MANY eval sets at once (every benchmark in the
     * harness), and the naive loop re-scans the 100 TB corpus once per set.

@@ -462,6 +462,60 @@ object DataQueries {
        |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
   }
 
+  /** Quality-aware clean corpus: like [[dCleanCorpus]] but each near-dup
+    * cluster keeps its BEST member — most tokens, ties → lowest doc id —
+    * instead of the lowest id unconditionally (the production choice:
+    * near-dup clusters mix truncated/boilerplate variants with the fullest
+    * copy, and min-id keeps whichever happened to crawl first). Exact-dup
+    * groups still keep the lowest id; that never conflicts with the
+    * cluster winner, because identical texts have identical token counts,
+    * so the argmax tie-break picks the exact group's min id — the cluster
+    * representative is always an exact-dedup winner. Token counts ride the
+    * document scan (no extra shuffle); the per-cluster argmax is a window
+    * over cluster-grain rows only (clusters are tiny vs the corpus).
+    */
+  def dCleanCorpusBest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val exactKeep = Dedup
+      .exactDedup(docs, "doc_id", "text")
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"))
+    val scored = Dedup
+      .duplicateClusters(clusterPairsShared(spark, dir))
+      .join(
+        docs.select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("_nt")),
+        Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("_nt").desc, col("doc_id").asc)
+    val losers = scored
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1)
+      .select(col("doc_id"))
+    exactKeep.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Same recursive cluster replay as `d_dup_clusters`, with the
+    * best-member window in place of the min-id keep.
+    */
+  val dCleanCorpusBestSql: String =
+    dDupClustersSql.replace(
+      "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id",
+      """, clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |scored AS (
+        |  SELECT c.doc_id, c.cluster_id, len(tk.t) AS nt
+        |  FROM clusters c JOIN toks tk ON tk.doc_id = c.doc_id),
+        |losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY nt DESC, doc_id ASC) AS rn
+        |    FROM scored)
+        |  WHERE rn <> 1),
+        |exact_keep AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM documents)
+        |  WHERE doc_id = keep_id)
+        |SELECT doc_id FROM exact_keep
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)
+
   /** Embedding vector ops: norm, normalization, int8 quantization quality —
     * scalar projections so the oracle compares exact doubles. Computed by
     * the fused codegen'd [[graft.functions.EmbedStats]] expression (two
@@ -1605,6 +1659,39 @@ object DataQueries {
        |WHERE doc_id % 97 <> 0
        |GROUP BY doc_id""".stripMargin
 
+  /** Graded decontamination: the overlap FRACTION of each train doc's
+    * distinct word 3-grams against the eval set, thresholded at 5% — the
+    * graded form of [[dDecontaminate]]'s any-hit flag (a doc sharing one
+    * coincidental gram scores near zero; true contamination concentrates
+    * mass). Every doc with at least one gram appears — the output is a
+    * per-doc contamination report, not just the flagged set.
+    */
+  def dDecontaminateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Decontaminate.overlap(
+      docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+      "doc_id", "text", n = 3, threshold = 0.05)
+  }
+
+  val dDecontaminateOverlapSql: String =
+    s"""WITH $toksCte,
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(t)-2, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+2), ' ')))) AS g
+       |  FROM toks),
+       |ng AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams WHERE doc_id % 97 <> 0 GROUP BY doc_id),
+       |bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+       |h AS (
+       |  SELECT doc_id, COUNT(*) AS n_hits FROM grams JOIN bg USING (g)
+       |  WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+       |SELECT ng.doc_id, CAST(ng.n_grams AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ng.n_grams AS overlap,
+       |  (CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ng.n_grams) >= 0.05 AS contaminated
+       |FROM ng LEFT JOIN h ON ng.doc_id = h.doc_id""".stripMargin
+
   /** Multi-benchmark face: three eval sets carved on coprime moduli, the
     * rest of the corpus screened against all three in one scan. Word
     * 3-grams so every set produces a real hit population at sf0.01.
@@ -2228,6 +2315,8 @@ object DataQueries {
     "t_fingerprint" -> tFingerprint,
     "t_term_freq" -> tTermFreq,
     "d_clean_corpus" -> dCleanCorpus,
+    "d_clean_corpus_best" -> dCleanCorpusBest,
+    "d_decontaminate_overlap" -> dDecontaminateOverlap,
     "e_embed_stats" -> eEmbedStats,
     "d_dedup_exact" -> dExact,
     "d_dedup_priority" -> dDedupPriority,
@@ -2289,6 +2378,8 @@ object DataQueries {
     "t_fingerprint" -> tFingerprintSql,
     "t_term_freq" -> tTermFreqSql,
     "d_clean_corpus" -> dCleanCorpusSql,
+    "d_clean_corpus_best" -> dCleanCorpusBestSql,
+    "d_decontaminate_overlap" -> dDecontaminateOverlapSql,
     "e_embed_stats" -> eEmbedStatsSql,
     "d_dedup_exact" -> dExactSql,
     "d_dedup_priority" -> dDedupPrioritySql,

@@ -145,6 +145,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan.take(2000))
   }
 
+  test("decontaminate overlap: exact fractions on crafted grams; zero-hit present, sub-n absent") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      // 3 distinct 3-grams, 2 shared with bench -> 2/3
+      (1L, "alpha beta gamma delta epsilon"),
+      // no shared grams -> present with overlap 0.0, not contaminated
+      (2L, "zeta eta theta iota"),
+      // fewer than 3 tokens -> no grams, absent
+      (3L, "one two"),
+      // repeated grams dedup PER DOC: 4 gram positions, 3 distinct, 1 hit
+      (4L, "alpha beta gamma alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val got = graft.data.Decontaminate
+      .overlap(train, bench, "doc_id", "text", n = 3, threshold = 0.05)
+      .select($"doc_id", $"n_grams", $"n_hits", $"overlap", $"contaminated")
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L), "sub-n doc must be absent, zero-hit present")
+    assert(got(0) === ((1L, 3L, 2L, 2.0 / 3.0, true)))
+    assert(got(1) === ((2L, 2L, 0L, 0.0, false)))
+    assert(got(2) === ((4L, 3L, 1L, 1.0 / 3.0, true)))
+  }
+
   test("repetitionProfile: exact counts for a crafted doc, empty doc safe") {
     val docs = Seq(
       (1L, "a a a b"), // words=4, distinct=2, top=3, 2grams=3 (a a, a a, a b) distinct=2

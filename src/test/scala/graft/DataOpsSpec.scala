@@ -304,6 +304,31 @@ class DataOpsSpec extends SparkSpec {
     assert(clusters === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 4L))
   }
 
+  test("clean corpus best: cluster keeps the LONGEST member (ties min id); min-id face contrasts") {
+    val dir = java.nio.file.Files.createTempDirectory("cleanbest").toString
+    val base = "the quick brown fox jumps over the lazy dog today and more padding words"
+    Seq(
+      (1L, base), // near-dup cluster {1,2}; 2 is longer -> best keeps 2
+      (2L, base + " extra"),
+      (3L, "identical twin text goes here exactly"), // exact pair {3,4}: equal
+      (4L, "identical twin text goes here exactly"), //   length -> tie -> min id 3
+      (5L, "completely different text with other tokens that share nothing at all")
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    // precondition: the LSH pipeline really pairs (1,2) — otherwise the
+    // contrast below is vacuous
+    val pairs = Dedup.minhashPairsForClustering(
+      graft.core.Tables.documents(spark, dir), "doc_id", "text")
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"crafted near-dup pair not recovered: $pairs")
+    val best = graft.queries.DataQueries.dCleanCorpusBest(spark, dir)
+      .as[Long].collect().toSet
+    assert(best === Set(2L, 3L, 5L),
+      s"best face must keep the longest cluster member and the exact-dup min id: $best")
+    val minId = graft.queries.DataQueries.dCleanCorpus(spark, dir)
+      .as[Long].collect().toSet
+    assert(minId === Set(1L, 3L, 5L), s"min-id face must keep the lowest id per cluster: $minId")
+  }
+
   test("qualityModelScore: matches the plain-Scala mirror; empty doc scores 0") {
     val dims = 64
     val weights = graft.data.TextAnalysis.modelWeights(dims)
