@@ -178,8 +178,11 @@ object ScaleProbe {
     // CorpusIngest verdict) and an IMI-branch auto-k face
     "d_ingest_gate", "s_ann_ivf_seeded",
     // r12: the composed IMI-pruned ANN faces (cell fence + ADC / int8
-    // scoring — the auto-k form of the s_ann_pq_ivf / s_ann_int8_ivf shape)
-    "s_ann_pq_imi", "s_ann_int8_imi"
+    // scoring — the auto-k form of the s_ann_pq_ivf / s_ann_int8_ivf
+    // shape), the graded decontamination report, and the quality-aware
+    // cluster representative
+    "s_ann_pq_imi", "s_ann_int8_imi",
+    "d_decontaminate_overlap", "d_clean_corpus_best"
   )
 
   /** A table is reused only when its completion marker exists AND records

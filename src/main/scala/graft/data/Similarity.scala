@@ -811,6 +811,16 @@ object Similarity {
     * LUT dots, same subspace-ordered fold). A corpus row has exactly ONE
     * cell and a query's probe cells are distinct by construction, so no
     * candidate dedup is needed ([[multiProbeTopK]]'s argument).
+    *
+    * Operating guidance (measured at n=200k on the clustered-boundary
+    * corpus — ScaleMechanicsSpec composed-face gate, SCALE.md r12): top-k
+    * ANN needs all k neighbors co-probed, so probe DEEP — at pSub=8 the
+    * fence loses ~nothing against the unpruned scoring ceiling while
+    * cutting candidates ~50-180×, and end-to-end recall is gated by the
+    * SCORE codebooks (k=16 fixture seeds 0.25 vs brute, k=256 seeds 0.39;
+    * Lloyd-train for production — [[pqCodebooksTrained]]), not the fence.
+    * pSub=2 is a dedup-shaped fence (any-shared-cell semantics), not an
+    * ANN-shaped one: it holds only ~0.2 of the top-10 at either grid size.
     */
   def pqTopKPrunedImi(
       corpus: DataFrame,

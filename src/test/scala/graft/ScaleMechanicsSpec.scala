@@ -295,4 +295,90 @@ class ScaleMechanicsSpec extends SparkSpec {
         f"multi-probe recall $imi2Recall%.4f did not meaningfully recover over $imi1Recall%.4f")
     } finally emb.unpersist()
   }
+
+  test("composed IMI-pruned ADC at the auto-k operating point: prune recall vs unpruned ADC, pinned") {
+    // The fixture-scale oracle (s_ann_pq_imi, kSub=4) proves the code
+    // path; here the PRUNE'S cost is measured where the composed face
+    // actually operates — n=200k -> autoK k=6250, kSub=80 trained cells —
+    // on the same clustered-boundary corpus as the dedup agreement gate.
+    // Ground truth is the unpruned ADC face with the SAME scoring
+    // codebooks, so the measured loss is the cell fence's alone (ADC
+    // quantization error cancels out of the comparison).
+    import graft.data.Similarity
+    val n = 200000L
+    val emb = spark.range(n).map { id =>
+      val dim = 64
+      val c = (id / 50).toInt
+      val cRnd = new scala.util.Random(c * 7919L + 17)
+      val center = Array.fill(dim)(cRnd.nextGaussian())
+      val vRnd = new scala.util.Random(id * 6007L + 23)
+      val v = Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian())
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding").repartition(8).cache()
+    try {
+      val k = Similarity.autoK(emb.count())
+      assert(k === 6250, s"operating point drifted: k=$k")
+      val kSub = Similarity.imiKSub(k)
+      val icbs = Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSub, iters = 2,
+        sampleN = Similarity.imiTrainSampleN(kSub))
+      val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
+      val q = emb.filter(pmod($"vec_id", lit(1601)) === 0)
+      // ground truth: brute-force exact cosine top-10 — the answer a user
+      // actually wants; every measured number below is recall against it
+      val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      assert(brute.size > 1000, s"ground-truth sample too thin: ${brute.size}")
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+        (got & brute).size.toDouble / brute.size
+      }
+      // scoring ceiling: the UNPRUNED ADC face at the fixture codebook size
+      // (k=16 — what the oracle replays) vs a production-sized codebook
+      // (k=256 seeded) — separates score-model error from fence error
+      val cbs256 = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 256)
+      val adc16 = recallOf(Similarity.pqTopK(emb, q, "vec_id", "embedding", cbs, 10))
+      val adc256 = recallOf(Similarity.pqTopK(emb, q, "vec_id", "embedding", cbs256, 10))
+      println(f"[ScaleMechanicsSpec] ADC scoring ceiling vs brute: k=16 $adc16%.3f, k=256 $adc256%.3f")
+      assert(adc256 > adc16 + 0.1,
+        f"production codebook did not improve the scoring ceiling: $adc256%.3f vs $adc16%.3f")
+      // composed face at PRODUCTION shapes: k=256 scoring, two cell grids —
+      // the dedup-sized fence (kSub=80: k ∝ n keeps the per-cell quadratic
+      // constant — the DEDUP rule) vs an ANN-sized grid (kSub=42 -> 1764
+      // fuller cells: top-k ANN needs all 10 neighbors co-probed, so fewer,
+      // fuller cells at deeper probe depths win)
+      val kSubAnn = 42
+      val icbsAnn = Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSubAnn, iters = 2,
+        sampleN = Similarity.imiTrainSampleN(kSubAnn))
+      def sweep(cells: Seq[Seq[Seq[Double]]]): Seq[(Int, Double)] =
+        Seq(2, 4, 8).map { p =>
+          p -> recallOf(Similarity.pqTopKPrunedImi(
+            emb, q, "vec_id", "embedding", cells, cbs256, k = 10, pSub = p))
+        }
+      val dedupGrid = sweep(icbs)
+      val annGrid = sweep(icbsAnn)
+      def fmt(s: Seq[(Int, Double)]) = s.map { case (p, r) => f"pSub=$p: $r%.3f" }.mkString(" | ")
+      println(s"[ScaleMechanicsSpec] composed IMI-ADC vs brute, dedup grid kSub=$kSub: ${fmt(dedupGrid)}")
+      println(s"[ScaleMechanicsSpec] composed IMI-ADC vs brute, ANN grid kSub=$kSubAnn: ${fmt(annGrid)}")
+      info(s"ADC ceiling k16=$adc16 k256=$adc256; dedup grid ${fmt(dedupGrid)}; ANN grid ${fmt(annGrid)}")
+      val cellSizes = emb.select(Similarity.imiAssign($"embedding", icbs).as("bk"))
+        .groupBy($"bk").count().as[(Int, Long)].collect().map(_._2)
+      assert(cellSizes.length > 1000, "cell fence degenerated")
+      // pins: monotone in probe depth on both grids; at pSub=8 the fence
+      // must approach the scoring ceiling on BOTH grids — the load-bearing
+      // r12 finding (measured: ceiling 0.391, dedup grid 0.392, ANN grid
+      // 0.372): the fence loses ~nothing at depth 8 while cutting
+      // candidates 178x (dedup grid) / ~50x (ANN grid); end-to-end quality
+      // is gated by the SCORE model (k=16 0.250 -> k=256 0.391 -> Lloyd
+      // training, SimilaritySpec), not the cell fence
+      val (d, a) = (dedupGrid.toMap, annGrid.toMap)
+      assert(d(4) >= d(2) && d(8) >= d(4), s"dedup-grid recall not monotone: $dedupGrid")
+      assert(a(4) >= a(2) && a(8) >= a(4), s"ANN-grid recall not monotone: $annGrid")
+      assert(d(8) >= adc256 - 0.05,
+        f"dedup-sized fence at pSub=8 fell ${adc256 - d(8)}%.3f below the scoring ceiling $adc256%.3f")
+      assert(a(8) >= adc256 - 0.05,
+        f"ANN-sized fence at pSub=8 fell ${adc256 - a(8)}%.3f below the scoring ceiling $adc256%.3f")
+    } finally emb.unpersist()
+  }
 }
