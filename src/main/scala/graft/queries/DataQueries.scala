@@ -1257,6 +1257,11 @@ object DataQueries {
     * trained IMI cell CTEs (`imiCellsSql`), the probe CTE shape of
     * `d_semdedup_imi_probe`, and the PQ encode/LUT fold of `s_ann_pq` —
     * so scores bit-match `s_ann_pq` on shared candidates.
+    *
+    * pSub=2 here exercises the multi-probe plumbing at fixture scale
+    * (kSub=4 caps pSub anyway); it is NOT the production probe depth —
+    * top-k ANN probes deep (pSub≈8, where the fence reaches the scoring
+    * ceiling; [[Similarity.pqTopKPrunedImi]] scaladoc, SCALE.md r12).
     */
   def sAnnPqImi(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)

@@ -542,6 +542,28 @@ class SimilaritySpec extends SparkSpec {
     assert(gotI8 === expected(fullI8),
       "IMI-pruned int8 must equal the full int8 ranking fenced to the replayed probe cells")
 
+    // pSub=1 takes the scalar-cell branch (no explode) in BOTH faces —
+    // same replay with the single primary cell as the fence
+    def expected1(full: Seq[(Long, Long, Int, Long)]): Set[(Long, Long, Int, Long)] =
+      full.groupBy(_._1).flatMap { case (qid, rows) =>
+        rows.filter { case (_, nid, _, _) => cellOf(nid) == cellOf(qid) }
+          .sortBy(_._3)
+          .take(10).zipWithIndex
+          .map { case ((_, nid, _, s), i) => (qid, nid, i + 1, s) }
+      }.toSet
+    val gotPq1 = Similarity.pqTopKPrunedImi(
+      corpus, queries, "vec_id", "embedding", icbs, cbs, k = 10, pSub = 1)
+      .select("q_id", "n_id", "rank", "score_e6")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(gotPq1 === expected1(fullPq),
+      "pSub=1 ADC must equal the full ranking fenced to the single replayed cell")
+    val gotI81 = Similarity.int8TopKPrunedImi(
+      corpus, queries, "vec_id", "embedding", icbs, k = 10, pSub = 1)
+      .select("q_id", "n_id", "rank", "approx_e6")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(gotI81 === expected1(fullI8),
+      "pSub=1 int8 must equal the full ranking fenced to the single replayed cell")
+
     // the prune's measured cost at fixture scale: recall vs the unpruned
     // top-10, printed (the operating-point recall story lives in the
     // ScaleMechanicsSpec agreement gate / SCALE.md)
