@@ -157,8 +157,16 @@ class CorpusOpsSpec extends SparkSpec {
       // repeated grams dedup PER DOC: 4 gram positions, 3 distinct, 1 hit
       (4L, "alpha beta gamma alpha beta gamma")
     ).toDF("doc_id", "text")
-    val got = graft.data.Decontaminate
+    val report = graft.data.Decontaminate
       .overlap(train, bench, "doc_id", "text", n = 3, threshold = 0.05)
+    // scale shape: the eval grams ride a BROADCAST left join (the corpus
+    // side never shuffles for the probe) and the per-doc aggregate is
+    // partial/final (map-side combine collapses each doc's grams to one
+    // row before the only shuffle)
+    val plan = report.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"), plan.take(2000))
+    val got = report
       .select($"doc_id", $"n_grams", $"n_hits", $"overlap", $"contaminated")
       .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
     assert(got.map(_._1).toSeq === Seq(1L, 2L, 4L), "sub-n doc must be absent, zero-hit present")

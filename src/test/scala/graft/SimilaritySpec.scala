@@ -564,6 +564,15 @@ class SimilaritySpec extends SparkSpec {
     assert(gotI81 === expected1(fullI8),
       "pSub=1 int8 must equal the full ranking fenced to the single replayed cell")
 
+    // 100 TB plan shape: the query side (probes + LUT) BROADCASTS into the
+    // fence join — the corpus side is one scan, never a shuffle-side of a
+    // sort-merge join
+    val composedPlan = Similarity.pqTopKPrunedImi(
+      corpus, queries, "vec_id", "embedding", icbs, cbs, k = 10, pSub = 2)
+      .queryExecution.executedPlan.toString
+    assert(composedPlan.contains("BroadcastHashJoin"), composedPlan.take(2000))
+    assert(!composedPlan.contains("SortMergeJoin"), composedPlan.take(2000))
+
     // the prune's measured cost at fixture scale: recall vs the unpruned
     // top-10, printed (the operating-point recall story lives in the
     // ScaleMechanicsSpec agreement gate / SCALE.md)
