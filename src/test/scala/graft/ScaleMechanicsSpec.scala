@@ -379,6 +379,25 @@ class ScaleMechanicsSpec extends SparkSpec {
         f"dedup-sized fence at pSub=8 fell ${adc256 - d(8)}%.3f below the scoring ceiling $adc256%.3f")
       assert(a(8) >= adc256 - 0.05,
         f"ANN-sized fence at pSub=8 fell ${adc256 - a(8)}%.3f below the scoring ceiling $adc256%.3f")
+
+      // int8 face: fence loss measured against its OWN unpruned ranking
+      // (int8 approximates the raw dot, brute cosine would conflate the
+      // metric difference with the fence) — the fence question is the
+      // same: are the top-10-by-int8-score co-probed at depth 8?
+      val i8full = Similarity.int8TopK(emb, q, "vec_id", "embedding", 10)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      val i8pruned = Similarity.int8TopKPrunedImi(
+        emb, q, "vec_id", "embedding", icbsAnn, k = 10, pSub = 8)
+        .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      val i8FenceRecall = (i8pruned & i8full).size.toDouble / i8full.size
+      println(f"[ScaleMechanicsSpec] composed IMI-int8, ANN grid pSub=8: " +
+        f"fence recall vs unpruned=$i8FenceRecall%.3f")
+      info(f"int8 fence recall (ANN grid, pSub=8) = $i8FenceRecall%.3f")
+      // measured r12: 0.736 — int8's top-10 ranks by the (near-exact) raw
+      // dot; the cosine-spherical cells co-probe most of it at depth 8;
+      // pinned with margin under measurement
+      assert(i8FenceRecall >= 0.65,
+        f"int8 fence recall $i8FenceRecall%.3f collapsed at depth 8")
     } finally emb.unpersist()
   }
 }
