@@ -722,7 +722,11 @@ object DataQueries {
           Similarity.assignNearest(col("embedding").cast("array<double>"), cents))
       } else {
         // auto-k past the flat regime: two-level product cells — √k·dim
-        // assignment, √k·dim model (Similarity.imiAssign scaladoc)
+        // assignment, √k·dim model (Similarity.imiAssign scaladoc).
+        // Single-probe by the face's contract (parity with the flat
+        // branch); a top-k campaign at auto-k should probe DEEP instead —
+        // the composed pqTopKPrunedImi at pSub≈8, where the fence reaches
+        // its scoring ceiling (ScaleMechanicsSpec gate, SCALE.md r12)
         val cbs = imiCodebooksFor(spark, dir, Similarity.imiKSub(k))
         e.withColumn("_bk", Similarity.imiAssign(col("embedding"), cbs))
       }
