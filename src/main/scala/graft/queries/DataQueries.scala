@@ -346,6 +346,20 @@ object DataQueries {
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
   }
 
+  /** Derived-oracle splice: `base` with `replacement` spliced in at
+    * `anchor`. A bare `String.replace` silently no-ops if the anchor ever
+    * drifts out of the base SQL — the derived oracle would ship as a
+    * verbatim copy of the base query and surface only as a confusing hash
+    * mismatch at verify time (ADVICE r12); failing the require at class
+    * init names the drifted anchor instead.
+    */
+  private def spliceSql(base: String, anchor: String, replacement: String): String = {
+    require(
+      base.contains(anchor),
+      s"oracle splice anchor drifted — not found in base SQL: $anchor")
+    base.replace(anchor, replacement)
+  }
+
   /** Duplicate-cluster size histogram — the "dedup impact report" a corpus
     * run reads before committing: how many clusters of each size exist and
     * how many documents they absorb (docs removed = n_docs − n_clusters
@@ -363,7 +377,8 @@ object DataQueries {
 
   val dDupClusterStatsSql: String =
     // same recursive replay as d_dup_clusters, with the histogram tail
-    dDupClustersSql.replace(
+    spliceSql(
+      dDupClustersSql,
       "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id",
       """, clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
         |szs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM clusters GROUP BY 1)
@@ -498,7 +513,8 @@ object DataQueries {
     * best-member window in place of the min-id keep.
     */
   val dCleanCorpusBestSql: String =
-    dDupClustersSql.replace(
+    spliceSql(
+      dDupClustersSql,
       "SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id",
       """, clusters AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
         |scored AS (
@@ -708,6 +724,36 @@ object DataQueries {
     */
   private val FlatQuantizerMaxK = Similarity.UnrolledCentroidMax
 
+  /** Probe depth for the auto-k IMI dedup branch — the r12 operating-point
+    * guidance made LOAD-BEARING (VERDICT r12 #2): below
+    * [[ImiWeakThresholdCutoff]] the single-probe IMI arm is the measured-
+    * WEAKEST configuration (threshold 0.40, n=200k, brute truth: IMI-1
+    * recall 0.31 vs flat-1 0.91; pSub=2 recovers to 0.79 — SCALE.md r12
+    * weak-regime table), because a weak threshold makes "dup" mean
+    * "barely similar" and barely-similar pairs straddle product-cell
+    * boundaries far more often than same-cluster members do (strong
+    * regime th=0.70: IMI-1 0.58 ≥ flat 0.48). So the auto-k switch
+    * escalates to pSub=2 itself — ≤3× candidate volume, the per-cell
+    * quadratic fence unchanged — instead of leaving the guidance in
+    * scaladoc a caller never reads. Fixture-k behavior is untouched (the
+    * oracle replays the FLAT branch at k ≤ [[FlatQuantizerMaxK]], and the
+    * dedicated `d_semdedup_imi*` entries pin each pSub explicitly).
+    * DataOpsSpec pins this plan function.
+    */
+  private[graft] val ImiWeakThresholdCutoff = 0.60
+  private[graft] def semDedupPlan(n: Long, threshold: Double): (Boolean, Int) = {
+    val k = Similarity.autoK(n)
+    if (k <= FlatQuantizerMaxK) (false, 1)
+    else if (threshold < ImiWeakThresholdCutoff) {
+      log.warn(
+        s"semantic dedup at auto-k=$k with weak threshold $threshold: " +
+          s"single-probe IMI measured 0.31 brute recall in this regime " +
+          s"(SCALE.md r12) — escalating to pSub=2 (~3x candidate volume)")
+      (true, 2)
+    } else (true, 1)
+  }
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.queries.DataQueries")
+
   def sAnnIvfSeeded(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // rows-per-bucket auto-k: 16 at the sf0.01 oracle fixture (matching the
@@ -763,27 +809,33 @@ object DataQueries {
     * keep-lowest-id. The oracle replays seed selection, argmax assignment,
     * and the cosine fold with the exact CTEs `s_ann_ivf_seeded` proved out.
     *
-    * This is the SINGLE-probe face in both regimes (flat cells at k <= 32,
-    * one IMI product cell beyond). Single-probe quantizer dedup is
-    * recall-limited regardless of quantizer shape (measured ~0.5 brute
-    * recall at the auto-k operating point, ScaleMechanicsSpec /
-    * SCALE.md): each cell's min member goes unflagged and clusters split
-    * across cells. Production campaigns at auto-k should run
-    * [[dSemDedupProbe2]] — its pSub=2 IMI arm measured 0.91 brute recall
-    * for 3x the candidate work.
+    * Probe depth is decided by [[semDedupPlan]]: single-probe flat cells
+    * at fixture k (≤ 32, what the oracle replays), but the auto-k IMI
+    * branch ESCALATES to pSub=2 because this face's 0.40 threshold is the
+    * measured-weak single-probe regime (IMI-1 brute recall 0.31 vs pSub=2
+    * 0.79 at n=200k — SCALE.md r12; VERDICT r12 #2 made that guidance
+    * load-bearing instead of scaladoc-only). Single-probe quantizer dedup
+    * is recall-limited regardless of quantizer shape (~0.5 brute recall
+    * even at strong thresholds): each cell's min member goes unflagged and
+    * clusters split across cells — [[dSemDedupProbe2]] pins the explicit
+    * probe2 face at fixture scale.
     */
   def dSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     // auto-k keeps the (n/k)² per-bucket pair fence constant-sized: 16 at
     // the sf0.01 oracle fixture (matching the SQL's LIMIT 16), ∝ n beyond
     // — where the face switches to the IMI product cells (FlatQuantizerMaxK)
-    val k = Similarity.autoK(embCount(spark, dir))
-    if (k <= FlatQuantizerMaxK)
+    val n = embCount(spark, dir)
+    val k = Similarity.autoK(n)
+    val (useImi, pSub) = semDedupPlan(n, threshold = 0.40)
+    if (!useImi)
       Dedup.semanticDedup(e, "vec_id", "embedding", seedsFor(spark, dir, k), threshold = 0.40)
     else
+      // pSub comes from the plan: the shipped 0.40 threshold is in the
+      // measured-weak single-probe regime, so the IMI branch runs probe2
       Dedup.semanticDedupImi(
         e, "vec_id", "embedding",
-        imiCodebooksFor(spark, dir, Similarity.imiKSub(k)), threshold = 0.40)
+        imiCodebooksFor(spark, dir, Similarity.imiKSub(k)), threshold = 0.40, pSub = pSub)
   }
 
   val dSemDedupSql: String =

