@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** A multimodal record: opaque media bytes + typed metadata. */
@@ -93,5 +93,89 @@ object Multimodal {
       // real decoder would be initialized HERE, once per partition
       it.map(decodeOne(_, frameStride))
     }
+  }
+
+  /** 64-bit dHash-style perceptual fingerprint over a binary media column —
+    * image-level NEAR-dup for the multimodal pipeline (the md5
+    * `fingerprint` in [[metadata]] only catches byte-exact copies; a
+    * re-encoded or slightly-edited image needs a PERCEPTUAL hash).
+    *
+    * Standard dHash (public domain, widely described — e.g. the
+    * Krawetz "Kind of Like That" formulation): decode the image to a 9×8
+    * luma grid, emit one bit per horizontally-adjacent pair, bit = left <
+    * right — gradient signs survive re-encode/resize/brightness shifts
+    * that break exact hashes. The DECODE step is this container's stub
+    * (no image libs): the "luma grid" samples the raw bytes at 72 evenly
+    * strided offsets (`grid g ∈ 0..71 → byte ⌊g·len/72⌋`) — swap the
+    * sampling for a real decoder's grid without touching the bit/banding
+    * machinery. Pure deterministic integer/string ops end to end, so a
+    * SQL oracle replays the hash bit-for-bit: both engines compare the
+    * two-char lowercase-hex byte pairs LEXICOGRAPHICALLY (equal to
+    * numeric byte order — hex digits are ASCII-ordered), never parsing a
+    * byte value, which keeps the expression inside whole-stage codegen
+    * with no UDF. Empty/short payloads degrade deterministically (clamped
+    * stride; empty binary → fingerprint 0).
+    */
+  def perceptualHash(bin: Column): Column = {
+    val h = lower(hex(bin))
+    val len = length(bin).cast("long")
+    // byte ⌊g·len/72⌋ as its two-char slice of the full hex string; the
+    // products stay well under 2^53, so the double division is exact
+    def sample(g: Int): Column =
+      h.substr((floor(lit(g.toLong) * len / lit(72)) * 2 + 1).cast("int"), lit(2))
+    (for { r <- 0 until 8; c <- 0 until 8 } yield {
+      val b = r * 8 + c
+      when(sample(r * 9 + c) < sample(r * 9 + c + 1), lit(1L << b)).otherwise(lit(0L))
+    }).reduce(_ bitwiseOR _)
+  }
+
+  /** Hamming-banded perceptual near-dup pairs: `(a_id, b_id, hamming)` for
+    * every pair within `maxHamming` bits that shares at least one
+    * fingerprint band. The [[graft.data.Dedup.simhash]]-family banding
+    * shape: split the 64-bit fingerprint into `64/bandBits` bands, pair
+    * only rows colliding on `(band index, band value)` — by pigeonhole a
+    * pair with hamming < 64/bandBits ALWAYS shares a clean band, so at
+    * the defaults (bandBits=8 → 8 bands, maxHamming=7) the banded join is
+    * EXACT for its own threshold, never just probabilistic. Candidates
+    * shuffle on the (band, value) key only — never all-pairs; at
+    * billion-image scale widen to bandBits=16 (4 bands, exact through
+    * hamming 3, 65536-value buckets → ~256× fewer collisions per band)
+    * — the dedup-family rule that bucket grain must grow with the corpus.
+    * A pair sharing several bands is emitted once (the distinct is at
+    * pair grain, after the hamming filter cuts the candidate volume).
+    */
+  def perceptualPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 7,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(64 % bandBits == 0, s"perceptualPairs: bandBits=$bandBits must divide 64")
+    require(maxHamming >= 0, s"perceptualPairs: maxHamming=$maxHamming")
+    val nBands = 64 / bandBits
+    require(maxHamming < nBands,
+      s"perceptualPairs: maxHamming=$maxHamming >= $nBands bands — the banded join " +
+        s"would MISS qualifying pairs (pigeonhole guarantee is hamming < nBands); " +
+        s"narrow bandBits or lower maxHamming")
+    val mask = (1L << bandBits) - 1
+    val banded = df
+      .select(col(idCol).as("_id"), perceptualHash(col(binCol)).as("_fp"))
+      .select(col("_id"), col("_fp"), explode(array((0 until nBands).map { b =>
+        struct(
+          lit(b).as("bi"),
+          shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
+      }: _*)).as("_band"))
+      .select(col("_id"), col("_fp"), col("_band.bi").as("bi"), col("_band.bv").as("bv"))
+    val lhs = banded.select(col("_id").as("a_id"), col("_fp").as("_fpa"), col("bi"), col("bv"))
+    val rhs = banded.select(col("_id").as("b_id"), col("_fp").as("_fpb"), col("bi"), col("bv"))
+    lhs.join(rhs, Seq("bi", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -633,11 +633,121 @@ object Similarity {
       .toVector
   }
 
+  /** DETERMINISTIC Lloyd-trained PQ SCORING codebooks — the
+    * [[imiCodebooksTrained]] recipe generalized to m subspaces, so a SQL
+    * oracle replays the full training bit-for-bit (VERDICT r12 #1: the
+    * composed ANN faces' end-to-end recall is gated by the SCORE model —
+    * seeded k=16→256 codebooks moved 0.250→0.391 vs brute at n=200k — and
+    * the trained path previously had no oracle face):
+    *   - training sample: the `sampleN` rows smallest by
+    *     `(md5(cast(id as string)), id)` — the IMI trainer's
+    *     content-decorrelated, engine-independent sample;
+    *   - assignment: per subspace, argmax of ⟨x, cw⟩ − 0.5·‖cw‖²
+    *     (components folded left-to-right; bias = left-to-right sum of
+    *     squares then one halving; ties → lowest codeword index) — the
+    *     EUCLIDEAN-nearest codeword, the classic PQ training objective
+    *     (Jégou/Douze/Schmid, "Product Quantization for Nearest Neighbor
+    *     Search", TPAMI'11 — public literature);
+    *   - update: per-component mean over members in ASCENDING ID order,
+    *     one division by the member count, NO normalization — scoring
+    *     codewords must stay raw: ADC scores are inner products against
+    *     them, and normalizing would distort reconstructed magnitudes
+    *     (contrast [[imiCodebooksTrained]], whose CELL codewords are
+    *     unit-norm because cell assignment is spherical);
+    *   - empty cells keep their previous codeword; `iters` is a fixed
+    *     unroll count (no data-dependent convergence test).
+    * Corpora encoded against trained codebooks must use the matching
+    * nearest encode ([[graft.functions.Pq.encode]] `nearest = true`) —
+    * raw argmax-dot against unequal-norm mean codewords funnels mass to
+    * high-norm codewords, the measured IMI-seed hotspot in encode form.
+    * ScaleMechanicsSpec measures the recall this buys at the n=200k
+    * operating point; `s_ann_pq_imi_t` is the hash-green oracle face.
+    */
+  def pqCodebooksTrainedDet(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int,
+      sampleN: Int
+  ): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 0, s"pqCodebooksTrainedDet: iters must be >= 0, got $iters")
+    require(sampleN >= k, s"pqCodebooksTrainedDet: sampleN=$sampleN < k=$k")
+    val seeded = pqCodebooks(corpus, idCol, vecCol, m, k)
+    require(seeded.forall(_.length == k),
+      s"pqCodebooksTrainedDet: corpus has fewer rows than k=$k " +
+        s"(seeded ${seeded.head.length} codewords) — lower k to the corpus size")
+    if (iters == 0) return seeded
+    val sample = corpus
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(sampleN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"pqCodebooksTrainedDet: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val slices: Array[Array[(Long, Array[Double])]] = Array.tabulate(m) { mi =>
+      sample.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)) }
+    }
+    def dot(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def halfSsq(cw: Seq[Double]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < cw.length) { ss += cw(i) * cw(i); i += 1 }
+      0.5 * ss
+    }
+    var cbs = seeded
+    (0 until iters).foreach { _ =>
+      cbs = (0 until m).map { mi =>
+        val cws = cbs(mi)
+        val biases = cws.map(halfSsq)
+        // assignment: strict > scan keeps the LOWEST index on ties
+        val assigned = slices(mi).map { case (id, sv) =>
+          var bestJ = 0
+          var bestD = dot(sv, cws(0)) - biases(0)
+          var j = 1
+          while (j < k) {
+            val d = dot(sv, cws(j)) - biases(j)
+            if (d > bestD) { bestD = d; bestJ = j }
+            j += 1
+          }
+          (bestJ, id, sv)
+        }
+        (0 until k).map { j =>
+          // slices(mi) is ascending-id, filter preserves order — members
+          // fold into the mean in ascending id order, the replayable order
+          val members = assigned.filter(_._1 == j)
+          if (members.isEmpty) cws(j)
+          else {
+            val cnt = members.length
+            val mean = new Array[Double](sub)
+            members.foreach { case (_, _, sv) =>
+              var i = 0
+              while (i < sub) { mean(i) += sv(i); i += 1 }
+            }
+            var i = 0
+            while (i < sub) { mean(i) /= cnt; i += 1 }
+            mean.toVector
+          }
+        }.toVector
+      }.toVector
+    }
+    cbs
+  }
+
   /** Lloyd-trained PQ codebooks: per subspace, spherical k-means over the
-    * SLICED corpus ([[trainCentroids]]) — the production path (float
+    * SLICED corpus ([[trainCentroids]]) — the DISTRIBUTED trainer (float
     * row-averaging is not order-replayable in SQL, so like the IVF
-    * trainer it is spec-verified; the seeded [[pqCodebooks]] path is the
-    * oracle-gated one). SimilaritySpec measures the recall gain.
+    * trainer it is spec-verified; [[pqCodebooksTrainedDet]] is the
+    * oracle-replayable sample-based production default, this one is for
+    * full-corpus training past what a driver sample should hold).
+    * SimilaritySpec measures the recall gain.
     */
   def pqCodebooksTrained(
       corpus: DataFrame,
@@ -674,18 +784,32 @@ object Similarity {
     * Native fused kernel ([[graft.functions.PqEncode]]); the HOF
     * formulation below is kept for bit-parity cross-checking.
     */
-  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    graft.functions.Pq.encode(vec, codebooks)
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]], nearest: Boolean = false): Column =
+    graft.functions.Pq.encode(vec, codebooks, nearest)
 
   /** The HOF formulation of [[pqEncode]] — m·k interpreted `aggregate`
-    * folds per row; cross-check fixture only.
+    * folds per row; cross-check fixture only. `nearest` subtracts the
+    * 0.5·‖cw‖² bias per codeword (Euclidean-nearest encode — the
+    * [[pqCodebooksTrainedDet]] contract), computed with the same
+    * left-to-right folds as the native kernel.
     */
-  def pqEncodeHof(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  def pqEncodeHof(
+      vec: Column,
+      codebooks: Seq[Seq[Seq[Double]]],
+      nearest: Boolean = false
+  ): Column = {
     val m = codebooks.length
     val sub = codebooks.head.head.length
+    def bias(cw: Seq[Double]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < cw.length) { ss += cw(i) * cw(i); i += 1 }
+      0.5 * ss
+    }
     array(codebooks.zipWithIndex.map { case (cb, mi) =>
       val sv = slice(vec.cast("array<double>"), mi * sub + 1, sub)
-      val dots = array(cb.map(cw => dotConst(sv, cw)): _*)
+      val dots = array(cb.map { cw =>
+        if (nearest) dotConst(sv, cw) - lit(bias(cw)) else dotConst(sv, cw)
+      }: _*)
       greatest(array_position(dots, array_max(dots)) - 1, lit(0L)).cast("int")
     }: _*)
   }
@@ -707,11 +831,14 @@ object Similarity {
       idCol: String,
       vecCol: String,
       codebooks: Seq[Seq[Seq[Double]]],
-      k: Int
+      k: Int,
+      nearestEncode: Boolean = false
   ): DataFrame = {
     val m = codebooks.length
     val cbK = codebooks.head.length
-    val c = corpus.select(col(idCol).as("n_id"), pqEncode(col(vecCol), codebooks).as("n_codes"))
+    val c = corpus.select(
+      col(idCol).as("n_id"),
+      pqEncode(col(vecCol), codebooks, nearestEncode).as("n_codes"))
     // flattened native LUT: element mi·k + j = dot(query subvec mi, codeword j)
     val lut = graft.functions.Pq.lut(col(vecCol), codebooks)
     val q = broadcast(queries.select(col(idCol).as("q_id"), lut.as("q_lut")))
@@ -811,6 +938,11 @@ object Similarity {
     * LUT dots, same subspace-ordered fold). A corpus row has exactly ONE
     * cell and a query's probe cells are distinct by construction, so no
     * candidate dedup is needed ([[multiProbeTopK]]'s argument).
+    * `nearestEncode = true` switches the corpus encode to the
+    * Euclidean-nearest codeword — REQUIRED when `pqCodebooks` are
+    * Lloyd-trained ([[pqCodebooksTrainedDet]] contract: mean codewords
+    * are not norm-equalized, raw argmax-dot encode funnels mass to
+    * high-norm codewords); the LUT scoring fold is identical either way.
     *
     * Operating guidance (measured at n=200k on the clustered-boundary
     * corpus — ScaleMechanicsSpec composed-face gate, SCALE.md r12): top-k
@@ -830,7 +962,8 @@ object Similarity {
       imiCodebooks: Seq[Seq[Seq[Double]]],
       pqCodebooks: Seq[Seq[Seq[Double]]],
       k: Int,
-      pSub: Int = 1
+      pSub: Int = 1,
+      nearestEncode: Boolean = false
   ): DataFrame = {
     require(imiCodebooks.length == 2,
       s"pqTopKPrunedImi: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
@@ -841,7 +974,7 @@ object Similarity {
     val c = corpus.select(
       col(idCol).as("n_id"),
       imiAssign(col(vecCol), imiCodebooks).as("n_bk"),
-      pqEncode(col(vecCol), pqCodebooks).as("n_codes"))
+      pqEncode(col(vecCol), pqCodebooks, nearestEncode).as("n_codes"))
     // flattened native LUT against the SCORING codebooks (raw codewords)
     val lut = graft.functions.Pq.lut(col(vecCol), pqCodebooks)
     val q = broadcast(

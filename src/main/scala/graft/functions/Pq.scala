@@ -53,16 +53,53 @@ private[functions] trait PqKernel { self: UnaryExpression =>
     else 0.0
 }
 
-/** PQ encoding: array<int> of length m — per subspace, the argmax-dot
-  * codeword (ties → lowest index; a NaN dot wins like Spark's `array_max`,
-  * first NaN locking the argmax, matching the HOF formulation exactly).
+/** PQ encoding: array<int> of length m — per subspace, the argmax
+  * codeword (ties → lowest index; a NaN score wins like Spark's
+  * `array_max`, first NaN locking the argmax, matching the HOF
+  * formulation exactly).
+  *
+  * `nearest = false` ranks codewords by raw dot (the MIPS-flavored
+  * encode the seeded oracle faces replay); `nearest = true` subtracts the
+  * per-codeword bias 0.5·‖cw‖² from each dot, which makes the argmax the
+  * EUCLIDEAN-nearest codeword (argmin ‖x−c‖² ≡ argmax ⟨x,c⟩ − ‖c‖²/2 —
+  * the classic PQ encode of Jégou/Douze/Schmid, TPAMI'11): the right
+  * reconstruction objective for Lloyd-TRAINED codebooks, whose mean
+  * codewords are not norm-equalized the way smallest-id seed slices
+  * happen to be (raw argmax-dot against means lets high-norm codewords
+  * soak up mass — the same hotspot the IMI cell quantizer fixed by
+  * normalizing; scoring codewords must stay RAW, so the bias moves into
+  * the encode instead). The bias fold is left-to-right sum of squares,
+  * then one 0.5·x — the exact arithmetic the trainer and the DuckDB
+  * oracle replay.
   */
-case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
-    extends UnaryExpression with PqKernel {
+case class PqEncode(
+    child: Expression,
+    codebooks: Seq[Seq[Seq[Double]]],
+    nearest: Boolean = false
+) extends UnaryExpression with PqKernel {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     checkVec()
+
+  /** biasFlat(mi·k + j) = 0.5·Σ cw(i)² (left-to-right), or all-zero for
+    * the raw argmax-dot mode — one flat model-sized array either way so
+    * eval and codegen share a single scoring formula.
+    */
+  @transient private lazy val biasFlat: Array[Double] = {
+    val a = new Array[Double](m * k)
+    if (nearest) {
+      var p = 0
+      for (cb <- codebooks; cw <- cb) {
+        var ss = 0.0
+        var i = 0
+        while (i < cw.length) { ss += cw(i) * cw(i); i += 1 }
+        a(p) = 0.5 * ss
+        p += 1
+      }
+    }
+    a
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
@@ -80,8 +117,9 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
           dot += vecAt(v, mi * sub + i) * flat((mi * k + j) * sub + i)
           i += 1
         }
-        if (java.lang.Double.isNaN(dot)) { best = dot; bestJ = j; bestNaN = true }
-        else if (dot > best) { best = dot; bestJ = j }
+        val score = dot - biasFlat(mi * k + j)
+        if (java.lang.Double.isNaN(score)) { best = score; bestJ = j; bestNaN = true }
+        else if (score > best) { best = score; bestJ = j }
         j += 1
       }
       out(mi) = bestJ
@@ -92,6 +130,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbs = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val bias = ctx.addReferenceObj("pqBias", biasFlat, "double[]")
     val get = if (elemIsFloat) "getFloat" else "getDouble"
     nullSafeCodeGen(ctx, ev, v => {
       val out = ctx.freshName("out")
@@ -100,6 +139,7 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
+      val score = ctx.freshName("score")
       val best = ctx.freshName("best")
       val bestJ = ctx.freshName("bestJ")
       val bestNaN = ctx.freshName("bestNaN")
@@ -118,8 +158,9 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
          |      $dot += ($idx < $nv ? (double) $v.$get($idx) : 0.0)
          |        * $cbs[($mi * $k + $j) * $sub + $i];
          |    }
-         |    if (java.lang.Double.isNaN($dot)) { $best = $dot; $bestJ = $j; $bestNaN = true; }
-         |    else if ($dot > $best) { $best = $dot; $bestJ = $j; }
+         |    double $score = $dot - $bias[$mi * $k + $j];
+         |    if (java.lang.Double.isNaN($score)) { $best = $score; $bestJ = $j; $bestNaN = true; }
+         |    else if ($score > $best) { $best = $score; $bestJ = $j; }
          |  }
          |  $out[$mi] = $bestJ;
          |}
@@ -199,8 +240,8 @@ case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 }
 
 object Pq {
-  def encode(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
-    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks))
+  def encode(v: Column, codebooks: Seq[Seq[Seq[Double]]], nearest: Boolean = false): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks, nearest))
   def lut(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqLut(ColumnBridge.expression(v), codebooks))
 }

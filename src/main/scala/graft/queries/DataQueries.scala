@@ -686,6 +686,21 @@ object DataQueries {
     cbMemo.computeIfAbsent(s"$dir#$m#$k", _ =>
       ModelStore.codebooksOrTrain(spark, annModelPath(dir, s"codebooks-m$m-k$k"))(
         Similarity.pqCodebooks(Tables.embeddings(spark, dir), "vec_id", "embedding", m, k)))
+  // Lloyd-TRAINED PQ SCORING codebooks (deterministic, oracle-replayable —
+  // the s_ann_pq_imi_t fixture unrolls both iterations; VERDICT r12 #1).
+  // Same naming discipline as the trained IMI cells: training params in
+  // the model name, so an algorithm change never reuses a stale model.
+  private[queries] val PqTrainIters = 2
+  private val pqTrainedMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+  private def pqTrainedFor(spark: SparkSession, dir: String, m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val sampleN = Similarity.imiTrainSampleN(k)
+    pqTrainedMemo.computeIfAbsent(s"$dir#$m#$k", _ =>
+      ModelStore.codebooksOrTrain(
+        spark, annModelPath(dir, s"pqcbt-m$m-k$k-i$PqTrainIters-s$sampleN"))(
+        Similarity.pqCodebooksTrainedDet(
+          Tables.embeddings(spark, dir), "vec_id", "embedding", m, k,
+          iters = PqTrainIters, sampleN = sampleN)))
+  }
   // unit-norm half-space codebooks for the IMI cell quantizer — distinct
   // model name from the raw PQ codebooks: the ADC faces need RAW codewords
   // (scores are inner products), the cell quantizer needs NORMALIZED ones
@@ -1395,14 +1410,17 @@ object DataQueries {
        |  SELECT p.q_id, c.vec_id AS n_id
        |  FROM cells c JOIN qprobes p ON c.bk = p.q_bk AND c.vec_id <> p.q_id),
        |scored AS (
-       |  SELECT cand.q_id, cand.n_id,
-       |    list_reduce(list_transform(range(1, len(qc.q) + 1), k -> CAST(qc.q[k] AS BIGINT) * nc.q[k]),
-       |      (a,b) -> a + b) AS idot,
-       |    (CAST(list_reduce(list_transform(range(1, len(qc.q) + 1), k -> CAST(qc.q[k] AS BIGINT) * nc.q[k]),
-       |      (a,b) -> a + b) AS DOUBLE) * qc.scale) * nc.scale AS approx
-       |  FROM cand
-       |  JOIN icodes qc ON qc.vec_id = cand.q_id
-       |  JOIN icodes nc ON nc.vec_id = cand.n_id),
+       |  -- idot once in the inner scope, approx derived from the alias:
+       |  -- the integer dot is the heaviest expression of the whole query
+       |  -- and nothing guarantees DuckDB CSEs a doubled copy (ADVICE r12)
+       |  SELECT q_id, n_id, idot, (CAST(idot AS DOUBLE) * qscale) * nscale AS approx
+       |  FROM (
+       |    SELECT cand.q_id, cand.n_id, qc.scale AS qscale, nc.scale AS nscale,
+       |      list_reduce(list_transform(range(1, len(qc.q) + 1), k -> CAST(qc.q[k] AS BIGINT) * nc.q[k]),
+       |        (a,b) -> a + b) AS idot
+       |    FROM cand
+       |    JOIN icodes qc ON qc.vec_id = cand.q_id
+       |    JOIN icodes nc ON nc.vec_id = cand.n_id)),
        |ranked AS (
        |  SELECT q_id, n_id, idot, approx,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY approx DESC, n_id ASC) AS rank
@@ -1410,6 +1428,111 @@ object DataQueries {
        |SELECT q_id, n_id, rank, CAST(idot AS BIGINT) AS idot,
        |  CAST(floor(approx * 1e6) AS BIGINT) AS approx_e6
        |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** The TRAINED-scoring-model composed face: [[sAnnPqImi]] with the PQ
+    * scoring codebooks Lloyd-trained ([[Similarity.pqCodebooksTrainedDet]])
+    * and the corpus encoded against them by EUCLIDEAN-nearest codeword
+    * (the trained-codebook contract — see the `nearest` scaladoc on
+    * [[graft.functions.PqEncode]]). This is the full production 100 TB ANN
+    * query shape with every model trained: trained unit-norm IMI cells
+    * fence candidates, trained raw PQ codebooks score them. The oracle
+    * replays BOTH trainings — the IMI Lloyd CTEs of `s_ann_imi` plus a
+    * per-subspace PQ Lloyd chain (seeded slices → md5-ordered sample →
+    * 2 unrolled iterations with the dot−0.5·‖cw‖² nearest assignment →
+    * full-corpus nearest encode) — hash-exact. ScaleMechanicsSpec measures
+    * what training buys at the n=200k operating point (VERDICT r12 #1:
+    * recall is score-model-gated; the seeded k=256 ceiling was 0.391).
+    */
+  def sAnnPqImiT(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqTopKPrunedImi(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      imiCodebooksFor(spark, dir, ImiKSub), pqTrainedFor(spark, dir, m = PqM, k = PqK),
+      k = 10, pSub = 2, nearestEncode = true)
+  }
+
+  val sAnnPqImiTSql: String = {
+    val sampleN = Similarity.imiTrainSampleN(PqK)
+    require(PqTrainIters == 2, "sAnnPqImiTSql unrolls exactly PqTrainIters=2 Lloyd iterations")
+    // sub-vector dot: components folded left-to-right over the slice —
+    // the PqLut / pqCodebooksTrainedDet fold order
+    val subDot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, $PqSub + 1), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+    // nearest-assignment score: dot − 0.5·(left-to-right sum of squares)
+    val nearScore = (sv: String, cw: String) =>
+      s"${subDot(sv, cw)} - 0.5 * list_reduce(list_transform($cw, x -> x * x), (x,y) -> x+y)"
+    // one unrolled deterministic-Lloyd iteration per subspace: assign the
+    // sample slices to `prev` (nearest score, ties -> lowest j), move each
+    // codeword to the per-component mean of its members in ASCENDING
+    // vec_id order (NO normalization — scoring codewords stay raw);
+    // empty cells keep their previous codeword
+    def pqLloydIterSql(prev: String, cur: String): String =
+      s"""pa_$cur AS (
+         |  SELECT sh.vec_id, sh.mi, sh.sv, cb.j,
+         |    ROW_NUMBER() OVER (PARTITION BY sh.vec_id, sh.mi ORDER BY
+         |      ${nearScore("sh.sv", "cb.cw")} DESC,
+         |      cb.j ASC) AS rn
+         |  FROM psh sh JOIN $prev cb ON cb.mi = sh.mi),
+         |pu_$cur AS (
+         |  SELECT mi, j, list_transform(range(1, $PqSub + 1), i ->
+         |    list_reduce(list_transform(lst, x -> x[i]), (x,y) -> x+y) / cnt) AS mv
+         |  FROM (SELECT mi, j, list(sv ORDER BY vec_id) AS lst, COUNT(*) AS cnt
+         |        FROM pa_$cur WHERE rn = 1 GROUP BY mi, j)),
+         |$cur AS (
+         |  SELECT c.mi, c.j, COALESCE(u.mv, c.cw) AS cw
+         |  FROM $prev c LEFT JOIN pu_$cur u ON u.mi = c.mi AND u.j = c.j)""".stripMargin
+    s"""$imiCellsSql,
+       |$imiQueryProbesSql,
+       |pgrid AS (SELECT unnest(range($PqM)) AS mi),
+       |pcb_0 AS (
+       |  SELECT pgrid.mi AS mi, s.j AS j,
+       |    list_transform(range(1, $PqSub + 1), i -> s.sv[pgrid.mi * $PqSub + i]) AS cw
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS sv
+       |        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $PqK)) s
+       |  CROSS JOIN pgrid),
+       |psamp AS (
+       |  SELECT vec_id, v FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN),
+       |psh AS (
+       |  SELECT vec_id, pgrid.mi AS mi,
+       |    list_transform(range(1, $PqSub + 1), i -> v[pgrid.mi * $PqSub + i]) AS sv
+       |  FROM psamp CROSS JOIN pgrid),
+       |${pqLloydIterSql("pcb_0", "pcb_1")},
+       |${pqLloydIterSql("pcb_1", "pcb_2")},
+       |pcodes AS (
+       |  SELECT vec_id, mi, j AS code FROM (
+       |    SELECT eh.vec_id, eh.mi, cb.j,
+       |      ROW_NUMBER() OVER (PARTITION BY eh.vec_id, eh.mi ORDER BY
+       |        ${nearScore("eh.sv", "cb.cw")} DESC, cb.j ASC) AS rn
+       |    FROM (
+       |      SELECT vec_id, pgrid.mi AS mi,
+       |        list_transform(range(1, $PqSub + 1), i -> v[pgrid.mi * $PqSub + i]) AS sv
+       |      FROM e CROSS JOIN pgrid) eh
+       |    JOIN pcb_2 cb ON cb.mi = eh.mi)
+       |  WHERE rn = 1),
+       |qv AS (SELECT vec_id AS q_id, v AS qvec FROM e WHERE vec_id % 25 = 0),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM cells c JOIN qprobes p ON c.bk = p.q_bk AND c.vec_id <> p.q_id),
+       |terms AS (
+       |  SELECT cand.q_id, cand.n_id, c.mi,
+       |    list_reduce(list_transform(range(1, $PqSub + 1),
+       |      i -> q.qvec[c.mi * $PqSub + i] * cb.cw[i]), (x,y) -> x+y) AS term
+       |  FROM cand
+       |  JOIN qv q ON q.q_id = cand.q_id
+       |  JOIN pcodes c ON c.vec_id = cand.n_id
+       |  JOIN pcb_2 cb ON cb.mi = c.mi AND cb.j = c.code),
+       |scored AS (
+       |  SELECT q_id, n_id,
+       |    list_reduce(list(term ORDER BY mi), (a,b) -> a+b) AS score
+       |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
 
   /** Sign-LSH ANN: the label-free scale path — buckets from 8 deterministic
     * hyperplanes (no natural coarse column needed), then the same bucket
@@ -2163,6 +2286,71 @@ object DataQueries {
        |FROM documents""".stripMargin
   }
 
+  /** SQL replay of [[Multimodal.perceptualHash]]: the same strided
+    * hex-pair samples over the payload bytes and the same lexicographic
+    * two-char compares, folded with bitwise OR. Bit constants are emitted
+    * as precomputed BIGINT literals (DuckDB's `<<` range-checks `1 << 63`;
+    * the VALUE is what must match, not the shift). Expects a CTE exposing
+    * `(doc_id, len BIGINT, h)` = byte length + full lowercase hex.
+    */
+  private val phashSqlExpr: String = {
+    def sample(g: Int) =
+      s"substr(h, CAST(floor(($g * len) / 72) AS BIGINT) * 2 + 1, 2)"
+    (for { r <- 0 until 8; c <- 0 until 8 } yield {
+      val b = r * 8 + c
+      s"(CASE WHEN ${sample(r * 9 + c)} < ${sample(r * 9 + c + 1)} " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      // the OR operator rides at END of line: this fragment is spliced into
+      // stripMargin'd oracle strings, where a leading | would be eaten as a
+      // margin marker
+    }).mkString("(", " |\n    ", ")")
+  }
+  private val phashBytesCte: String =
+    s"""pb AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+       |    lower(hex(encode(text))) AS h
+       |  FROM documents)""".stripMargin
+
+  /** Per-doc perceptual fingerprint — the feature-extraction face. */
+  def mPhash(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        Multimodal.perceptualHash(col("text").cast("binary")).as("phash"))
+
+  val mPhashSql: String =
+    s"""WITH $phashBytesCte
+       |SELECT doc_id, $phashSqlExpr AS phash FROM pb""".stripMargin
+
+  /** Perceptual near-dup pairs over the binary column
+    * ([[Multimodal.perceptualPairs]]). The FIXTURE runs the wide grain —
+    * 16 4-bit bands, hamming ≤ 15 (still pigeonhole-exact: 15 < 16
+    * bands) — because the fixture's "images" are text bytes whose
+    * near-dup edits SHIFT the strided samples (measured: closest fixture
+    * pair at hamming 13; the production default 8-band/≤7 config returns
+    * zero rows here, which would make the oracle row empty-vs-empty
+    * evidence). DataOpsSpec pins the production default on crafted
+    * near-images; real image corpora use the defaults, and at
+    * billion-image scale WIDEN bandBits (fewer, bigger bands) per the
+    * operator scaladoc.
+    */
+  def mPhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualPairs(
+      Tables.documents(spark, dir).withColumn("bin", col("text").cast("binary")),
+      "doc_id", "bin", maxHamming = 15, bandBits = 4)
+
+  val mPhashPairsSql: String =
+    s"""WITH $phashBytesCte,
+       |fp AS (SELECT doc_id, $phashSqlExpr AS fp FROM pb),
+       |bands AS (SELECT doc_id, fp, unnest(range(16)) AS bi FROM fp),
+       |bv AS (SELECT doc_id, fp, bi, (fp >> (bi * 4)) & 15 AS bval FROM bands),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, bb.doc_id AS b_id,
+       |    bit_count(xor(a.fp, bb.fp)) AS ham
+       |  FROM bv a JOIN bv bb ON a.bi = bb.bi AND a.bval = bb.bval AND a.doc_id < bb.doc_id)
+       |SELECT DISTINCT a_id, b_id, CAST(ham AS BIGINT) AS hamming
+       |FROM cand WHERE ham <= 15""".stripMargin
+
   /** Boilerplate strip face: 10-token chunks shared by ≥2 distinct docs are
     * removed everywhere and the doc is rebuilt from the survivors.
     */
@@ -2397,6 +2585,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPq,
     "s_ann_pq_ivf" -> sAnnPqIvf,
     "s_ann_pq_imi" -> sAnnPqImi,
+    "s_ann_pq_imi_t" -> sAnnPqImiT,
     "s_ann_int8_imi" -> sAnnInt8Imi,
     "s_ann_int8" -> sAnnInt8,
     "s_ann_int8_ivf" -> sAnnInt8Ivf,
@@ -2422,7 +2611,9 @@ object DataQueries {
     "t_quality_filter" -> tQualityFilter,
     "t_bigram_commonness" -> tBigramCommonness,
     "d_token_budget" -> dTokenBudget,
-    "m_multimodal" -> mMultimodal
+    "m_multimodal" -> mMultimodal,
+    "m_phash" -> mPhash,
+    "m_phash_pairs" -> mPhashPairs
   )
 
   val oracles: Map[String, String] = Map(
@@ -2460,6 +2651,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
     "s_ann_pq_imi" -> sAnnPqImiSql,
+    "s_ann_pq_imi_t" -> sAnnPqImiTSql,
     "s_ann_int8_imi" -> sAnnInt8ImiSql,
     "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_int8_ivf" -> sAnnInt8IvfSql,
@@ -2484,6 +2676,8 @@ object DataQueries {
     "t_quality_filter" -> tQualityFilterSql,
     "t_bigram_commonness" -> tBigramCommonnessSql,
     "d_token_budget" -> dTokenBudgetSql,
-    "m_multimodal" -> mMultimodalSql
+    "m_multimodal" -> mMultimodalSql,
+    "m_phash" -> mPhashSql,
+    "m_phash_pairs" -> mPhashPairsSql
   )
 }

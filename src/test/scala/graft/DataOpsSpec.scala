@@ -438,6 +438,42 @@ class DataOpsSpec extends SparkSpec {
     assert(meta === ((f.byte_len, f.header_hex, f.fingerprint)))
   }
 
+  test("perceptualPairs: crafted near-image pair found at the default grain, far image excluded") {
+    def mk(f: Int => Int, n: Int = 144): Array[Byte] = Array.tabulate(n)(i => f(i).toByte)
+    val img1 = mk(i => (i * 7) % 251)
+    // one SAMPLED byte blasted (len=144 -> grid g samples byte 2g; byte 10
+    // is grid cell 5): at most the two comparisons touching cell 5 flip
+    val img2 = { val a = img1.clone(); a(10) = 0xff.toByte; a }
+    // structurally different payload: alternating extremes — a gradient
+    // sign pattern far from img1's ramp
+    val img3 = mk(i => if (i % 2 == 0) 5 else 250)
+    val df = Seq((1L, img1), (2L, img2), (3L, img3)).toDF("doc_id", "bin")
+    // independent reference: UNSIGNED strided byte samples, dHash bits
+    def refFp(bs: Array[Byte]): Long = {
+      def s(g: Int) = bs((g * bs.length) / 72) & 0xff
+      (for { r <- 0 until 8; c <- 0 until 8 } yield
+        if (s(r * 9 + c) < s(r * 9 + c + 1)) 1L << (r * 8 + c) else 0L).foldLeft(0L)(_ | _)
+    }
+    val fps = df.select($"doc_id", Multimodal.perceptualHash($"bin").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fps === Map(1L -> refFp(img1), 2L -> refFp(img2), 3L -> refFp(img3)))
+    val ham12 = java.lang.Long.bitCount(refFp(img1) ^ refFp(img2))
+    assert(ham12 > 0 && ham12 <= 2, s"crafted edit flipped $ham12 bits")
+    assert(java.lang.Long.bitCount(refFp(img1) ^ refFp(img3)) > 7, "far image too close")
+    // default production grain (8 bands, hamming <= 7): the near pair and
+    // ONLY the near pair
+    val got = Multimodal.perceptualPairs(df, "doc_id", "bin")
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, ham12.toLong)))
+    // empty payload degrades to fingerprint 0, never errors
+    val empty = Seq((9L, Array.emptyByteArray)).toDF("doc_id", "bin")
+    assert(empty.select(Multimodal.perceptualHash($"bin")).as[Long].head() === 0L)
+    // banding guarantee guard: a threshold the band count cannot promise
+    // is refused loudly, not silently lossy
+    intercept[IllegalArgumentException](
+      Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 8, bandBits = 8))
+  }
+
   test("semDedupPlan: auto-k IMI branch escalates probe depth in the weak-threshold regime") {
     import graft.queries.DataQueries
     // fixture scale: flat quantizer, single probe — the regime the

@@ -84,6 +84,32 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan.take(800))
   }
 
+  test("PqEncode nearest mode: bit-identical to the biased HOF, differs from raw dot on trained codebooks") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // TRAINED codebooks: mean codewords with unequal norms — the regime
+    // the nearest encode exists for (seeded slices are near-equal-norm,
+    // where dot and nearest argmax mostly coincide and a bias bug could
+    // hide)
+    val cbs = Similarity.pqCodebooksTrainedDet(
+      emb, "vec_id", "embedding", m = 8, k = 16, iters = 2,
+      sampleN = Similarity.imiTrainSampleN(16))
+    val encDiff = emb
+      .withColumn("fused", Similarity.pqEncode($"embedding", cbs, nearest = true))
+      .withColumn("hof", Similarity.pqEncodeHof($"embedding", cbs, nearest = true))
+      .filter($"fused" =!= $"hof")
+    assert(encDiff.count() === 0)
+    // the bias is load-bearing: nearest and raw-dot encodes must actually
+    // disagree somewhere on trained codebooks, else this test proves nothing
+    val modeDiff = emb
+      .withColumn("near", Similarity.pqEncode($"embedding", cbs, nearest = true))
+      .withColumn("dot", Similarity.pqEncode($"embedding", cbs))
+      .filter($"near" =!= $"dot")
+    assert(modeDiff.count() > 0, "nearest encode never disagreed with raw-dot encode")
+    val plan = emb.select(Similarity.pqEncode($"embedding", cbs, nearest = true).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(800))
+  }
+
   test("ShingleHash60 is bit-identical to the HOF shingles+hash formulation on real docs") {
     val toks = graft.data.TextAnalysis.tokens($"text")
     val hof = transform(graft.data.Dedup.shingles(toks, 3), s => graft.data.Hashing.hash60(s))
