@@ -118,6 +118,63 @@ object KGrowthProbe {
   }
 }
 
+/** Driver-side Lloyd training ceiling (VERDICT r12 #4): the adaptive
+  * sample (32·kSub per half) makes training cost grow ~kSub² in the
+  * driver (sampleN·kSub·dim mul-adds per iteration), and the measured
+  * decades stopped at kSub=791 (25.9 s pre-flattening) — this probe
+  * times [[graft.data.Similarity.imiCodebooksTrained]] at the NEXT
+  * decade, kSub≈2500 (the n≈200M operating point: autoK k≈6.25M), on a
+  * synthetic clustered corpus. The corpus here is deliberately modest
+  * (1M rows): the corpus-scan phases (seeding limit + md5 sample) scale
+  * with Spark and were measured across the KGrowth decades; the DRIVER
+  * phase (collect + unrolled iterations) is corpus-size-independent,
+  * which is exactly what the ceiling question is about. Also reports the
+  * seeding-only time so the iteration cost is separable. Results in
+  * SCALE.md ("Lloyd training ceiling").
+  *
+  * usage: runMain graft.LloydCeilingProbe [kSub,kSub,...] [nRows]
+  */
+object LloydCeilingProbe {
+  def main(args: Array[String]): Unit = {
+    val kSubs = (if (args.length > 0) args(0) else "791,2500").split(",").map(_.trim.toInt).toSeq
+    val n = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.data.Similarity
+    val emb = spark.range(n).map { id =>
+      val dim = 64
+      val c = (id / 50).toInt
+      val cRnd = new scala.util.Random(c * 7919L + 17)
+      val center = Array.fill(dim)(cRnd.nextGaussian())
+      val vRnd = new scala.util.Random(id * 6007L + 23)
+      (id, Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding").repartition(16).cache()
+    emb.count()
+    println(f"${"kSub"}%6s ${"sampleN"}%8s ${"seed(s)"}%8s ${"train(s)"}%9s ${"iter(s)"}%8s")
+    kSubs.foreach { kSub =>
+      val sampleN = Similarity.imiTrainSampleN(kSub)
+      def timed[T](f: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tSeed) = timed(Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub))
+      val (_, tTrain) = timed(Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSub, iters = 2, sampleN = sampleN))
+      // iteration cost ≈ full training − (its own seeding pass); the
+      // second term re-runs the same distributed seeding scan, so the
+      // subtraction attributes the DRIVER-side share
+      println(f"$kSub%6d $sampleN%8d $tSeed%8.1f $tTrain%9.1f ${tTrain - tSeed}%8.1f")
+    }
+    spark.stop()
+  }
+}
+
 /** One-off sf0.1 → sf1 scale probe: replicates the sf0.1 tables `factor`
   * times with shifted keys (id spaces AND key cardinalities scale linearly,
   * as the generator's own sf scaling does: user_id 150 → 1500 between

@@ -440,6 +440,16 @@ object Similarity {
     * no data-dependent convergence test, by construction).
     *
     * `idCol` must be integral (the update fold sorts members by id).
+    *
+    * Driver-side ceiling (measured, LloydCeilingProbe / SCALE.md r13):
+    * the iteration phase is sampleN·kSub·dim·iters mul-adds on the driver
+    * at ~1.2e9/s — 22.4 s full training at kSub=2500 (the n≈200M
+    * operating point) with the adaptive 32·kSub sample. Cost grows ~kSub²
+    * (sample ∝ kSub), so the next decade (kSub≈7900, n≈2·10⁹ rows)
+    * extrapolates to ~4 min of driver time: still amortized to once per
+    * corpus generation by the [[ModelStore]] persist contract, but past
+    * that scale either cap the sample or move training to the distributed
+    * [[trainCentroids]] path (spec-verified, not oracle-replayable).
     */
   /** Training-sample size for [[imiCodebooksTrained]]: ~32 members per
     * codeword per half, floored at 256 — a fixed 256 saturates the
@@ -482,41 +492,49 @@ object Similarity {
     val halves: Array[Array[(Long, Array[Double])]] = Array.tabulate(2) { mi =>
       sample.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)) }
     }
-    def dot(a: Array[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
     var cbs = seeded
     (0 until iters).foreach { _ =>
       cbs = (0 until 2).map { mi =>
         val cws = cbs(mi)
-        // assignment: strict > scan keeps the LOWEST index on ties
-        val assigned = halves(mi).map { case (id, hv) =>
+        // hot loop on FLATTENED primitive arrays, identical fold order —
+        // dotting against boxed Vector codewords ran the r12 k-growth
+        // probe at ~1e8 mul-adds/s; flat double[] plus the single-pass
+        // per-cell accumulation below measures ~1.2e9/s (LloydCeilingProbe,
+        // SCALE.md r13), bit-identical output
+        val flat = new Array[Double](kSub * sub)
+        var j0 = 0
+        while (j0 < kSub) {
+          val cw = cws(j0); var i = 0
+          while (i < sub) { flat(j0 * sub + i) = cw(i); i += 1 }
+          j0 += 1
+        }
+        val sums = new Array[Double](kSub * sub)
+        val cnts = new Array[Int](kSub)
+        // assignment: strict > scan keeps the LOWEST index on ties.
+        // halves(mi) is ascending-id, so each cell's members accumulate
+        // into its sum in ascending id order — the replayable fold order
+        halves(mi).foreach { case (_, hv) =>
           var bestJ = 0
-          var bestD = dot(hv, cws(0))
+          var bestD = { var s = 0.0; var i = 0; while (i < sub) { s += hv(i) * flat(i); i += 1 }; s }
           var j = 1
           while (j < kSub) {
-            val d = dot(hv, cws(j))
+            val off = j * sub
+            var d = 0.0; var i = 0
+            while (i < sub) { d += hv(i) * flat(off + i); i += 1 }
             if (d > bestD) { bestD = d; bestJ = j }
             j += 1
           }
-          (bestJ, id, hv)
+          val off = bestJ * sub
+          var i = 0
+          while (i < sub) { sums(off + i) += hv(i); i += 1 }
+          cnts(bestJ) += 1
         }
         (0 until kSub).map { j =>
-          // halves(mi) is ascending-id, filter preserves order — the fold
-          // below adds members in ascending id order, the replayable order
-          val members = assigned.filter(_._1 == j)
-          if (members.isEmpty) cws(j)
+          if (cnts(j) == 0) cws(j)
           else {
-            val cnt = members.length
             val mean = new Array[Double](sub)
-            members.foreach { case (_, _, hv) =>
-              var i = 0
-              while (i < sub) { mean(i) += hv(i); i += 1 }
-            }
             var i = 0
-            while (i < sub) { mean(i) /= cnt; i += 1 }
+            while (i < sub) { mean(i) = sums(j * sub + i) / cnts(j); i += 1 }
             var ss = 0.0
             i = 0
             while (i < sub) { ss += mean(i) * mean(i); i += 1 }
@@ -692,47 +710,53 @@ object Similarity {
     val slices: Array[Array[(Long, Array[Double])]] = Array.tabulate(m) { mi =>
       sample.map { case (id, v) => (id, java.util.Arrays.copyOfRange(v, mi * sub, (mi + 1) * sub)) }
     }
-    def dot(a: Array[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    def halfSsq(cw: Seq[Double]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < cw.length) { ss += cw(i) * cw(i); i += 1 }
-      0.5 * ss
-    }
     var cbs = seeded
     (0 until iters).foreach { _ =>
       cbs = (0 until m).map { mi =>
         val cws = cbs(mi)
-        val biases = cws.map(halfSsq)
-        // assignment: strict > scan keeps the LOWEST index on ties
-        val assigned = slices(mi).map { case (id, sv) =>
+        // hot loop on FLATTENED primitive arrays + single-pass per-cell
+        // accumulation, identical fold orders (the imiCodebooksTrained
+        // layout — see its ceiling note)
+        val flat = new Array[Double](k * sub)
+        val biases = new Array[Double](k)
+        var j0 = 0
+        while (j0 < k) {
+          val cw = cws(j0); var ss = 0.0; var i = 0
+          while (i < sub) { flat(j0 * sub + i) = cw(i); ss += cw(i) * cw(i); i += 1 }
+          biases(j0) = 0.5 * ss
+          j0 += 1
+        }
+        val sums = new Array[Double](k * sub)
+        val cnts = new Array[Int](k)
+        // assignment: strict > scan keeps the LOWEST index on ties;
+        // slices(mi) is ascending-id, so each cell's members accumulate
+        // into its sum in ascending id order — the replayable fold order
+        slices(mi).foreach { case (_, sv) =>
           var bestJ = 0
-          var bestD = dot(sv, cws(0)) - biases(0)
+          var bestD = {
+            var s = 0.0; var i = 0
+            while (i < sub) { s += sv(i) * flat(i); i += 1 }
+            s - biases(0)
+          }
           var j = 1
           while (j < k) {
-            val d = dot(sv, cws(j)) - biases(j)
-            if (d > bestD) { bestD = d; bestJ = j }
+            val off = j * sub
+            var d = 0.0; var i = 0
+            while (i < sub) { d += sv(i) * flat(off + i); i += 1 }
+            if (d - biases(j) > bestD) { bestD = d - biases(j); bestJ = j }
             j += 1
           }
-          (bestJ, id, sv)
+          val off = bestJ * sub
+          var i = 0
+          while (i < sub) { sums(off + i) += sv(i); i += 1 }
+          cnts(bestJ) += 1
         }
         (0 until k).map { j =>
-          // slices(mi) is ascending-id, filter preserves order — members
-          // fold into the mean in ascending id order, the replayable order
-          val members = assigned.filter(_._1 == j)
-          if (members.isEmpty) cws(j)
+          if (cnts(j) == 0) cws(j)
           else {
-            val cnt = members.length
             val mean = new Array[Double](sub)
-            members.foreach { case (_, _, sv) =>
-              var i = 0
-              while (i < sub) { mean(i) += sv(i); i += 1 }
-            }
             var i = 0
-            while (i < sub) { mean(i) /= cnt; i += 1 }
+            while (i < sub) { mean(i) = sums(j * sub + i) / cnts(j); i += 1 }
             mean.toVector
           }
         }.toVector
