@@ -355,3 +355,143 @@ object StreamScaleProbe {
     spark.stop()
   }
 }
+
+/** Streaming ingest-capstone SOAK (VERDICT r12 #6): hundreds of
+  * micro-batches through [[graft.data.CorpusIngest.ingest]] under a
+  * duplicate-heavy, junk-heavy feed, with per-batch state-store telemetry
+  * — the one streaming-state claim previously verified only at small
+  * batch counts: that near-dup gate state grows with ACCEPTED DISTINCT
+  * content, not feed volume (rejected docs never reach state; re-sent
+  * duplicates re-probe existing band buckets without creating new ones).
+  *
+  * The final pin is EXACT, not a bound: the gate's state is keyed by band
+  * bucket, so final state rows must equal the distinct band buckets of
+  * the distinct accepted texts — computed independently here by the BATCH
+  * signature path over the accepted corpus. Feed shape per batch:
+  * `fresh` unique docs + `dup` re-sends of a 10-doc core + `junk`
+  * too-short docs (batch order is whatever the file source lists, which
+  * only permutes WHICH copy is first-seen — the bucket set is
+  * order-independent).
+  *
+  * usage: runMain graft.IngestSoakProbe [batches] [fresh] [dup] [junk]
+  */
+object IngestSoakProbe {
+  def main(args: Array[String]): Unit = {
+    val batches = if (args.length > 0) args(0).toInt else 300
+    val fresh = if (args.length > 1) args(1).toInt else 10
+    val dup = if (args.length > 2) args(2).toInt else 100
+    val junk = if (args.length > 3) args(3).toInt else 90
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.data.{CorpusIngest, Dedup, TextAnalysis}
+
+    // deterministic feed: fresh docs are seeded word soups over a common-
+    // English vocabulary (diverse shingles — near-dup collisions between
+    // DIFFERENT fresh docs would blur the state-per-accepted-doc pin),
+    // dups re-send a fixed 10-doc core verbatim, junk fails the token gate
+    val vocab = ("the of and to in is you that it he was for on are as with his they at be this " +
+      "have from or one had by word but not what all were we when your can said there use an each " +
+      "which she do how their if will up other about out many then them these so some her would " +
+      "make like him into time has look two more write go see number no way could people my than " +
+      "first water been call who oil its now find long down day did get come made may part over").split(" ")
+    val core = (0 until 10).map(i =>
+      s"the quick brown fox number core$i jumps over the lazy dog while rain keeps falling " +
+        "on the quiet green field near the old stone bridge")
+    def soup(b: Int, i: Int): String = {
+      val r = new scala.util.Random(b * 100003L + i * 7919L + 5)
+      Seq.fill(30)(vocab(r.nextInt(vocab.length))).mkString(" ")
+    }
+    val rows = for {
+      b <- 0 until batches
+      (text, off) <- (0 until fresh).map(i => (soup(b, i), i.toLong)) ++
+        (0 until dup).map(j => (core(j % 10), 1000L + j)) ++
+        (0 until junk).map(j => ("zz", 5000L + j))
+    } yield (b * 10000L + off, text, b)
+    val feedDir = java.nio.file.Files.createTempDirectory("graft-ingest-soak").toString
+    rows.toDF("doc_id", "text", "batch")
+      .repartition(batches, col("batch"))
+      .write.mode("overwrite").partitionBy("batch").parquet(feedDir)
+
+    val minTokens = 8
+    val langs = Seq("en")
+    val feed = spark.read.parquet(feedDir)
+    val verdictB = CorpusIngest.verdict(feed, "text", langs, minTokens)
+    val acceptedB = verdictB.filter(col("reject_reason").isNull).cache()
+    val nAccepted = acceptedB.count()
+    val nFeed = feed.count()
+    // independent expectation: distinct band buckets of distinct accepted
+    // texts through the BATCH signature path (n=3, k=16, 2-row bands — the
+    // streamingNearDupCandidates defaults)
+    val distinctTexts = acceptedB.select(col("text")).distinct()
+      .withColumn("tid", monotonically_increasing_id())
+      .withColumn("_t", graft.functions.ComputeOnce(TextAnalysis.tokens(col("text"))))
+      .filter(size(col("_t")) >= 3)
+    val sig = Dedup.minhashSignaturesFromTokens(distinctTexts, "tid", col("_t"), 3, 16)
+    val bandArr = array((0 until 8).map { b =>
+      concat_ws("_", lit(b) +: (0 until 2).map(r => col(s"h${b * 2 + r}")): _*)
+    }: _*)
+    val expectedBuckets = sig.select(explode(bandArr).as("bucket")).distinct().count()
+    println(s"[soak] feed=$nFeed accepted=$nAccepted " +
+      s"distinctAcceptedTexts=${distinctTexts.count()} expectedBuckets=$expectedBuckets")
+
+    val series = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val st = e.progress.stateOperators.toSeq.map(_.numRowsTotal).sum
+        series.add((e.progress.batchId, e.progress.numInputRows, st))
+        ()
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-soak-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-soak-out").toString
+    val stream = spark.readStream
+      .schema(feed.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+    val (_, hits) = CorpusIngest.ingest(stream, "doc_id", "text", langs, minTokens)
+    val t0 = System.nanoTime()
+    val q = hits.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$out/hits")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
+    val snaps = series.toArray(Array.empty[(Long, Long, Long)]).sortBy(_._1)
+    println(f"${"batch"}%7s ${"inRows"}%8s ${"stateRows"}%10s")
+    snaps.zipWithIndex.foreach { case ((bid, in, st), i) =>
+      if (i % 25 == 0 || i == snaps.length - 1) println(f"$bid%7d $in%8d $st%10d")
+    }
+    val finalState = snaps.lastOption.map(_._3).getOrElse(-1L)
+    val nBatches = snaps.length
+    println(f"[soak] batches=$nBatches wall=$wall%.1fs finalStateRows=$finalState " +
+      f"expected=$expectedBuckets feedRows=$nFeed " +
+      f"stateOverFeed=${finalState.toDouble / nFeed}%.3f")
+    require(nBatches >= batches,
+      s"soak ran $nBatches micro-batches, wanted >= $batches (maxFilesPerTrigger honored?)")
+    require(finalState == expectedBuckets,
+      s"state rows $finalState != expected distinct accepted band buckets $expectedBuckets " +
+        "— state is NOT tracking accepted distinct content")
+    if (spark.streams.active.isEmpty)
+      org.apache.spark.sql.execution.streaming.state.GraftStateStoreAccess.unloadAll()
+    spark.stop()
+  }
+}
