@@ -108,21 +108,25 @@ object Multimodal {
     * (no image libs): the "luma grid" samples the raw bytes at 72 evenly
     * strided offsets (`grid g ∈ 0..71 → byte ⌊g·len/72⌋`) — swap the
     * sampling for a real decoder's grid without touching the bit/banding
-    * machinery. Pure deterministic integer/string ops end to end, so a
-    * SQL oracle replays the hash bit-for-bit: both engines compare the
-    * two-char lowercase-hex byte pairs LEXICOGRAPHICALLY (equal to
-    * numeric byte order — hex digits are ASCII-ordered), never parsing a
-    * byte value, which keeps the expression inside whole-stage codegen
-    * with no UDF. Empty/short payloads degrade deterministically (clamped
-    * stride; empty binary → fingerprint 0).
+    * machinery. Pure deterministic column ops end to end, so a SQL oracle
+    * replays the hash bit-for-bit: Spark compares ONE-BYTE binary slices
+    * (BinaryType ordering = unsigned byte order — a full-payload
+    * `hex(bin)` here instead would be duplicated into all 128 sample
+    * references by expression construction and measured 4.1 s for 5k
+    * docs at sf0.1; the 1-byte slice is O(1) per sample), while the
+    * DuckDB oracle compares the same bytes as two-char lowercase-hex
+    * pairs lexicographically — hex digits are ASCII-ordered, so both
+    * orderings are the SAME unsigned byte order and the fingerprints are
+    * bit-identical. No UDF, stays inside whole-stage codegen.
+    * Empty/short payloads degrade deterministically (clamped stride;
+    * empty binary → fingerprint 0).
     */
   def perceptualHash(bin: Column): Column = {
-    val h = lower(hex(bin))
     val len = length(bin).cast("long")
-    // byte ⌊g·len/72⌋ as its two-char slice of the full hex string; the
-    // products stay well under 2^53, so the double division is exact
+    // byte ⌊g·len/72⌋ as a one-byte binary slice; the products stay well
+    // under 2^53, so the double division is exact
     def sample(g: Int): Column =
-      h.substr((floor(lit(g.toLong) * len / lit(72)) * 2 + 1).cast("int"), lit(2))
+      bin.substr((floor(lit(g.toLong) * len / lit(72)) + 1).cast("int"), lit(1))
     (for { r <- 0 until 8; c <- 0 until 8 } yield {
       val b = r * 8 + c
       when(sample(r * 9 + c) < sample(r * 9 + c + 1), lit(1L << b)).otherwise(lit(0L))
@@ -159,14 +163,31 @@ object Multimodal {
         s"would MISS qualifying pairs (pigeonhole guarantee is hamming < nBands); " +
         s"narrow bandBits or lower maxHamming")
     val mask = (1L << bandBits) - 1
+    // ComputeOnce barrier is load-bearing: the band array references _fp
+    // nBands+1 times, and CollapseProject would otherwise inline the full
+    // fingerprint subtree (hex of the whole payload + 72 substrings + 64
+    // compares) into every reference — measured 5.1 s → ~1 s at sf0.1
     val banded = df
-      .select(col(idCol).as("_id"), perceptualHash(col(binCol)).as("_fp"))
+      .select(
+        col(idCol).as("_id"),
+        graft.functions.ComputeOnce(perceptualHash(col(binCol))).as("_fp"))
       .select(col("_id"), col("_fp"), explode(array((0 until nBands).map { b =>
         struct(
           lit(b).as("bi"),
           shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
       }: _*)).as("_band"))
       .select(col("_id"), col("_fp"), col("_band.bi").as("bi"), col("_band.bv").as("bv"))
+      // repartition on the JOIN key with an EXPLICIT partition count:
+      // per-probe work is bucketRows, not 1, so probe-side parallelism
+      // decides the wall clock (a one-split input ran the whole 17M-probe
+      // pass at sf0.1 on one core), and the row payload is bytes-tiny —
+      // AQE would coalesce an advisory-sized shuffle right back to one
+      // partition (the work is pair-count-shaped, not byte-shaped). This
+      // is the distribution a shuffled join requires anyway, so the
+      // exchange is reused, never redundant
+      .repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("bi"), col("bv"))
     val lhs = banded.select(col("_id").as("a_id"), col("_fp").as("_fpa"), col("bi"), col("bv"))
     val rhs = banded.select(col("_id").as("b_id"), col("_fp").as("_fpb"), col("bi"), col("bv"))
     lhs.join(rhs, Seq("bi", "bv"))
