@@ -134,62 +134,76 @@ object Multimodal {
   }
 
   /** Hamming-banded perceptual near-dup pairs: `(a_id, b_id, hamming)` for
-    * every pair within `maxHamming` bits that shares at least one
-    * fingerprint band. The [[graft.data.Dedup.simhash]]-family banding
-    * shape: split the 64-bit fingerprint into `64/bandBits` bands, pair
-    * only rows colliding on `(band index, band value)` — by pigeonhole a
-    * pair with hamming < 64/bandBits ALWAYS shares a clean band, so at
-    * the defaults (bandBits=8 → 8 bands, maxHamming=7) the banded join is
-    * EXACT for its own threshold, never just probabilistic. Candidates
-    * shuffle on the (band, value) key only — never all-pairs; at
-    * billion-image scale widen to bandBits=16 (4 bands, exact through
-    * hamming 3, 65536-value buckets → ~256× fewer collisions per band)
-    * — the dedup-family rule that bucket grain must grow with the corpus.
-    * A pair sharing several bands is emitted once (the distinct is at
-    * pair grain, after the hamming filter cuts the candidate volume).
+    * every pair within `maxHamming` bits — multi-index hashing (Norouzi/
+    * Punjani/Fleet, "Fast Exact Search in Hamming Space with Multi-Index
+    * Hashing", CVPR'12 — public literature): split the 64-bit fingerprint
+    * into `64/bandBits` bands; the probe side emits each band's value
+    * plus its Hamming ball of radius `probeRadius`, the stored side its
+    * exact values, and a pair is a candidate when some band matches. By
+    * pigeonhole a pair with `hamming ≤ nBands·(probeRadius+1) − 1` has a
+    * band with per-band hamming ≤ probeRadius, so the join is EXACT for
+    * any `maxHamming` within that bound (guarded require) — never just
+    * probabilistic. Candidate volume per band ≈ probeValues/2^bandBits ·
+    * n²/2, so radius-probing buys the same exactness with a WIDER (= more
+    * selective) band: ball-1 on 8-bit bands reaches hamming 15 at ~3.5×
+    * fewer candidates than exact-match 4-bit bands; at billion-image
+    * scale run bandBits=16, probeRadius=1 (hamming ≤ 7 exact, 65536-value
+    * buckets). Candidates shuffle on the (band, value) key only — never
+    * all-pairs; a pair matching several bands/probes is emitted once
+    * (distinct at pair grain, after the hamming filter).
     */
   def perceptualPairs(
       df: DataFrame,
       idCol: String,
       binCol: String,
       maxHamming: Int = 7,
-      bandBits: Int = 8
+      bandBits: Int = 8,
+      probeRadius: Int = 0
   ): DataFrame = {
     require(64 % bandBits == 0, s"perceptualPairs: bandBits=$bandBits must divide 64")
     require(maxHamming >= 0, s"perceptualPairs: maxHamming=$maxHamming")
+    require(probeRadius == 0 || probeRadius == 1,
+      s"perceptualPairs: probeRadius=$probeRadius not in {0, 1}")
     val nBands = 64 / bandBits
-    require(maxHamming < nBands,
-      s"perceptualPairs: maxHamming=$maxHamming >= $nBands bands — the banded join " +
-        s"would MISS qualifying pairs (pigeonhole guarantee is hamming < nBands); " +
-        s"narrow bandBits or lower maxHamming")
+    require(maxHamming < nBands * (probeRadius + 1),
+      s"perceptualPairs: maxHamming=$maxHamming beyond the pigeonhole guarantee " +
+        s"(${nBands * (probeRadius + 1) - 1} at $nBands bands, radius $probeRadius) — " +
+        s"the banded join would MISS qualifying pairs; narrow bandBits, raise " +
+        s"probeRadius, or lower maxHamming")
     val mask = (1L << bandBits) - 1
     // ComputeOnce barrier is load-bearing: the band array references _fp
-    // nBands+1 times, and CollapseProject would otherwise inline the full
-    // fingerprint subtree (hex of the whole payload + 72 substrings + 64
-    // compares) into every reference — measured 5.1 s → ~1 s at sf0.1
-    val banded = df
-      .select(
-        col(idCol).as("_id"),
-        graft.functions.ComputeOnce(perceptualHash(col(binCol))).as("_fp"))
-      .select(col("_id"), col("_fp"), explode(array((0 until nBands).map { b =>
-        struct(
-          lit(b).as("bi"),
-          shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask)).as("bv"))
-      }: _*)).as("_band"))
-      .select(col("_id"), col("_fp"), col("_band.bi").as("bi"), col("_band.bv").as("bv"))
-      // repartition on the JOIN key with an EXPLICIT partition count:
-      // per-probe work is bucketRows, not 1, so probe-side parallelism
-      // decides the wall clock (a one-split input ran the whole 17M-probe
-      // pass at sf0.1 on one core), and the row payload is bytes-tiny —
-      // AQE would coalesce an advisory-sized shuffle right back to one
-      // partition (the work is pair-count-shaped, not byte-shaped). This
-      // is the distribution a shuffled join requires anyway, so the
-      // exchange is reused, never redundant
-      .repartition(
-        df.sparkSession.sessionState.conf.numShufflePartitions,
-        col("bi"), col("bv"))
-    val lhs = banded.select(col("_id").as("a_id"), col("_fp").as("_fpa"), col("bi"), col("bv"))
-    val rhs = banded.select(col("_id").as("b_id"), col("_fp").as("_fpb"), col("bi"), col("bv"))
+    // nBands+ times, and CollapseProject would otherwise inline the full
+    // fingerprint subtree into every reference
+    val fp = df.select(
+      col(idCol).as("_id"),
+      graft.functions.ComputeOnce(perceptualHash(col(binCol))).as("_fp"))
+    // per-band value as a column (the explode arrays below reference it
+    // probeValues× — same barrier argument)
+    def withBands(base: DataFrame, mkVals: Column => Seq[Column]): DataFrame =
+      base
+        .select(col("_id"), col("_fp"), explode(array((0 until nBands).flatMap { b =>
+          val bv = shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask))
+          mkVals(bv).map(v => struct(lit(b).as("bi"), v.as("bv")))
+        }: _*)).as("_band"))
+        .select(col("_id"), col("_fp"), col("_band.bi").as("bi"), col("_band.bv").as("bv"))
+        // repartition on the JOIN key with an EXPLICIT partition count:
+        // per-probe work is bucketRows, not 1, so probe-side parallelism
+        // decides the wall clock (a one-split input ran the whole
+        // candidate pass at sf0.1 on one core), and the row payload is
+        // bytes-tiny — AQE would coalesce an advisory-sized shuffle right
+        // back to one partition (the work is pair-count-shaped, not
+        // byte-shaped). This is the distribution a shuffled join requires
+        // anyway, so the exchange is reused, never redundant
+        .repartition(
+          df.sparkSession.sessionState.conf.numShufflePartitions,
+          col("bi"), col("bv"))
+    // probe side: exact value + the single-bit flips within the band
+    val probed = withBands(fp, bv =>
+      bv +: (if (probeRadius == 0) Seq.empty
+             else (0 until bandBits).map(i => bv.bitwiseXOR(lit(1L << i)))))
+    val stored = withBands(fp, bv => Seq(bv))
+    val lhs = probed.select(col("_id").as("a_id"), col("_fp").as("_fpa"), col("bi"), col("bv"))
+    val rhs = stored.select(col("_id").as("b_id"), col("_fp").as("_fpb"), col("bi"), col("bv"))
     lhs.join(rhs, Seq("bi", "bv"))
       .filter(col("a_id") < col("b_id"))
       .select(
@@ -198,5 +212,54 @@ object Multimodal {
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Streaming perceptual near-dup gate — the IMAGE analogue of
+    * [[Dedup.streamingNearDupCandidates]]: band the 64-bit fingerprint
+    * into `64/bandBits` (band, value) buckets and run them through the
+    * same keyed first-seen band state
+    * ([[graft.stateful.Processors.nearDupBands]]). A new image landing in
+    * a bucket an earlier image claimed is emitted as a
+    * [[graft.model.NearDupHit]] (dupOf = the first-seen image) — by
+    * pigeonhole an arrival within hamming < nBands of ANY prior image is
+    * GUARANTEED to hit at least one of its buckets; bucket-chance
+    * collisions are the banded-LSH false-candidate trade, verified
+    * downstream exactly as in the text gate. Bucket strings carry a `p`
+    * namespace prefix so a pipeline running both gates over one state
+    * store can never cross-collide with MinHash band buckets.
+    * State is bounded by distinct accepted images × nBands, TTL-evicted
+    * like the text gate ([[graft.data.CorpusIngest]] soak contract).
+    */
+  def streamingPerceptualDupCandidates(
+      docs: DataFrame,
+      idCol: String,
+      binCol: String,
+      bandBits: Int = 8,
+      ttlMs: Long = 0L
+  ): Dataset[graft.model.NearDupHit] = {
+    require(64 % bandBits == 0, s"streamingPerceptualDupCandidates: bandBits=$bandBits must divide 64")
+    docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+          _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case other =>
+        throw new IllegalArgumentException(
+          s"streamingPerceptualDupCandidates: id column '$idCol' must be integral (hits carry " +
+            s"Long ids through the keyed state), got $other — pre-map string ids to a dense long")
+    }
+    import docs.sparkSession.implicits._
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bands = array((0 until nBands).map { b =>
+      concat_ws("_",
+        lit(s"p$b"),
+        shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask)).cast("string"))
+    }: _*)
+    val banded = docs
+      .select(
+        col(idCol).cast("long").as("sid"),
+        graft.functions.ComputeOnce(perceptualHash(col(binCol))).as("_fp"))
+      .select(col("sid"), explode(bands).as("bucket"))
+      .as[graft.model.BandRow]
+    graft.stateful.Processors.nearDupBands(banded, ttlMs)
   }
 }

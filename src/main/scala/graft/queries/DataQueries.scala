@@ -2323,33 +2323,64 @@ object DataQueries {
        |SELECT doc_id, $phashSqlExpr AS phash FROM pb""".stripMargin
 
   /** Perceptual near-dup pairs over the binary column
-    * ([[Multimodal.perceptualPairs]]). The FIXTURE runs the wide grain —
-    * 16 4-bit bands, hamming ≤ 15 (still pigeonhole-exact: 15 < 16
-    * bands) — because the fixture's "images" are text bytes whose
-    * near-dup edits SHIFT the strided samples (measured: closest fixture
-    * pair at hamming 13; the production default 8-band/≤7 config returns
-    * zero rows here, which would make the oracle row empty-vs-empty
-    * evidence). DataOpsSpec pins the production default on crafted
-    * near-images; real image corpora use the defaults, and at
-    * billion-image scale WIDEN bandBits (fewer, bigger bands) per the
-    * operator scaladoc.
+    * ([[Multimodal.perceptualPairs]]). The FIXTURE runs the multi-index
+    * probing shape — 8-bit bands with radius-1 band probes, hamming ≤ 15
+    * (pigeonhole-exact: 15 < 8 bands · 2) — exercising the MIH machinery
+    * the scale configuration relies on (bandBits=16 + radius 1 at
+    * billion-image scale; operator scaladoc). The threshold is wide
+    * because the fixture's "images" are text bytes whose near-dup edits
+    * SHIFT the strided samples (measured: closest fixture pair at
+    * hamming 13; the production ≤7 threshold returns zero rows here,
+    * which would make the oracle row empty-vs-empty evidence). DataOpsSpec
+    * pins the production default and the radius-0/radius-1 equivalence on
+    * crafted near-images.
     */
   def mPhashPairs(spark: SparkSession, dir: String): DataFrame =
     Multimodal.perceptualPairs(
       Tables.documents(spark, dir).withColumn("bin", col("text").cast("binary")),
-      "doc_id", "bin", maxHamming = 15, bandBits = 4)
+      "doc_id", "bin", maxHamming = 15, bandBits = 8, probeRadius = 1)
 
   val mPhashPairsSql: String =
     s"""WITH $phashBytesCte,
        |fp AS (SELECT doc_id, $phashSqlExpr AS fp FROM pb),
-       |bands AS (SELECT doc_id, fp, unnest(range(16)) AS bi FROM fp),
-       |bv AS (SELECT doc_id, fp, bi, (fp >> (bi * 4)) & 15 AS bval FROM bands),
+       |bands AS (SELECT doc_id, fp, unnest(range(8)) AS bi FROM fp),
+       |stored AS (SELECT doc_id, fp, bi, (fp >> (bi * 8)) & 255 AS bval FROM bands),
+       |probes AS (SELECT unnest(range(9)) AS p),
+       |probed AS (
+       |  SELECT doc_id, fp, bi,
+       |    CASE WHEN p = 0 THEN bval ELSE xor(bval, (1::BIGINT << (p - 1))) END AS bval
+       |  FROM stored CROSS JOIN probes),
        |cand AS (
        |  SELECT a.doc_id AS a_id, bb.doc_id AS b_id,
        |    bit_count(xor(a.fp, bb.fp)) AS ham
-       |  FROM bv a JOIN bv bb ON a.bi = bb.bi AND a.bval = bb.bval AND a.doc_id < bb.doc_id)
+       |  FROM probed a JOIN stored bb ON a.bi = bb.bi AND a.bval = bb.bval AND a.doc_id < bb.doc_id)
        |SELECT DISTINCT a_id, b_id, CAST(ham AS BIGINT) AS hamming
        |FROM cand WHERE ham <= 15""".stripMargin
+
+  /** Perceptual duplicate CLUSTERS — the image-dedup impact report:
+    * connected components over the Hamming-banded pair list
+    * ([[Dedup.duplicateClusters]] min-label propagation), min-id canonical
+    * representative per component. Composes the two proven blocks: the
+    * `m_phash_pairs` candidate SQL and the `d_dup_clusters` recursive-CTE
+    * component replay.
+    */
+  def mPhashClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      mPhashPairs(spark, dir).select(col("a_id").as("i"), col("b_id").as("j")))
+
+  val mPhashClustersSql: String =
+    spliceSql(
+      // the reach CTE needs the RECURSIVE keyword on the WITH head
+      spliceSql(mPhashPairsSql, "WITH pb AS", "WITH RECURSIVE pb AS"),
+      """SELECT DISTINCT a_id, b_id, CAST(ham AS BIGINT) AS hamming
+        |FROM cand WHERE ham <= 15""".stripMargin,
+      """,pairs AS (SELECT DISTINCT a_id AS i, b_id AS j FROM cand WHERE ham <= 15),
+        |edges AS (SELECT i AS src, j AS dst FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin)
 
   /** Boilerplate strip face: 10-token chunks shared by ≥2 distinct docs are
     * removed everywhere and the doc is rebuilt from the survivors.
@@ -2613,7 +2644,8 @@ object DataQueries {
     "d_token_budget" -> dTokenBudget,
     "m_multimodal" -> mMultimodal,
     "m_phash" -> mPhash,
-    "m_phash_pairs" -> mPhashPairs
+    "m_phash_pairs" -> mPhashPairs,
+    "m_phash_clusters" -> mPhashClusters
   )
 
   val oracles: Map[String, String] = Map(
@@ -2678,6 +2710,7 @@ object DataQueries {
     "d_token_budget" -> dTokenBudgetSql,
     "m_multimodal" -> mMultimodalSql,
     "m_phash" -> mPhashSql,
-    "m_phash_pairs" -> mPhashPairsSql
+    "m_phash_pairs" -> mPhashPairsSql,
+    "m_phash_clusters" -> mPhashClustersSql
   )
 }

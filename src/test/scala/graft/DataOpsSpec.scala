@@ -465,13 +465,32 @@ class DataOpsSpec extends SparkSpec {
     val got = Multimodal.perceptualPairs(df, "doc_id", "bin")
       .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
     assert(got === Set((1L, 2L, ham12.toLong)))
+    // MIH radius-1 probing (the fixture/scale shape) returns the same
+    // exact pair set as radius-0 banding at the shared threshold...
+    val mih7 = Multimodal
+      .perceptualPairs(df, "doc_id", "bin", maxHamming = 7, bandBits = 8, probeRadius = 1)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(mih7 === got)
+    // ...and at its extended guarantee (hamming <= 15 on 8-bit bands)
+    // matches brute-force ground truth over the reference fingerprints
+    val ids = Map(1L -> refFp(img1), 2L -> refFp(img2), 3L -> refFp(img3))
+    val brute15 = (for {
+      (a, fa) <- ids.toSeq; (b, fb) <- ids.toSeq if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 15
+    } yield (a, b, h.toLong)).toSet
+    val mih15 = Multimodal
+      .perceptualPairs(df, "doc_id", "bin", maxHamming = 15, bandBits = 8, probeRadius = 1)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(mih15 === brute15)
     // empty payload degrades to fingerprint 0, never errors
     val empty = Seq((9L, Array.emptyByteArray)).toDF("doc_id", "bin")
     assert(empty.select(Multimodal.perceptualHash($"bin")).as[Long].head() === 0L)
-    // banding guarantee guard: a threshold the band count cannot promise
-    // is refused loudly, not silently lossy
+    // banding guarantee guard: a threshold the band/radius pair cannot
+    // promise is refused loudly, not silently lossy
     intercept[IllegalArgumentException](
       Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 8, bandBits = 8))
+    intercept[IllegalArgumentException](
+      Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 16, bandBits = 8, probeRadius = 1))
   }
 
   test("semDedupPlan: auto-k IMI branch escalates probe depth in the weak-threshold regime") {

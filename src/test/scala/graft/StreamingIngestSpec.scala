@@ -249,4 +249,46 @@ class StreamingIngestSpec extends SparkSpec {
       s"expected exactly 3 tokenize sites (verdict/probe/bench branches), found $splits — " +
         "a ComputeOnce pin below an explode(ngrams(...)) was probably dropped")
   }
+
+  test("streaming perceptual gate: near image hits its first-seen original, far image passes clean") {
+    import graft.data.Multimodal
+    def mk(f: Int => Int, n: Int = 144): Array[Byte] = Array.tabulate(n)(i => f(i).toByte)
+    val img1 = mk(i => (i * 7) % 251)
+    val img2 = { val a = img1.clone(); a(10) = 0xff.toByte; a } // ham <= 2 of img1
+    val img3 = mk(i => if (i % 2 == 0) 5 else 250)
+    // reference bands: the gate hits iff any 8-bit band value matches a
+    // prior image's — assert the crafted geometry up-front so the
+    // streaming assertions below test the GATE, not luck
+    def refFp(bs: Array[Byte]): Long = {
+      def s(g: Int) = bs((g * bs.length) / 72) & 0xff
+      (for { r <- 0 until 8; c <- 0 until 8 } yield
+        if (s(r * 9 + c) < s(r * 9 + c + 1)) 1L << (r * 8 + c) else 0L).foldLeft(0L)(_ | _)
+    }
+    def bandsOf(fp: Long): Set[(Int, Long)] =
+      (0 until 8).map(b => (b, (fp >> (b * 8)) & 255L)).toSet
+    val (b1, b2, b3) = (bandsOf(refFp(img1)), bandsOf(refFp(img2)), bandsOf(refFp(img3)))
+    assert((b1 & b2).nonEmpty, "near pair must share a band (hamming <= 2 over 8 bands)")
+    assert((b3 & (b1 ++ b2)).isEmpty, "far image accidentally collides — re-craft the fixture")
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, Array[Byte])]
+      val hits = Multimodal.streamingPerceptualDupCandidates(
+        mem.toDS().toDF("doc_id", "bin"), "doc_id", "bin")
+      val q = hits.writeStream.format("memory").queryName("phash_dup").outputMode("append").start()
+      try {
+        mem.addData((1L, img1))
+        q.processAllAvailable()
+        assert(spark.table("phash_dup").as[(Long, Long)].collect().isEmpty,
+          "first-seen image must not self-hit")
+        mem.addData((2L, img2), (3L, img3))
+        q.processAllAvailable()
+        val dup = spark.table("phash_dup").as[(Long, Long)].collect().toSet
+        assert(dup.contains((2L, 1L)), s"near image must hit its original, got $dup")
+        assert(!dup.exists(_._1 == 3L), s"far image must pass clean, got $dup")
+      } finally q.stop()
+    } finally spark.conf.unset(key)
+  }
 }
