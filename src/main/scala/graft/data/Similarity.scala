@@ -1046,6 +1046,144 @@ object Similarity {
       )
   }
 
+  /** Residual of a vector against its own IMI product cell —
+    * `v − concat(cw₀[code₀], cw₁[code₁])` via the fused
+    * [[graft.functions.PqResidual]] kernel (per-half argmax shares the
+    * [[pqEncode]] raw contract, so the cell whose center is subtracted IS
+    * the [[imiAssign]] cell).
+    */
+  def imiResidual(vec: Column, imiCodebooks: Seq[Seq[Seq[Double]]]): Column = {
+    require(imiCodebooks.length == 2,
+      s"imiResidual: need exactly 2 half-space codebooks, got ${imiCodebooks.length}")
+    graft.functions.Pq.residual(vec, imiCodebooks)
+  }
+
+  /** HOF formulation of [[graft.functions.PqResidual]] — cross-check
+    * fixture only (nested literal codeword lookup per subspace; the
+    * projection scale is the argmax dot itself, `array_max` of the dot
+    * list — tied codewords share the value, NaN locks like the kernel).
+    */
+  def pqResidualHof(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    flatten(array(codebooks.zipWithIndex.map { case (cb, mi) =>
+      val sv = slice(vec.cast("array<double>"), mi * sub + 1, sub)
+      val dots = array(cb.map(cw => dotConst(sv, cw)): _*)
+      val code = greatest(array_position(dots, array_max(dots)) - 1, lit(0L)).cast("int")
+      val s = array_max(dots)
+      val cwArr = array(cb.map(cw => array(cw.map(lit): _*)): _*)
+      zip_with(sv, element_at(cwArr, code + 1), (a, b) => a - s * b)
+    }: _*))
+  }
+
+  /** RESIDUAL-encoded IMI-pruned ADC — the full IVFADC construction
+    * (Jégou/Douze/Schmid TPAMI'11 §IV) on the two-level product cells:
+    * instead of PQ-coding raw vectors, the corpus codes each vector's
+    * residual against its own cell center, and a candidate's score
+    * decomposes as
+    *   ⟨q, x⟩ = s₀·⟨q₀, cw₀⟩ + s₁·⟨q₁, cw₁⟩ + ⟨q, residual⟩
+    * with sₕ = ⟨vₕ, cwₕ⟩ the candidate's per-half projection scales
+    * (2 doubles it ships) and the half-dots already sitting in the
+    * [[graft.functions.PqLut]] table the probe machinery pins. The
+    * center term is EXACT — only the residual is quantized through the
+    * m-term ADC fold — and projection residuals are strictly smaller
+    * than the halves (‖r‖² = ‖vₕ‖² − s², the
+    * [[graft.functions.PqResidual]] scaladoc's argument), so the same
+    * code budget quantizes far more accurately — the classic IVFADC
+    * recall lever, measured at the n=200k operating point in
+    * ScaleMechanicsSpec. Train `rpqCodebooks` on residuals
+    * ([[imiResidual]] → [[pqCodebooksTrainedDet]]) and the corpus encodes
+    * them Euclidean-nearest; fold order is pinned as
+    * `(s₀·i₀ + s₁·i₁) + (term₀ + term₁ + …)` (left-assoc), the order
+    * the oracle replays. Candidate volume and shuffle shape are identical
+    * to [[pqTopKPrunedImi]] — the corpus ships (id, 2 cell codes,
+    * 2 scales, m residual codes), never vectors.
+    */
+  def pqTopKPrunedImiResidual(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      rpqCodebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      pSub: Int = 1
+  ): DataFrame = {
+    require(imiCodebooks.length == 2,
+      s"pqTopKPrunedImiResidual: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
+    val kSub = imiCodebooks.head.length
+    require(pSub >= 1 && pSub <= kSub, s"pqTopKPrunedImiResidual: pSub=$pSub out of 1..$kSub")
+    val m = rpqCodebooks.length
+    val cbK = rpqCodebooks.head.length
+    // cell codes and the per-half dot table pinned once each (codes feed
+    // the bk fold and both LUT hits; the dot table feeds both projection
+    // scales); residual encode is its own fused kernel
+    val c = corpus
+      .withColumn(
+        "n_cell",
+        graft.functions.ComputeOnce(graft.functions.Pq.encode(col(vecCol), imiCodebooks)))
+      .withColumn(
+        "_nlut",
+        graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+      .select(
+        col(idCol).as("n_id"),
+        col("n_cell"),
+        aggregate(col("n_cell"), lit(0), (acc, cd) => acc * kSub + cd).as("n_bk"),
+        element_at(col("_nlut"), element_at(col("n_cell"), 1) + 1).as("n_s0"),
+        element_at(col("_nlut"), lit(kSub) + element_at(col("n_cell"), 2) + 1).as("n_s1"),
+        pqEncode(imiResidual(col(vecCol), imiCodebooks), rpqCodebooks, nearest = true)
+          .as("n_codes"))
+    val rlut = graft.functions.Pq.lut(col(vecCol), rpqCodebooks)
+    val q = broadcast(
+      if (pSub == 1)
+        queries
+          .withColumn(
+            "_ilut",
+            graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+          .select(
+            col(idCol).as("q_id"),
+            col("_ilut").as("q_ilut"),
+            rlut.as("q_rlut"),
+            imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
+      else
+        queries
+          .withColumn(
+            "_ilut",
+            graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+          .withColumn(
+            "_t0",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 0)))
+          .withColumn(
+            "_t1",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 1)))
+          .select(
+            col(idCol).as("q_id"),
+            col("_ilut").as("q_ilut"),
+            rlut.as("q_rlut"),
+            explode(imiProbeCells(col("_t0"), col("_t1"), kSub, pSub)).as("q_bk")))
+    // center term from the CELL lut (element h·kSub + code) scaled by the
+    // candidate's projections, then the residual ADC fold — association
+    // pinned: (s0·i0 + s1·i1) + (t0 + t1 + …)
+    val centerDot =
+      col("n_s0") * element_at(col("q_ilut"), element_at(col("n_cell"), 1) + 1) +
+        col("n_s1") * element_at(col("q_ilut"), lit(kSub) + element_at(col("n_cell"), 2) + 1)
+    val rsum = (0 until m)
+      .map(mi => element_at(col("q_rlut"), lit(mi * cbK) + element_at(col("n_codes"), mi + 1) + 1))
+      .reduce(_ + _)
+    val scored = c
+      .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
+      .withColumn("score", centerDot + rsum)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        floor(col("score") * 1e6).cast("long").as("score_e6")
+      )
+  }
+
   /** Int8-quantized ANN — the BANDWIDTH face (PQ is the memory face): both
     * sides symmetric-int8 quantized ([[Embeddings.quantizeInt8]]), each
     * candidate scored by the EXACT integer dot product of the codes,

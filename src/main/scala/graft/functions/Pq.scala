@@ -173,6 +173,106 @@ case class PqEncode(
     copy(child = newChild)
 }
 
+/** Coarse-quantization PROJECTION residual: array<double> of the input's
+  * length — per subspace, with the argmax-dot codeword (the [[PqEncode]]
+  * raw contract: ties → lowest index, NaN locks) and its dot s = ⟨v,cw⟩,
+  * emit `v − s·cw` componentwise: the orthogonal complement of the
+  * sub-vector against its own cell codeword. This is the IVFADC residual
+  * construction (Jégou/Douze/Schmid TPAMI'11 §IV — quantize residuals,
+  * not raw vectors) adapted to SPHERICAL cells: the unit-norm cell
+  * codewords carry direction only, so subtracting them raw would INFLATE
+  * residuals (measured 1.56× the vector norm on unit embeddings — a
+  * unit codeword minus a ~0.7-norm half); projecting instead makes the
+  * residual strictly smaller than the half (‖r‖² = ‖v_h‖² − s², never
+  * larger) and the decomposition ⟨q,x⟩ = s₀·⟨q₀,cw₀⟩ + s₁·⟨q₁,cw₁⟩ +
+  * ⟨q,r⟩ EXACT in its center term — only r gets quantized. One fused
+  * kernel: argmax and subtraction share the codeword loads; per-component
+  * order is `v[i] − s·cw[i]` (one multiply, one subtract), the order the
+  * trainer and the DuckDB oracle replay.
+  */
+case class PqResidual(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with PqKernel {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVec()
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * sub)
+    var mi = 0
+    while (mi < m) {
+      var best = Double.NegativeInfinity
+      var bestJ = 0
+      var bestNaN = false
+      var j = 0
+      while (j < k && !bestNaN) {
+        var dot = 0.0
+        var i = 0
+        while (i < sub) {
+          dot += vecAt(v, mi * sub + i) * flat((mi * k + j) * sub + i)
+          i += 1
+        }
+        if (java.lang.Double.isNaN(dot)) { best = dot; bestJ = j; bestNaN = true }
+        else if (dot > best) { best = dot; bestJ = j }
+        j += 1
+      }
+      var i = 0
+      while (i < sub) {
+        out(mi * sub + i) = vecAt(v, mi * sub + i) - best * flat((mi * k + bestJ) * sub + i)
+        i += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbs = ctx.addReferenceObj("pqFlat", flat, "double[]")
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val nv = ctx.freshName("nv")
+      val mi = ctx.freshName("mi")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      val bestNaN = ctx.freshName("bestNaN")
+      val idx = ctx.freshName("idx")
+      s"""
+         |double[] $out = new double[${m * sub}];
+         |int $nv = $v.numElements();
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  double $best = Double.NEGATIVE_INFINITY;
+         |  int $bestJ = 0;
+         |  boolean $bestNaN = false;
+         |  for (int $j = 0; $j < $k && !$bestNaN; $j++) {
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $sub; $i++) {
+         |      int $idx = $mi * $sub + $i;
+         |      $dot += ($idx < $nv ? (double) $v.$get($idx) : 0.0)
+         |        * $cbs[($mi * $k + $j) * $sub + $i];
+         |    }
+         |    if (java.lang.Double.isNaN($dot)) { $best = $dot; $bestJ = $j; $bestNaN = true; }
+         |    else if ($dot > $best) { $best = $dot; $bestJ = $j; }
+         |  }
+         |  for (int $i = 0; $i < $sub; $i++) {
+         |    int $idx = $mi * $sub + $i;
+         |    $out[$idx] = ($idx < $nv ? (double) $v.$get($idx) : 0.0)
+         |      - $best * $cbs[($mi * $k + $bestJ) * $sub + $i];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-query ADC lookup table, FLATTENED: array<double> of length m·k where
   * element mi·k + j = dot(query subvector mi, codeword j). Callers index
   * with `element_at(lut, mi*k + code + 1)`.
@@ -242,6 +342,8 @@ case class PqLut(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 object Pq {
   def encode(v: Column, codebooks: Seq[Seq[Seq[Double]]], nearest: Boolean = false): Column =
     ColumnBridge.column(PqEncode(ColumnBridge.expression(v), codebooks, nearest))
+  def residual(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnBridge.column(PqResidual(ColumnBridge.expression(v), codebooks))
   def lut(v: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
     ColumnBridge.column(PqLut(ColumnBridge.expression(v), codebooks))
 }

@@ -1209,7 +1209,7 @@ object DataQueries {
        |${imiLloydIterSql("cb_0", "cb_1")},
        |${imiLloydIterSql("cb_1", "cb_2")},
        |rcodes AS (
-       |  SELECT vec_id, mi, j AS code,
+       |  SELECT vec_id, mi, j AS code, dotv,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id, mi ORDER BY dotv DESC, j ASC) AS rn
        |  FROM (
        |    SELECT eh.vec_id, eh.mi, cb.j,
@@ -1451,36 +1451,41 @@ object DataQueries {
       k = 10, pSub = 2, nearestEncode = true)
   }
 
+  // sub-vector dot: components folded left-to-right over the slice —
+  // the PqLut / pqCodebooksTrainedDet fold order
+  private val subDotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(range(1, $PqSub + 1), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+  // nearest-assignment score: dot − 0.5·(left-to-right sum of squares)
+  private val nearScoreSql = (sv: String, cw: String) =>
+    s"${subDotSql(sv, cw)} - 0.5 * list_reduce(list_transform($cw, x -> x * x), (x,y) -> x+y)"
+  // one unrolled deterministic-Lloyd iteration per subspace over sample
+  // CTE `sh` (columns vec_id, mi, sv): assign the sample slices to `prev`
+  // (nearest score, ties -> lowest j), move each codeword to the
+  // per-component mean of its members in ASCENDING vec_id order (NO
+  // normalization — scoring codewords stay raw); empty cells keep their
+  // previous codeword. Shared by the trained-PQ and residual-PQ faces.
+  private def pqLloydIterSql(sh: String, prev: String, cur: String): String =
+    s"""pa_$cur AS (
+       |  SELECT sh.vec_id, sh.mi, sh.sv, cb.j,
+       |    ROW_NUMBER() OVER (PARTITION BY sh.vec_id, sh.mi ORDER BY
+       |      ${nearScoreSql("sh.sv", "cb.cw")} DESC,
+       |      cb.j ASC) AS rn
+       |  FROM $sh sh JOIN $prev cb ON cb.mi = sh.mi),
+       |pu_$cur AS (
+       |  SELECT mi, j, list_transform(range(1, $PqSub + 1), i ->
+       |    list_reduce(list_transform(lst, x -> x[i]), (x,y) -> x+y) / cnt) AS mv
+       |  FROM (SELECT mi, j, list(sv ORDER BY vec_id) AS lst, COUNT(*) AS cnt
+       |        FROM pa_$cur WHERE rn = 1 GROUP BY mi, j)),
+       |$cur AS (
+       |  SELECT c.mi, c.j, COALESCE(u.mv, c.cw) AS cw
+       |  FROM $prev c LEFT JOIN pu_$cur u ON u.mi = c.mi AND u.j = c.j)""".stripMargin
+
   val sAnnPqImiTSql: String = {
     val sampleN = Similarity.imiTrainSampleN(PqK)
     require(PqTrainIters == 2, "sAnnPqImiTSql unrolls exactly PqTrainIters=2 Lloyd iterations")
-    // sub-vector dot: components folded left-to-right over the slice —
-    // the PqLut / pqCodebooksTrainedDet fold order
-    val subDot = (a: String, b: String) =>
-      s"list_reduce(list_transform(range(1, $PqSub + 1), i -> $a[i] * $b[i]), (x,y) -> x+y)"
-    // nearest-assignment score: dot − 0.5·(left-to-right sum of squares)
-    val nearScore = (sv: String, cw: String) =>
-      s"${subDot(sv, cw)} - 0.5 * list_reduce(list_transform($cw, x -> x * x), (x,y) -> x+y)"
-    // one unrolled deterministic-Lloyd iteration per subspace: assign the
-    // sample slices to `prev` (nearest score, ties -> lowest j), move each
-    // codeword to the per-component mean of its members in ASCENDING
-    // vec_id order (NO normalization — scoring codewords stay raw);
-    // empty cells keep their previous codeword
+    val nearScore = nearScoreSql
     def pqLloydIterSql(prev: String, cur: String): String =
-      s"""pa_$cur AS (
-         |  SELECT sh.vec_id, sh.mi, sh.sv, cb.j,
-         |    ROW_NUMBER() OVER (PARTITION BY sh.vec_id, sh.mi ORDER BY
-         |      ${nearScore("sh.sv", "cb.cw")} DESC,
-         |      cb.j ASC) AS rn
-         |  FROM psh sh JOIN $prev cb ON cb.mi = sh.mi),
-         |pu_$cur AS (
-         |  SELECT mi, j, list_transform(range(1, $PqSub + 1), i ->
-         |    list_reduce(list_transform(lst, x -> x[i]), (x,y) -> x+y) / cnt) AS mv
-         |  FROM (SELECT mi, j, list(sv ORDER BY vec_id) AS lst, COUNT(*) AS cnt
-         |        FROM pa_$cur WHERE rn = 1 GROUP BY mi, j)),
-         |$cur AS (
-         |  SELECT c.mi, c.j, COALESCE(u.mv, c.cw) AS cw
-         |  FROM $prev c LEFT JOIN pu_$cur u ON u.mi = c.mi AND u.j = c.j)""".stripMargin
+      DataQueries.pqLloydIterSql("psh", prev, cur)
     s"""$imiCellsSql,
        |$imiQueryProbesSql,
        |pgrid AS (SELECT unnest(range($PqM)) AS mi),
@@ -1526,6 +1531,131 @@ object DataQueries {
        |  SELECT q_id, n_id,
        |    list_reduce(list(term ORDER BY mi), (a,b) -> a+b) AS score
        |  FROM terms GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT q_id, n_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+       |FROM ranked WHERE rank <= 10""".stripMargin
+  }
+
+  /** RESIDUAL-encoded composed ANN — the full IVFADC construction
+    * ([[Similarity.pqTopKPrunedImiResidual]]): the corpus PQ-codes each
+    * vector's residual against its own trained IMI cell center, and
+    * scores decompose as ⟨q,center⟩ (two hits into the cell-codebook LUT
+    * the probe machinery already pins) + the residual ADC fold. The
+    * oracle composes the trained-cell CTEs with a residual CTE (v minus
+    * the joined cell codewords), a full residual-PQ Lloyd chain over the
+    * residual frame (the `pqLloydIterSql` template re-anchored at `rsh`),
+    * the nearest residual encode, and the pinned
+    * `(s₀·i₀+s₁·i₁) + (t₀+t₁+…)` score fold — hash-exact.
+    * ScaleMechanicsSpec measures residual coding at n=200k: 0.386 —
+    * above seeded-raw composed (0.372), below trained-raw (0.402) on
+    * the near-isotropic synthetic corpus, where √k-coarse cells explain
+    * little variance; the lever pays on corpora whose cells capture real
+    * structure (SCALE.md r13).
+    */
+  def sAnnPqImiR(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqTopKPrunedImiResidual(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      imiCodebooksFor(spark, dir, ImiKSub), rpqTrainedFor(spark, dir),
+      k = 10, pSub = 2)
+  }
+
+  // residual-PQ scoring codebooks: trained on residuals against the
+  // TRAINED IMI cells, so the model name carries BOTH trainings' params
+  private val rpqTrainedMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+  private def rpqTrainedFor(spark: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val sampleN = Similarity.imiTrainSampleN(PqK)
+    rpqTrainedMemo.computeIfAbsent(dir, _ =>
+      ModelStore.codebooksOrTrain(
+        spark,
+        // "proj" marks the PROJECTION residual construction (v − s·cw):
+        // a residual-definition change is an algorithm change, and the
+        // name is what stops a stale persisted generation from riding in
+        annModelPath(dir,
+          s"rpqcbt-proj-m$PqM-k$PqK-i$PqTrainIters-s$sampleN-" +
+            s"cells$ImiKSub-i$ImiTrainIters-s$ImiTrainSample"))({
+        val icbs = imiCodebooksFor(spark, dir, ImiKSub)
+        val resid = Tables.embeddings(spark, dir).select(
+          col("vec_id"),
+          Similarity.imiResidual(col("embedding"), icbs).as("_rv"))
+        Similarity.pqCodebooksTrainedDet(
+          resid, "vec_id", "_rv", PqM, PqK, iters = PqTrainIters, sampleN = sampleN)
+      }))
+  }
+
+  val sAnnPqImiRSql: String = {
+    val sampleN = Similarity.imiTrainSampleN(PqK)
+    require(PqTrainIters == 2, "sAnnPqImiRSql unrolls exactly PqTrainIters=2 Lloyd iterations")
+    val halfDot = (a: String, b: String) =>
+      s"list_reduce(list_transform(range(1, $ImiSub + 1), i -> $a * $b), (x,y) -> x+y)"
+    s"""$imiCellsSql,
+       |$imiQueryProbesSql,
+       |pgrid AS (SELECT unnest(range($PqM)) AS mi),
+       |resid AS (
+       |  SELECT e.vec_id,
+       |    list_transform(range(1, $ImiSub + 1), i -> e.v[i] - r0.dotv * ca.cw[i]) ||
+       |    list_transform(range(1, $ImiSub + 1), i -> e.v[i + $ImiSub] - r1.dotv * cbw.cw[i]) AS rv
+       |  FROM e
+       |  JOIN rcodes r0 ON r0.vec_id = e.vec_id AND r0.mi = 0 AND r0.rn = 1
+       |  JOIN rcodes r1 ON r1.vec_id = e.vec_id AND r1.mi = 1 AND r1.rn = 1
+       |  JOIN cb_2 ca ON ca.mi = 0 AND ca.j = r0.code
+       |  JOIN cb_2 cbw ON cbw.mi = 1 AND cbw.j = r1.code),
+       |rcb_0 AS (
+       |  SELECT pgrid.mi AS mi, s.j AS j,
+       |    list_transform(range(1, $PqSub + 1), i -> s.sv[pgrid.mi * $PqSub + i]) AS cw
+       |  FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, rv AS sv
+       |        FROM (SELECT vec_id, rv FROM resid ORDER BY vec_id LIMIT $PqK)) s
+       |  CROSS JOIN pgrid),
+       |rsamp AS (
+       |  SELECT vec_id, rv FROM resid
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $sampleN),
+       |rsh AS (
+       |  SELECT vec_id, pgrid.mi AS mi,
+       |    list_transform(range(1, $PqSub + 1), i -> rv[pgrid.mi * $PqSub + i]) AS sv
+       |  FROM rsamp CROSS JOIN pgrid),
+       |${pqLloydIterSql("rsh", "rcb_0", "rcb_1")},
+       |${pqLloydIterSql("rsh", "rcb_1", "rcb_2")},
+       |rpcodes AS (
+       |  SELECT vec_id, mi, j AS code FROM (
+       |    SELECT eh.vec_id, eh.mi, cb.j,
+       |      ROW_NUMBER() OVER (PARTITION BY eh.vec_id, eh.mi ORDER BY
+       |        ${nearScoreSql("eh.sv", "cb.cw")} DESC, cb.j ASC) AS rn
+       |    FROM (
+       |      SELECT vec_id, pgrid.mi AS mi,
+       |        list_transform(range(1, $PqSub + 1), i -> rv[pgrid.mi * $PqSub + i]) AS sv
+       |      FROM resid CROSS JOIN pgrid) eh
+       |    JOIN rcb_2 cb ON cb.mi = eh.mi)
+       |  WHERE rn = 1),
+       |qv AS (SELECT vec_id AS q_id, v AS qvec FROM e WHERE vec_id % 25 = 0),
+       |cand AS (
+       |  SELECT p.q_id, c.vec_id AS n_id
+       |  FROM cells c JOIN qprobes p ON c.bk = p.q_bk AND c.vec_id <> p.q_id),
+       |centerd AS (
+       |  SELECT cand.q_id, cand.n_id,
+       |    r0.dotv * ${halfDot("q.qvec[i]", "ca.cw[i]")}
+       |    + r1.dotv * ${halfDot(s"q.qvec[i + $ImiSub]", "cbw.cw[i]")} AS cdot
+       |  FROM cand
+       |  JOIN qv q ON q.q_id = cand.q_id
+       |  JOIN rcodes r0 ON r0.vec_id = cand.n_id AND r0.mi = 0 AND r0.rn = 1
+       |  JOIN rcodes r1 ON r1.vec_id = cand.n_id AND r1.mi = 1 AND r1.rn = 1
+       |  JOIN cb_2 ca ON ca.mi = 0 AND ca.j = r0.code
+       |  JOIN cb_2 cbw ON cbw.mi = 1 AND cbw.j = r1.code),
+       |rterms AS (
+       |  SELECT cand.q_id, cand.n_id, c.mi,
+       |    list_reduce(list_transform(range(1, $PqSub + 1),
+       |      i -> q.qvec[c.mi * $PqSub + i] * cb.cw[i]), (x,y) -> x+y) AS term
+       |  FROM cand
+       |  JOIN qv q ON q.q_id = cand.q_id
+       |  JOIN rpcodes c ON c.vec_id = cand.n_id
+       |  JOIN rcb_2 cb ON cb.mi = c.mi AND cb.j = c.code),
+       |scored AS (
+       |  SELECT r.q_id, r.n_id,
+       |    cd.cdot + list_reduce(list(r.term ORDER BY r.mi), (a,b) -> a+b) AS score
+       |  FROM rterms r JOIN centerd cd ON cd.q_id = r.q_id AND cd.n_id = r.n_id
+       |  GROUP BY r.q_id, r.n_id, cd.cdot),
        |ranked AS (
        |  SELECT q_id, n_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
@@ -2617,6 +2747,7 @@ object DataQueries {
     "s_ann_pq_ivf" -> sAnnPqIvf,
     "s_ann_pq_imi" -> sAnnPqImi,
     "s_ann_pq_imi_t" -> sAnnPqImiT,
+    "s_ann_pq_imi_r" -> sAnnPqImiR,
     "s_ann_int8_imi" -> sAnnInt8Imi,
     "s_ann_int8" -> sAnnInt8,
     "s_ann_int8_ivf" -> sAnnInt8Ivf,
@@ -2684,6 +2815,7 @@ object DataQueries {
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
     "s_ann_pq_imi" -> sAnnPqImiSql,
     "s_ann_pq_imi_t" -> sAnnPqImiTSql,
+    "s_ann_pq_imi_r" -> sAnnPqImiRSql,
     "s_ann_int8_imi" -> sAnnInt8ImiSql,
     "s_ann_int8" -> sAnnInt8Sql,
     "s_ann_int8_ivf" -> sAnnInt8IvfSql,

@@ -110,6 +110,31 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan.take(800))
   }
 
+  test("PqResidual: bit-identical to the HOF formulation; residual + center reconstructs the vector") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val icbs = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub = 4)
+    val diff = emb
+      .withColumn("fused", Similarity.imiResidual($"embedding", icbs))
+      .withColumn("hof", Similarity.pqResidualHof($"embedding", icbs))
+      .filter($"fused" =!= $"hof") // exact: any ULP difference fails
+    assert(diff.count() === 0)
+    // the subtracted center is the imiAssign CELL's center (the HOF above
+    // pins the per-half argmax contract); residual norms must sit well
+    // under the raw norms — the property the IVFADC face exists for
+    val norms = emb
+      .withColumn("_r", Similarity.imiResidual($"embedding", icbs))
+      .select(
+        sqrt(aggregate(transform($"embedding".cast("array<double>"), x => x * x),
+          lit(0.0), (a, x) => a + x)).as("vn"),
+        sqrt(aggregate(transform($"_r", x => x * x), lit(0.0), (a, x) => a + x)).as("rn"))
+      .agg(avg($"vn"), avg($"rn")).as[(Double, Double)].head()
+    assert(norms._2 < norms._1,
+      f"mean residual norm ${norms._2}%.3f not below mean vector norm ${norms._1}%.3f")
+    val plan = emb.select(Similarity.imiResidual($"embedding", icbs).as("r"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CodegenFallback"), plan.take(800))
+  }
+
   test("ShingleHash60 is bit-identical to the HOF shingles+hash formulation on real docs") {
     val toks = graft.data.TextAnalysis.tokens($"text")
     val hof = transform(graft.data.Dedup.shingles(toks, 3), s => graft.data.Hashing.hash60(s))

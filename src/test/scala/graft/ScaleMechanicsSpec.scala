@@ -383,12 +383,25 @@ class ScaleMechanicsSpec extends SparkSpec {
       val composedT = recallOf(Similarity.pqTopKPrunedImi(
         emb, q, "vec_id", "embedding", icbsAnn, cbs256t, k = 10, pSub = 8,
         nearestEncode = true))
+      // RESIDUAL coding (IVFADC, r13): the center term becomes exact
+      // (projection scales x cell-codebook dots) and only the
+      // smaller-norm projection residual is quantized — train residual
+      // codebooks against the same ANN-grid cells and measure the
+      // composed residual face at the same depth
+      val residAnn = emb.select(
+        $"vec_id", Similarity.imiResidual($"embedding", icbsAnn).as("_rv"))
+      val rcbs256 = Similarity.pqCodebooksTrainedDet(
+        residAnn, "vec_id", "_rv", m = 8, k = 256, iters = 2,
+        sampleN = Similarity.imiTrainSampleN(256))
+      val composedR = recallOf(Similarity.pqTopKPrunedImiResidual(
+        emb, q, "vec_id", "embedding", icbsAnn, rcbs256, k = 10, pSub = 8))
       def fmt(s: Seq[(Int, Double)]) = s.map { case (p, r) => f"pSub=$p: $r%.3f" }.mkString(" | ")
       println(s"[ScaleMechanicsSpec] composed IMI-ADC vs brute, dedup grid kSub=$kSub: ${fmt(dedupGrid)}")
       println(s"[ScaleMechanicsSpec] composed IMI-ADC vs brute, ANN grid kSub=$kSubAnn: ${fmt(annGrid)}")
       println(f"[ScaleMechanicsSpec] composed TRAINED (ANN grid, pSub=8, k=256 Lloyd): $composedT%.3f")
-      info(s"ADC ceiling k16=$adc16 k256=$adc256 k256T=$adc256t composedT=$composedT; " +
-        s"dedup grid ${fmt(dedupGrid)}; ANN grid ${fmt(annGrid)}")
+      println(f"[ScaleMechanicsSpec] composed RESIDUAL (ANN grid, pSub=8, k=256 Lloyd on residuals): $composedR%.3f")
+      info(s"ADC ceiling k16=$adc16 k256=$adc256 k256T=$adc256t composedT=$composedT " +
+        s"composedR=$composedR; dedup grid ${fmt(dedupGrid)}; ANN grid ${fmt(annGrid)}")
       val cellSizes = emb.select(Similarity.imiAssign($"embedding", icbs).as("bk"))
         .groupBy($"bk").count().as[(Int, Long)].collect().map(_._2)
       assert(cellSizes.length > 1000, "cell fence degenerated")
@@ -414,6 +427,18 @@ class ScaleMechanicsSpec extends SparkSpec {
         f"trained composed face $composedT%.3f fell below its trained ceiling $adc256t%.3f")
       assert(composedT > a(8),
         f"trained composed face $composedT%.3f did not beat the seeded composed arm ${a(8)}%.3f")
+      // residual face, measured honestly: 0.386 here — ABOVE the seeded
+      // raw composed arm (0.372) but below trained-raw (0.402), because
+      // this corpus is near-isotropic per half at the √k cell grain: the
+      // projection center explains little variance, so quantizing the
+      // residual is about as hard as quantizing the raw vector. The
+      // IVFADC lever pays where the coarse quantizer captures real
+      // structure (tight cells / strongly clustered embeddings); pins
+      // here guard correctness-shaped collapse, not a win this corpus
+      // cannot exhibit
+      assert(composedR >= a(8) - 0.02,
+        f"residual composed face $composedR%.3f fell below the seeded composed arm ${a(8)}%.3f")
+      assert(composedR >= 0.35, f"residual composed face collapsed: $composedR%.3f")
 
       // int8 face: fence loss measured against its OWN unpruned ranking
       // (int8 approximates the raw dot, brute cosine would conflate the
