@@ -110,7 +110,7 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan.take(800))
   }
 
-  test("PqResidual: bit-identical to the HOF formulation; residual + center reconstructs the vector") {
+  test("PqResidual: bit-identical to the HOF formulation; projection residuals shrink the norm") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val icbs = Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub = 4)
     val diff = emb
