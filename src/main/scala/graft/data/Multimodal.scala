@@ -214,6 +214,58 @@ object Multimodal {
       .distinct()
   }
 
+  /** Accept/reject verdict for a media feed — the [[CorpusIngest.verdict]]
+    * contract for binary columns: `(original columns, byte_len,
+    * reject_reason)` with reason NULL for accepted media, else the FIRST
+    * failing gate (`too_small` before `too_large` before `mime`), so a
+    * DLQ writer splits on one column. A NULL payload fails `too_small`, a
+    * NULL mime fails `mime` (the bare `isin` would return NULL and sail
+    * past the gate — the [[CorpusIngest.verdict]] NULL-text lesson).
+    * Pure column expressions: batch and streaming frames alike, zero
+    * state, zero shuffle.
+    */
+  def mediaVerdict(
+      docs: DataFrame,
+      binCol: String,
+      mimeCol: String,
+      allowedMimes: Seq[String],
+      minBytes: Int,
+      maxBytes: Long
+  ): DataFrame =
+    docs
+      .withColumn("byte_len", length(col(binCol)).cast("long"))
+      .withColumn(
+        "reject_reason",
+        when(col(binCol).isNull || col("byte_len") < minBytes, lit("too_small"))
+          .when(col("byte_len") > maxBytes, lit("too_large"))
+          .when(col(mimeCol).isNull || !col(mimeCol).isin(allowedMimes: _*), lit("mime")))
+
+  /** The composed streaming MEDIA-ingest pipeline — the image analogue of
+    * the [[CorpusIngest.ingest]] capstone: (accepted stream, perceptual
+    * near-dup hit stream). Accepted = [[mediaVerdict]]-clean rows; only
+    * they reach the keyed perceptual band state, so state pressure tracks
+    * accepted distinct content, not feed volume (the ingest-soak
+    * contract), and a rejected payload can never be the first-seen
+    * original a later arrival dups against.
+    */
+  def ingest(
+      docs: DataFrame,
+      idCol: String,
+      binCol: String,
+      mimeCol: String,
+      allowedMimes: Seq[String],
+      minBytes: Int,
+      maxBytes: Long,
+      bandBits: Int = 8,
+      ttlMs: Long = 0L
+  ): (DataFrame, Dataset[graft.model.NearDupHit]) = {
+    val v = mediaVerdict(docs, binCol, mimeCol, allowedMimes, minBytes, maxBytes)
+    val accepted = v.filter(col("reject_reason").isNull).drop("reject_reason")
+    val hits = streamingPerceptualDupCandidates(
+      accepted.select(col(idCol), col(binCol)), idCol, binCol, bandBits, ttlMs)
+    (accepted, hits)
+  }
+
   /** Streaming perceptual near-dup gate — the IMAGE analogue of
     * [[Dedup.streamingNearDupCandidates]]: band the 64-bit fingerprint
     * into `64/bandBits` (band, value) buckets and run them through the

@@ -2487,6 +2487,44 @@ object DataQueries {
        |SELECT DISTINCT a_id, b_id, CAST(ham AS BIGINT) AS hamming
        |FROM cand WHERE ham <= 15""".stripMargin
 
+  /** Media-ingest gate verdict ([[Multimodal.mediaVerdict]]) — the binary
+    * analogue of the corpus ingest gate, oracle-pinning the gate ORDER
+    * (`too_small` before `too_large` before `mime`) and the NULL
+    * handling. The fixture derives a deterministic mime from the doc id
+    * (every third doc a disallowed `image/gif`) since the documents table
+    * carries none; crafted sizes for the `too_large` arm live in
+    * StreamingIngestSpec.
+    */
+  def mMediaGate(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("bin", col("text").cast("binary"))
+      .withColumn(
+        "mime",
+        concat(lit("image/"),
+          when(col("doc_id") % 3 === 0, lit("png"))
+            .when(col("doc_id") % 3 === 1, lit("jpeg"))
+            .otherwise(lit("gif"))))
+    Multimodal
+      .mediaVerdict(d, "bin", "mime", Seq("image/png", "image/jpeg"),
+        minBytes = 64, maxBytes = 100000L)
+      .select(col("doc_id"), col("byte_len"), col("mime"), col("reject_reason"))
+  }
+
+  val mMediaGateSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |    'image/' || CASE WHEN doc_id % 3 = 0 THEN 'png'
+       |                     WHEN doc_id % 3 = 1 THEN 'jpeg'
+       |                     ELSE 'gif' END AS mime
+       |  FROM documents)
+       |SELECT doc_id, byte_len, mime,
+       |  CASE WHEN text IS NULL OR byte_len < 64 THEN 'too_small'
+       |       WHEN byte_len > 100000 THEN 'too_large'
+       |       WHEN mime IS NULL OR mime NOT IN ('image/png', 'image/jpeg') THEN 'mime'
+       |  END AS reject_reason
+       |FROM b""".stripMargin
+
   /** Perceptual duplicate CLUSTERS — the image-dedup impact report:
     * connected components over the Hamming-banded pair list
     * ([[Dedup.duplicateClusters]] min-label propagation), min-id canonical
@@ -2776,7 +2814,8 @@ object DataQueries {
     "m_multimodal" -> mMultimodal,
     "m_phash" -> mPhash,
     "m_phash_pairs" -> mPhashPairs,
-    "m_phash_clusters" -> mPhashClusters
+    "m_phash_clusters" -> mPhashClusters,
+    "m_media_gate" -> mMediaGate
   )
 
   val oracles: Map[String, String] = Map(
@@ -2843,6 +2882,7 @@ object DataQueries {
     "m_multimodal" -> mMultimodalSql,
     "m_phash" -> mPhashSql,
     "m_phash_pairs" -> mPhashPairsSql,
-    "m_phash_clusters" -> mPhashClustersSql
+    "m_phash_clusters" -> mPhashClustersSql,
+    "m_media_gate" -> mMediaGateSql
   )
 }

@@ -250,6 +250,58 @@ class StreamingIngestSpec extends SparkSpec {
         "a ComputeOnce pin below an explode(ngrams(...)) was probably dropped")
   }
 
+  test("media ingest capstone: gate order, batch/streaming parity, rejected media never reaches state") {
+    import graft.data.Multimodal
+    def mk(f: Int => Int, n: Int = 144): Array[Byte] = Array.tabulate(n)(i => f(i).toByte)
+    val img1 = mk(i => (i * 7) % 251)
+    val img2 = { val a = img1.clone(); a(10) = 0xff.toByte; a } // near-dup of img1
+    val tiny = mk(i => i, 8)                                    // too_small
+    val huge = mk(i => i, 4096)                                 // too_large at maxBytes=1024
+    val rows: Seq[(Long, Array[Byte], String)] = Seq(
+      (1L, img1, "image/png"),
+      (2L, img2, "image/jpeg"),
+      (3L, tiny, "image/png"),
+      (4L, huge, "image/png"),
+      (5L, img1.clone(), "video/mp4"), // near-dup payload but DISALLOWED mime
+      (6L, null, "image/png"))
+    val df = rows.toDF("doc_id", "bin", "mime")
+    val allowed = Seq("image/png", "image/jpeg")
+    // gate order: first failing gate wins; NULL payload is too_small
+    val got = Multimodal
+      .mediaVerdict(df, "bin", "mime", allowed, minBytes = 64, maxBytes = 1024L)
+      .select($"doc_id", $"reject_reason").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      1L -> None, 2L -> None, 3L -> Some("too_small"), 4L -> Some("too_large"),
+      5L -> Some("mime"), 6L -> Some("too_small")))
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, Array[Byte], String)]
+      val (accepted, hits) = Multimodal.ingest(
+        mem.toDS().toDF("doc_id", "bin", "mime"),
+        "doc_id", "bin", "mime", allowed, minBytes = 64, maxBytes = 1024L)
+      val qa = accepted.writeStream.format("memory").queryName("media_ok").outputMode("append").start()
+      val qh = hits.writeStream.format("memory").queryName("media_dup").outputMode("append").start()
+      try {
+        // batch 1: the original + the junk (incl. the DISALLOWED near-dup
+        // payload 5 — if it leaked into state, doc 2 would dup against 5)
+        mem.addData(rows.filter(_._1 != 2L): _*)
+        qa.processAllAvailable(); qh.processAllAvailable()
+        val okIds = spark.table("media_ok").select($"doc_id").as[Long].collect().toSet
+        assert(okIds === Set(1L), s"streaming accept set diverged: $okIds")
+        // batch 2: the near-dup arrives — it must hit doc 1, NOT doc 5
+        mem.addData((2L, img2, "image/jpeg"))
+        qa.processAllAvailable(); qh.processAllAvailable()
+        assert(spark.table("media_ok").select($"doc_id").as[Long].collect().toSet === Set(1L, 2L))
+        val dup = spark.table("media_dup").as[(Long, Long)].collect().toSet
+        assert(dup === Set((2L, 1L)),
+          s"near image must dup against the ACCEPTED original only, got $dup")
+      } finally { qa.stop(); qh.stop() }
+    } finally spark.conf.unset(key)
+  }
+
   test("streaming perceptual gate: near image hits its first-seen original, far image passes clean") {
     import graft.data.Multimodal
     def mk(f: Int => Int, n: Int = 144): Array[Byte] = Array.tabulate(n)(i => f(i).toByte)
