@@ -7,6 +7,27 @@ import graft.joins.SaltedJoin
 class ScaleMechanicsSpec extends SparkSpec {
   import spark.implicits._
 
+  // Shared operating-point fixture (ADVICE r12 #3: the two n=200k gates
+  // each built this clustered-boundary corpus and Lloyd-trained the
+  // kSub=80 cells independently — identical seeds, identical outputs;
+  // one build serves both and trims suite wall-clock). Deterministic, so
+  // sharing cannot couple the tests' outcomes.
+  private lazy val opCorpus: org.apache.spark.sql.DataFrame =
+    spark.range(200000L).map { id =>
+      val dim = 64
+      val c = (id / 50).toInt
+      val cRnd = new scala.util.Random(c * 7919L + 17)
+      val center = Array.fill(dim)(cRnd.nextGaussian())
+      val vRnd = new scala.util.Random(id * 6007L + 23)
+      (id, Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding").repartition(8).cache()
+  private lazy val opCells80: Seq[Seq[Seq[Double]]] = {
+    import graft.data.Similarity
+    Similarity.imiCodebooksTrained(
+      opCorpus, "vec_id", "embedding", 80, iters = 2,
+      sampleN = Similarity.imiTrainSampleN(80))
+  }
+
   test("parse-once plans: ComputeOnce keeps JSON parses out of pushed filters") {
     // Regression lock for the r3 find: without the ComputeOnce barrier,
     // filter pushdown substituted the envelope from_json into the scan-level
@@ -225,25 +246,16 @@ class ScaleMechanicsSpec extends SparkSpec {
     // coincidence and measures co-location of barely-similar pairs — that
     // regime's measured numbers are recorded in SCALE.md, not pinned here.
     val th = 0.70
-    val emb = spark.range(n).map { id =>
-      val dim = 64
-      val c = (id / 50).toInt
-      val cRnd = new scala.util.Random(c * 7919L + 17)
-      val center = Array.fill(dim)(cRnd.nextGaussian())
-      val vRnd = new scala.util.Random(id * 6007L + 23)
-      val v = Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian())
-      (id, v.toSeq)
-    }.toDF("vec_id", "embedding").repartition(8).cache()
-    try {
+    val emb = opCorpus
+    locally {
       val k = Similarity.autoK(emb.count())
       assert(k === 6250 && k > 32, s"operating point drifted: k=$k")
       val kSub = Similarity.imiKSub(k)
+      assert(kSub === 80, s"cell grid drifted: kSub=$kSub (shared fixture trains 80)")
       val flat = Dedup.semanticDedup(
         emb, "vec_id", "embedding",
         Similarity.seedCentroids(emb, "vec_id", "embedding", k), th)
-      val cbs = Similarity.imiCodebooksTrained(
-        emb, "vec_id", "embedding", kSub, iters = 2,
-        sampleN = Similarity.imiTrainSampleN(kSub))
+      val cbs = opCells80
       def dupSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
         df.filter(!$"keep").select($"vec_id").as[Long].collect().toSet
       val flatDup = dupSet(flat)
@@ -293,7 +305,7 @@ class ScaleMechanicsSpec extends SparkSpec {
       assert(imi2Recall >= 0.85, f"multi-probe brute recall $imi2Recall%.4f below pin")
       assert(imi2Recall >= imi1Recall + 0.10,
         f"multi-probe recall $imi2Recall%.4f did not meaningfully recover over $imi1Recall%.4f")
-    } finally emb.unpersist()
+    }
   }
 
   test("composed IMI-pruned ADC at the auto-k operating point: prune recall vs unpruned ADC, pinned") {
@@ -306,22 +318,13 @@ class ScaleMechanicsSpec extends SparkSpec {
     // quantization error cancels out of the comparison).
     import graft.data.Similarity
     val n = 200000L
-    val emb = spark.range(n).map { id =>
-      val dim = 64
-      val c = (id / 50).toInt
-      val cRnd = new scala.util.Random(c * 7919L + 17)
-      val center = Array.fill(dim)(cRnd.nextGaussian())
-      val vRnd = new scala.util.Random(id * 6007L + 23)
-      val v = Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian())
-      (id, v.toSeq)
-    }.toDF("vec_id", "embedding").repartition(8).cache()
-    try {
+    val emb = opCorpus
+    locally {
       val k = Similarity.autoK(emb.count())
       assert(k === 6250, s"operating point drifted: k=$k")
       val kSub = Similarity.imiKSub(k)
-      val icbs = Similarity.imiCodebooksTrained(
-        emb, "vec_id", "embedding", kSub, iters = 2,
-        sampleN = Similarity.imiTrainSampleN(kSub))
+      assert(kSub === 80, s"cell grid drifted: kSub=$kSub (shared fixture trains 80)")
+      val icbs = opCells80
       val cbs = Similarity.pqCodebooks(emb, "vec_id", "embedding", m = 8, k = 16)
       val q = emb.filter(pmod($"vec_id", lit(1601)) === 0)
       // ground truth: brute-force exact cosine top-10 — the answer a user
@@ -458,6 +461,6 @@ class ScaleMechanicsSpec extends SparkSpec {
       // pinned with margin under measurement
       assert(i8FenceRecall >= 0.65,
         f"int8 fence recall $i8FenceRecall%.3f collapsed at depth 8")
-    } finally emb.unpersist()
+    }
   }
 }
