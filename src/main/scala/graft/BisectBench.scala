@@ -32,7 +32,10 @@ object BisectBench {
     graft.jobs.JobFixtures.warm(spark, sfDir)
     graft.queries.SourceQueries.warm(spark, sfDir)
     graft.queries.JoinQueries.warm(spark, sfDir)
-    val oracleOnly = Set("d_ngram_jaccard")
+    // keep in sync with Bench's oracleOnly set: the quadratic ground-truth
+    // faces would dominate a bisect sweep without measuring anything the
+    // production paths exercise
+    val oracleOnly = Set("d_ngram_jaccard", "s_ann_pq", "s_ann_int8")
     val benched = SparkEntry.queries.toSeq
       .filterNot { case (n, _) => oracleOnly(n) || n == target }
     val targetFn = SparkEntry.queries(target)
