@@ -151,6 +151,22 @@ object Multimodal {
     * buckets). Candidates shuffle on the (band, value) key only — never
     * all-pairs; a pair matching several bands/probes is emitted once
     * (distinct at pair grain, after the hamming filter).
+    *
+    * ==Duplicate-flood stance==
+    * A degenerate image corpus — solid-color frames, watermark/template
+    * images, repeated thumbnails, all common at crawl scale — collapses
+    * to one fingerprint, so every band lands its whole population in ONE
+    * (band, value) bucket and the banded self-join emits n²/2 candidate
+    * pairs: quadratic OUTPUT, not just work, exactly the
+    * [[Dedup.minhashPairs]] failure shape. Same stance as there: one
+    * cheap stored-side (band, value) count pass runs BEFORE the
+    * quadratic join, and any bucket holding more than `maxBucketRows`
+    * fingerprints fails the job LOUDLY with the top offender sizes —
+    * "clear error naming the flood" instead of "executor OOM mid-join".
+    * Stored buckets ≤ cap bound the join output by probeRows·cap, linear
+    * in n. NOTE the guard makes CONSTRUCTION eager (it runs a count job
+    * and can throw before any action) — the same documented contract as
+    * the MinHash pair face.
     */
   def perceptualPairs(
       df: DataFrame,
@@ -158,10 +174,12 @@ object Multimodal {
       binCol: String,
       maxHamming: Int = 7,
       bandBits: Int = 8,
-      probeRadius: Int = 0
+      probeRadius: Int = 0,
+      maxBucketRows: Int = 10000
   ): DataFrame = {
     require(64 % bandBits == 0, s"perceptualPairs: bandBits=$bandBits must divide 64")
     require(maxHamming >= 0, s"perceptualPairs: maxHamming=$maxHamming")
+    require(maxBucketRows > 0, s"perceptualPairs: maxBucketRows must be positive")
     require(probeRadius == 0 || probeRadius == 1,
       s"perceptualPairs: probeRadius=$probeRadius not in {0, 1}")
     val nBands = 64 / bandBits
@@ -173,10 +191,16 @@ object Multimodal {
     val mask = (1L << bandBits) - 1
     // ComputeOnce barrier is load-bearing: the band array references _fp
     // nBands+ times, and CollapseProject would otherwise inline the full
-    // fingerprint subtree into every reference
+    // fingerprint subtree into every reference. localCheckpoint because
+    // the fingerprint frame now feeds THREE consumers (flood guard, probe
+    // side, stored side) — pay the 64-sample fingerprint scan once, and
+    // the checkpointed payload is (id, 8-byte long) only, never media
+    // bytes, so executor-local disk stays corpus-metadata-sized (the
+    // minhashPairs `banded` pattern).
     val fp = df.select(
       col(idCol).as("_id"),
       graft.functions.ComputeOnce(perceptualHash(col(binCol))).as("_fp"))
+      .localCheckpoint()
     // per-band value as a column (the explode arrays below reference it
     // probeValues× — same barrier argument)
     def withBands(base: DataFrame, mkVals: Column => Seq[Column]): DataFrame =
@@ -202,6 +226,32 @@ object Multimodal {
       bv +: (if (probeRadius == 0) Seq.empty
              else (0 until bandBits).map(i => bv.bitwiseXOR(lit(1L << i)))))
     val stored = withBands(fp, bv => Seq(bv))
+    // the flood guard: stored-side (band, value) counts before the
+    // quadratic join. Stored counts (not probe-expanded) are the right
+    // grain — join output per bucket = matching probe rows × stored rows,
+    // so capping stored rows bounds the output linearly in n.
+    val oversized = stored.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketRows)
+      .orderBy(col("_bc").desc)
+      .limit(3)
+      .collect()
+    if (oversized.nonEmpty) {
+      val tops = oversized
+        .map(r => s"band=${r.get(0)} value=${r.get(1)} rows=${r.get(2)}")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"perceptualPairs: perceptual-dup flood — (band, value) bucket(s) above " +
+          s"maxBucketRows=$maxBucketRows ($tops). The within-bucket candidate join is " +
+          "duplicity²-quadratic and the pairs it would emit are quadratic OUTPUT, not just " +
+          "work — a degenerate corpus (solid-color frames, watermark templates, repeated " +
+          "thumbnails) collapses to one fingerprint per template. If the flood is " +
+          "BYTE-IDENTICAL media, collapse exact duplicates (md5 fingerprint from " +
+          "Multimodal.metadata) to min-id representatives first and expand rep pairs to " +
+          "member pairs lazily; if it is DISTINCT media sharing a fingerprint, the " +
+          "quadratic is inherent to the pair grain — pre-shard the corpus or raise " +
+          "maxBucketRows only if that output volume is truly intended.")
+    }
     val lhs = probed.select(col("_id").as("a_id"), col("_fp").as("_fpa"), col("bi"), col("bv"))
     val rhs = stored.select(col("_id").as("b_id"), col("_fp").as("_fpb"), col("bi"), col("bv"))
     lhs.join(rhs, Seq("bi", "bv"))

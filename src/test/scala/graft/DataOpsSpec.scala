@@ -493,6 +493,89 @@ class DataOpsSpec extends SparkSpec {
       Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 16, bandBits = 8, probeRadius = 1))
   }
 
+  test("perceptualPairs: degenerate-corpus flood fires the bucket guard loudly; normal data sails") {
+    // a template flood: 60 byte-identical "images" (solid-color frames /
+    // watermark templates at crawl scale) — ONE fingerprint, so every
+    // band drops all 60 rows into a single (band, value) bucket
+    val template = Array.tabulate(144)(i => ((i * 7) % 251).toByte)
+    val flood = (1L to 60L).map(id => (id, template)).toDF("doc_id", "bin")
+    val ex = intercept[IllegalStateException](
+      Multimodal.perceptualPairs(flood, "doc_id", "bin", maxBucketRows = 20))
+    assert(ex.getMessage.contains("perceptual-dup flood"), ex.getMessage)
+    assert(ex.getMessage.contains("rows=60"), ex.getMessage)
+    // same corpus above the cap is accepted and emits the full quadratic
+    // pair list (the caller OPTED IN to that output volume)
+    val optIn = Multimodal
+      .perceptualPairs(flood, "doc_id", "bin", maxBucketRows = 60)
+      .agg(count(lit(1)), max($"hamming")).as[(Long, Long)].head()
+    assert(optIn === ((60L * 59L / 2L, 0L)))
+    // distinct payloads never trip a tight cap: ids spread across buckets.
+    // Per-id PRNG bytes — an affine shift of the ramp would preserve the
+    // gradient SIGNS and pile 30+ docs into one band value
+    val normal = (1L to 60L)
+      .map { id =>
+        val rnd = new scala.util.Random(id)
+        (id, Array.fill(144)(rnd.nextInt(256).toByte))
+      }
+      .toDF("doc_id", "bin")
+    Multimodal.perceptualPairs(normal, "doc_id", "bin", maxBucketRows = 20)
+      .write.mode("overwrite").format("noop").save()
+  }
+
+  test("perceptualPairs: billion-scale MIH config (bandBits=16, radius 1) is exact at hamming <= 7") {
+    // the configuration the operator scaladoc prescribes at 10^9 images:
+    // 4 bands x 16 bits, Hamming-ball radius 1 (pigeonhole guarantee
+    // 4*2-1 = 7). Crafted corpus: a base ramp plus sampled-byte edits of
+    // every width 1..6 cells spread across DIFFERENT 16-bit bands (so
+    // some pairs match only via a flipped probe, not an exact band), plus
+    // structurally far payloads — then set-equality against brute force
+    // over the independent reference fingerprints.
+    def mk(f: Int => Int, n: Int = 144): Array[Byte] = Array.tabulate(n)(i => f(i).toByte)
+    def refFp(bs: Array[Byte]): Long = {
+      def s(g: Int) = bs((g * bs.length) / 72) & 0xff
+      (for { r <- 0 until 8; c <- 0 until 8 } yield
+        if (s(r * 9 + c) < s(r * 9 + c + 1)) 1L << (r * 8 + c) else 0L).foldLeft(0L)(_ | _)
+    }
+    val base = mk(i => (i * 7) % 251)
+    // len=144: grid cell g samples byte 2g; cell rows r*9..r*9+8 feed fp
+    // bits r*8..r*8+7 — rows 0-1 land in band 0, rows 2-3 band 1, etc.
+    def edited(cells: Seq[Int]): Array[Byte] = {
+      val a = base.clone()
+      cells.foreach(c => a(2 * c) = 0xff.toByte)
+      a
+    }
+    val imgs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> base,
+      2L -> edited(Seq(5)),            // band 0 edit
+      3L -> edited(Seq(23)),           // band 1 edit
+      4L -> edited(Seq(5, 23)),        // bands 0+1 (vs base: needs probing)
+      5L -> edited(Seq(41, 59)),       // bands 2+3
+      6L -> edited(Seq(5, 23, 41)),    // three bands touched
+      7L -> edited(Seq(5, 23, 41, 59)),// all four bands touched
+      8L -> mk(i => if (i % 2 == 0) 5 else 250), // far payload
+      9L -> mk(i => (i * 31) % 251)    // far payload
+    )
+    val fpById = imgs.map { case (id, bs) => id -> refFp(bs) }.toMap
+    val brute7 = (for {
+      (a, fa) <- fpById.toSeq; (b, fb) <- fpById.toSeq if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 7
+    } yield (a, b, h.toLong)).toSet
+    // the crafted grid must actually exercise the MIH machinery: pairs at
+    // several hamming widths including >=4 (no single 16-bit band exact-
+    // matches without probing only if edits hit ALL bands — pair (1,7))
+    val dists = brute7.map(_._3)
+    assert(brute7.size >= 8, s"crafted corpus too sparse: $brute7")
+    assert(dists.exists(_ >= 4) && dists.exists(_ <= 2), s"distance spread too narrow: $dists")
+    val df = imgs.toDF("doc_id", "bin")
+    val got = Multimodal
+      .perceptualPairs(df, "doc_id", "bin", maxHamming = 7, bandBits = 16, probeRadius = 1)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got === brute7)
+    // threshold beyond the 16-bit pigeonhole guarantee is refused
+    intercept[IllegalArgumentException](
+      Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 8, bandBits = 16, probeRadius = 1))
+  }
+
   test("semDedupPlan: auto-k IMI branch escalates probe depth in the weak-threshold regime") {
     import graft.queries.DataQueries
     // fixture scale: flat quantizer, single probe — the regime the
