@@ -118,6 +118,74 @@ object KGrowthProbe {
   }
 }
 
+/** Multi-index-Hamming band selectivity probe (VERDICT r13 #3): measures
+  * the CANDIDATE volume [[graft.data.Multimodal.perceptualPairs]] would
+  * feed its verify join at each banding configuration — the number the
+  * band-space scaling rule predicts as ≈ nBands · probeValues/2^bandBits
+  * · n² (ordered probe×stored matches). Computed WITHOUT running the
+  * quadratic join: per (band, value) bucket, candidates = probe-side
+  * count × stored-side count, so the probe is a pair of linear
+  * aggregations and stays cheap at any corpus size (and cannot trip the
+  * operator's flood guard — it never materializes a pair).
+  *
+  * Rows: exact 4-bit bands (the family's first shape), radius-1 8-bit
+  * (the fixture/production shape), and radius-1 16-bit — the documented
+  * billion-image configuration, whose ~2^-16 per-band bucket selectivity
+  * claim this probe turns into a measured number (DataOpsSpec pins its
+  * EXACTNESS on crafted pairs; this pins its VOLUME).
+  *
+  * usage: runMain graft.MihSelectivityProbe [sfDir]
+  */
+object MihSelectivityProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val fp = graft.core.Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        graft.functions.ComputeOnce(
+          graft.data.Multimodal.perceptualHash(col("text").cast("binary"))).as("fp"))
+      .localCheckpoint()
+    val n = fp.count()
+    println(f"n=$n%d docs  all-ordered-pairs=${n * n}%d")
+    println(f"${"bandBits"}%8s ${"radius"}%6s ${"bands"}%5s ${"probeVals"}%9s " +
+      f"${"maxHam"}%6s ${"candidates"}%12s ${"sel"}%10s ${"maxBucket"}%9s")
+    Seq((4, 0), (8, 1), (16, 1)).foreach { case (bandBits, radius) =>
+      val nBands = 64 / bandBits
+      val mask = (1L << bandBits) - 1
+      def counted(probe: Boolean, cName: String) = fp
+        .select(explode(array((0 until nBands).flatMap { b =>
+          val bv = shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask))
+          val vals =
+            if (probe && radius == 1) bv +: (0 until bandBits).map(i => bv.bitwiseXOR(lit(1L << i)))
+            else Seq(bv)
+          vals.map(v => struct(lit(b).as("bi"), v.as("bv")))
+        }: _*)).as("x"))
+        .groupBy(col("x.bi").as("bi"), col("x.bv").as("bv"))
+        .agg(count(lit(1)).as(cName))
+      val agg = counted(probe = true, "pc")
+        .join(counted(probe = false, "sc"), Seq("bi", "bv"))
+        .agg(sum(col("pc") * col("sc")).as("cand"), max(col("sc")).as("mx"))
+        .as[(Long, Long)].head()
+      val probeVals = if (radius == 1) 1 + bandBits else 1
+      val maxHam = nBands * (radius + 1) - 1
+      println(f"$bandBits%8d $radius%6d $nBands%5d $probeVals%9d $maxHam%6d " +
+        f"${agg._1}%12d ${agg._1.toDouble / (n * n)}%10.2e ${agg._2}%9d")
+    }
+    spark.stop()
+  }
+}
+
 /** Driver-side Lloyd training ceiling (VERDICT r12 #4): the adaptive
   * sample (32·kSub per half) makes training cost grow ~kSub² in the
   * driver (sampleN·kSub·dim mul-adds per iteration), and the measured
@@ -157,19 +225,25 @@ object LloydCeilingProbe {
       (id, Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian()).toSeq)
     }.toDF("vec_id", "embedding").repartition(16).cache()
     emb.count()
-    println(f"${"kSub"}%6s ${"sampleN"}%8s ${"seed(s)"}%8s ${"train(s)"}%9s ${"iter(s)"}%8s")
+    println(f"${"kSub"}%6s ${"sampleN"}%8s ${"seed(s)"}%8s ${"sample(s)"}%9s " +
+      f"${"train(s)"}%9s ${"iter(s)"}%8s")
     kSubs.foreach { kSub =>
       val sampleN = Similarity.imiTrainSampleN(kSub)
       def timed[T](f: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
       }
       val (_, tSeed) = timed(Similarity.imiCodebooks(emb, "vec_id", "embedding", kSub))
+      // the md5-ordered sample scan + driver collect, timed on its own
+      // (ADVICE r13: lumping it into the subtraction overstated the
+      // driver-iteration share the kSub² extrapolation rests on)
+      val (_, tSample) = timed(Similarity.trainSample(emb, "vec_id", "embedding", sampleN))
       val (_, tTrain) = timed(Similarity.imiCodebooksTrained(
         emb, "vec_id", "embedding", kSub, iters = 2, sampleN = sampleN))
-      // iteration cost ≈ full training − (its own seeding pass); the
-      // second term re-runs the same distributed seeding scan, so the
-      // subtraction attributes the DRIVER-side share
-      println(f"$kSub%6d $sampleN%8d $tSeed%8.1f $tTrain%9.1f ${tTrain - tSeed}%8.1f")
+      // iteration cost ≈ full training − (its own seeding pass + its own
+      // sample collect); both subtracted terms re-run the same distributed
+      // scans, so the remainder is the DRIVER-only iteration share
+      println(f"$kSub%6d $sampleN%8d $tSeed%8.1f $tSample%9.1f $tTrain%9.1f " +
+        f"${tTrain - tSeed - tSample}%8.1f")
     }
     spark.stop()
   }

@@ -461,6 +461,27 @@ object Similarity {
   def imiTrainSampleN(kSub: Int, floor: Int = 256): Int =
     math.max(floor, 32 * kSub)
 
+  /** The deterministic training sample shared by the oracle-replayable
+    * trainers ([[imiCodebooksTrained]], [[pqCodebooksTrainedDet]]): the
+    * `sampleN` rows smallest by `(md5(id), id)` — content-DEcorrelated and
+    * engine-independent — collected to the driver and re-sorted ascending
+    * by id (the replayable fold order). Exposed `private[graft]` so
+    * LloydCeilingProbe can time the distributed sample scan separately
+    * from the driver-side iteration loop (ADVICE r13).
+    */
+  private[graft] def trainSample(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      sampleN: Int
+  ): Array[(Long, Array[Double])] = corpus
+    .select(col(idCol).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))
+    .orderBy(md5(col("_id").cast("string")), col("_id"))
+    .limit(sampleN)
+    .collect()
+    .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    .sortBy(_._1)
+
   def imiCodebooksTrained(
       corpus: DataFrame,
       idCol: String,
@@ -479,13 +500,7 @@ object Similarity {
       s"imiCodebooksTrained: corpus has fewer rows than kSub=$kSub " +
         s"(seeded ${seeded.head.length} codewords) — lower kSub to the corpus size")
     if (iters == 0) return seeded
-    val sample = corpus
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))
-      .orderBy(md5(col("_id").cast("string")), col("_id"))
-      .limit(sampleN)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val sample = trainSample(corpus, idCol, vecCol, sampleN)
     val dim = sample.head._2.length
     require(dim % 2 == 0, s"imiCodebooksTrained: dim $dim not divisible by 2")
     val sub = dim / 2
@@ -697,13 +712,7 @@ object Similarity {
       s"pqCodebooksTrainedDet: corpus has fewer rows than k=$k " +
         s"(seeded ${seeded.head.length} codewords) — lower k to the corpus size")
     if (iters == 0) return seeded
-    val sample = corpus
-      .select(col(idCol).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))
-      .orderBy(md5(col("_id").cast("string")), col("_id"))
-      .limit(sampleN)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    val sample = trainSample(corpus, idCol, vecCol, sampleN)
     val dim = sample.head._2.length
     require(dim % m == 0, s"pqCodebooksTrainedDet: dim $dim not divisible by m=$m")
     val sub = dim / m
