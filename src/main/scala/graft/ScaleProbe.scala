@@ -200,12 +200,21 @@ object MihSelectivityProbe {
   * seeding-only time so the iteration cost is separable. Results in
   * SCALE.md ("Lloyd training ceiling").
   *
-  * usage: runMain graft.LloydCeilingProbe [kSub,kSub,...] [nRows]
+  * Also times the DISTRIBUTED assignment arm
+  * (`imiCodebooksTrained(distributedAssign = true)` — the bit-identical
+  * executor-side path that engages past `DriverIterKSubCeiling`), so the
+  * crossover the switch encodes is a measured row, not an extrapolation.
+  * `maxDriverKSub` caps the driver arm (its kSub² loop reaches minutes at
+  * kSub≈7900) — skipped loudly, never silently, the KGrowthProbe
+  * maxFlatK pattern.
+  *
+  * usage: runMain graft.LloydCeilingProbe [kSub,kSub,...] [nRows] [maxDriverKSub]
   */
 object LloydCeilingProbe {
   def main(args: Array[String]): Unit = {
     val kSubs = (if (args.length > 0) args(0) else "791,2500").split(",").map(_.trim.toInt).toSeq
     val n = if (args.length > 1) args(1).toLong else 1000000L
+    val maxDriverKSub = if (args.length > 2) args(2).toInt else Int.MaxValue
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -226,7 +235,7 @@ object LloydCeilingProbe {
     }.toDF("vec_id", "embedding").repartition(16).cache()
     emb.count()
     println(f"${"kSub"}%6s ${"sampleN"}%8s ${"seed(s)"}%8s ${"sample(s)"}%9s " +
-      f"${"train(s)"}%9s ${"iter(s)"}%8s")
+      f"${"train(s)"}%9s ${"iter(s)"}%8s ${"dist(s)"}%8s")
     kSubs.foreach { kSub =>
       val sampleN = Similarity.imiTrainSampleN(kSub)
       def timed[T](f: => T): (T, Double) = {
@@ -237,13 +246,23 @@ object LloydCeilingProbe {
       // (ADVICE r13: lumping it into the subtraction overstated the
       // driver-iteration share the kSub² extrapolation rests on)
       val (_, tSample) = timed(Similarity.trainSample(emb, "vec_id", "embedding", sampleN))
-      val (_, tTrain) = timed(Similarity.imiCodebooksTrained(
-        emb, "vec_id", "embedding", kSub, iters = 2, sampleN = sampleN))
+      val tTrain =
+        if (kSub <= maxDriverKSub)
+          timed(Similarity.imiCodebooksTrained(
+            emb, "vec_id", "embedding", kSub, iters = 2, sampleN = sampleN))._2
+        else {
+          println(s"[lloyd] driver arm SKIPPED at kSub=$kSub > maxDriverKSub=$maxDriverKSub " +
+            "(kSub² driver loop; extrapolate from the measured decades)")
+          Double.NaN
+        }
+      val (_, tDist) = timed(Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSub, iters = 2, sampleN = sampleN,
+        distributedAssign = true))
       // iteration cost ≈ full training − (its own seeding pass + its own
       // sample collect); both subtracted terms re-run the same distributed
       // scans, so the remainder is the DRIVER-only iteration share
       println(f"$kSub%6d $sampleN%8d $tSeed%8.1f $tSample%9.1f $tTrain%9.1f " +
-        f"${tTrain - tSeed - tSample}%8.1f")
+        f"${tTrain - tSeed - tSample}%8.1f $tDist%8.1f")
     }
     spark.stop()
   }

@@ -373,7 +373,17 @@ object StreamScaleProbe {
   * only permutes WHICH copy is first-seen — the bucket set is
   * order-independent).
   *
-  * usage: runMain graft.IngestSoakProbe [batches] [fresh] [dup] [junk]
+  * `mode=media` (VERDICT r13 #5) runs the IMAGE capstone instead —
+  * [[graft.data.Multimodal.ingest]]: fresh PRNG payloads + a re-sent
+  * 10-image core + junk split between too-small payloads and
+  * valid-size/disallowed-mime images (the latter carry DISTINCT
+  * fingerprints, so a rejected image leaking into the perceptual band
+  * state breaks the equality pin loudly). The media gate runs
+  * bandBits=16 — the billion-image MIH configuration, soaked in
+  * streaming for the first time; expectation = distinct `p{b}_{value}`
+  * buckets of the ACCEPTED images through the batch fingerprint path.
+  *
+  * usage: runMain graft.IngestSoakProbe [batches] [fresh] [dup] [junk] [mode]
   */
 object IngestSoakProbe {
   def main(args: Array[String]): Unit = {
@@ -381,6 +391,8 @@ object IngestSoakProbe {
     val fresh = if (args.length > 1) args(1).toInt else 10
     val dup = if (args.length > 2) args(2).toInt else 100
     val junk = if (args.length > 3) args(3).toInt else 90
+    val mode = if (args.length > 4) args(4) else "text"
+    require(mode == "text" || mode == "media", s"mode must be text|media, got $mode")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
@@ -394,56 +406,114 @@ object IngestSoakProbe {
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    import graft.data.{CorpusIngest, Dedup, TextAnalysis}
+    import graft.data.{CorpusIngest, Dedup, Multimodal, TextAnalysis}
 
-    // deterministic feed: fresh docs are seeded word soups over a common-
-    // English vocabulary (diverse shingles — near-dup collisions between
-    // DIFFERENT fresh docs would blur the state-per-accepted-doc pin),
-    // dups re-send a fixed 10-doc core verbatim, junk fails the token gate
-    val vocab = ("the of and to in is you that it he was for on are as with his they at be this " +
-      "have from or one had by word but not what all were we when your can said there use an each " +
-      "which she do how their if will up other about out many then them these so some her would " +
-      "make like him into time has look two more write go see number no way could people my than " +
-      "first water been call who oil its now find long down day did get come made may part over").split(" ")
-    val core = (0 until 10).map(i =>
-      s"the quick brown fox number core$i jumps over the lazy dog while rain keeps falling " +
-        "on the quiet green field near the old stone bridge")
-    def soup(b: Int, i: Int): String = {
-      val r = new scala.util.Random(b * 100003L + i * 7919L + 5)
-      Seq.fill(30)(vocab(r.nextInt(vocab.length))).mkString(" ")
-    }
-    val rows = for {
-      b <- 0 until batches
-      (text, off) <- (0 until fresh).map(i => (soup(b, i), i.toLong)) ++
-        (0 until dup).map(j => (core(j % 10), 1000L + j)) ++
-        (0 until junk).map(j => ("zz", 5000L + j))
-    } yield (b * 10000L + off, text, b)
-    val feedDir = java.nio.file.Files.createTempDirectory("graft-ingest-soak").toString
-    rows.toDF("doc_id", "text", "batch")
-      .repartition(batches, col("batch"))
-      .write.mode("overwrite").partitionBy("batch").parquet(feedDir)
+    val feedDir = java.nio.file.Files.createTempDirectory(s"graft-ingest-soak-$mode").toString
+    // (expectedBuckets, mkHits) per mode; the drive below is shared
+    val (expectedBuckets, mkHits): (Long, DataFrame => org.apache.spark.sql.Dataset[graft.model.NearDupHit]) =
+      if (mode == "text") {
+        // deterministic feed: fresh docs are seeded word soups over a common-
+        // English vocabulary (diverse shingles — near-dup collisions between
+        // DIFFERENT fresh docs would blur the state-per-accepted-doc pin),
+        // dups re-send a fixed 10-doc core verbatim, junk fails the token gate
+        val vocab = ("the of and to in is you that it he was for on are as with his they at be this " +
+          "have from or one had by word but not what all were we when your can said there use an each " +
+          "which she do how their if will up other about out many then them these so some her would " +
+          "make like him into time has look two more write go see number no way could people my than " +
+          "first water been call who oil its now find long down day did get come made may part over").split(" ")
+        val core = (0 until 10).map(i =>
+          s"the quick brown fox number core$i jumps over the lazy dog while rain keeps falling " +
+            "on the quiet green field near the old stone bridge")
+        def soup(b: Int, i: Int): String = {
+          val r = new scala.util.Random(b * 100003L + i * 7919L + 5)
+          Seq.fill(30)(vocab(r.nextInt(vocab.length))).mkString(" ")
+        }
+        val rows = for {
+          b <- 0 until batches
+          (text, off) <- (0 until fresh).map(i => (soup(b, i), i.toLong)) ++
+            (0 until dup).map(j => (core(j % 10), 1000L + j)) ++
+            (0 until junk).map(j => ("zz", 5000L + j))
+        } yield (b * 10000L + off, text, b)
+        rows.toDF("doc_id", "text", "batch")
+          .repartition(batches, col("batch"))
+          .write.mode("overwrite").partitionBy("batch").parquet(feedDir)
 
-    val minTokens = 8
-    val langs = Seq("en")
+        val minTokens = 8
+        val langs = Seq("en")
+        val feed = spark.read.parquet(feedDir)
+        val verdictB = CorpusIngest.verdict(feed, "text", langs, minTokens)
+        val acceptedB = verdictB.filter(col("reject_reason").isNull).cache()
+        val nAccepted = acceptedB.count()
+        // independent expectation: distinct band buckets of distinct accepted
+        // texts through the BATCH signature path (n=3, k=16, 2-row bands — the
+        // streamingNearDupCandidates defaults)
+        val distinctTexts = acceptedB.select(col("text")).distinct()
+          .withColumn("tid", monotonically_increasing_id())
+          .withColumn("_t", graft.functions.ComputeOnce(TextAnalysis.tokens(col("text"))))
+          .filter(size(col("_t")) >= 3)
+        val sig = Dedup.minhashSignaturesFromTokens(distinctTexts, "tid", col("_t"), 3, 16)
+        val bandArr = array((0 until 8).map { b =>
+          concat_ws("_", lit(b) +: (0 until 2).map(r => col(s"h${b * 2 + r}")): _*)
+        }: _*)
+        val expected = sig.select(explode(bandArr).as("bucket")).distinct().count()
+        println(s"[soak] mode=text feed=${feed.count()} accepted=$nAccepted " +
+          s"distinctAcceptedTexts=${distinctTexts.count()} expectedBuckets=$expected")
+        (expected, (stream: DataFrame) =>
+          CorpusIngest.ingest(stream, "doc_id", "text", langs, minTokens)._2)
+      } else {
+        // media feed: fresh PRNG payloads (distinct fingerprints), a
+        // re-sent 10-image core, junk half too-small / half valid-size
+        // with a disallowed mime — the latter's DISTINCT fingerprints
+        // make any rejected-media state leak break the equality pin
+        val minBytes = 64
+        val maxBytes = 100000L
+        val allowed = Seq("image/png", "image/jpeg")
+        val mediaBandBits = 16
+        def img(seed: Long): Array[Byte] = {
+          val r = new scala.util.Random(seed)
+          Array.fill(144)(r.nextInt(256).toByte)
+        }
+        val core = (0 until 10).map(i => img(900000L + i))
+        val rows = for {
+          b <- 0 until batches
+          (media, mime, off) <- (0 until fresh).map(i =>
+              (img(b * 100003L + i * 7919L + 11), "image/png", i.toLong)) ++
+            (0 until dup).map(j => (core(j % 10), "image/jpeg", 1000L + j)) ++
+            (0 until junk).map(j =>
+              if (j % 2 == 0) (Array.fill(16)(j.toByte), "image/png", 5000L + j)
+              else (img(b * 999983L + j * 104729L + 13), "image/gif", 5000L + j))
+        } yield (b * 10000L + off, media, mime, b)
+        rows.toDF("doc_id", "media", "mime", "batch")
+          .repartition(batches, col("batch"))
+          .write.mode("overwrite").partitionBy("batch").parquet(feedDir)
+
+        val feed = spark.read.parquet(feedDir)
+        val acceptedB = Multimodal
+          .mediaVerdict(feed, "media", "mime", allowed, minBytes, maxBytes)
+          .filter(col("reject_reason").isNull).cache()
+        val nAccepted = acceptedB.count()
+        // independent expectation: distinct p-namespaced (band, value)
+        // buckets of the accepted images through the batch fingerprint
+        // path — the exact strings Processors.nearDupBands keys state by
+        val nBands = 64 / mediaBandBits
+        val mask = (1L << mediaBandBits) - 1
+        val fp = acceptedB.select(
+          graft.functions.ComputeOnce(Multimodal.perceptualHash(col("media"))).as("_fp"))
+        val bandArr = array((0 until nBands).map { b =>
+          concat_ws("_",
+            lit(s"p$b"),
+            shiftright(col("_fp"), b * mediaBandBits).bitwiseAND(lit(mask)).cast("string"))
+        }: _*)
+        val expected = fp.select(explode(bandArr).as("bucket")).distinct().count()
+        println(s"[soak] mode=media feed=${feed.count()} accepted=$nAccepted " +
+          s"distinctAcceptedFps=${fp.distinct().count()} expectedBuckets=$expected " +
+          s"(bandBits=$mediaBandBits)")
+        (expected, (stream: DataFrame) =>
+          Multimodal.ingest(stream, "doc_id", "media", "mime", allowed,
+            minBytes, maxBytes, bandBits = mediaBandBits)._2)
+      }
     val feed = spark.read.parquet(feedDir)
-    val verdictB = CorpusIngest.verdict(feed, "text", langs, minTokens)
-    val acceptedB = verdictB.filter(col("reject_reason").isNull).cache()
-    val nAccepted = acceptedB.count()
     val nFeed = feed.count()
-    // independent expectation: distinct band buckets of distinct accepted
-    // texts through the BATCH signature path (n=3, k=16, 2-row bands — the
-    // streamingNearDupCandidates defaults)
-    val distinctTexts = acceptedB.select(col("text")).distinct()
-      .withColumn("tid", monotonically_increasing_id())
-      .withColumn("_t", graft.functions.ComputeOnce(TextAnalysis.tokens(col("text"))))
-      .filter(size(col("_t")) >= 3)
-    val sig = Dedup.minhashSignaturesFromTokens(distinctTexts, "tid", col("_t"), 3, 16)
-    val bandArr = array((0 until 8).map { b =>
-      concat_ws("_", lit(b) +: (0 until 2).map(r => col(s"h${b * 2 + r}")): _*)
-    }: _*)
-    val expectedBuckets = sig.select(explode(bandArr).as("bucket")).distinct().count()
-    println(s"[soak] feed=$nFeed accepted=$nAccepted " +
-      s"distinctAcceptedTexts=${distinctTexts.count()} expectedBuckets=$expectedBuckets")
 
     val series = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -463,7 +533,7 @@ object IngestSoakProbe {
       .schema(feed.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feedDir)
-    val (_, hits) = CorpusIngest.ingest(stream, "doc_id", "text", langs, minTokens)
+    val hits = mkHits(stream)
     val t0 = System.nanoTime()
     val q = hits.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -446,10 +446,15 @@ object Similarity {
     * at ~1.2e9/s — 22.4 s full training at kSub=2500 (the n≈200M
     * operating point) with the adaptive 32·kSub sample. Cost grows ~kSub²
     * (sample ∝ kSub), so the next decade (kSub≈7900, n≈2·10⁹ rows)
-    * extrapolates to ~4 min of driver time: still amortized to once per
-    * corpus generation by the [[ModelStore]] persist contract, but past
-    * that scale either cap the sample or move training to the distributed
-    * [[trainCentroids]] path (spec-verified, not oracle-replayable).
+    * extrapolates to ~4 min of driver time. Past
+    * [[DriverIterKSubCeiling]] the `distributedAssign` switch (on by
+    * default there) runs the assignment scan AND the per-cell folds in
+    * EXECUTORS instead: per-row argmax is embarrassingly parallel, each
+    * cell's members are re-sorted ascending-id inside its group, and
+    * every fold keeps the driver path's exact operation order — so the
+    * output is BIT-IDENTICAL (spec-pinned equality), the oracle replay
+    * contract survives unchanged, and no ModelStore name bump is needed.
+    * The driver then holds only the model-sized per-cell means.
     */
   /** Training-sample size for [[imiCodebooksTrained]]: ~32 members per
     * codeword per half, floored at 256 — a fixed 256 saturates the
@@ -482,13 +487,20 @@ object Similarity {
     .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     .sortBy(_._1)
 
+  /** Above this kSub the driver-side iteration loop stops being free
+    * (measured 22.4 s at kSub=2500, ~kSub² growth — SCALE.md r13/r14):
+    * [[imiCodebooksTrained]] defaults `distributedAssign` on past it.
+    */
+  val DriverIterKSubCeiling: Int = 2500
+
   def imiCodebooksTrained(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       kSub: Int,
       iters: Int,
-      sampleN: Int
+      sampleN: Int,
+      distributedAssign: Boolean = false
   ): Seq[Seq[Seq[Double]]] = {
     require(iters >= 0, s"imiCodebooksTrained: iters must be >= 0, got $iters")
     require(sampleN >= kSub, s"imiCodebooksTrained: sampleN=$sampleN < kSub=$kSub")
@@ -500,6 +512,8 @@ object Similarity {
       s"imiCodebooksTrained: corpus has fewer rows than kSub=$kSub " +
         s"(seeded ${seeded.head.length} codewords) — lower kSub to the corpus size")
     if (iters == 0) return seeded
+    if (distributedAssign || kSub > DriverIterKSubCeiling)
+      return imiCodebooksTrainedDistributed(corpus, idCol, vecCol, kSub, iters, sampleN, seeded)
     val sample = trainSample(corpus, idCol, vecCol, sampleN)
     val dim = sample.head._2.length
     require(dim % 2 == 0, s"imiCodebooksTrained: dim $dim not divisible by 2")
@@ -557,6 +571,114 @@ object Similarity {
             (if (nrm == 0.0) mean else mean.map(_ / nrm)).toVector
           }
         }.toVector
+      }.toVector
+    }
+    cbs
+  }
+
+  /** The distributed arm of [[imiCodebooksTrained]] — same contract,
+    * BIT-IDENTICAL output (SimilaritySpec pins the equality at fixture
+    * kSub). The three phases keep the driver path's exact operation
+    * orders so IEEE double arithmetic reproduces:
+    *   - sample: the identical `(md5(id), id)`-smallest `sampleN` rows,
+    *     kept as a localCheckpointed Dataset instead of a driver array
+    *     (it feeds iters×2 executor jobs);
+    *   - assignment: per-row argmax dot against the broadcast flattened
+    *     codebook — the same strict-`>` scan with left-to-right component
+    *     folds, run in `mapPartitions` (per-row independent, so
+    *     partitioning cannot change the result);
+    *   - update: `groupByKey(cell)` then per-cell members re-sorted
+    *     ASCENDING ID inside the group and folded per-component in that
+    *     order, one division by the count, the [[imiCodebooks]]
+    *     normalization fold — all executor-side; the driver collects only
+    *     the model-sized per-cell means and fills empty cells from the
+    *     previous codebook.
+    * Work per iteration is sampleN·kSub·dim mul-adds spread over the
+    * cluster (vs the driver's single thread), and the shuffle moves only
+    * the sampleN half-vectors — at the kSub≈7900 decade (n≈2·10⁹,
+    * sampleN≈253k) that is ~65 MB, while the driver loop would take
+    * ~4 min (SCALE.md r14 measures the crossover).
+    */
+  private def imiCodebooksTrainedDistributed(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kSub: Int,
+      iters: Int,
+      sampleN: Int,
+      seeded: Seq[Seq[Seq[Double]]]
+  ): Seq[Seq[Seq[Double]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sampleDs = corpus
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(md5(col("_id").cast("string")), col("_id"))
+      .limit(sampleN)
+      // GlobalLimit lands the whole sample in ONE partition — without the
+      // spread the assignment scan (the work this path exists to
+      // parallelize) runs single-task. Row placement cannot affect the
+      // result: assignment is per-row, and the update re-sorts each
+      // cell's members by id inside its group
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .as[(Long, Seq[Double])]
+      .localCheckpoint()
+    val sub = seeded.head.head.length
+    var cbs = seeded
+    (0 until iters).foreach { _ =>
+      cbs = (0 until 2).map { mi =>
+        val cws = cbs(mi)
+        val flat = new Array[Double](kSub * sub)
+        var j0 = 0
+        while (j0 < kSub) {
+          val cw = cws(j0); var i = 0
+          while (i < sub) { flat(j0 * sub + i) = cw(i); i += 1 }
+          j0 += 1
+        }
+        // explicit broadcast: the flattened codebook is ~kSub·sub·8 bytes
+        // (4 MB at kSub≈7900) — too big to ride every task binary
+        val flatB = spark.sparkContext.broadcast(flat)
+        val means: Map[Int, Vector[Double]] = sampleDs
+          .mapPartitions { it =>
+            val fl = flatB.value
+            it.map { case (id, v) =>
+              val hv = new Array[Double](sub)
+              var i = 0
+              while (i < sub) { hv(i) = v(mi * sub + i); i += 1 }
+              var bestJ = 0
+              var bestD = { var s = 0.0; var i2 = 0; while (i2 < sub) { s += hv(i2) * fl(i2); i2 += 1 }; s }
+              var j = 1
+              while (j < kSub) {
+                val off = j * sub
+                var d = 0.0; var i2 = 0
+                while (i2 < sub) { d += hv(i2) * fl(off + i2); i2 += 1 }
+                if (d > bestD) { bestD = d; bestJ = j }
+                j += 1
+              }
+              (bestJ, id, hv)
+            }
+          }
+          .groupByKey(_._1)
+          .mapGroups { (cell, it) =>
+            val members = it.toArray.sortBy(_._2)
+            val sums = new Array[Double](sub)
+            members.foreach { m =>
+              val hv = m._3; var i = 0
+              while (i < sub) { sums(i) += hv(i); i += 1 }
+            }
+            val mean = new Array[Double](sub)
+            var i = 0
+            while (i < sub) { mean(i) = sums(i) / members.length; i += 1 }
+            var ss = 0.0
+            i = 0
+            while (i < sub) { ss += mean(i) * mean(i); i += 1 }
+            val nrm = math.sqrt(ss)
+            (cell, (if (nrm == 0.0) mean else mean.map(_ / nrm)).toSeq)
+          }
+          .collect()
+          .map { case (c, m) => c -> m.toVector }
+          .toMap
+        flatB.unpersist(blocking = false)
+        (0 until kSub).map(j => means.getOrElse(j, cws(j))).toVector
       }.toVector
     }
     cbs

@@ -475,6 +475,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < kSub * kSub))
   }
 
+  test("IMI Lloyd training: distributed assignment arm is bit-identical to the driver loop") {
+    // the kSub > DriverIterKSubCeiling production path, forced on at
+    // fixture scale: executor-side argmax + per-cell ascending-id folds
+    // must reproduce the driver loop EXACTLY (same IEEE operation
+    // orders), or the oracle replay contract breaks the first time a
+    // corpus crosses the ceiling. Two regimes: the oracle fixture kSub=4
+    // and a kSub where cells can go member-less on the 256-row sample
+    // (the empty-cell keep-previous arm).
+    Seq((4, 256), (25, Similarity.imiTrainSampleN(25))).foreach { case (kSub, sampleN) =>
+      val driver = Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSub, iters = 2, sampleN = sampleN)
+      val dist = Similarity.imiCodebooksTrained(
+        emb, "vec_id", "embedding", kSub, iters = 2, sampleN = sampleN,
+        distributedAssign = true)
+      // === on nested Seq[Double] is element-wise double equality — for
+      // bit-identity of finite doubles that is exactly the claim
+      assert(dist === driver, s"distributed arm drifted at kSub=$kSub")
+    }
+  }
+
   test("IMI-pruned ADC + int8: pruned ranking ≡ independent replay of full scores ∩ probe-cell fence") {
     val kSub = 4
     val corpus = emb.limit(200)
