@@ -431,6 +431,120 @@ object Dedup {
       .withColumn("simhash", graft.functions.SimHash60(col("_hs")))
       .select(col(idCol), col("simhash"))
 
+  /** Exact-substring duplicate SPANS — the sliding-window construction of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022, public): a k-token run that appears ANYWHERE else in the
+    * corpus (including earlier in the same document) is a duplicated
+    * window; overlapping/adjacent duplicated windows merge into MAXIMAL
+    * duplicated spans. This catches the long verbatim regions (licenses,
+    * boilerplate tails, quoted articles) that document-level MinHash misses
+    * when the surrounding text differs, at a finer grain than the
+    * non-overlapping chunk face (`dDupParagraphs`), which can straddle a
+    * duplicated run across two chunk boundaries and see neither half.
+    *
+    * Semantics (every step order-pinned so a SQL oracle replays it):
+    * windows are all token positions `pos ∈ [0, n−k]` (docs with fewer
+    * than k tokens contribute none); the FIRST occurrence of each window
+    * hash — min (doc_id, pos) — is the canonical copy and is NOT
+    * duplicated; every later occurrence is. Per doc, duplicated window
+    * starts sorted ascending merge while `pos − prev ≤ k` (overlap or
+    * exact adjacency), each island emitting
+    * `(doc_id, span_start = min pos, span_end = max pos + k, n_windows)`
+    * with `span_end` exclusive in token positions.
+    *
+    * The published operating grain is k≈50 BPE tokens; the fixture face
+    * runs k=10 words (the synthetic docs are ~50 words).
+    *
+    * Scale shape: the window pass shuffles `(md5, doc_id, pos)` — ~32
+    * bytes per token, the same grain the MinHash signature pass already
+    * pays, text never leaves the scan; the island merge windows over
+    * DUPLICATED rows only (a small fraction of the corpus by
+    * construction). A suffix-array build (the paper's single-node
+    * construction) is not needed: fixed-k windows give identical spans
+    * for runs ≥ k and are embarrassingly parallel.
+    */
+  def exactSubstringSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, s"exactSubstringSpans: k must be positive, got $k")
+    val wins = df
+      .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
+      .withColumn(
+        "_i",
+        explode(
+          when(size(col("_toks")) >= k, sequence(lit(0), size(col("_toks")) - k))
+            .otherwise(array().cast("array<int>"))))
+      .select(
+        col(idCol).as("doc_id"),
+        col("_i").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(k)))).as("_h"))
+    val firstW = Window.partitionBy(col("_h")).orderBy(col("doc_id"), col("pos"))
+    val docW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins
+      .withColumn("_rn", row_number().over(firstW))
+      .filter(col("_rn") > 1)
+      .withColumn("_prev", lag(col("pos"), 1).over(docW))
+      .withColumn(
+        "_brk",
+        when(col("_prev").isNull || col("pos") - col("_prev") > k, 1L).otherwise(0L))
+      .withColumn("_g", sum(col("_brk")).over(docW))
+      .groupBy(col("doc_id"), col("_g"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  /** Exact-substring TRIM — the consuming face of [[exactSubstringSpans]]:
+    * rewrite each document with its duplicated spans' tokens removed (the
+    * paper's dedup action: every duplicated region is kept exactly once,
+    * at its first occurrence, because first occurrences are never spans).
+    * Output per doc: `n_tokens`, `n_removed`, and `text_trimmed` — the
+    * kept tokens space-joined (tokenizer-normalized, so a doc with no
+    * spans round-trips to its single-spaced form; a fully-duplicated doc
+    * trims to the empty string, which downstream length/quality filters
+    * then drop).
+    *
+    * Scale shape: the span list rides back to the corpus as a per-doc
+    * array via one join on doc_id — spans exist only for docs with
+    * duplicated content and are interval-merged, so the span side is
+    * corpus-metadata-sized and broadcasts at typical duplication rates;
+    * the token filter itself is a per-row higher-order function inside
+    * whole-stage codegen (no explode — the corpus text moves through ZERO
+    * additional shuffles beyond that join).
+    */
+  def exactSubstringTrim(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, k)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(
+        struct(col("span_start").as("s"), col("span_end").as("e"))).as("_spans"))
+    df.select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn(
+        "_ss",
+        coalesce(col("_spans"), array().cast("array<struct<s:bigint,e:bigint>>")))
+      .withColumn("_toks", graft.functions.ComputeOnce(TextAnalysis.tokens(col("_text"))))
+      .withColumn(
+        "_kept",
+        filter(col("_toks"), (_, i) =>
+          !exists(col("_ss"), s =>
+            i.cast("long") >= s.getField("s") && i.cast("long") < s.getField("e"))))
+      .select(
+        col("doc_id"),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long").as("n_removed"),
+        array_join(col("_kept"), " ").as("text_trimmed"))
+  }
+
   /** Connected-component duplicate clusters from a near-dup pair list:
     * every document in a component gets the component's minimum doc id as
     * `cluster_id` (the canonical "keep one per cluster" assignment).

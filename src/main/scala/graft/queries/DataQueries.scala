@@ -2396,6 +2396,72 @@ object DataQueries {
        |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
        |FROM r GROUP BY 1""".stripMargin
 
+  // ------------------------------------------- exact-substring dedup
+  /** Shared spans pipeline for the two exact-substring faces: sliding
+    * k=10-token windows → first-occurrence rule → per-doc island merge
+    * (the CTE chain mirrors [[graft.data.Dedup.exactSubstringSpans]]
+    * step for step).
+    */
+  private val substrSpansCtes: String =
+    s"""w10 AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(list_slice(t, i+1, i+10), ' ')) AS h
+       |  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - 9, 0))) AS i FROM toks)),
+       |r10 AS (
+       |  SELECT doc_id, pos, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM w10),
+       |d10 AS (SELECT doc_id, pos FROM r10 WHERE rn > 1),
+       |b10 AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10 THEN 1 ELSE 0 END AS brk
+       |  FROM d10),
+       |i10 AS (
+       |  SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+       |  FROM b10),
+       |spans10 AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end,
+       |    CAST(COUNT(*) AS BIGINT) AS n_windows
+       |  FROM i10 GROUP BY doc_id, g)""".stripMargin
+
+  /** Exact-substring duplicated spans (the Lee et al. ACL'22 sliding-window
+    * grain; fixture k=10 words — see [[graft.data.Dedup.exactSubstringSpans]]).
+    */
+  def dSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringSpans(Tables.documents(spark, dir), "doc_id", "text", k = 10)
+
+  val dSubstringSpansSql: String =
+    s"""WITH $toksCte,
+       |$substrSpansCtes
+       |SELECT doc_id, span_start, span_end, n_windows FROM spans10""".stripMargin
+
+  /** Exact-substring trim: duplicated spans' tokens removed, first
+    * occurrence kept (see [[graft.data.Dedup.exactSubstringTrim]]).
+    */
+  def dSubstringTrim(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringTrim(Tables.documents(spark, dir), "doc_id", "text", k = 10)
+
+  // DuckDB lambda indexes are 1-based (Spark's are 0-based): the span test
+  // uses i - 1. array_to_string of an EMPTY list is NULL in DuckDB ('' in
+  // Spark's array_join) — the COALESCE pins the fully-trimmed-doc arm.
+  val dSubstringTrimSql: String =
+    s"""WITH $toksCte,
+       |$substrSpansCtes,
+       |sp10 AS (
+       |  SELECT doc_id, list(struct_pack(s := span_start, e := span_end)) AS ss
+       |  FROM spans10 GROUP BY doc_id),
+       |j10 AS (
+       |  SELECT toks.doc_id, toks.t, COALESCE(sp10.ss, []) AS ss
+       |  FROM toks LEFT JOIN sp10 ON toks.doc_id = sp10.doc_id),
+       |k10 AS (
+       |  SELECT doc_id, t,
+       |    list_filter(t, (x, i) -> len(list_filter(ss, s -> i - 1 >= s.s AND i - 1 < s.e)) = 0) AS kept
+       |  FROM j10)
+       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) - len(kept) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(kept, ' '), '') AS text_trimmed
+       |FROM k10""".stripMargin
+
   // -------------------------------------------------------------- multimodal
   def mMultimodal(spark: SparkSession, dir: String): DataFrame =
     Multimodal.metadata(
@@ -2808,6 +2874,8 @@ object DataQueries {
     "d_corpus_shuffle" -> dCorpusShuffle,
     "d_chunk" -> dChunk,
     "d_dup_paragraphs" -> dDupParagraphs,
+    "d_substring_spans" -> dSubstringSpans,
+    "d_substring_trim" -> dSubstringTrim,
     "t_quality_filter" -> tQualityFilter,
     "t_bigram_commonness" -> tBigramCommonness,
     "d_token_budget" -> dTokenBudget,
@@ -2876,6 +2944,8 @@ object DataQueries {
     "d_corpus_shuffle" -> dCorpusShuffleSql,
     "d_chunk" -> dChunkSql,
     "d_dup_paragraphs" -> dDupParagraphsSql,
+    "d_substring_spans" -> dSubstringSpansSql,
+    "d_substring_trim" -> dSubstringTrimSql,
     "t_quality_filter" -> tQualityFilterSql,
     "t_bigram_commonness" -> tBigramCommonnessSql,
     "d_token_budget" -> dTokenBudgetSql,

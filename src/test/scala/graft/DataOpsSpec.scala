@@ -150,6 +150,62 @@ class DataOpsSpec extends SparkSpec {
       s"clustering face must treat NULL docs as singletons, got $clusterEdges")
   }
 
+  test("exactSubstringSpans: cross-doc run >= k spans exactly; first occurrence clean; short docs contribute nothing") {
+    // doc 1 owns the canonical copy of the 4-token run "r1 r2 r3 r4";
+    // doc 2 embeds it at token positions 2..5; doc 3 is shorter than k
+    val df = Seq(
+      (1L, "r1 r2 r3 r4 tail1 tail2"),
+      (2L, "x1 x2 r1 r2 r3 r4 y1 y2"),
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // only doc 2's single window at pos=2 duplicates doc 1's pos=0 window
+    assert(got === Set((2L, 2L, 6L, 1L)))
+  }
+
+  test("exactSubstringSpans: overlapping and exactly-adjacent duplicated windows merge into one maximal span") {
+    // doc 2 repeats doc 1's FULL 8-token text: windows at pos 0..4 (k=4)
+    // are all duplicated and overlap -> one span [0, 8)
+    // doc 3 carries two copies of the run back to back: only pos 0 and
+    // pos 4 duplicate (the bridging s4->s1 windows are unique to doc 3),
+    // and their EXACT k-gap adjacency still merges -> one span [0, 8)
+    val df = Seq(
+      (1L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8"),
+      (3L, "s1 s2 s3 s4 s1 s2 s3 s4")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 0L, 8L, 5L), (3L, 0L, 8L, 2L)))
+  }
+
+  test("exactSubstringSpans: within-doc periodic self-repeat keeps the first period") {
+    // "p1 p2 p1 p2 p1 p2": k=2 windows at pos 0,2 hash alike ("p1 p2"),
+    // pos 1,3 hash alike ("p2 p1"); first occurrences (pos 0, pos 1) stay
+    // clean, duplicated starts 2,3,4 merge -> span [2, 6)
+    val df = Seq((7L, "p1 p2 p1 p2 p1 p2")).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(df, "doc_id", "text", k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((7L, 2L, 6L, 3L)))
+  }
+
+  test("exactSubstringTrim: duplicated span tokens removed, first occurrence intact, full dup trims to empty string") {
+    val df = Seq(
+      (1L, "r1 r2 r3 r4 tail1 tail2"),
+      (2L, "x1 x2 r1 r2 r3 r4 y1 y2"),
+      (3L, "r1 r2 r3 r4"), // byte-duplicate of doc 1's prefix -> fully trimmed
+      (4L, "  clean   doc  ") // no dups: round-trips tokenizer-normalized
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringTrim(df, "doc_id", "text", k = 4)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === Set(
+      (1L, 6L, 0L, "r1 r2 r3 r4 tail1 tail2"),
+      (2L, 8L, 4L, "x1 x2 y1 y2"),
+      (3L, 4L, 4L, ""),
+      (4L, 2L, 0L, "clean doc")))
+  }
+
   test("simhash: identical texts equal, near texts close in hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
