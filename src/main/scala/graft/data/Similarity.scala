@@ -1418,6 +1418,62 @@ object Similarity {
       )
   }
 
+  /** IVFADC+R — exact re-ranking of the composed face's ADC shortlist
+    * (Jégou/Douze/Schmid, "Searching with quantization" / TPAMI'11 §V:
+    * keep the R best ADC candidates, refine them with the true vectors).
+    * The composed ANN's recall at the operating point is SCORE-MODEL
+    * gated, not fence-gated (SCALE.md r12: pSub=8 fence reaches the
+    * unpruned scoring ceiling, and that ceiling is ~0.40 for m=8 codes) —
+    * so the published refinement step is the lever that recovers it:
+    * m=8-code ADC ranks the fence survivors, the top `rerankR` per query
+    * fetch their FULL vectors, and the exact cosine re-ranks those R down
+    * to the final k. Output shape matches [[bruteTopK]] (`cos_e6`), so
+    * recall comparisons read directly against the exact face.
+    *
+    * Scale shape (the part that matters at 100 TB): the expensive exact
+    * math runs on R rows per query instead of n — the corpus-sized work
+    * stays the code-only ADC scan of [[pqTopKPrunedImi]]. The shortlist
+    * (nQueries·R ids) is broadcast back against the full-vector corpus
+    * scan, so the ONLY per-candidate cost of refinement is one
+    * broadcast-hash probe + one dim-length dot on R·nQueries rows; full
+    * vectors never shuffle and never leave their scan. R trades recall
+    * against that targeted read — R≈10·k is the paper's operating band.
+    */
+  def pqTopKPrunedImiRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      rerankR: Int,
+      pSub: Int = 1,
+      nearestEncode: Boolean = false
+  ): DataFrame = {
+    require(rerankR >= k,
+      s"pqTopKPrunedImiRerank: rerankR=$rerankR must be >= k=$k (the shortlist feeds the final top-k)")
+    val shortlist = pqTopKPrunedImi(
+      corpus, queries, idCol, vecCol, imiCodebooks, pqCodebooks,
+      k = rerankR, pSub = pSub, nearestEncode = nearestEncode)
+      .select(col("q_id"), col("n_id"))
+    val cvec = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val qvec = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val rescored = broadcast(shortlist)
+      .join(cvec, Seq("n_id"))
+      .join(qvec, Seq("q_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    rescored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("q_id"),
+        col("n_id"),
+        col("rank"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** IMI-pruned int8 ANN — [[int8TopKPruned]] with the two-level product
     * (IMI) coarse quantizer: the auto-k form of the bandwidth face, the
     * exact analogue of [[pqTopKPrunedImi]] (see its scaladoc for the cell

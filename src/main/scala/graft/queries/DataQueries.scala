@@ -1342,7 +1342,12 @@ object DataQueries {
       k = 10, pSub = 2)
   }
 
-  val sAnnPqImiSql: String = {
+  /** The composed IMI-fence + seeded-PQ ADC chain through the `ranked` CTE
+    * (columns q_id, n_id, score, rank) — shared by the base composed face
+    * and the IVFADC+R re-rank face, which differ only in what they take
+    * from the ADC ranking.
+    */
+  private val pqImiRankedCtes: String = {
     val dotSql = (a: String, b: String) =>
       s"list_reduce(list_transform(range(1, $PqSub + 1), i -> $a * $b), (x,y) -> x+y)"
     s"""$imiCellsSql,
@@ -1378,10 +1383,48 @@ object DataQueries {
        |ranked AS (
        |  SELECT q_id, n_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, n_id ASC) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  val sAnnPqImiSql: String =
+    s"""$pqImiRankedCtes
        |SELECT q_id, n_id, rank, CAST(floor(score * 1e6) AS BIGINT) AS score_e6
        |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** IVFADC+R shortlist depth for the fixture face (production band
+    * R ≈ 10·k — [[graft.data.Similarity.pqTopKPrunedImiRerank]]).
+    */
+  private val AnnRerankR = 30
+
+  /** IVFADC+R: [[sAnnPqImi]]'s ADC ranking keeps its top-R shortlist and
+    * the TRUE vectors re-rank it down to k — the published refinement
+    * (Jégou et al. TPAMI'11 §V) that recovers the score-model-gated
+    * recall while the corpus-sized work stays code-only. Output is
+    * `cos_e6` (the [[sAnnBrute]] shape), so recall reads directly against
+    * the exact face.
+    */
+  def sAnnPqImiRr(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.pqTopKPrunedImiRerank(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      imiCodebooksFor(spark, dir, ImiKSub), codebooksFor(spark, dir, m = PqM, k = PqK),
+      k = 10, rerankR = AnnRerankR, pSub = 2)
   }
+
+  val sAnnPqImiRrSql: String =
+    s"""$pqImiRankedCtes,
+       |short AS (SELECT q_id, n_id FROM ranked WHERE rank <= $AnnRerankR),
+       |rr AS (
+       |  SELECT s.q_id, s.n_id, ${cosSql("q.qvec", "n.v")} AS cos
+       |  FROM short s
+       |  JOIN qv q ON q.q_id = s.q_id
+       |  JOIN e n ON n.vec_id = s.n_id),
+       |rranked AS (
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+       |  FROM rr)
+       |SELECT q_id, n_id, rank, CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
+       |FROM rranked WHERE rank <= 10""".stripMargin
 
   /** IMI-pruned int8 ANN — the bandwidth face at AUTO-K, composing the IMI
     * cell fence with the exact integer code dot of `s_ann_int8` (see
@@ -2850,6 +2893,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPq,
     "s_ann_pq_ivf" -> sAnnPqIvf,
     "s_ann_pq_imi" -> sAnnPqImi,
+    "s_ann_pq_imi_rr" -> sAnnPqImiRr,
     "s_ann_pq_imi_t" -> sAnnPqImiT,
     "s_ann_pq_imi_r" -> sAnnPqImiR,
     "s_ann_int8_imi" -> sAnnInt8Imi,
@@ -2921,6 +2965,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
     "s_ann_pq_imi" -> sAnnPqImiSql,
+    "s_ann_pq_imi_rr" -> sAnnPqImiRrSql,
     "s_ann_pq_imi_t" -> sAnnPqImiTSql,
     "s_ann_pq_imi_r" -> sAnnPqImiRSql,
     "s_ann_int8_imi" -> sAnnInt8ImiSql,

@@ -602,6 +602,69 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.0, "pruned face returned nothing — cell fence degenerated")
   }
 
+  test("IVFADC+R rerank ≡ exact-cosine ranking of the ADC shortlist; R=n degenerates to the fence's exact ranking") {
+    val kSub = 4
+    val corpus = emb.limit(200)
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val icbs = Similarity.imiCodebooksTrained(
+      corpus, "vec_id", "embedding", kSub, iters = 2, sampleN = 256)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val n = corpus.count().toInt
+
+    // exact ranking over the whole corpus (rank column = exact-double
+    // cosine order, like the pqTopK ranks above)
+    val brute = Similarity.bruteTopK(corpus, queries, "vec_id", "embedding", n)
+      .select("q_id", "n_id", "rank", "cos_e6").as[(Long, Long, Int, Long)].collect()
+
+    // the rerank contract: final rows == exact-cosine ranking RESTRICTED
+    // to the ADC shortlist (whatever the shortlist recalled)
+    def expectedOn(shortSets: Map[Long, Set[Long]]): Set[(Long, Long, Int, Long)] =
+      brute.toIndexedSeq.groupBy(_._1).flatMap { case (q, rows) =>
+        rows.filter { case (_, nid, _, _) => shortSets.getOrElse(q, Set.empty).contains(nid) }
+          .sortBy(_._3)
+          .take(10).zipWithIndex
+          .map { case ((_, nid, _, c), i) => (q, nid, i + 1, c) }
+      }.toSet
+
+    Seq(30, n).foreach { r =>
+      val shortSets = Similarity.pqTopKPrunedImi(
+        corpus, queries, "vec_id", "embedding", icbs, cbs, k = r, pSub = 2)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val got = Similarity.pqTopKPrunedImiRerank(
+        corpus, queries, "vec_id", "embedding", icbs, cbs,
+        k = 10, rerankR = r, pSub = 2)
+        .select("q_id", "n_id", "rank", "cos_e6")
+        .as[(Long, Long, Int, Long)].collect().toSet
+      assert(got === expectedOn(shortSets),
+        s"rerank at R=$r must equal the exact-cosine ranking of its ADC shortlist")
+    }
+
+    // the lever, measured at fixture scale: rerank recall vs the ADC-only
+    // composed face against the exact top-10
+    val bruteTop = brute.filter(_._3 <= 10).map(x => (x._1, x._2)).toSet
+    val adcPairs = Similarity.pqTopKPrunedImi(
+      corpus, queries, "vec_id", "embedding", icbs, cbs, k = 10, pSub = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val rrPairs = Similarity.pqTopKPrunedImiRerank(
+      corpus, queries, "vec_id", "embedding", icbs, cbs, k = 10, rerankR = 30, pSub = 2)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val adcRecall = adcPairs.intersect(bruteTop).size.toDouble / bruteTop.size
+    val rrRecall = rrPairs.intersect(bruteTop).size.toDouble / bruteTop.size
+    println(f"[SimilaritySpec] IVFADC+R: recall@10 ADC-only=$adcRecall%.3f rerank(R=30)=$rrRecall%.3f")
+    assert(rrRecall >= adcRecall,
+      "exact re-ranking of a superset shortlist cannot lose to the ADC-only top-10")
+
+    // 100 TB plan shape: the shortlist and the query vectors BROADCAST
+    // back against the full-vector corpus scan — refinement adds no
+    // corpus-sized shuffle
+    val plan = Similarity.pqTopKPrunedImiRerank(
+      corpus, queries, "vec_id", "embedding", icbs, cbs, k = 10, rerankR = 30, pSub = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
     import graft.data.{ModelStore, Similarity}
     val base = java.nio.file.Files.createTempDirectory("modelstore").toString
