@@ -268,6 +268,89 @@ object LloydCeilingProbe {
   }
 }
 
+/** Probe-depth curve for the IVFADC+R composed face (SCALE.md r14): after
+  * exact re-ranking, composed-ANN quality is FENCE-gated (the R=1000
+  * plateau == the pSub=8 cell coverage), so the remaining lever is probe
+  * depth. This measures, at the n=200k operating point with the full
+  * trained production shape, recall@10 vs brute and wall seconds for each
+  * pSub × {ADC-only, rerank R=100} arm, plus the fence's candidate volume
+  * (the quantity probe depth actually buys/costs).
+  *
+  * usage: runMain graft.RerankDepthProbe [pSubs=8,12,16] [n=200000] [R=100]
+  */
+object RerankDepthProbe {
+  def main(args: Array[String]): Unit = {
+    val pSubs = (if (args.length > 0) args(0) else "8,12,16").split(",").map(_.trim.toInt).toSeq
+    val n = if (args.length > 1) args(1).toLong else 200000L
+    val rerankR = if (args.length > 2) args(2).toInt else 100
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.data.Similarity
+    import org.apache.spark.sql.functions._
+    // the ScaleMechanicsSpec operating-point fixture (clustered-boundary
+    // corpus, deterministic)
+    val emb = spark.range(n).map { id =>
+      val dim = 64
+      val c = (id / 50).toInt
+      val cRnd = new scala.util.Random(c * 7919L + 17)
+      val center = Array.fill(dim)(cRnd.nextGaussian())
+      val vRnd = new scala.util.Random(id * 6007L + 23)
+      (id, Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding").repartition(16).cache()
+    emb.count()
+    val kSubAnn = 42
+    val icbs = Similarity.imiCodebooksTrained(
+      emb, "vec_id", "embedding", kSubAnn, iters = 2,
+      sampleN = Similarity.imiTrainSampleN(kSubAnn))
+    val cbs = Similarity.pqCodebooksTrainedDet(
+      emb, "vec_id", "embedding", m = 8, k = 256, iters = 2,
+      sampleN = Similarity.imiTrainSampleN(256))
+    val q = emb.filter(pmod($"vec_id", lit(1601)) === 0)
+    val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def recallOf(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val (got, t) = timed(df.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet)
+      ((got & brute).size.toDouble / brute.size, t)
+    }
+    // fence candidate volume per pSub: stored rows summed over each
+    // query's probe cells (two linear aggregations, never the join)
+    val cellCounts = emb.select(Similarity.imiAssign($"embedding", icbs).as("bk"))
+      .groupBy($"bk").count().as[(Int, Long)].collect().toMap
+    println(f"${"pSub"}%5s ${"cand/query"}%11s ${"adc"}%7s ${"adc(s)"}%7s ${"rr"}%7s ${"rr(s)"}%7s")
+    pSubs.foreach { p =>
+      val probes = q
+        .withColumn("_ilut",
+          graft.functions.ComputeOnce(graft.functions.Pq.lut($"embedding", icbs)))
+        .withColumn("_t0",
+          graft.functions.ComputeOnce(Similarity.imiTopCodes($"_ilut", kSubAnn, p, 0)))
+        .withColumn("_t1",
+          graft.functions.ComputeOnce(Similarity.imiTopCodes($"_ilut", kSubAnn, p, 1)))
+        .select(explode(Similarity.imiProbeCells($"_t0", $"_t1", kSubAnn, p)).as("bk"))
+        .as[Int].collect()
+      val candPerQuery = probes.map(bk => cellCounts.getOrElse(bk, 0L)).sum /
+        math.max(q.count(), 1L)
+      val (adc, tAdc) = recallOf(Similarity.pqTopKPrunedImi(
+        emb, q, "vec_id", "embedding", icbs, cbs, k = 10, pSub = p,
+        nearestEncode = true))
+      val (rr, tRr) = recallOf(Similarity.pqTopKPrunedImiRerank(
+        emb, q, "vec_id", "embedding", icbs, cbs, k = 10, rerankR = rerankR,
+        pSub = p, nearestEncode = true))
+      println(f"$p%5d $candPerQuery%11d $adc%7.3f $tAdc%7.1f $rr%7.3f $tRr%7.1f")
+    }
+    spark.stop()
+  }
+}
+
 /** One-off sf0.1 → sf1 scale probe: replicates the sf0.1 tables `factor`
   * times with shifted keys (id spaces AND key cardinalities scale linearly,
   * as the generator's own sf scaling does: user_id 150 → 1500 between

@@ -1438,6 +1438,13 @@ object Similarity {
     * broadcast-hash probe + one dim-length dot on R·nQueries rows; full
     * vectors never shuffle and never leave their scan. R trades recall
     * against that targeted read — R≈10·k is the paper's operating band.
+    *
+    * Once refined, quality is FENCE-gated again, so `pSub` becomes the
+    * operating lever — and it only pays WITH refinement (measured at the
+    * n=200k production shape, RerankDepthProbe / SCALE.md r14: ADC-only
+    * is flat at ~0.40 for pSub 8→16 while rerank R=100 climbs 0.773 →
+    * 0.875 → 0.933; cost tracks the fence's candidate volume, 4.1k →
+    * 15.5k rows/query). Pick pSub from the recall target, keep R≈10·k.
     */
   def pqTopKPrunedImiRerank(
       corpus: DataFrame,
