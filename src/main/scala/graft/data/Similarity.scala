@@ -1481,6 +1481,81 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Fence-cost estimator for the composed IMI faces — the EXACT realized
+    * candidate count of [[pqTopKPrunedImi]]'s fence join per query,
+    * computed WITHOUT running the join: a per-cell corpus histogram
+    * (kSub² rows, metadata-sized) is broadcast against each query's probe
+    * cells and summed, minus the query's own corpus row where it sits
+    * inside its own probe set (the join's `n_id =!= q_id` exclusion).
+    * Exactness holds because a corpus row lands in exactly ONE cell and a
+    * query's probe cells are distinct by construction ([[imiProbeCells]])
+    * — candidate volume decomposes additively over probed cells, so two
+    * linear passes (O(n) assignment + O(q·pSub²) histogram lookups)
+    * reproduce the join's row count to the row (spec-pinned against
+    * [[pqTopKPrunedImi]] run at k = n).
+    *
+    * This is the budgeting tool the post-refinement operating guidance
+    * needs at 100 TB: with IVFADC+R, recall is fence-gated and pSub is
+    * picked from the recall target ([[pqTopKPrunedImiRerank]] scaladoc,
+    * SCALE.md r14 probe-depth curve) — this prices what that choice costs
+    * (the ADC scan volume, the corpus-sized term) BEFORE committing to
+    * the scan, from one histogram pass that is itself reusable across
+    * every candidate pSub. Output: (q_id, n_cand).
+    */
+  def imiFenceCandidateCounts(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pSub: Int = 1
+  ): DataFrame = {
+    require(imiCodebooks.length == 2,
+      s"imiFenceCandidateCounts: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
+    val kSub = imiCodebooks.head.length
+    require(pSub >= 1 && pSub <= kSub, s"imiFenceCandidateCounts: pSub=$pSub out of 1..$kSub")
+    val cells = corpus.select(
+      col(idCol).as("n_id"),
+      imiAssign(col(vecCol), imiCodebooks).as("n_bk"))
+    val hist = cells.groupBy(col("n_bk")).agg(count(lit(1)).as("_cnt"))
+    // probe machinery pinned like [[pqTopKPrunedImi]]'s (cell dot table +
+    // both top-p lists in their own ComputeOnce columns)
+    val probes =
+      if (pSub == 1)
+        queries.select(
+          col(idCol).as("q_id"),
+          imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
+      else
+        queries
+          .withColumn(
+            "_ilut",
+            graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+          .withColumn(
+            "_t0",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 0)))
+          .withColumn(
+            "_t1",
+            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 1)))
+          .select(
+            col(idCol).as("q_id"),
+            explode(imiProbeCells(col("_t0"), col("_t1"), kSub, pSub)).as("q_bk"))
+    val gross = probes
+      .join(broadcast(hist), col("q_bk") === col("n_bk"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("_cnt"), lit(0L))).as("_gross"))
+    // the query's own corpus row, when probed, is excluded by the fence
+    // join — at most one row per query (one cell per corpus row)
+    val self = broadcast(probes)
+      .join(cells, col("n_id") === col("q_id") && col("n_bk") === col("q_bk"))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("_self"))
+    gross
+      .join(self, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        (col("_gross") - coalesce(col("_self"), lit(0L))).as("n_cand"))
+  }
+
   /** IMI-pruned int8 ANN — [[int8TopKPruned]] with the two-level product
     * (IMI) coarse quantizer: the auto-k form of the bandwidth face, the
     * exact analogue of [[pqTopKPrunedImi]] (see its scaladoc for the cell

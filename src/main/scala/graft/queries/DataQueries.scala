@@ -1426,6 +1426,36 @@ object DataQueries {
        |SELECT q_id, n_id, rank, CAST(floor(cos * 1e6) AS BIGINT) AS cos_e6
        |FROM rranked WHERE rank <= 10""".stripMargin
 
+  /** Fence-cost estimator — the EXACT per-query candidate volume of the
+    * composed IMI fence ([[sAnnPqImi]]'s join), priced from a per-cell
+    * histogram + probe-cell lookups instead of the join itself
+    * ([[graft.data.Similarity.imiFenceCandidateCounts]]). The oracle
+    * replays the same decomposition over the proven `cells`/`qprobes`
+    * CTEs: Σ probed-cell counts, minus the query's own row where its
+    * cell is probed.
+    */
+  def sAnnFenceCost(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.imiFenceCandidateCounts(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      imiCodebooksFor(spark, dir, ImiKSub), pSub = 2)
+  }
+
+  val sAnnFenceCostSql: String =
+    s"""$imiCellsSql,
+       |$imiQueryProbesSql,
+       |ccounts AS (SELECT bk, COUNT(*) AS cnt FROM cells GROUP BY bk),
+       |gross AS (
+       |  SELECT p.q_id, SUM(coalesce(c.cnt, 0)) AS g
+       |  FROM qprobes p LEFT JOIN ccounts c ON c.bk = p.q_bk
+       |  GROUP BY p.q_id),
+       |selfc AS (
+       |  SELECT p.q_id, COUNT(*) AS s
+       |  FROM qprobes p JOIN cells cl ON cl.vec_id = p.q_id AND cl.bk = p.q_bk
+       |  GROUP BY p.q_id)
+       |SELECT g.q_id, CAST(g.g - coalesce(s.s, 0) AS BIGINT) AS n_cand
+       |FROM gross g LEFT JOIN selfc s ON s.q_id = g.q_id""".stripMargin
+
   /** IMI-pruned int8 ANN — the bandwidth face at AUTO-K, composing the IMI
     * cell fence with the exact integer code dot of `s_ann_int8` (see
     * [[sAnnPqImi]] for the cell quantizer's scale argument; corpus ships
@@ -2893,6 +2923,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPq,
     "s_ann_pq_ivf" -> sAnnPqIvf,
     "s_ann_pq_imi" -> sAnnPqImi,
+    "s_ann_fence_cost" -> sAnnFenceCost,
     "s_ann_pq_imi_rr" -> sAnnPqImiRr,
     "s_ann_pq_imi_t" -> sAnnPqImiT,
     "s_ann_pq_imi_r" -> sAnnPqImiR,
@@ -2965,6 +2996,7 @@ object DataQueries {
     "s_ann_pq" -> sAnnPqSql,
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
     "s_ann_pq_imi" -> sAnnPqImiSql,
+    "s_ann_fence_cost" -> sAnnFenceCostSql,
     "s_ann_pq_imi_rr" -> sAnnPqImiRrSql,
     "s_ann_pq_imi_t" -> sAnnPqImiTSql,
     "s_ann_pq_imi_r" -> sAnnPqImiRSql,

@@ -665,6 +665,43 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("fence-cost estimator == realized fence-join candidate count, to the row") {
+    val kSub = 4
+    val corpus = emb.limit(200)
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val icbs = Similarity.imiCodebooksTrained(
+      corpus, "vec_id", "embedding", kSub, iters = 2, sampleN = 256)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val n = corpus.count().toInt
+    val qIds = queries.select("vec_id").as[Long].collect().toSet
+
+    // realized: the composed face at k = n keeps EVERY fence survivor, so
+    // its per-query row count IS the join's candidate volume
+    Seq(1, 2).foreach { p =>
+      val realized = Similarity.pqTopKPrunedImi(
+        corpus, queries, "vec_id", "embedding", icbs, cbs, k = n, pSub = p)
+        .groupBy("q_id").count()
+        .as[(Long, Long)].collect().toMap
+      val est = Similarity.imiFenceCandidateCounts(
+        corpus, queries, "vec_id", "embedding", icbs, pSub = p)
+        .as[(Long, Long)].collect().toMap
+      assert(est.keySet === qIds,
+        s"pSub=$p: the estimator must price every query, including zero-candidate ones")
+      qIds.foreach { q =>
+        assert(est(q) === realized.getOrElse(q, 0L),
+          s"pSub=$p q=$q: estimated ${est(q)} != realized ${realized.getOrElse(q, 0L)}")
+      }
+    }
+
+    // 100 TB plan shape: the kSub²-row histogram broadcasts into the probe
+    // lookup — no corpus-sized shuffle, no sort-merge join
+    val plan = Similarity.imiFenceCandidateCounts(
+      corpus, queries, "vec_id", "embedding", icbs, pSub = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
     import graft.data.{ModelStore, Similarity}
     val base = java.nio.file.Files.createTempDirectory("modelstore").toString
