@@ -653,6 +653,11 @@ object Dedup {
     *               the same pair meeting in two shared buckets collapses in
     *               the min() aggregate. Candidate volume grows by at most
     *               probes× per side — the per-bucket quadratic fence stays.
+    * @param maxCellRows cell-flood guard cap (see [[dupJoinTail]]'s
+    *                    guard doc): any cluster cell holding more rows
+    *                    fails the job loudly with the offender sizes
+    *                    BEFORE the quadratic join. Auto-k sizes cells at
+    *                    ~32 rows, so the default is ~300× headroom.
     */
   def semanticDedup(
       corpus: DataFrame,
@@ -660,7 +665,8 @@ object Dedup {
       vecCol: String,
       centroids: Seq[Seq[Double]],
       threshold: Double,
-      probes: Int = 1
+      probes: Int = 1,
+      maxCellRows: Int = 10000
   ): DataFrame = {
     require(probes >= 1 && probes <= centroids.length,
       s"semanticDedup: probes=$probes out of 1..${centroids.length}")
@@ -694,20 +700,48 @@ object Dedup {
         (assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk")),
          assigned.select(col(idCol), col("_bk0").cast("long").as("cluster")))
       }
-    dupJoinTail(candidates, labeled, idCol, threshold)
+    dupJoinTail(base, candidates, labeled, idCol, threshold, maxCellRows)
   }
 
   /** Shared semdedup tail: within-bucket pair join (the per-bucket
     * quadratic fence), keep-lowest-id verdicts, left-joined back onto the
     * primary cluster labels. A pair meeting in several shared buckets
     * (multi-probe) collapses in the min() aggregate.
+    *
+    * ==Cell-flood guard==
+    * Same stance as [[minhashPairs]]' `maxBucketRows` and
+    * `Multimodal.perceptualPairs`' guard — the third face of the same
+    * banded/bucketed self-join shape. A degenerate embedding corpus (a
+    * broken encoder emitting one constant vector, a zeroed column, a
+    * template embedding repeated at crawl scale) collapses to ONE cell
+    * and silently drives population²/2 cosine evaluations into the join
+    * — here the flood is quadratic WORK (output stays one verdict row
+    * per member), i.e. wall-clock death rather than output blow-up, so
+    * the guard buys "clear error with offender sizes" instead of a job
+    * that never finishes. One count pass over (cell) before the join;
+    * like the pair faces this makes construction EAGER (it runs a job
+    * and can throw before any action) — the documented contract. The
+    * count pass re-derives the assignment scan once (ids+cells only are
+    * aggregated; vectors are NOT materialized — unlike [[minhashPairs]]
+    * no checkpoint is taken, because checkpointing would spill the
+    * dim-sized vectors). A vector contributes at most one row per cell,
+    * so no cell can outgrow the corpus row count — when `base` holds ≤
+    * maxCellRows rows the guard short-circuits to that bare row count
+    * (a column-pruned scan, no assignment codegen), keeping the
+    * fixture-scale cost of the guard near zero while the full
+    * assignment-count pass runs exactly where it matters: corpora large
+    * enough to flood.
     */
   private def dupJoinTail(
+      base: DataFrame,
       candidates: DataFrame,
       labeled: DataFrame,
       idCol: String,
-      threshold: Double
+      threshold: Double,
+      maxCellRows: Int
   ): DataFrame = {
+    require(maxCellRows > 0, "maxCellRows must be positive")
+    if (base.count() > maxCellRows) floodGuard(candidates, maxCellRows)
     val a = candidates.select(col("_bk"), col(idCol).as("_i"), col("_v").as("_va"))
     val b = candidates.select(col("_bk"), col(idCol).as("_j"), col("_v").as("_vb"))
     val dups = a.join(b, Seq("_bk"))
@@ -719,6 +753,28 @@ object Dedup {
     labeled
       .join(dups, Seq(idCol), "left")
       .withColumn("keep", col("dup_of").isNull)
+  }
+
+  private def floodGuard(candidates: DataFrame, maxCellRows: Int): Unit = {
+    val oversized = candidates.groupBy(col("_bk"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxCellRows)
+      .orderBy(col("_bc").desc)
+      .limit(3)
+      .collect()
+    if (oversized.nonEmpty) {
+      val tops = oversized
+        .map(r => s"cell=${r.get(0)} rows=${r.get(1)}")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"semanticDedup: cell flood — cluster cell(s) above maxCellRows=$maxCellRows ($tops). " +
+          "The within-cell pair join is population²-quadratic work. If the flood is " +
+          "EXACT-identical embeddings (duplicated docs, a constant encoder output), collapse " +
+          "them first — run exact dedup on the embedding bytes and semdedup the reps. If the " +
+          "cells are genuinely this populated, the quantizer is undersized for the corpus: " +
+          "raise k / kSub (auto-k targets ~32 rows per cell) or retrain on a fresher sample. " +
+          "Raise maxCellRows only if the quadratic is truly intended.")
+    }
   }
 
   /** [[semanticDedup]] on the two-level product (IMI) quantizer — the
@@ -748,7 +804,8 @@ object Dedup {
       vecCol: String,
       codebooks: Seq[Seq[Seq[Double]]],
       threshold: Double,
-      pSub: Int = 1
+      pSub: Int = 1,
+      maxCellRows: Int = 10000
   ): DataFrame = {
     require(codebooks.length == 2,
       s"semanticDedupImi: need exactly 2 half-space codebooks, got ${codebooks.length}")
@@ -784,6 +841,6 @@ object Dedup {
         (assigned.select(col(idCol), col("_v"), explode(col("_bks")).as("_bk")),
          assigned.select(col(idCol), col("_bk0").cast("long").as("cluster")))
       }
-    dupJoinTail(candidates, labeled, idCol, threshold)
+    dupJoinTail(base, candidates, labeled, idCol, threshold, maxCellRows)
   }
 }

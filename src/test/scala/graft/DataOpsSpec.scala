@@ -360,6 +360,37 @@ class DataOpsSpec extends SparkSpec {
     assert(clusters === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 4L))
   }
 
+  test("semanticDedup cell-flood guard: degenerate corpus fails loudly in both faces; raised cap honored") {
+    // a broken-encoder flood: 150 copies of ONE embedding — every row
+    // lands in the same cluster cell, so the within-cell join would run
+    // population²/2 cosine evaluations silently
+    val flood = (1 to 150).map(i => (i.toLong, Seq(1.0, 0.0, 1.0, 0.0))).toDF("vec_id", "v")
+    val cents = Seq(Seq(1.0, 0.0, 1.0, 0.0), Seq(0.0, 1.0, 0.0, 1.0))
+    val cbs = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+    val exFlat = intercept[IllegalStateException] {
+      Dedup.semanticDedup(flood, "vec_id", "v", cents, threshold = 0.95, maxCellRows = 100)
+    }
+    assert(exFlat.getMessage.contains("cell flood") && exFlat.getMessage.contains("exact dedup"),
+      s"guard message must name the problem and the remediation: ${exFlat.getMessage}")
+    val exImi = intercept[IllegalStateException] {
+      Dedup.semanticDedupImi(flood, "vec_id", "v", cbs, threshold = 0.95, pSub = 2, maxCellRows = 100)
+    }
+    assert(exImi.getMessage.contains("cell flood"), exImi.getMessage)
+    // an explicitly raised cap is honored — the quadratic is then intended,
+    // and the verdicts are the keep-lowest-id collapse onto row 1
+    val kept = Dedup.semanticDedup(
+      flood, "vec_id", "v", cents, threshold = 0.95, maxCellRows = 1000)
+      .filter($"keep").select($"vec_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L), "every flood member must collapse onto the lowest id")
+    // normal multi-cell data sails under the production default cap
+    val normal = Seq(
+      (1L, Seq(1.0, 0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 1.0))).toDF("vec_id", "v")
+    assert(Dedup.semanticDedup(normal, "vec_id", "v", cents, threshold = 0.95).count() === 2)
+  }
+
   test("clean corpus best: cluster keeps the LONGEST member (ties min id); min-id face contrasts") {
     val dir = java.nio.file.Files.createTempDirectory("cleanbest").toString
     val base = "the quick brown fox jumps over the lazy dog today and more padding words"
