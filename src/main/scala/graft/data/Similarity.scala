@@ -1499,8 +1499,8 @@ object Similarity {
     * picked from the recall target ([[pqTopKPrunedImiRerank]] scaladoc,
     * SCALE.md r14 probe-depth curve) — this prices what that choice costs
     * (the ADC scan volume, the corpus-sized term) BEFORE committing to
-    * the scan, from one histogram pass that is itself reusable across
-    * every candidate pSub. Output: (q_id, n_cand).
+    * the scan. To price several candidate depths from ONE corpus pass,
+    * use [[imiFenceCandidateCurve]]. Output: (q_id, n_cand).
     */
   def imiFenceCandidateCounts(
       corpus: DataFrame,
@@ -1552,6 +1552,76 @@ object Similarity {
     gross
       .join(self, Seq("q_id"), "left")
       .select(
+        col("q_id"),
+        (col("_gross") - coalesce(col("_self"), lit(0L))).as("n_cand"))
+  }
+
+  /** [[imiFenceCandidateCounts]] for a whole probe-depth CURVE in one
+    * corpus pass: the O(n) assignment histogram — the only corpus-sized
+    * term — is computed ONCE and every requested pSub prices against it
+    * (the query-side probe construction is per-pSub but q-sized). This is
+    * how the SCALE.md r14 probe-depth table is priced in production:
+    * sweep the candidate pSubs, read the recall curve's cost column,
+    * commit to one fence. Output: (p_sub, q_id, n_cand) — each
+    * (p_sub, q_id) slice row-identical to the single-pSub call
+    * (spec-pinned).
+    */
+  def imiFenceCandidateCurve(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pSubs: Seq[Int]
+  ): DataFrame = {
+    require(imiCodebooks.length == 2,
+      s"imiFenceCandidateCurve: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
+    val kSub = imiCodebooks.head.length
+    require(pSubs.nonEmpty && pSubs.forall(p => p >= 1 && p <= kSub),
+      s"imiFenceCandidateCurve: pSubs=$pSubs must be non-empty within 1..$kSub")
+    val cells = corpus.select(
+      col(idCol).as("n_id"),
+      imiAssign(col(vecCol), imiCodebooks).as("n_bk"))
+    // the one corpus-sized pass — localCheckpoint so the per-pSub probe
+    // arms below never re-derive the assignment scan (ids + cell ints
+    // only: executor-local disk stays corpus-metadata-sized)
+    val cellsCk = cells.localCheckpoint()
+    val hist = cellsCk.groupBy(col("n_bk")).agg(count(lit(1)).as("_cnt"))
+    val probesByP = pSubs.map { p =>
+      val base =
+        if (p == 1)
+          queries.select(
+            col(idCol).as("q_id"),
+            imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
+        else
+          queries
+            .withColumn(
+              "_ilut",
+              graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+            .withColumn(
+              "_t0",
+              graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, p, 0)))
+            .withColumn(
+              "_t1",
+              graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, p, 1)))
+            .select(
+              col(idCol).as("q_id"),
+              explode(imiProbeCells(col("_t0"), col("_t1"), kSub, p)).as("q_bk"))
+      base.withColumn("p_sub", lit(p))
+    }
+    val probes = probesByP.reduce(_ unionByName _)
+    val gross = probes
+      .join(broadcast(hist), col("q_bk") === col("n_bk"), "left")
+      .groupBy(col("p_sub"), col("q_id"))
+      .agg(sum(coalesce(col("_cnt"), lit(0L))).as("_gross"))
+    val self = broadcast(probes)
+      .join(cellsCk, col("n_id") === col("q_id") && col("n_bk") === col("q_bk"))
+      .groupBy(col("p_sub"), col("q_id"))
+      .agg(count(lit(1)).as("_self"))
+    gross
+      .join(self, Seq("p_sub", "q_id"), "left")
+      .select(
+        col("p_sub"),
         col("q_id"),
         (col("_gross") - coalesce(col("_self"), lit(0L))).as("n_cand"))
   }

@@ -700,6 +700,25 @@ class SimilaritySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+
+    // the curve variant prices every depth from ONE corpus pass — each
+    // (p_sub, q_id) slice must be row-identical to the single-pSub call
+    val curve = Similarity.imiFenceCandidateCurve(
+      corpus, queries, "vec_id", "embedding", icbs, pSubs = Seq(1, 2, 3))
+      .as[(Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toMap).toMap
+    assert(curve.keySet === Set(1, 2, 3))
+    Seq(1, 2, 3).foreach { p =>
+      val single = Similarity.imiFenceCandidateCounts(
+        corpus, queries, "vec_id", "embedding", icbs, pSub = p)
+        .as[(Long, Long)].collect().toMap
+      assert(curve(p) === single, s"curve slice pSub=$p must match the single call")
+    }
+    // deeper probing never prices fewer candidates (probe sets nest)
+    qIds.foreach { q =>
+      assert(curve(1)(q) <= curve(2)(q) && curve(2)(q) <= curve(3)(q),
+        s"q=$q: candidate volume must be monotone in pSub")
+    }
   }
 
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
