@@ -322,23 +322,15 @@ object RerankDepthProbe {
       val (got, t) = timed(df.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet)
       ((got & brute).size.toDouble / brute.size, t)
     }
-    // fence candidate volume per pSub: stored rows summed over each
-    // query's probe cells (two linear aggregations, never the join)
-    val cellCounts = emb.select(Similarity.imiAssign($"embedding", icbs).as("bk"))
-      .groupBy($"bk").count().as[(Int, Long)].collect().toMap
+    // fence candidate volume per pSub: the shipped estimator itself
+    // (exact to the row, incl. the join's self-row exclusion — ADVICE
+    // r14: the probe's printed column must match the estimator it
+    // motivates, not re-derive an off-by-~1 decomposition)
     println(f"${"pSub"}%5s ${"cand/query"}%11s ${"adc"}%7s ${"adc(s)"}%7s ${"rr"}%7s ${"rr(s)"}%7s")
     pSubs.foreach { p =>
-      val probes = q
-        .withColumn("_ilut",
-          graft.functions.ComputeOnce(graft.functions.Pq.lut($"embedding", icbs)))
-        .withColumn("_t0",
-          graft.functions.ComputeOnce(Similarity.imiTopCodes($"_ilut", kSubAnn, p, 0)))
-        .withColumn("_t1",
-          graft.functions.ComputeOnce(Similarity.imiTopCodes($"_ilut", kSubAnn, p, 1)))
-        .select(explode(Similarity.imiProbeCells($"_t0", $"_t1", kSubAnn, p)).as("bk"))
-        .as[Int].collect()
-      val candPerQuery = probes.map(bk => cellCounts.getOrElse(bk, 0L)).sum /
-        math.max(q.count(), 1L)
+      val candPerQuery = Similarity.imiFenceCandidateCounts(
+        emb, q, "vec_id", "embedding", icbs, pSub = p)
+        .agg(avg($"n_cand")).as[Double].head().toLong
       val (adc, tAdc) = recallOf(Similarity.pqTopKPrunedImi(
         emb, q, "vec_id", "embedding", icbs, cbs, k = 10, pSub = p,
         nearestEncode = true))

@@ -624,6 +624,7 @@ object Similarity {
       .localCheckpoint()
     val sub = seeded.head.head.length
     var cbs = seeded
+    try {
     (0 until iters).foreach { _ =>
       cbs = (0 until 2).map { mi =>
         val cws = cbs(mi)
@@ -680,6 +681,13 @@ object Similarity {
         flatB.unpersist(blocking = false)
         (0 until kSub).map(j => means.getOrElse(j, cws(j))).toVector
       }.toVector
+    }
+    } finally {
+      // the trainer returns a plain model Seq — nothing downstream
+      // references the checkpointed sample, so release its executor-local
+      // blocks here; without this, repeated trainings in one session
+      // accumulate sampleN·dim·8-byte checkpoint blocks (ADVICE r14)
+      sampleDs.unpersist(blocking = false)
     }
     cbs
   }
@@ -1445,6 +1453,19 @@ object Similarity {
     * is flat at ~0.40 for pSub 8→16 while rerank R=100 climbs 0.773 →
     * 0.875 → 0.933; cost tracks the fence's candidate volume, 4.1k →
     * 15.5k rows/query). Pick pSub from the recall target, keep R≈10·k.
+    *
+    * ==Broadcast flood guard==
+    * The refinement joins broadcast the shortlist (nQueries·R id pairs)
+    * and the query vectors — driver-resident frames, so a large query
+    * batch at a deep R (10⁶ queries × R=1000 = 10⁹ rows) would OOM the
+    * driver mid-job. Same stance as the `maxBucketRows`/`maxCellRows`
+    * guards on the banded self-joins: one cheap count of the QUERY side
+    * at construction (the guard's whole price — the corpus is never
+    * touched), and a loud failure above `maxBroadcastRows` naming the
+    * sizes. The remedy is to chunk the query batch — per-query results
+    * are independent, so splitting the batch and unioning the outputs is
+    * EXACT; raise the cap only if the driver is actually sized for the
+    * broadcast. Default 8M rows ≈ 128 MB of id pairs.
     */
   def pqTopKPrunedImiRerank(
       corpus: DataFrame,
@@ -1456,10 +1477,13 @@ object Similarity {
       k: Int,
       rerankR: Int,
       pSub: Int = 1,
-      nearestEncode: Boolean = false
+      nearestEncode: Boolean = false,
+      maxBroadcastRows: Long = 8000000L
   ): DataFrame = {
     require(rerankR >= k,
       s"pqTopKPrunedImiRerank: rerankR=$rerankR must be >= k=$k (the shortlist feeds the final top-k)")
+    broadcastGuard("pqTopKPrunedImiRerank", queries.count() * rerankR,
+      maxBroadcastRows, s"the nQueries·rerankR shortlist (R=$rerankR)")
     val shortlist = pqTopKPrunedImi(
       corpus, queries, idCol, vecCol, imiCodebooks, pqCodebooks,
       k = rerankR, pSub = pSub, nearestEncode = nearestEncode)
@@ -1501,6 +1525,13 @@ object Similarity {
     * (the ADC scan volume, the corpus-sized term) BEFORE committing to
     * the scan. To price several candidate depths from ONE corpus pass,
     * use [[imiFenceCandidateCurve]]. Output: (q_id, n_cand).
+    *
+    * Broadcast flood guard: the probe frame (exactly pSub(pSub+1)/2 cells
+    * per query) broadcasts into the self-row join — guarded by
+    * `maxBroadcastRows` exactly like [[pqTopKPrunedImiRerank]]'s
+    * shortlist (one q-sided count at construction, loud failure, chunk
+    * the query batch to stay exact). The kSub²-row histogram broadcast
+    * is model-sized and needs no guard.
     */
   def imiFenceCandidateCounts(
       corpus: DataFrame,
@@ -1508,12 +1539,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       imiCodebooks: Seq[Seq[Seq[Double]]],
-      pSub: Int = 1
+      pSub: Int = 1,
+      maxBroadcastRows: Long = 8000000L
   ): DataFrame = {
     require(imiCodebooks.length == 2,
       s"imiFenceCandidateCounts: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
     val kSub = imiCodebooks.head.length
     require(pSub >= 1 && pSub <= kSub, s"imiFenceCandidateCounts: pSub=$pSub out of 1..$kSub")
+    broadcastGuard("imiFenceCandidateCounts",
+      queries.count() * (pSub.toLong * (pSub + 1) / 2),
+      maxBroadcastRows, s"the per-query probe frame (pSub=$pSub → ${pSub * (pSub + 1) / 2} cells/query)")
     val cells = corpus.select(
       col(idCol).as("n_id"),
       imiAssign(col(vecCol), imiCodebooks).as("n_bk"))
@@ -1565,6 +1600,14 @@ object Similarity {
     * commit to one fence. Output: (p_sub, q_id, n_cand) — each
     * (p_sub, q_id) slice row-identical to the single-pSub call
     * (spec-pinned).
+    *
+    * Construction is fully EAGER: the corpus assignment pass was always
+    * checkpointed up front, and since r15 the q·|pSubs|-row RESULT is
+    * checkpointed too so the corpus-sized assignment blocks release
+    * before the caller sees the frame (ADVICE r14 — repeated pricing
+    * sweeps in one session no longer accumulate executor-local blocks).
+    * The probe broadcast is guarded by `maxBroadcastRows` like
+    * [[imiFenceCandidateCounts]] (bound: Σ p(p+1)/2 cells per query).
     */
   def imiFenceCandidateCurve(
       corpus: DataFrame,
@@ -1572,13 +1615,17 @@ object Similarity {
       idCol: String,
       vecCol: String,
       imiCodebooks: Seq[Seq[Seq[Double]]],
-      pSubs: Seq[Int]
+      pSubs: Seq[Int],
+      maxBroadcastRows: Long = 8000000L
   ): DataFrame = {
     require(imiCodebooks.length == 2,
       s"imiFenceCandidateCurve: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
     val kSub = imiCodebooks.head.length
     require(pSubs.nonEmpty && pSubs.forall(p => p >= 1 && p <= kSub),
       s"imiFenceCandidateCurve: pSubs=$pSubs must be non-empty within 1..$kSub")
+    broadcastGuard("imiFenceCandidateCurve",
+      queries.count() * pSubs.map(p => p.toLong * (p + 1) / 2).sum,
+      maxBroadcastRows, s"the stacked probe frame (pSubs=${pSubs.mkString(",")})")
     val cells = corpus.select(
       col(idCol).as("n_id"),
       imiAssign(col(vecCol), imiCodebooks).as("n_bk"))
@@ -1618,12 +1665,35 @@ object Similarity {
       .join(cellsCk, col("n_id") === col("q_id") && col("n_bk") === col("q_bk"))
       .groupBy(col("p_sub"), col("q_id"))
       .agg(count(lit(1)).as("_self"))
-    gross
+    val out = gross
       .join(self, Seq("p_sub", "q_id"), "left")
       .select(
         col("p_sub"),
         col("q_id"),
         (col("_gross") - coalesce(col("_self"), lit(0L))).as("n_cand"))
+      // materialize the q-sized result so the corpus-sized assignment
+      // checkpoint can release before the caller consumes the frame
+      .localCheckpoint()
+    cellsCk.unpersist(blocking = false)
+    out
+  }
+
+  /** Loud ceiling on driver-resident broadcast frames — the fourth face of
+    * the flood-guard stance (`maxBucketRows` on the banded pair joins,
+    * `maxCellRows` on the semdedup cells): fail at construction with the
+    * offending size instead of OOMing the driver mid-job. Chunking the
+    * query batch is always an EXACT remedy for the guarded faces.
+    */
+  private def broadcastGuard(
+      face: String, rows: Long, maxBroadcastRows: Long, what: String): Unit = {
+    require(maxBroadcastRows > 0, s"$face: maxBroadcastRows must be positive")
+    if (rows > maxBroadcastRows)
+      throw new IllegalStateException(
+        s"$face: broadcast flood — $what is $rows rows, above maxBroadcastRows=$maxBroadcastRows. " +
+          "This frame is built driver-side and broadcast to every executor; at this size it " +
+          "risks driver OOM / the broadcast limit mid-job. Split the query batch into chunks " +
+          "and union the outputs (per-query results are independent, so chunking is exact), " +
+          "or raise maxBroadcastRows only if the driver is actually sized for it.")
   }
 
   /** IMI-pruned int8 ANN — [[int8TopKPruned]] with the two-level product

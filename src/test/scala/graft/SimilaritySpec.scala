@@ -721,6 +721,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("broadcast flood guards: rerank and fence estimator fail loudly above maxBroadcastRows") {
+    // the under-cap arm is the two tests above: default cap, plan-pinned
+    // BroadcastHashJoin, hash-green oracle faces. This arm pins the
+    // over-cap contract: a LOUD construction-time failure naming the
+    // sizes (the maxBucketRows/maxCellRows stance), never a driver OOM
+    // mid-job.
+    val kSub = 4
+    val corpus = emb.limit(200)
+    val queries = corpus.filter($"vec_id" % 25 === 0) // 8 queries
+    val icbs = Similarity.imiCodebooksTrained(
+      corpus, "vec_id", "embedding", kSub, iters = 1, sampleN = 64)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+
+    val eRr = intercept[IllegalStateException] {
+      Similarity.pqTopKPrunedImiRerank(
+        corpus, queries, "vec_id", "embedding", icbs, cbs,
+        k = 10, rerankR = 30, pSub = 2, maxBroadcastRows = 100L) // 8·30 = 240 > 100
+    }
+    assert(eRr.getMessage.contains("broadcast flood") &&
+      eRr.getMessage.contains("maxBroadcastRows=100") &&
+      eRr.getMessage.contains("240"), eRr.getMessage)
+
+    val eCnt = intercept[IllegalStateException] {
+      Similarity.imiFenceCandidateCounts(
+        corpus, queries, "vec_id", "embedding", icbs, pSub = 2, maxBroadcastRows = 10L) // 8·3 = 24 > 10
+    }
+    assert(eCnt.getMessage.contains("broadcast flood") &&
+      eCnt.getMessage.contains("24"), eCnt.getMessage)
+
+    val eCur = intercept[IllegalStateException] {
+      Similarity.imiFenceCandidateCurve(
+        corpus, queries, "vec_id", "embedding", icbs, pSubs = Seq(1, 2), maxBroadcastRows = 20L) // 8·(1+3) = 32 > 20
+    }
+    assert(eCur.getMessage.contains("broadcast flood") &&
+      eCur.getMessage.contains("32"), eCur.getMessage)
+
+    // a cap exactly at the bound passes (the guard is strictly-above)
+    val ok = Similarity.imiFenceCandidateCounts(
+      corpus, queries, "vec_id", "embedding", icbs, pSub = 2, maxBroadcastRows = 24L)
+    assert(ok.count() === 8L)
+  }
+
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
     import graft.data.{ModelStore, Similarity}
     val base = java.nio.file.Files.createTempDirectory("modelstore").toString
