@@ -516,6 +516,18 @@ object Dedup {
     * the token filter itself is a per-row higher-order function inside
     * whole-stage codegen (no explode — the corpus text moves through ZERO
     * additional shuffles beyond that join).
+    *
+    * Join-strategy crossover (spec-pinned, DataOpsSpec): the span join
+    * carries no hint on purpose — AQE picks from the REALIZED span-side
+    * size. Below `spark.sql.adaptive.autoBroadcastJoinThreshold` (the
+    * typical-duplication regime) it lands BroadcastHashJoin; an
+    * adversarial corpus whose duplication pushes the aggregated span list
+    * past the threshold falls back to a doc_id shuffle join — correct by
+    * construction (both arms produce identical rows; the spec pins the
+    * equality), just one extra (doc_id)-keyed exchange of the corpus
+    * text. If a corpus lives in that regime routinely, trim it in
+    * partitions (span lists are per-doc, so sharding the corpus and
+    * unioning trims is exact).
     */
   def exactSubstringTrim(
       df: DataFrame,

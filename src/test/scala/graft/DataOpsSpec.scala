@@ -206,6 +206,50 @@ class DataOpsSpec extends SparkSpec {
       (4L, 2L, 0L, "clean doc")))
   }
 
+  test("exactSubstringTrim join contract: spans broadcast at fixture duplication; past the threshold AQE falls back to a shuffle join with identical rows") {
+    // ~25% of docs embed the same 5-token run — enough spans to exercise
+    // the join, small enough that the aggregated span list broadcasts
+    val df = (1L to 400L).map { i =>
+      val body = s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      (i, if (i % 4 == 0) s"$body d1 d2 d3 d4 d5" else body)
+    }.toDF("doc_id", "text")
+
+    // typical-duplication arm: AQE sees the realized (tiny) span side and
+    // converts the unhinted join to a broadcast — the scaladoc's claim
+    val bcArm = Dedup.exactSubstringTrim(df, "doc_id", "text", k = 5)
+    val baseline = bcArm.as[(Long, Long, Long, String)].collect().toSet
+    assert(baseline.count(_._3 > 0) === 99, // doc 4 owns the canonical copy
+      "every embedding doc except the first occurrence must trim its run")
+    val planBc = bcArm.queryExecution.executedPlan.toString
+    assert(planBc.contains("BroadcastHashJoin"), planBc.take(2000))
+
+    // adversarial arm: a high-duplication corpus grows the aggregated
+    // span list past the broadcast threshold and AQE keeps the shuffle
+    // join. Stand in for that corpus by disabling the broadcast
+    // thresholds (the crossover trigger is size-vs-threshold either way)
+    // and pin that the fallback is the SAME rows — correct, one extra
+    // doc_id exchange, never a wrong answer.
+    val prevStatic = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val smjArm = Dedup.exactSubstringTrim(df, "doc_id", "text", k = 5)
+      val got = smjArm.as[(Long, Long, Long, String)].collect().toSet
+      assert(got === baseline, "shuffle-join fallback must produce identical rows")
+      val planSmj = smjArm.queryExecution.executedPlan.toString
+      assert(planSmj.contains("SortMergeJoin") || planSmj.contains("ShuffledHashJoin"),
+        planSmj.take(2000))
+      assert(!planSmj.contains("BroadcastHashJoin"), planSmj.take(2000))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevStatic)
+      prevAqe match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("simhash: identical texts equal, near texts close in hamming distance") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
