@@ -421,6 +421,46 @@ object Dedup {
     graft.stateful.Processors.nearDupBands(banded, ttlMs)
   }
 
+  /** The deterministic BATCH replay of [[streamingNearDupCandidates]] —
+    * one logical micro-batch over the whole frame, empty prior state
+    * (spec-pinned equality in StreamingDedupSpec): per band bucket the
+    * first-seen (minimum) sid is the owner, and every other sid in the
+    * bucket emits one `(sid, dup_of = owner)` hit per colliding bucket —
+    * the same multiset the keyed band state would produce, which is what
+    * gives the streaming-only gate a three-check oracle row.
+    *
+    * Scale shape: identical to the batch LSH pair face minus the
+    * verification join — the only shuffle is (bucket)-keyed band rows
+    * (two longs + a short string per row), the min-owner aggregate is
+    * map-side combined, and the owner list joins back on the same
+    * bucket partitioning (no second exchange of the band rows).
+    */
+  def nearDupGateBatch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      rows: Int = 2
+  ): DataFrame = {
+    require(k % rows == 0, "k must be divisible by band rows")
+    val toked = docs
+      .withColumn("_t", graft.functions.ComputeOnce(TextAnalysis.tokens(col(textCol))))
+      .filter(size(col("_t")) >= n)
+    val sig = minhashSignaturesFromTokens(toked, idCol, col("_t"), n, k)
+    val nBands = k / rows
+    val bands = array((0 until nBands).map { b =>
+      concat_ws("_",
+        lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+    }: _*)
+    val banded = sig.select(col("sid").cast("long").as("sid"), explode(bands).as("bucket"))
+    val owners = banded.groupBy(col("bucket")).agg(min(col("sid")).as("dup_of"))
+    banded
+      .join(owners, Seq("bucket"))
+      .filter(col("sid") =!= col("dup_of"))
+      .select(col("sid"), col("dup_of"))
+  }
+
   /** 60-bit SimHash of the token multiset: token hashes materialized once,
     * then the native codegen'd [[graft.functions.SimHash60]] expression does
     * the bit-count loop (zero shuffle; bit-identical to the HOF/oracle

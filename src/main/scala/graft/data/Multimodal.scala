@@ -364,4 +364,42 @@ object Multimodal {
       .as[graft.model.BandRow]
     graft.stateful.Processors.nearDupBands(banded, ttlMs)
   }
+
+  /** The deterministic BATCH replay of [[streamingPerceptualDupCandidates]]
+    * — one logical micro-batch over the whole frame, empty prior state
+    * (spec-pinned equality in StreamingDedupSpec): per (band, value)
+    * bucket the first-seen (minimum) sid owns it, every other sid emits
+    * one `(sid, dup_of = owner)` hit per colliding bucket — the exact
+    * multiset the keyed band state would produce. Composed under
+    * [[ingest]]'s accept filter it gives the media-ingest hit stream a
+    * three-check oracle row. Scale shape matches
+    * [[graft.data.Dedup.nearDupGateBatch]]: one (bucket)-keyed shuffle of
+    * (sid, bucket) rows, map-side-combined min, owner join on the same
+    * partitioning.
+    */
+  def perceptualGateBatch(
+      docs: DataFrame,
+      idCol: String,
+      binCol: String,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(64 % bandBits == 0, s"perceptualGateBatch: bandBits=$bandBits must divide 64")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bands = array((0 until nBands).map { b =>
+      concat_ws("_",
+        lit(s"p$b"),
+        shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask)).cast("string"))
+    }: _*)
+    val banded = docs
+      .select(
+        col(idCol).cast("long").as("sid"),
+        graft.functions.ComputeOnce(perceptualHash(col(binCol))).as("_fp"))
+      .select(col("sid"), explode(bands).as("bucket"))
+    val owners = banded.groupBy(col("bucket")).agg(min(col("sid")).as("dup_of"))
+    banded
+      .join(owners, Seq("bucket"))
+      .filter(col("sid") =!= col("dup_of"))
+      .select(col("sid"), col("dup_of"))
+  }
 }

@@ -2664,6 +2664,130 @@ object DataQueries {
        |  END AS reject_reason
        |FROM b""".stripMargin
 
+  /** Batch replay of the streaming MinHash near-dup GATE
+    * ([[graft.data.Dedup.nearDupGateBatch]] ≡ one micro-batch of
+    * `streamingNearDupCandidates` against empty state, spec-pinned):
+    * per band bucket the minimum sid owns it, every other member emits
+    * one (sid, dup_of) hit per colliding bucket. The oracle replays the
+    * proven signature CTEs plus the streaming bucket-string format
+    * (`band_h₀_h₁`) and the first-seen-owner rule.
+    */
+  def dNearDupGate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupGateBatch(Tables.documents(spark, dir), "doc_id", "text")
+
+  val dNearDupGateSql: String = {
+    val bandSelects = (0 until K / 2)
+      .map(b => s"SELECT sid, '${b}_' || h${2 * b} || '_' || h${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $toksCte, $shCte, $mhCte,
+       |banded AS (
+       |  $bandSelects),
+       |owners AS (SELECT bucket, MIN(sid) AS dup_of FROM banded GROUP BY 1)
+       |SELECT b.sid, o.dup_of
+       |FROM banded b JOIN owners o ON b.bucket = o.bucket
+       |WHERE b.sid != o.dup_of""".stripMargin
+  }
+
+  /** Batch replay of the MEDIA-ingest hit stream — [[Multimodal.ingest]]'s
+    * composition under one micro-batch: the [[mMediaGate]] accept filter
+    * (only clean rows reach band state), then the perceptual band gate
+    * ([[Multimodal.perceptualGateBatch]] ≡ `streamingPerceptualDupCandidates`
+    * against empty state, spec-pinned). The oracle replays the accept
+    * predicate, the perceptual hash, the `p`-namespaced 8-bit band
+    * buckets, and the first-seen-owner rule.
+    */
+  def mIngestHits(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("bin", col("text").cast("binary"))
+      .withColumn(
+        "mime",
+        concat(lit("image/"),
+          when(col("doc_id") % 3 === 0, lit("png"))
+            .when(col("doc_id") % 3 === 1, lit("jpeg"))
+            .otherwise(lit("gif"))))
+    val accepted = Multimodal
+      .mediaVerdict(d, "bin", "mime", Seq("image/png", "image/jpeg"),
+        minBytes = 64, maxBytes = 100000L)
+      .filter(col("reject_reason").isNull)
+    Multimodal.perceptualGateBatch(
+      accepted.select(col("doc_id"), col("bin")), "doc_id", "bin", bandBits = 8)
+  }
+
+  val mIngestHitsSql: String = {
+    val bandSelects = (0 until 8)
+      .map(b => s"SELECT doc_id AS sid, 'p${b}_' || CAST((phash >> ${b * 8}) & 255 AS VARCHAR) AS bucket FROM ph")
+      .mkString("\n  UNION ALL ")
+    s"""WITH pb AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+       |    lower(hex(encode(text))) AS h
+       |  FROM documents
+       |  WHERE text IS NOT NULL
+       |    AND octet_length(encode(text)) BETWEEN 64 AND 100000
+       |    AND doc_id % 3 IN (0, 1)),
+       |ph AS (SELECT doc_id, $phashSqlExpr AS phash FROM pb),
+       |banded AS (
+       |  $bandSelects),
+       |owners AS (SELECT bucket, MIN(sid) AS dup_of FROM banded GROUP BY 1)
+       |SELECT b.sid, o.dup_of
+       |FROM banded b JOIN owners o ON b.bucket = o.bucket
+       |WHERE b.sid != o.dup_of""".stripMargin
+  }
+
+  /** Batch replay of the streaming Misra-Gries heavy-hitters monitor
+    * ([[graft.stateful.Processors.heavyHittersBatch]] ≡ one micro-batch
+    * of `heavyHitters` against empty state, spec-pinned) over the events
+    * feed: group = event_type, item = user_id, k = 8 counters per group
+    * (150 distinct users per group at sf, so the summary genuinely
+    * decrements). The oracle replays the EXACT sequential MG fold —
+    * items ascending by string, run-length closed form — as a
+    * recursive CTE carrying the counter list as a struct array.
+    */
+  def aHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    graft.stateful.Processors
+      .heavyHittersBatch(Tables.events(spark, dir), "event_type", "user_id", k = 8)
+      .select(
+        col("group").as("grp"),
+        col("item"),
+        col("estimate"),
+        col("groupTotal").as("group_total"))
+
+  val aHeavyHittersSql: String =
+    """WITH RECURSIVE obs AS (
+      |  SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS item FROM events),
+      |runs AS (
+      |  SELECT grp, item, COUNT(*) AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY grp ORDER BY item) AS rn
+      |  FROM obs GROUP BY 1, 2),
+      |nrun AS (SELECT grp, COUNT(*) AS nr, SUM(c) AS n FROM runs GROUP BY 1),
+      |fold AS (
+      |  SELECT grp, 0::BIGINT AS rn, []::STRUCT(item VARCHAR, cnt BIGINT)[] AS st
+      |  FROM nrun
+      |  UNION ALL
+      |  SELECT f.grp, r.rn,
+      |    CASE
+      |      WHEN len(list_filter(f.st, s -> s.item = r.item)) > 0 THEN
+      |        list_transform(f.st, s -> CASE WHEN s.item = r.item
+      |          THEN {'item': s.item, 'cnt': s.cnt + r.c} ELSE s END)
+      |      WHEN len(f.st) < 8 THEN
+      |        list_append(f.st, {'item': r.item, 'cnt': r.c})
+      |      WHEN r.c > list_min(list_transform(f.st, s -> s.cnt)) THEN
+      |        list_append(
+      |          list_filter(
+      |            list_transform(f.st, s -> {'item': s.item,
+      |              'cnt': s.cnt - list_min(list_transform(f.st, s2 -> s2.cnt))}),
+      |            s -> s.cnt > 0),
+      |          {'item': r.item, 'cnt': r.c - list_min(list_transform(f.st, s2 -> s2.cnt))})
+      |      ELSE
+      |        list_filter(list_transform(f.st, s -> {'item': s.item, 'cnt': s.cnt - r.c}),
+      |          s -> s.cnt > 0)
+      |    END
+      |  FROM fold f JOIN runs r ON r.grp = f.grp AND r.rn = f.rn + 1),
+      |final AS (
+      |  SELECT f.grp, f.st FROM fold f JOIN nrun x ON x.grp = f.grp AND f.rn = x.nr)
+      |SELECT u.grp, u.item, u.cnt AS estimate, x.n AS group_total
+      |FROM (SELECT grp, UNNEST(st, recursive := true) FROM final) u
+      |JOIN nrun x ON x.grp = u.grp""".stripMargin
+
   /** Perceptual duplicate CLUSTERS — the image-dedup impact report:
     * connected components over the Hamming-banded pair list
     * ([[Dedup.duplicateClusters]] min-label propagation), min-id canonical
@@ -2958,7 +3082,10 @@ object DataQueries {
     "m_phash" -> mPhash,
     "m_phash_pairs" -> mPhashPairs,
     "m_phash_clusters" -> mPhashClusters,
-    "m_media_gate" -> mMediaGate
+    "m_media_gate" -> mMediaGate,
+    "d_neardup_gate" -> dNearDupGate,
+    "m_ingest_hits" -> mIngestHits,
+    "a5_heavy_hitters" -> aHeavyHitters
   )
 
   val oracles: Map[String, String] = Map(
@@ -3030,6 +3157,9 @@ object DataQueries {
     "m_phash" -> mPhashSql,
     "m_phash_pairs" -> mPhashPairsSql,
     "m_phash_clusters" -> mPhashClustersSql,
-    "m_media_gate" -> mMediaGateSql
+    "m_media_gate" -> mMediaGateSql,
+    "d_neardup_gate" -> dNearDupGateSql,
+    "m_ingest_hits" -> mIngestHitsSql,
+    "a5_heavy_hitters" -> aHeavyHittersSql
   )
 }

@@ -209,6 +209,67 @@ object Processors {
         OutputMode.Append())
   }
 
+  /** The deterministic BATCH replay of [[heavyHitters]] — one logical
+    * micro-batch holding the whole frame, empty prior state: exactly the
+    * rows the streaming processor would emit for that batch
+    * (spec-pinned equality in ProcessorsSpec, oracle-replayed by a
+    * recursive-CTE MG fold in DuckDB). This is what gives the
+    * streaming-only gate a three-check oracle row.
+    *
+    * The fold is the processor's — rows sorted ascending by item string —
+    * with one algebraic collapse that changes nothing: a sorted batch
+    * arrives as RUNS of identical items, and a run of c arrivals folds in
+    * closed form (present: +c; absent with a free slot: insert c; absent
+    * and full with min counter m: if c ≤ m every counter drops by c,
+    * zeros evicted; if c > m the m-th arrival frees the min slots, the
+    * next inserts, the rest increment → counters drop by m, item enters
+    * at c − m).
+    *
+    * Scale shape: one (group,item) count aggregation (map-side combined),
+    * then a secondary-sorted per-group fold (`flatMapSortedGroups`) that
+    * streams runs through O(k) state — no group ever materializes in
+    * memory, so a group with 10⁹ distinct items costs k counters, same
+    * as the streaming state bound.
+    */
+  def heavyHittersBatch(
+      df: org.apache.spark.sql.DataFrame,
+      groupCol: String,
+      itemCol: String,
+      k: Int
+  ): Dataset[graft.model.HeavyHitter] = {
+    require(k >= 1, s"heavyHittersBatch: k must be >= 1, got $k")
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    df.select(col(groupCol).cast("string").as("grp"), col(itemCol).cast("string").as("item"))
+      .groupBy(col("grp"), col("item"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("item")) { (g, it) =>
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        var n = 0L
+        it.foreach { case (_, item, c) =>
+          n += c
+          m.get(item) match {
+            case Some(cur) => m(item) = cur + c
+            case None if m.size < k => m(item) = c
+            case None =>
+              val mmin = m.valuesIterator.min
+              val drop = math.min(c, mmin)
+              m.keysIterator.toVector.foreach { ki =>
+                val nc = m(ki) - drop
+                if (nc == 0) m.remove(ki) else m(ki) = nc
+              }
+              if (c > mmin) m(item) = c - mmin
+          }
+        }
+        m.toVector
+          .sortBy { case (i, c) => (-c, i) }
+          .map { case (i, c) => graft.model.HeavyHitter(g, i, c, n) }
+          .iterator
+      }
+  }
+
   /** First-seen-wins dedup: ValueState[Boolean] "seen" with native state TTL
     * (reference pattern/dedup/Deduplicator.java:18-72).
     */

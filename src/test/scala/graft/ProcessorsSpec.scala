@@ -243,6 +243,38 @@ class ProcessorsSpec extends SparkSpec {
     }
   }
 
+  test("Processors.heavyHittersBatch ≡ the streaming gate's single-batch output, row for row") {
+    // the contract the a5_heavy_hitters oracle row rests on: the batch
+    // face IS the deterministic replay of one micro-batch against empty
+    // state — same items, same MG estimates, same totals, per group
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      def obs(g: String, item: String, times: Int) =
+        Seq.fill(times)(graft.model.ItemObservation(g, item))
+      // g1 forces decrements and min-slot evictions past k=4; g2 stays
+      // under k; g3 is the degenerate all-singletons wash-out
+      val feed = obs("g1", "a", 20) ++ obs("g1", "b", 6) ++
+        Seq("c", "d", "e", "f", "g2", "h", "i", "j").flatMap(obs("g1", _, 1)) ++
+        obs("g2", "x", 3) ++ obs("g2", "y", 2) ++ obs("g2", "z", 1) ++
+        Seq("p", "q", "r", "s", "t").flatMap(obs("g3", _, 1))
+      val mem = MemoryStream[graft.model.ItemObservation]
+      val hh = graft.stateful.Processors.heavyHitters(mem.toDS(), k = 4)
+      val q = hh.writeStream.format("memory").queryName("hh_replay").outputMode("append").start()
+      val streamed = try {
+        mem.addData(feed: _*)
+        q.processAllAvailable()
+        spark.table("hh_replay").as[graft.model.HeavyHitter].collect()
+          .map(h => (h.group, h.item, h.estimate, h.groupTotal)).toVector.sorted
+      } finally q.stop()
+      val batch = graft.stateful.Processors
+        .heavyHittersBatch(feed.toDF(), "group", "item", k = 4)
+        .collect()
+        .map(h => (h.group, h.item, h.estimate, h.groupTotal)).toVector.sorted
+      assert(batch.nonEmpty)
+      assert(batch === streamed, s"batch replay diverged: batch=$batch streamed=$streamed")
+    }
+  }
+
   test("Processors.heavyHitters: TTL expires counters, total, AND version marker atomically") {
     // All entries — k counters, the reserved total, and the layout-version
     // marker — live in ONE MapState rewritten every batch, so a TTL firing

@@ -58,4 +58,56 @@ class StreamingDedupSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.unset(key)
   }
+
+  test("nearDupGateBatch / perceptualGateBatch ≡ the streaming gates' single-batch output, row for row") {
+    // the contract the oracle rows (d_neardup_gate, m_ingest_hits) rest
+    // on: the batch faces ARE the deterministic replay of one micro-batch
+    // against empty state — same hits, same multiplicities
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val docs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely different content about spark shuffle partitions here"),
+        (3L, "the quick brown fox jumps over the lazy dog tonight"),
+        (4L, "the quick brown fox jumps over the lazy dog today"),
+        (5L, "rivers carve canyons while glaciers polish ancient granite walls slowly"),
+        (6L, "rivers carve canyons while glaciers polish ancient granite walls slowly"),
+        (7L, "too short"))
+      val mem = MemoryStream[(Long, String)]
+      val hits = Dedup.streamingNearDupCandidates(
+        mem.toDS().toDF("doc_id", "text"), "doc_id", "text")
+      val q = hits.writeStream.format("memory").queryName("gate_replay").outputMode("append").start()
+      val streamed = try {
+        mem.addData(docs: _*)
+        q.processAllAvailable()
+        spark.table("gate_replay").as[(Long, Long)].collect().toVector.sorted
+      } finally q.stop()
+      val batch = Dedup.nearDupGateBatch(docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long)].collect().toVector.sorted
+      assert(batch.nonEmpty, "fixture must produce hits")
+      assert(batch === streamed, s"batch replay diverged: batch=$batch streamed=$streamed")
+
+      val media = Seq(
+        (10L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa".getBytes("UTF-8")),
+        (11L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa".getBytes("UTF-8")),
+        (12L, "something else entirely, very different pixel soup 0123456789".getBytes("UTF-8")),
+        (13L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaab".getBytes("UTF-8")))
+      val memM = MemoryStream[(Long, Array[Byte])]
+      val hitsM = graft.data.Multimodal.streamingPerceptualDupCandidates(
+        memM.toDS().toDF("doc_id", "bin"), "doc_id", "bin")
+      val qM = hitsM.writeStream.format("memory").queryName("pgate_replay").outputMode("append").start()
+      val streamedM = try {
+        memM.addData(media: _*)
+        qM.processAllAvailable()
+        spark.table("pgate_replay").as[(Long, Long)].collect().toVector.sorted
+      } finally qM.stop()
+      val batchM = graft.data.Multimodal
+        .perceptualGateBatch(media.toDF("doc_id", "bin"), "doc_id", "bin")
+        .as[(Long, Long)].collect().toVector.sorted
+      assert(batchM.nonEmpty, "media fixture must produce hits")
+      assert(batchM === streamedM, s"perceptual batch replay diverged: batch=$batchM streamed=$streamedM")
+    } finally spark.conf.unset(key)
+  }
 }
