@@ -407,7 +407,11 @@ object ScaleProbe {
     // shape), the graded decontamination report, and the quality-aware
     // cluster representative
     "s_ann_pq_imi", "s_ann_int8_imi",
-    "d_decontaminate_overlap", "d_clean_corpus_best"
+    "d_decontaminate_overlap", "d_clean_corpus_best",
+    // r15: the IVFADC+R refinement face + its fence-cost estimator, and
+    // the batch replays of the three streaming-only gates
+    "s_ann_pq_imi_rr", "s_ann_fence_cost",
+    "d_neardup_gate", "m_ingest_hits", "a5_heavy_hitters"
   )
 
   /** A table is reused only when its completion marker exists AND records
@@ -538,6 +542,184 @@ object ScaleProbe {
     if (failed.nonEmpty) println(s"FAILED (excluded from totals): ${failed.mkString(", ")}")
     if (flagged.nonEmpty)
       println(s"SUPERLINEAR (>12x): ${flagged.map(r => f"${r._1}:${r._4}%.1fx").mkString(", ")}")
+    spark.stop()
+  }
+}
+
+/** OPQ rotation probe (Ge/He/Ke/Sun, "Optimized Product Quantization",
+  * CVPR'13 — public): measures whether a TRAINED orthogonal rotation lifts
+  * the m=8 ADC score model above its ~0.40 recall ceiling at the n=200k
+  * operating point (VERDICT r14 #3 — post-rerank, recall is fence-gated,
+  * but a better pre-rerank ADC ranking shrinks the R and pSub a target
+  * needs; this is the last unexplored published lever on that surface).
+  *
+  * Non-parametric OPQ alternation, driver-side on the deterministic
+  * training sample: (a) Lloyd-train PQ codebooks on the rotated sample,
+  * (b) encode (Euclidean-nearest) and reconstruct, (c) orthogonal
+  * Procrustes — R = U·Vᵀ from svd(Y·Xᵀ) — then repeat. The EVALUATION
+  * arms are symmetric: both train with the production
+  * `pqCodebooksTrainedDet` (m=8, k=256, iters=2, same sample) and score
+  * with the production ADC face (`pqTopK`, nearest encode); the OPQ arm
+  * differs ONLY in the rotation applied to corpus+queries first, so any
+  * recall delta is attributable to the rotation.
+  *
+  * usage: runMain graft.OpqProbe [n=200000] [opqIters=8]
+  */
+object OpqProbe {
+  private def matVec(r: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val d = r.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      var s = 0.0; var j = 0
+      val ri = r(i)
+      while (j < d) { s += ri(j) * v(j); j += 1 }
+      out(i) = s; i += 1
+    }
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 200000L
+    val opqIters = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.data.Similarity
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    // the RerankDepthProbe / ScaleMechanicsSpec operating-point fixture
+    val emb = spark.range(n).map { id =>
+      val c = (id / 50).toInt
+      val cRnd = new scala.util.Random(c * 7919L + 17)
+      val center = Array.fill(dim)(cRnd.nextGaussian())
+      val vRnd = new scala.util.Random(id * 6007L + 23)
+      (id, Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding").repartition(16).cache()
+    emb.count()
+    val q = emb.filter(pmod($"vec_id", lit(1601)) === 0)
+    val brute = Similarity.bruteTopK(emb, q, "vec_id", "embedding", 10)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+      (got & brute).size.toDouble / brute.size
+    }
+
+    val m = 8; val k = 256; val sub = dim / m
+    val sampleN = Similarity.imiTrainSampleN(k)
+    val sample = Similarity.trainSample(emb, "vec_id", "embedding", sampleN).map(_._2)
+
+    // ---- driver-side pieces of the alternation ----
+    // Lloyd on an in-memory sample, the pqCodebooksTrainedDet fold shape
+    // (Euclidean-nearest assignment, mean update, empty cells keep seeds)
+    def lloyd(xs: Array[Array[Double]], iters: Int): Array[Array[Array[Double]]] = {
+      val cbs = Array.tabulate(m) { mi =>
+        Array.tabulate(k)(j => java.util.Arrays.copyOfRange(xs(j), mi * sub, (mi + 1) * sub))
+      }
+      (0 until iters).foreach { _ =>
+        (0 until m).foreach { mi =>
+          val cws = cbs(mi)
+          val sums = Array.fill(k)(new Array[Double](sub))
+          val cnts = new Array[Int](k)
+          xs.foreach { x =>
+            var bestJ = 0; var bestD = Double.NegativeInfinity
+            var j = 0
+            while (j < k) {
+              var d = 0.0; var ss = 0.0; var i = 0
+              while (i < sub) {
+                val c0 = cws(j)(i); d += x(mi * sub + i) * c0; ss += c0 * c0; i += 1
+              }
+              val sc = d - 0.5 * ss
+              if (sc > bestD) { bestD = sc; bestJ = j }
+              j += 1
+            }
+            var i = 0
+            while (i < sub) { sums(bestJ)(i) += x(mi * sub + i); i += 1 }
+            cnts(bestJ) += 1
+          }
+          (0 until k).foreach { j =>
+            if (cnts(j) > 0) {
+              var i = 0
+              while (i < sub) { cws(j)(i) = sums(j)(i) / cnts(j); i += 1 }
+            }
+          }
+        }
+      }
+      cbs
+    }
+    def reconstruct(x: Array[Double], cbs: Array[Array[Array[Double]]]): Array[Double] = {
+      val y = new Array[Double](dim)
+      (0 until m).foreach { mi =>
+        val cws = cbs(mi)
+        var bestJ = 0; var bestD = Double.NegativeInfinity
+        var j = 0
+        while (j < k) {
+          var d = 0.0; var ss = 0.0; var i = 0
+          while (i < sub) { val c0 = cws(j)(i); d += x(mi * sub + i) * c0; ss += c0 * c0; i += 1 }
+          val sc = d - 0.5 * ss
+          if (sc > bestD) { bestD = sc; bestJ = j }
+          j += 1
+        }
+        var i = 0
+        while (i < sub) { y(mi * sub + i) = cws(bestJ)(i); i += 1 }
+      }
+      y
+    }
+    def mse(xs: Array[Array[Double]], cbs: Array[Array[Array[Double]]]): Double =
+      xs.map { x =>
+        val y = reconstruct(x, cbs)
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = x(i) - y(i); s += d * d; i += 1 }
+        s
+      }.sum / xs.length
+
+    var rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    println(f"${"iter"}%5s ${"sampleMSE"}%12s")
+    println(f"${0}%5d ${mse(sample, lloyd(sample, 2))}%12.5f  (identity rotation baseline)")
+    (1 to opqIters).foreach { it =>
+      val rx = sample.map(matVec(rot, _))
+      val cbs = lloyd(rx, 1)
+      // Procrustes: minimize ||R·X − Y||_F over orthogonal R, where X is
+      // the UNROTATED sample and Y its reconstruction in rotated space
+      val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      sample.zip(rx).foreach { case (x, rxv) =>
+        val y = reconstruct(rxv, cbs)
+        var i = 0
+        while (i < dim) {
+          var j = 0
+          while (j < dim) { mMat(i, j) += y(i) * x(j); j += 1 }
+          i += 1
+        }
+      }
+      val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mMat)
+      val ruv = u * vt
+      rot = Array.tabulate(dim, dim)((i, j) => ruv(i, j))
+      println(f"$it%5d ${mse(sample.map(matVec(rot, _)), cbs)}%12.5f")
+    }
+
+    // ---- symmetric evaluation arms ----
+    val rotB = spark.sparkContext.broadcast(rot)
+    val rotate = udf { (v: Seq[Double]) => matVec(rotB.value, v.toArray).toSeq }
+    val rotEmb = emb.select($"vec_id", rotate($"embedding").as("embedding"))
+      .repartition(16).cache()
+    rotEmb.count()
+    val rotQ = rotEmb.filter(pmod($"vec_id", lit(1601)) === 0)
+
+    val baseCbs = Similarity.pqCodebooksTrainedDet(
+      emb, "vec_id", "embedding", m, k, iters = 2, sampleN = sampleN)
+    val opqCbs = Similarity.pqCodebooksTrainedDet(
+      rotEmb, "vec_id", "embedding", m, k, iters = 2, sampleN = sampleN)
+    val rBase = recallOf(Similarity.pqTopK(
+      emb, q, "vec_id", "embedding", baseCbs, k = 10, nearestEncode = true))
+    val rOpq = recallOf(Similarity.pqTopK(
+      rotEmb, rotQ, "vec_id", "embedding", opqCbs, k = 10, nearestEncode = true))
+    println(f"[OpqProbe] n=$n m=$m k=$k ADC-only recall@10: baseline=$rBase%.3f opq=$rOpq%.3f (delta=${rOpq - rBase}%+.3f)")
     spark.stop()
   }
 }
