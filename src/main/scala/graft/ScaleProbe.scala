@@ -563,7 +563,14 @@ object ScaleProbe {
   * differs ONLY in the rotation applied to corpus+queries first, so any
   * recall delta is attributable to the rotation.
   *
-  * usage: runMain graft.OpqProbe [n=200000] [opqIters=8]
+  * fixture=aniso is the MACHINERY-VALIDATION arm: the same corpus with a
+  * decaying per-dimension spectrum (geometric, 8× across the 64 dims) —
+  * the variance-imbalanced geometry OPQ exists to fix (all high-variance
+  * dims land in the first subspaces, so plain PQ wastes codewords).
+  * A probe that shows a gain there and none on the operating-point
+  * fixture is evidence about the DATA, not a broken probe.
+  *
+  * usage: runMain graft.OpqProbe [n=200000] [opqIters=8] [fixture=iso|aniso]
   */
 object OpqProbe {
   private def matVec(r: Array[Array[Double]], v: Array[Double]): Array[Double] = {
@@ -582,6 +589,7 @@ object OpqProbe {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 200000L
     val opqIters = if (args.length > 1) args(1).toInt else 8
+    val fixture = if (args.length > 2) args(2) else "iso"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -594,13 +602,17 @@ object OpqProbe {
     import graft.data.Similarity
     import org.apache.spark.sql.functions._
     val dim = 64
+    // geometric spectrum 1 → 1/8 across dims in the aniso arm
+    val spectrum = Array.tabulate(dim)(i =>
+      if (fixture == "aniso") math.pow(8.0, -i.toDouble / (dim - 1)) else 1.0)
     // the RerankDepthProbe / ScaleMechanicsSpec operating-point fixture
     val emb = spark.range(n).map { id =>
       val c = (id / 50).toInt
       val cRnd = new scala.util.Random(c * 7919L + 17)
       val center = Array.fill(dim)(cRnd.nextGaussian())
       val vRnd = new scala.util.Random(id * 6007L + 23)
-      (id, Array.tabulate(dim)(i => center(i) + 0.55 * vRnd.nextGaussian()).toSeq)
+      (id, Array.tabulate(dim)(i =>
+        spectrum(i) * (center(i) + 0.55 * vRnd.nextGaussian())).toSeq)
     }.toDF("vec_id", "embedding").repartition(16).cache()
     emb.count()
     val q = emb.filter(pmod($"vec_id", lit(1601)) === 0)
@@ -618,10 +630,16 @@ object OpqProbe {
     // ---- driver-side pieces of the alternation ----
     // Lloyd on an in-memory sample, the pqCodebooksTrainedDet fold shape
     // (Euclidean-nearest assignment, mean update, empty cells keep seeds)
-    def lloyd(xs: Array[Array[Double]], iters: Int): Array[Array[Array[Double]]] = {
-      val cbs = Array.tabulate(m) { mi =>
-        Array.tabulate(k)(j => java.util.Arrays.copyOfRange(xs(j), mi * sub, (mi + 1) * sub))
-      }
+    def lloyd(
+        xs: Array[Array[Double]],
+        iters: Int,
+        seed: Array[Array[Array[Double]]] = null
+    ): Array[Array[Array[Double]]] = {
+      val cbs =
+        if (seed != null) seed.map(_.map(_.clone()))
+        else Array.tabulate(m) { mi =>
+          Array.tabulate(k)(j => java.util.Arrays.copyOfRange(xs(j), mi * sub, (mi + 1) * sub))
+        }
       (0 until iters).foreach { _ =>
         (0 until m).foreach { mi =>
           val cws = cbs(mi)
@@ -682,9 +700,14 @@ object OpqProbe {
     var rot = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
     println(f"${"iter"}%5s ${"sampleMSE"}%12s")
     println(f"${0}%5d ${mse(sample, lloyd(sample, 2))}%12.5f  (identity rotation baseline)")
+    // warm-start codebooks across OPQ iterations (the rotation moves
+    // slowly once the alternation settles, so prior codewords are good
+    // seeds — fresh re-seeding each round never catches the baseline)
+    var warmCbs: Array[Array[Array[Double]]] = null
     (1 to opqIters).foreach { it =>
       val rx = sample.map(matVec(rot, _))
-      val cbs = lloyd(rx, 1)
+      val cbs = lloyd(rx, if (warmCbs == null) 2 else 1, warmCbs)
+      warmCbs = cbs
       // Procrustes: minimize ||R·X − Y||_F over orthogonal R, where X is
       // the UNROTATED sample and Y its reconstruction in rotated space
       val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
