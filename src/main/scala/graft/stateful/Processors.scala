@@ -246,28 +246,45 @@ object Processors {
       .as[(String, String, Long)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("item")) { (g, it) =>
-        val m = scala.collection.mutable.HashMap.empty[String, Long]
-        var n = 0L
-        it.foreach { case (_, item, c) =>
-          n += c
-          m.get(item) match {
-            case Some(cur) => m(item) = cur + c
-            case None if m.size < k => m(item) = c
-            case None =>
-              val mmin = m.valuesIterator.min
-              val drop = math.min(c, mmin)
-              m.keysIterator.toVector.foreach { ki =>
-                val nc = m(ki) - drop
-                if (nc == 0) m.remove(ki) else m(ki) = nc
-              }
-              if (c > mmin) m(item) = c - mmin
-          }
-        }
-        m.toVector
-          .sortBy { case (i, c) => (-c, i) }
-          .map { case (i, c) => graft.model.HeavyHitter(g, i, c, n) }
-          .iterator
+        val (summary, n) = mgFoldRuns(it.map { case (_, item, c) => (item, c) }, k)
+        summary.map { case (i, c) => graft.model.HeavyHitter(g, i, c, n) }.iterator
       }
+  }
+
+  /** The run-length-collapsed MG fold of [[heavyHittersBatch]], exposed so
+    * PropertiesSpec can pin the closed form against the arrival-by-arrival
+    * reference across random feeds. `runs` must arrive item-ASCENDING
+    * (the batch-sorted order the streaming processor folds in). Returns
+    * (summary sorted by (-estimate, item), total arrivals).
+    */
+  private[graft] def mgFoldRuns(
+      runs: Iterator[(String, Long)],
+      k: Int
+  ): (Vector[(String, Long)], Long) = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var n = 0L
+    runs.foreach { case (item, c) =>
+      n += c
+      m.get(item) match {
+        case Some(cur) => m(item) = cur + c
+        case None if m.size < k => m(item) = c
+        case None =>
+          // a run of c arrivals of an absent item against a full summary:
+          // the first min(c, mmin) arrivals each decrement every counter;
+          // at the mmin-th the minimum entries evict and free a slot, the
+          // next arrival inserts, the remaining increment — so counters
+          // drop by min(c, mmin) and the item enters at c − mmin iff
+          // c > mmin (exactly the arrival-by-arrival fold, collapsed)
+          val mmin = m.valuesIterator.min
+          val drop = math.min(c, mmin)
+          m.keysIterator.toVector.foreach { ki =>
+            val nc = m(ki) - drop
+            if (nc == 0) m.remove(ki) else m(ki) = nc
+          }
+          if (c > mmin) m(item) = c - mmin
+      }
+    }
+    (m.toVector.sortBy { case (i, c) => (-c, i) }, n)
   }
 
   /** First-seen-wins dedup: ValueState[Boolean] "seen" with native state TTL

@@ -362,6 +362,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: run-length-collapsed MG fold == arrival-by-arrival Misra-Gries, all feeds") {
+    // pins the closed-form algebra heavyHittersBatch (and its DuckDB
+    // oracle) rests on: a run of c identical arrivals folds to the same
+    // summary as c single arrivals, for every feed shape — full summary
+    // evictions, c == mmin boundary, empty-summary wipeouts included
+    val feedGen = for {
+      nItems <- Gen.choose(1, 12)
+      len <- Gen.choose(0, 120)
+      items <- Gen.listOfN(len, Gen.choose(0, nItems - 1).map(i => s"i$i"))
+      k <- Gen.choose(1, 6)
+    } yield (items, k)
+    val p = Prop.forAll(feedGen) { case (items, k) =>
+      // reference: the streaming processor's arrival-by-arrival fold over
+      // batch-sorted rows (Processors.HeavyHittersProcessor lines, verbatim)
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      items.sorted.foreach { it =>
+        m.get(it) match {
+          case Some(c) => m(it) = c + 1
+          case None if m.size < k => m(it) = 1L
+          case None =>
+            m.keysIterator.toVector.foreach { ki =>
+              val c = m(ki) - 1
+              if (c == 0) m.remove(ki) else m(ki) = c
+            }
+        }
+      }
+      val ref = m.toVector.sortBy { case (i, c) => (-c, i) }
+      val runs = items.groupBy(identity).view.mapValues(_.size.toLong)
+        .toVector.sortBy(_._1)
+      val (got, total) = graft.stateful.Processors.mgFoldRuns(runs.iterator, k)
+      got == ref && total == items.length.toLong
+    }
+    assert(holds(p))
+  }
+
   test("property: upsert applyBatch is idempotent (replay converges)") {
     Seq(5L, 13L).foreach { seed =>
       val rnd = new scala.util.Random(seed)
