@@ -1678,6 +1678,88 @@ object Similarity {
     out
   }
 
+  /** Fence PLANNER — turns [[imiFenceCandidateCurve]]'s priced sweep into
+    * the pSub decision itself: given a per-query candidate budget, choose
+    * the DEEPEST fence that fits. Recall and cost are both monotone in
+    * pSub (SCALE.md r14 probe-depth curve), so "deepest affordable" is the
+    * optimal operating point under a scan budget, and the whole decision
+    * is priced by one O(n) corpus pass plus q-sized probe arms — the join
+    * itself never runs until the choice is made.
+    *
+    * Output, one row per swept pSub (integer-exact, SQL-replayable):
+    * `(p_sub, n_queries, total_cand, fits, chosen)` where `fits` ⇔
+    * `total_cand ≤ maxCandPerQuery · n_queries` and `chosen` marks the
+    * largest fitting pSub — or, when NOTHING fits, the smallest swept
+    * pSub (the minimal-cost fallback, loud in its `fits = false` column:
+    * the caller sees the budget was unsatisfiable rather than getting a
+    * silent over-budget scan). The budget is expressed against the
+    * total (`maxCandPerQuery · n_queries`), so the comparison stays in
+    * exact BIGINT arithmetic — no floating-point mean crosses the oracle.
+    *
+    * At 100 TB this is the control loop the rerank face's scaladoc
+    * prescribes ("pick pSub from the recall target") made executable:
+    * sweep once per (corpus snapshot, query-batch shape), read off the
+    * chosen fence, run [[pqTopKPrunedImiRerankAuto]] — which does exactly
+    * this end-to-end. Broadcast guard inherited from the curve.
+    */
+  def imiProbePlan(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pSubs: Seq[Int],
+      maxCandPerQuery: Long,
+      maxBroadcastRows: Long = 8000000L
+  ): DataFrame = {
+    require(maxCandPerQuery > 0, s"imiProbePlan: maxCandPerQuery=$maxCandPerQuery must be positive")
+    val curve = imiFenceCandidateCurve(
+      corpus, queries, idCol, vecCol, imiCodebooks, pSubs, maxBroadcastRows)
+    // |pSubs|-row frame from here down — driver-trivial by construction
+    val agg = curve
+      .groupBy(col("p_sub"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("n_cand")).as("total_cand"))
+    val flags = agg.withColumn(
+      "fits", col("total_cand") <= lit(maxCandPerQuery) * col("n_queries"))
+    val sel = flags.agg(
+      coalesce(max(when(col("fits"), col("p_sub"))), min(col("p_sub"))).as("_chosen"))
+    flags
+      .crossJoin(broadcast(sel))
+      .withColumn("chosen", col("p_sub") === col("_chosen"))
+      .drop("_chosen")
+  }
+
+  /** Budget-tuned IVFADC+R: [[imiProbePlan]] picks the fence, then
+    * [[pqTopKPrunedImiRerank]] runs at exactly that depth — the full
+    * self-tuning ANN query: price → choose → scan → refine, with the
+    * corpus touched once for pricing (assignment histogram) and once for
+    * the chosen scan. The plan read is a |pSubs|-row driver action
+    * (model-sized, like the codebooks themselves); equality with the
+    * manually-parameterized face at the chosen depth is spec-pinned.
+    */
+  def pqTopKPrunedImiRerankAuto(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      rerankR: Int,
+      pSubs: Seq[Int],
+      maxCandPerQuery: Long,
+      nearestEncode: Boolean = false,
+      maxBroadcastRows: Long = 8000000L
+  ): DataFrame = {
+    val plan = imiProbePlan(
+      corpus, queries, idCol, vecCol, imiCodebooks, pSubs, maxCandPerQuery, maxBroadcastRows)
+    val chosen = plan.filter(col("chosen")).select(col("p_sub")).head().getInt(0)
+    pqTopKPrunedImiRerank(
+      corpus, queries, idCol, vecCol, imiCodebooks, pqCodebooks,
+      k = k, rerankR = rerankR, pSub = chosen,
+      nearestEncode = nearestEncode, maxBroadcastRows = maxBroadcastRows)
+  }
+
   /** Loud ceiling on driver-resident broadcast frames — the fourth face of
     * the flood-guard stance (`maxBucketRows` on the banded pair joins,
     * `maxCellRows` on the semdedup cells): fail at construction with the

@@ -1456,6 +1456,69 @@ object DataQueries {
        |SELECT g.q_id, CAST(g.g - coalesce(s.s, 0) AS BIGINT) AS n_cand
        |FROM gross g LEFT JOIN selfc s ON s.q_id = g.q_id""".stripMargin
 
+  /** Probe depths swept by the fence planner face (kSub=4 caps the
+    * fixture at 4; 1..3 exercises the single-probe branch, the proven
+    * pSub=2 shape, and a deeper arm on one curve).
+    */
+  private val AnnPlanPSubs = Seq(1, 2, 3)
+
+  /** Per-query candidate budget for [[sAnnProbePlan]], sized at the
+    * sf0.01 gate so the sweep exercises BOTH flag states: pSub=1,2 fit,
+    * pSub=3 does not → chosen=2, the deepest affordable fence.
+    */
+  private val AnnPlanBudget = 120L
+
+  /** Fence PLANNER — [[graft.data.Similarity.imiProbePlan]]: the priced
+    * probe-depth curve aggregated per pSub and resolved into the pSub
+    * decision (deepest fence whose total candidate volume fits
+    * `maxCandPerQuery · nQueries`; smallest swept pSub as the loud
+    * fallback when nothing fits). The oracle generalizes the proven
+    * pSub=2 probe CTE to a per-depth rank cap (1-indexed:
+    * rn₀,rn₁ ≤ p ∧ rn₀+rn₁ ≤ p+1 ⇔ the Scala 0-indexed
+    * rank₀+rank₁ < p contract), prices each depth against the same cell
+    * histogram, and replays the integer-exact budget comparison and
+    * argmax choice.
+    */
+  def sAnnProbePlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    Similarity.imiProbePlan(
+      e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+      imiCodebooksFor(spark, dir, ImiKSub), AnnPlanPSubs, maxCandPerQuery = AnnPlanBudget)
+  }
+
+  val sAnnProbePlanSql: String =
+    s"""$imiCellsSql,
+       |qpr AS (
+       |  SELECT ps.p_sub, c0.vec_id AS q_id, c0.code * $ImiKSub + c1.code AS q_bk
+       |  FROM (VALUES (${AnnPlanPSubs.mkString("),(")})) ps(p_sub)
+       |  JOIN rcodes c0 ON c0.mi = 0 AND c0.rn <= ps.p_sub
+       |  JOIN rcodes c1 ON c1.vec_id = c0.vec_id AND c1.mi = 1 AND c1.rn <= ps.p_sub
+       |    AND c0.rn + c1.rn <= ps.p_sub + 1
+       |  WHERE c0.vec_id % 25 = 0),
+       |ccounts AS (SELECT bk, COUNT(*) AS cnt FROM cells GROUP BY bk),
+       |gross AS (
+       |  SELECT p.p_sub, p.q_id, SUM(coalesce(c.cnt, 0)) AS g
+       |  FROM qpr p LEFT JOIN ccounts c ON c.bk = p.q_bk
+       |  GROUP BY 1, 2),
+       |selfc AS (
+       |  SELECT p.p_sub, p.q_id, COUNT(*) AS s
+       |  FROM qpr p JOIN cells cl ON cl.vec_id = p.q_id AND cl.bk = p.q_bk
+       |  GROUP BY 1, 2),
+       |curve AS (
+       |  SELECT g.p_sub, g.q_id, g.g - coalesce(s.s, 0) AS n_cand
+       |  FROM gross g LEFT JOIN selfc s ON s.p_sub = g.p_sub AND s.q_id = g.q_id),
+       |agg AS (
+       |  SELECT p_sub, COUNT(*) AS n_queries, SUM(n_cand) AS total_cand
+       |  FROM curve GROUP BY 1),
+       |flags AS (
+       |  SELECT p_sub, n_queries, CAST(total_cand AS BIGINT) AS total_cand,
+       |    total_cand <= $AnnPlanBudget * n_queries AS fits
+       |  FROM agg),
+       |sel AS (
+       |  SELECT coalesce(MAX(p_sub) FILTER (WHERE fits), MIN(p_sub)) AS ch FROM flags)
+       |SELECT f.p_sub, f.n_queries, f.total_cand, f.fits, f.p_sub = s.ch AS chosen
+       |FROM flags f CROSS JOIN sel s""".stripMargin
+
   /** IMI-pruned int8 ANN — the bandwidth face at AUTO-K, composing the IMI
     * cell fence with the exact integer code dot of `s_ann_int8` (see
     * [[sAnnPqImi]] for the cell quantizer's scale argument; corpus ships
@@ -3048,6 +3111,7 @@ object DataQueries {
     "s_ann_pq_ivf" -> sAnnPqIvf,
     "s_ann_pq_imi" -> sAnnPqImi,
     "s_ann_fence_cost" -> sAnnFenceCost,
+    "s_ann_probe_plan" -> sAnnProbePlan,
     "s_ann_pq_imi_rr" -> sAnnPqImiRr,
     "s_ann_pq_imi_t" -> sAnnPqImiT,
     "s_ann_pq_imi_r" -> sAnnPqImiR,
@@ -3124,6 +3188,7 @@ object DataQueries {
     "s_ann_pq_ivf" -> sAnnPqIvfSql,
     "s_ann_pq_imi" -> sAnnPqImiSql,
     "s_ann_fence_cost" -> sAnnFenceCostSql,
+    "s_ann_probe_plan" -> sAnnProbePlanSql,
     "s_ann_pq_imi_rr" -> sAnnPqImiRrSql,
     "s_ann_pq_imi_t" -> sAnnPqImiTSql,
     "s_ann_pq_imi_r" -> sAnnPqImiRSql,

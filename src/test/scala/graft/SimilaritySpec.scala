@@ -763,6 +763,69 @@ class SimilaritySpec extends SparkSpec {
     assert(ok.count() === 8L)
   }
 
+  test("fence planner: deepest affordable pSub chosen; auto face == manual face at that depth") {
+    val kSub = 4
+    val corpus = emb.limit(200)
+    val queries = corpus.filter($"vec_id" % 25 === 0)
+    val icbs = Similarity.imiCodebooksTrained(
+      corpus, "vec_id", "embedding", kSub, iters = 2, sampleN = 256)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val pSubs = Seq(1, 2, 3)
+    val nQ = queries.count()
+
+    // ground truth: per-pSub totals from the (spec-proven) curve
+    val totals = Similarity.imiFenceCandidateCurve(
+      corpus, queries, "vec_id", "embedding", icbs, pSubs)
+      .groupBy("p_sub").agg(org.apache.spark.sql.functions.sum("n_cand").as("t"))
+      .as[(Int, Long)].collect().toMap
+    assert(totals(1) < totals(3), "fixture must separate the swept depths")
+
+    def planFor(budget: Long): Map[Int, (Long, Long, Boolean, Boolean)] =
+      Similarity.imiProbePlan(
+        corpus, queries, "vec_id", "embedding", icbs, pSubs, maxCandPerQuery = budget)
+        .as[(Int, Long, Long, Boolean, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+
+    // three budget regimes: everything fits -> deepest; mid -> the deepest
+    // fitting depth; nothing fits -> loud min-pSub fallback, all fits=false
+    val perQ = pSubs.map(p => p -> ((totals(p) + nQ - 1) / nQ)).toMap // ceil
+    val all = planFor(perQ(3) + 1)
+    assert(pSubs.forall(p => all(p)._3) && all(3)._4 && !all(1)._4 && !all(2)._4,
+      s"huge budget must choose the deepest fence: $all")
+    val mid = planFor(perQ(2))
+    if (totals(3) > perQ(2) * nQ) { // pSub=3 genuinely over the mid budget
+      assert(mid(2)._4 && !mid(3)._3, s"mid budget must stop at pSub=2: $mid")
+    }
+    val none = planFor(1L)
+    if (pSubs.forall(p => totals(p) > nQ)) {
+      assert(pSubs.forall(p => !none(p)._3) && none(1)._4,
+        s"unsatisfiable budget must fall back loudly to the smallest fence: $none")
+    }
+    // invariant columns: n_queries is the query-batch size at every depth,
+    // totals match the curve, exactly one chosen row
+    pSubs.foreach { p =>
+      assert(all(p)._1 === nQ && all(p)._2 === totals(p), s"pSub=$p: ${all(p)}")
+    }
+    assert(Seq(all, mid, none).forall(_.values.count(_._4) === 1))
+
+    // the auto face is the plan made load-bearing: identical rows to the
+    // manually-parameterized rerank at the plan's chosen depth
+    val budget = perQ(2) // chooses pSub=2 on this fixture (totals(3) > budget·nQ)
+    val chosen = Similarity.imiProbePlan(
+      corpus, queries, "vec_id", "embedding", icbs, pSubs, budget)
+      .filter($"chosen").as[(Int, Long, Long, Boolean, Boolean)].collect()
+    assert(chosen.length === 1)
+    val auto = Similarity.pqTopKPrunedImiRerankAuto(
+      corpus, queries, "vec_id", "embedding", icbs, cbs,
+      k = 10, rerankR = 30, pSubs = pSubs, maxCandPerQuery = budget)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val manual = Similarity.pqTopKPrunedImiRerank(
+      corpus, queries, "vec_id", "embedding", icbs, cbs,
+      k = 10, rerankR = 30, pSub = chosen.head._1)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(auto === manual, "auto face must equal the manual face at the chosen depth")
+  }
+
   test("ModelStore: centroids and codebooks round-trip IEEE-exact; reloaded model reproduces ANN results") {
     import graft.data.{ModelStore, Similarity}
     val base = java.nio.file.Files.createTempDirectory("modelstore").toString
