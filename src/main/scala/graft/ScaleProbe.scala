@@ -411,7 +411,9 @@ object ScaleProbe {
     // r15: the IVFADC+R refinement face + its fence-cost estimator, and
     // the batch replays of the three streaming-only gates
     "s_ann_pq_imi_rr", "s_ann_fence_cost",
-    "d_neardup_gate", "m_ingest_hits", "a5_heavy_hitters"
+    "d_neardup_gate", "m_ingest_hits", "a5_heavy_hitters",
+    // r15: the fence planner (priced sweep → pSub decision)
+    "s_ann_probe_plan"
   )
 
   /** A table is reused only when its completion marker exists AND records
