@@ -412,8 +412,9 @@ object ScaleProbe {
     // the batch replays of the three streaming-only gates
     "s_ann_pq_imi_rr", "s_ann_fence_cost",
     "d_neardup_gate", "m_ingest_hits", "a5_heavy_hitters",
-    // r15: the fence planner (priced sweep → pSub decision)
-    "s_ann_probe_plan"
+    // r15: the fence planner (priced sweep → pSub decision) and the
+    // diameter-independent connected-components face
+    "s_ann_probe_plan", "d_dup_clusters_alt"
   )
 
   /** A table is reused only when its completion marker exists AND records
@@ -574,6 +575,50 @@ object ScaleProbe {
   *
   * usage: runMain graft.OpqProbe [n=200000] [opqIters=8] [fixture=iso|aniso]
   */
+/** Connected-components round-count probe on the worst-case geometry for
+  * min-label propagation: an n-node chain (diameter n−1). Measures the
+  * alternating face's (Kiveris et al. SoCC'14) convergence rounds + wall
+  * time across chain decades — the evidence that near-dup clustering
+  * survives a pathological duplicate topology (frame-by-frame video
+  * stills) where one-hop min-label would need n−1 shuffle rounds.
+  *
+  * usage: runMain graft.ChainCcProbe [n1,n2,...=2000,20000,200000]
+  */
+object ChainCcProbe {
+  def main(args: Array[String]): Unit = {
+    val ns = (if (args.length > 0) args(0) else "2000,20000,200000")
+      .split(",").map(_.trim.toLong).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    println(f"${"n"}%10s ${"rounds"}%7s ${"sec"}%8s  check")
+    ns.foreach { n =>
+      val pairs = spark.range(0, n - 1)
+        .select(col("id").as("i"), (col("id") + 1).as("j"))
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        graft.data.Dedup.duplicateClustersAlternatingWithRounds(pairs)
+      // single component, min id 0: the cheapest exact full check
+      val agg = labels.agg(
+        count(lit(1)).as("n"), max(col("cluster_id")).as("mx"),
+        min(col("cluster_id")).as("mn")).head()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val ok = agg.getLong(0) == n && agg.getLong(1) == 0L && agg.getLong(2) == 0L
+      println(f"$n%10d $rounds%7d $sec%8.1f  ${if (ok) "OK" else s"WRONG: $agg"}")
+      labels.unpersist(blocking = false)
+      pairs.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+}
+
 object OpqProbe {
   private def matVec(r: Array[Array[Double]], v: Array[Double]): Array[Double] = {
     val d = r.length

@@ -603,9 +603,18 @@ object Dedup {
     *
     * Min-label propagation to fixpoint: each iteration is one join+groupBy
     * (label <- min(label, neighbors' labels)), driver loop bounded by
-    * `maxIter`. Near-dup components are tiny (pairs/triples), so this
-    * converges in ~log(diameter) rounds — the standard large-scale
-    * connected-components shape (no driver-side graph).
+    * `maxIter`. The min label travels ONE HOP per round, so convergence is
+    * O(component diameter) iterations — fine for near-dup components
+    * (pairs/triples, diameter ≤ a few), and the cheapest per-round shape
+    * at that grain. For high-diameter graphs (e.g. a chain of
+    * frame-by-frame near-dup images) use [[duplicateClustersAlternating]]:
+    * O(log² n) rounds regardless of diameter. Hitting `maxIter` before
+    * the fixpoint FAILS LOUDLY — a truncated propagation would silently
+    * split components and under-dedup the corpus. (Deep propagation is
+    * plan-safe: lineage is re-truncated every 4 rounds — without that the
+    * nested cached plans OOM the driver building explain strings by ~10
+    * rounds, measured — but raising maxIter is still O(diameter) WORK;
+    * the alternating face is the remedy, not a bigger bound.)
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Materialize the pair list ONCE and truncate its lineage (the input is
@@ -648,12 +657,138 @@ object Dedup {
       prevCache = Some(next)
       labels = next.select(col("id"), col("label"))
       iter += 1
+      // Re-truncate lineage every few rounds: the analyzed tree references
+      // the previous generation TWICE per iteration (the label join + the
+      // neighbor-min join), and cached plans expand fully when printed
+      // (InMemoryRelation innerChildren) — by ~10 un-truncated rounds the
+      // driver dies building AQE explain strings, long before the default
+      // maxIter. Fixture-scale runs converge in ~3 rounds and never hit
+      // this branch, so the benched hot path is unchanged.
+      if (changed > 0 && iter % 4 == 0) {
+        labels = labels.localCheckpoint()
+        prevCache.foreach(_.unpersist())
+        prevCache = None
+      }
+    }
+    if (changed > 0) {
+      prevCache.foreach(_.unpersist())
+      throw new IllegalStateException(
+        s"duplicateClusters: min-label propagation did not converge in $maxIter " +
+          s"iterations ($changed labels still changing) — the pair graph has a " +
+          s"component with diameter > $maxIter. Raise maxIter, or use " +
+          "duplicateClustersAlternating (O(log^2 n) rounds, diameter-independent).")
     }
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     // hand the caller a plan that survives the last cache's release
     val result = out.localCheckpoint()
     prevCache.foreach(_.unpersist())
     result
+  }
+
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 §3): every node u links each STRICTLY
+    * LARGER neighbor to the minimum of its closed neighborhood
+    * min(Γ(u) ∪ {u}). Output edges are canonically oriented (src > dst),
+    * self-loops dropped, deduped.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = nbrs.groupBy("src").agg(min(col("dst")).as("_mn"))
+      .select(col("src"), least(col("src"), col("_mn")).as("_m"))
+    nbrs.join(mins, Seq("src"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("_m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round (same paper): orient every edge toward the
+    * larger endpoint; each node u links its smaller neighbors AND itself
+    * to min(Γ(u) ∪ {u}). Keeps the src > dst canonical orientation.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+        greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    // every dst < src here, so the closed-neighborhood min is just min(dst)
+    val mins = oriented.groupBy("src").agg(min(col("dst")).as("_m"))
+    oriented.join(mins, Seq("src"))
+      .select(col("dst").as("v"), col("_m").as("m"))
+      .unionByName(mins.select(col("src").as("v"), col("_m").as("m")))
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Connected-component duplicate clusters via the ALTERNATING algorithm
+    * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, SoCC'14): rounds of
+    * large-star + small-star contract every component to a star centered
+    * at its minimum id in O(log² n) rounds REGARDLESS of diameter — the
+    * scale path where [[duplicateClusters]]'s one-hop-per-round min-label
+    * propagation needs O(diameter) rounds (a 100k-frame chain of near-dup
+    * video stills is a 100k-round graph for min-label and a ~10-round
+    * graph here). Same output contract: every doc appearing in `pairs`
+    * labeled with its component's minimum doc id.
+    *
+    * Each round is two join+groupBy passes over the CURRENT edge set —
+    * which only shrinks (toward one star edge per non-root node), so
+    * per-round cost is bounded by the input pair list. Convergence =
+    * edge-set fixpoint, checked exactly (count + anti-join, both over the
+    * materialized edge frame); hitting `maxIter` unconverged fails loudly
+    * like the min-label face.
+    */
+  def duplicateClustersAlternating(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    duplicateClustersAlternatingWithRounds(pairs, maxIter)._1
+
+  /** [[duplicateClustersAlternating]] + the round count it converged in —
+    * the measurement face (ChainCcProbe pins rounds ~ log n on chains).
+    */
+  private[graft] def duplicateClustersAlternatingWithRounds(
+      pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("i"), col("j")).as("src"), least(col("i"), col("j")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // localCheckpoint EVERY round, not persist: each round references the
+      // previous edge set ~4 times (both star passes union + join it), so
+      // a merely-cached lineage nests InMemoryRelation innerChildren
+      // ~4^rounds deep — plan PRINTING alone (AQE explain strings) then
+      // kills the driver. The checkpoint is a hard RDD leaf; rounds stay
+      // O(edge list) in both execution and plan size.
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count()
+      // both sides are DISTINCT canonical sets: equal counts + empty
+      // one-sided difference <=> set equality (exact, edge-sized work)
+      converged = nextCount == edgeCount && next.except(edges).isEmpty
+      edges.unpersist(blocking = false)
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    if (!converged) {
+      edges.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"duplicateClustersAlternating: edge set not stable after $maxIter " +
+          "rounds — raise maxIter (O(log^2 n) rounds suffice for any input; " +
+          "30 covers n well past 10^9).")
+    }
+    // converged state is a star forest (src > dst = component min): leaves
+    // label from their star edge, roots label themselves. groupBy-min only
+    // dedups the root rows — every leaf has exactly one star edge.
+    val out = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+      .unionByName(edges.select(col("dst").as("doc_id"), col("dst").as("cluster_id")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    val result = out.localCheckpoint()
+    edges.unpersist(blocking = false)
+    (result, iter)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (coarse bucket:

@@ -346,6 +346,19 @@ object DataQueries {
        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id""".stripMargin
   }
 
+  /** Duplicate clusters via the ALTERNATING connected-components algorithm
+    * ([[graft.data.Dedup.duplicateClustersAlternating]], Kiveris et al.
+    * SoCC'14 large-star/small-star — O(log² n) rounds regardless of
+    * component diameter, vs the min-label face's O(diameter)). The output
+    * contract is identical to `d_dup_clusters` — component-minimum labels
+    * are algorithm-independent — so the SAME recursive-CTE oracle replays
+    * it (the `d_decontaminate_campaign` same-oracle precedent).
+    */
+  def dDupClustersAlt(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClustersAlternating(clusterPairsShared(spark, dir))
+
+  val dDupClustersAltSql: String = dDupClustersSql
+
   /** Derived-oracle splice: `base` with `replacement` spliced in at
     * `anchor`. A bare `String.replace` silently no-ops if the anchor ever
     * drifts out of the base SQL — the derived oracle would ship as a
@@ -3100,6 +3113,7 @@ object DataQueries {
     "d_minhash_pairs" -> dMinhashPairs,
     "d_simhash" -> dSimhash,
     "d_dup_clusters" -> dDupClusters,
+    "d_dup_clusters_alt" -> dDupClustersAlt,
     "d_dup_cluster_stats" -> dDupClusterStats,
     "d_embed_pairs" -> dEmbedPairs,
     "s_ann_brute" -> sAnnBrute,
@@ -3177,6 +3191,7 @@ object DataQueries {
     "d_minhash_pairs" -> dMinhashPairsSql,
     "d_simhash" -> dSimhashSql,
     "d_dup_clusters" -> dDupClustersSql,
+    "d_dup_clusters_alt" -> dDupClustersAltSql,
     "d_dup_cluster_stats" -> dDupClusterStatsSql,
     "d_embed_pairs" -> dEmbedPairsSql,
     "s_ann_brute" -> sAnnBruteSql,

@@ -102,6 +102,52 @@ class DataOpsSpec extends SparkSpec {
     assert(nCollapsed < nFull, s"collapse did not shrink the edge list: $nCollapsed vs $nFull")
   }
 
+  test("duplicateClustersAlternating == min-label on varied graphs; diameter-independent where min-label fails loudly") {
+    def pairsDf(es: Seq[(Long, Long)]) = es.toDF("i", "j")
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+            es: Seq[(Long, Long)]) =
+      f(pairsDf(es)).as[(Long, Long)].collect().toMap
+
+    // seeded random graph: equality with the min-label face across 3 draws
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val es = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val byAlt = run(Dedup.duplicateClustersAlternating(_), es)
+      val byMin = run(Dedup.duplicateClusters(_), es)
+      assert(byAlt === byMin)
+    }
+
+    // crafted shapes: star, two components, reversed/duplicated edges
+    val shapes = run(
+      Dedup.duplicateClustersAlternating(_),
+      Seq((5L, 1L), (1L, 9L), (9L, 5L), (5L, 1L), (20L, 21L)))
+    assert(shapes === Map(1L -> 1L, 5L -> 1L, 9L -> 1L, 20L -> 20L, 21L -> 20L))
+
+    // a 100-node chain (diameter 99): the alternating face labels it in
+    // O(log^2 n) rounds; min-label would need 99 one-hop rounds (and its
+    // iterative plan collapses the driver well before that — scaladoc)
+    val chain = (0L until 99L).map(i => (i, i + 1))
+    val alt = run(Dedup.duplicateClustersAlternating(_), chain)
+    assert(alt.size === 100 && alt.values.toSet === Set(0L),
+      "chain must collapse to one component labeled by its min id")
+
+    // a 10-node chain with maxIter below its diameter: min-label must now
+    // FAIL LOUDLY instead of silently splitting the component (the pre-r15
+    // behavior — wrong labels, no signal); with the bound past the
+    // diameter it agrees with the alternating face. maxIter=12 also
+    // exercises the every-4-rounds lineage re-truncation branch the
+    // fixture-scale consumers never reach (pre-fix, ~10 un-truncated
+    // rounds OOM'd the driver building explain strings — measured).
+    val chainSmall = (200L until 209L).map(i => (i, i + 1))
+    val err = intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairsDf(chainSmall), maxIter = 6).count()
+    }
+    assert(err.getMessage.contains("did not converge"), err.getMessage)
+    val byMinRaised = run(Dedup.duplicateClusters(_, maxIter = 12), chainSmall)
+    assert(byMinRaised === run(Dedup.duplicateClustersAlternating(_), chainSmall))
+  }
+
   test("minhashPairs flood guard: oversized band bucket fails loudly; clustering face sails through") {
     // a verbatim flood: 120 copies of one text — every copy lands in the
     // same bucket of every band, so the pair face's candidate join (and
