@@ -387,4 +387,71 @@ object CorpusOps {
         size(removedSafe).cast("long").as("n_removed"),
         cleaned.as("cleaned"))
   }
+
+  /** Hashed n-gram importance weights for domain reweighting — the data-
+    * SELECTION step of corpus assembly (DSIR: Xie/Santurkar/Ma/Liang,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every raw document by how much its hashed
+    * token distribution looks like a TARGET domain (`targetPred` rows)
+    * versus the raw corpus overall. High-weight docs are "target-like"
+    * crawl — the docs importance resampling pulls into the mix.
+    *
+    * Model: one aggregation pass over exploded tokens builds per-bucket
+    * counts under both distributions — `rc` (raw) and `tc` (target ⊆ raw,
+    * via conditional sum) — map-side combinable to ≤ `nBuckets` rows per
+    * partition, so the shuffle is model-sized at any corpus size. The
+    * model (+ its exact integer totals) collects to the driver (bounded
+    * by `nBuckets`, the codebook precedent) and re-enters the scoring
+    * scan as two map literals: scoring is then a single corpus scan with
+    * ZERO joins and ZERO shuffles.
+    *
+    * Per-gram weight is the RATIONAL smoothed likelihood ratio
+    * `((tc+0.5)/(tT+0.5B)) / ((rc+0.5)/(rT+0.5B))`, summed per doc in a
+    * pinned left fold over token positions — NOT the paper's sum of log
+    * ratios: `ln` is not correctly-rounded and cannot cross the oracle
+    * bit-exactly, while +,*,/ are IEEE-exact in any engine (the
+    * `bm25TopK` precedent, same trade-off: per-gram monotone transform,
+    * heavier weight on extreme-ratio grams in the mix). Output
+    * `(id, n_grams, imp_e6, imp_mean_e6)` — the raw fold and its
+    * per-gram mean (floor·1e6 longs), so selection can rank
+    * length-normalized.
+    */
+  def importanceWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      nBuckets: Int = 4096
+  ): DataFrame = {
+    val toks = graft.data.TextAnalysis.tokens(col(textCol))
+    val bucket = (t: Column) => pmod(graft.functions.Md5Hash60(t), lit(nBuckets.toLong))
+    val model = df
+      .select(explode(toks).as("_tok"), targetPred.cast("long").as("_is_t"))
+      .groupBy(bucket(col("_tok")).as("_b"))
+      .agg(count(lit(1)).as("_rc"), sum(col("_is_t")).as("_tc"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // deterministic literal arrays (lookup is order-free)
+    val tT = model.map(_._3).sum
+    val rT = model.map(_._2).sum
+    // exact-integer inputs to an identical expression tree on both engines
+    val tDen = lit(tT.toDouble + 0.5 * nBuckets)
+    val rDen = lit(rT.toDouble + 0.5 * nBuckets)
+    val rcMap = map_from_arrays(
+      lit(model.map(_._1)), lit(model.map(_._2)))
+    val tcMap = map_from_arrays(
+      lit(model.map(_._1)), lit(model.map(_._3)))
+    def term(t: Column): Column =
+      ((coalesce(element_at(tcMap, bucket(t)), lit(0L)).cast("double") + 0.5) / tDen) /
+        ((coalesce(element_at(rcMap, bucket(t)), lit(0L)).cast("double") + 0.5) / rDen)
+    val fold = aggregate(col("_toks"), lit(0.0), (acc, t) => acc + term(t))
+    df.withColumn("_toks", toks)
+      .select(
+        col(idCol),
+        size(col("_toks")).cast("long").as("n_grams"),
+        floor(fold * lit(1e6)).cast("long").as("imp_e6"),
+        when(size(col("_toks")) > 0,
+          floor(fold / size(col("_toks")).cast("double") * lit(1e6)).cast("long"))
+          .otherwise(lit(0L)).as("imp_mean_e6"))
+  }
 }

@@ -1992,6 +1992,76 @@ object DataQueries {
        |      < CAST(floor(($rateCase) * 1e6) AS BIGINT)""".stripMargin
   }
 
+  /** Feature-hash bucket count for the DSIR-style importance faces. */
+  private val ImpBuckets = 4096
+
+  /** Hashed-token importance weights against the `src0` target domain
+    * ([[graft.data.CorpusOps.importanceWeights]] — DSIR-style data
+    * selection, log-free rational ratio per the BM25 oracle precedent).
+    * The oracle rebuilds the bucket-count model as CTEs, packs it into a
+    * DuckDB MAP (ordered `list()` twins of the Spark map literals), and
+    * replays the pinned left fold with the engine-exact +,*,/ tree —
+    * `list_reduce` seeds from the first element where Spark's `aggregate`
+    * seeds 0.0, equal bit-for-bit because `0.0 + x == x` for the positive
+    * ratio terms.
+    */
+  def dImportanceWeights(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.importanceWeights(
+      Tables.documents(spark, dir), "doc_id", "text",
+      col("source") === "src0", nBuckets = ImpBuckets)
+
+  private val impScoredCtes: String = {
+    val half = ImpBuckets / 2 // 0.5 * nBuckets, exact
+    val bkt = (e: String) => s"${hash60Sql(e)} % $ImpBuckets"
+    s"""$toksCte,
+       |tokb AS (SELECT source, unnest(t) AS tok FROM toks),
+       |model AS (
+       |  SELECT ${bkt("tok")} AS b,
+       |    CAST(COUNT(*) AS BIGINT) AS rc,
+       |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+       |  FROM tokb GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(tc) AS BIGINT) AS t_t, CAST(SUM(rc) AS BIGINT) AS r_t FROM model),
+       |mm AS (SELECT map(list(b ORDER BY b),
+       |                  list({'rc': rc, 'tc': tc} ORDER BY b)) AS m FROM model),
+       |scored AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_grams,
+       |    CASE WHEN len(t) = 0 THEN 0.0 ELSE list_reduce(list_transform(t, x ->
+       |      (((CAST(coalesce((map_extract(m, ${bkt("x")})[1]).tc, 0) AS DOUBLE) + 0.5)
+       |        / (CAST(t_t AS DOUBLE) + $half.0))
+       |       / ((CAST(coalesce((map_extract(m, ${bkt("x")})[1]).rc, 0) AS DOUBLE) + 0.5)
+       |          / (CAST(r_t AS DOUBLE) + $half.0)))), (a, b) -> a + b) END AS s
+       |  FROM toks, tot, mm)""".stripMargin
+  }
+
+  val dImportanceWeightsSql: String =
+    s"""WITH $impScoredCtes
+       |SELECT doc_id, n_grams,
+       |  CAST(floor(s * 1000000.0) AS BIGINT) AS imp_e6,
+       |  CASE WHEN n_grams > 0
+       |    THEN CAST(floor(s / CAST(n_grams AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS imp_mean_e6
+       |FROM scored""".stripMargin
+
+  /** The selection decision on top of the weights: top-100 most
+    * target-like docs by per-gram mean weight (length-normalized; ties by
+    * doc_id) — the deterministic budget cut of importance resampling.
+    */
+  def dImportanceSelect(spark: SparkSession, dir: String): DataFrame =
+    dImportanceWeights(spark, dir)
+      .orderBy(col("imp_mean_e6").desc, col("doc_id"))
+      .limit(100)
+
+  val dImportanceSelectSql: String =
+    s"""WITH $impScoredCtes
+       |SELECT doc_id, n_grams,
+       |  CAST(floor(s * 1000000.0) AS BIGINT) AS imp_e6,
+       |  CASE WHEN n_grams > 0
+       |    THEN CAST(floor(s / CAST(n_grams AS DOUBLE) * 1000000.0) AS BIGINT)
+       |    ELSE 0 END AS imp_mean_e6
+       |FROM scored
+       |ORDER BY imp_mean_e6 DESC, doc_id
+       |LIMIT 100""".stripMargin
+
   /** Concat-and-chunk sequence packing into 512-token sequences, 8 shards —
     * per-shard running sums (never a global cumsum), layout a pure function
     * of (doc_id, token count).
@@ -3134,6 +3204,8 @@ object DataQueries {
     "s_ann_int8_ivf" -> sAnnInt8Ivf,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobe,
     "d_stratified_sample" -> dStratifiedSample,
+    "d_importance_weights" -> dImportanceWeights,
+    "d_importance_select" -> dImportanceSelect,
     "d_seq_pack" -> dSeqPack,
     "t_redact" -> tRedact,
     "d_corpus_assembly" -> dCorpusAssembly,
@@ -3212,6 +3284,8 @@ object DataQueries {
     "s_ann_int8_ivf" -> sAnnInt8IvfSql,
     "s_ann_lsh_multiprobe" -> sAnnLshMultiprobeSql,
     "d_stratified_sample" -> dStratifiedSampleSql,
+    "d_importance_weights" -> dImportanceWeightsSql,
+    "d_importance_select" -> dImportanceSelectSql,
     "d_seq_pack" -> dSeqPackSql,
     "t_redact" -> tRedactSql,
     "d_corpus_assembly" -> dCorpusAssemblySql,

@@ -13,6 +13,41 @@ object CorpusOpsSpecHelpers {
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("importanceWeights: target-vocab docs outrank raw-vocab docs; smoothing keeps unseen grams finite; empty doc safe") {
+    // planted domains: target docs (src 't') speak vocab A, background
+    // ('r') speaks vocab B; probes mix them in known proportions
+    val a = "alpha beta gamma delta epsilon"
+    val b = "zulu yankee xray whiskey victor"
+    val docs = (
+      (1L to 4L).map(i => (i, a, "t")) ++
+      (11L to 18L).map(i => (i, b, "r")) ++
+      Seq(
+        (30L, a, "r"),                                   // pure target vocab, raw doc
+        (31L, "alpha beta zulu yankee victor", "r"),     // mixed
+        (32L, b, "r"),                                   // pure background vocab
+        (33L, "neverseen tokens entirely fresh here", "r"), // unseen grams
+        (34L, "", "r"))                                  // empty doc
+      ).toDF("doc_id", "text", "src")
+    val w = CorpusOps.importanceWeights(docs, "doc_id", "text", col("src") === "t")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // every doc present, exact gram counts, empty doc zeroed not null
+    assert(w.size === docs.count())
+    assert(w(30L)._1 === 5L && w(34L) === ((0L, 0L, 0L)))
+    // the importance ORDER the face exists for: target-vocab > mixed >
+    // background-vocab, on the per-gram mean
+    assert(w(30L)._3 > w(31L)._3 && w(31L)._3 > w(32L)._3,
+      s"mean weights must rank target-likeness: ${w(30L)} ${w(31L)} ${w(32L)}")
+    // unseen grams: smoothed, finite, and below the target-vocab score
+    assert(w(33L)._3 > 0L && w(33L)._3 < w(30L)._3)
+    // deterministic across invocations (model collect + literal replay)
+    val w2 = CorpusOps.importanceWeights(docs, "doc_id", "text", col("src") === "t")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(w === w2)
+  }
+
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {
     val docs = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
     val rates = Map("en" -> 0.5, "de" -> 0.1)
