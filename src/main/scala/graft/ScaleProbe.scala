@@ -412,9 +412,11 @@ object ScaleProbe {
     // the batch replays of the three streaming-only gates
     "s_ann_pq_imi_rr", "s_ann_fence_cost",
     "d_neardup_gate", "m_ingest_hits", "a5_heavy_hitters",
-    // r15: the fence planner (priced sweep → pSub decision) and the
-    // diameter-independent connected-components face
-    "s_ann_probe_plan", "d_dup_clusters_alt"
+    // r15: the fence planner (priced sweep → pSub decision), the
+    // diameter-independent connected-components face, and the
+    // importance-selection faces
+    "s_ann_probe_plan", "d_dup_clusters_alt",
+    "d_importance_weights", "d_importance_select"
   )
 
   /** A table is reused only when its completion marker exists AND records
