@@ -423,6 +423,15 @@ object CorpusOps {
       targetPred: Column,
       nBuckets: Int = 4096
   ): DataFrame = {
+    // the model collects driver-side and re-enters the plan as two map
+    // LITERALS (~16 B/bucket) — loud ceiling per the flood-guard stance
+    // (maxBucketRows/maxBroadcastRows): a runaway bucket count turns the
+    // driver into the bottleneck, and past ~2^20 hashing collisions are
+    // not the binding error term anyway
+    require(
+      nBuckets > 0 && nBuckets <= (1 << 20),
+      s"importanceWeights: nBuckets=$nBuckets outside (0, ${1 << 20}] — " +
+        "the model is driver-resident plan material; DSIR operates at ~10^4 buckets")
     val toks = graft.data.TextAnalysis.tokens(col(textCol))
     val bucket = (t: Column) => pmod(graft.functions.Md5Hash60(t), lit(nBuckets.toLong))
     val model = df

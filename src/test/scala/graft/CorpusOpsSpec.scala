@@ -46,6 +46,12 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(w === w2)
+    // bucket-count flood guard: driver-resident model, loud ceiling
+    val err = intercept[IllegalArgumentException] {
+      CorpusOps.importanceWeights(docs, "doc_id", "text", col("src") === "t",
+        nBuckets = (1 << 20) + 1)
+    }
+    assert(err.getMessage.contains("nBuckets"), err.getMessage)
   }
 
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {
