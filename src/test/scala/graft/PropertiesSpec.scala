@@ -125,6 +125,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: duplicateClustersAlternating matches a driver union-find reference") {
+    Seq(7L, 19L, 43L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 60 + rnd.nextInt(60)
+      // mixed topology: sparse random edges + one deliberate hub + one chain
+      val es = (Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        (1 to 8).map(i => (500L, 500L + i)) ++
+        (600L until 615L).map(i => (i, i + 1)))
+        .filter { case (a, b) => a != b }
+      // driver reference: textbook union-find, labels = component min
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      val got = graft.data.Dedup.duplicateClustersAlternating(es.toDF("i", "j"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed=$seed n=$n")
+    }
+  }
+
   test("property: stripBoilerplate matches a driver-side mirror and strip∘strip = strip") {
     // idempotence is structural: removal is by WHOLE chunk, so surviving
     // chunks keep their boundaries, their content, and their global doc
