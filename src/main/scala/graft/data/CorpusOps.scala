@@ -422,7 +422,24 @@ object CorpusOps {
       textCol: String,
       targetPred: Column,
       nBuckets: Int = 4096
-  ): DataFrame = {
+  ): DataFrame =
+    importanceWeightsWith(
+      df, idCol, textCol, trainImportanceModel(df, textCol, targetPred, nBuckets))
+
+  /** Train the hashed-gram importance model and serialize it — the
+    * CAMPAIGN half of [[importanceWeights]] (the decontaminate-bloom /
+    * ANN-codebook precedent): train once per (corpus snapshot, target,
+    * nBuckets) through `ModelStore.bytesOrTrain`, then every run in any
+    * JVM pays only the scoring scan. Format: nBuckets, entry count, then
+    * (bucket, rc, tc) longs sorted by bucket — deterministic bytes for a
+    * deterministic model.
+    */
+  def trainImportanceModel(
+      df: DataFrame,
+      textCol: String,
+      targetPred: Column,
+      nBuckets: Int = 4096
+  ): Array[Byte] = {
     // the model collects driver-side and re-enters the plan as two map
     // LITERALS (~16 B/bucket) — loud ceiling per the flood-guard stance
     // (maxBucketRows/maxBroadcastRows): a runaway bucket count turns the
@@ -430,19 +447,45 @@ object CorpusOps {
     // not the binding error term anyway
     require(
       nBuckets > 0 && nBuckets <= (1 << 20),
-      s"importanceWeights: nBuckets=$nBuckets outside (0, ${1 << 20}] — " +
+      s"trainImportanceModel: nBuckets=$nBuckets outside (0, ${1 << 20}] — " +
         "the model is driver-resident plan material; DSIR operates at ~10^4 buckets")
     val toks = graft.data.TextAnalysis.tokens(col(textCol))
-    val bucket = (t: Column) => pmod(graft.functions.Md5Hash60(t), lit(nBuckets.toLong))
+    val bucket = pmod(graft.functions.Md5Hash60(col("_tok")), lit(nBuckets.toLong))
     val model = df
       .select(explode(toks).as("_tok"), targetPred.cast("long").as("_is_t"))
-      .groupBy(bucket(col("_tok")).as("_b"))
+      .groupBy(bucket.as("_b"))
       .agg(count(lit(1)).as("_rc"), sum(col("_is_t")).as("_tc"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1) // deterministic literal arrays (lookup is order-free)
+      .sortBy(_._1) // deterministic bytes + literal arrays (lookup is order-free)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(nBuckets)
+    out.writeInt(model.length)
+    model.foreach { case (b, rc, tc) =>
+      out.writeLong(b); out.writeLong(rc); out.writeLong(tc)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** Apply a serialized importance model ([[trainImportanceModel]]) — one
+    * shuffle-free scoring scan; output identical to [[importanceWeights]]
+    * trained on the same corpus (spec-pinned byte round-trip).
+    */
+  def importanceWeightsWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      modelBytes: Array[Byte]
+  ): DataFrame = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(modelBytes))
+    val nBuckets = in.readInt()
+    val model = Array.fill(in.readInt())((in.readLong(), in.readLong(), in.readLong()))
     val tT = model.map(_._3).sum
     val rT = model.map(_._2).sum
+    val toks = graft.data.TextAnalysis.tokens(col(textCol))
+    val bucket = (t: Column) => pmod(graft.functions.Md5Hash60(t), lit(nBuckets.toLong))
     // exact-integer inputs to an identical expression tree on both engines
     val tDen = lit(tT.toDouble + 0.5 * nBuckets)
     val rDen = lit(rT.toDouble + 0.5 * nBuckets)

@@ -2042,6 +2042,24 @@ object DataQueries {
        |    ELSE 0 END AS imp_mean_e6
        |FROM scored""".stripMargin
 
+  /** Campaign importance weights: the model loads from the persistent
+    * ModelStore (train once per (corpus stamp, target, buckets) — the
+    * `d_decontaminate_campaign` pattern), so any fresh JVM pays only the
+    * scoring scan. Output byte-identical to the in-session face — the
+    * SAME oracle SQL replays it.
+    */
+  def dImportanceCampaign(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    val model = ModelStore.bytesOrTrain(
+      s"${ModelStore.rootFor(dir)}/imp-src0-b$ImpBuckets-$stamp")(
+      CorpusOps.trainImportanceModel(
+        docs, "text", col("source") === "src0", ImpBuckets))
+    CorpusOps.importanceWeightsWith(docs, "doc_id", "text", model)
+  }
+
+  val dImportanceCampaignSql: String = dImportanceWeightsSql
+
   /** The selection decision on top of the weights: top-100 most
     * target-like docs by per-gram mean weight (length-normalized; ties by
     * doc_id) — the deterministic budget cut of importance resampling.
@@ -3206,6 +3224,7 @@ object DataQueries {
     "d_stratified_sample" -> dStratifiedSample,
     "d_importance_weights" -> dImportanceWeights,
     "d_importance_select" -> dImportanceSelect,
+    "d_importance_campaign" -> dImportanceCampaign,
     "d_seq_pack" -> dSeqPack,
     "t_redact" -> tRedact,
     "d_corpus_assembly" -> dCorpusAssembly,
@@ -3286,6 +3305,7 @@ object DataQueries {
     "d_stratified_sample" -> dStratifiedSampleSql,
     "d_importance_weights" -> dImportanceWeightsSql,
     "d_importance_select" -> dImportanceSelectSql,
+    "d_importance_campaign" -> dImportanceCampaignSql,
     "d_seq_pack" -> dSeqPackSql,
     "t_redact" -> tRedactSql,
     "d_corpus_assembly" -> dCorpusAssemblySql,

@@ -52,6 +52,16 @@ class CorpusOpsSpec extends SparkSpec {
         nBuckets = (1 << 20) + 1)
     }
     assert(err.getMessage.contains("nBuckets"), err.getMessage)
+    // campaign split: the serialized model round-trips through bytes (and
+    // therefore ModelStore) to an identical scoring frame, and the bytes
+    // themselves are deterministic (sorted entries)
+    val bytes = CorpusOps.trainImportanceModel(docs, "text", col("src") === "t")
+    val viaBytes = CorpusOps.importanceWeightsWith(docs, "doc_id", "text", bytes)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(viaBytes === w)
+    assert(java.util.Arrays.equals(
+      bytes, CorpusOps.trainImportanceModel(docs, "text", col("src") === "t")))
   }
 
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {
