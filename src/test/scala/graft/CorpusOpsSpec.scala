@@ -62,6 +62,11 @@ class CorpusOpsSpec extends SparkSpec {
     assert(viaBytes === w)
     assert(java.util.Arrays.equals(
       bytes, CorpusOps.trainImportanceModel(docs, "text", col("src") === "t")))
+    // the scale contract: scoring is ONE scan — the model enters as plan
+    // literals, so the physical plan must contain no Exchange at all
+    val plan = CorpusOps.importanceWeightsWith(docs, "doc_id", "text", bytes)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring scan must not shuffle:\n$plan")
   }
 
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {
