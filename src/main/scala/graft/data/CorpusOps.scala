@@ -421,25 +421,48 @@ object CorpusOps {
       idCol: String,
       textCol: String,
       targetPred: Column,
-      nBuckets: Int = 4096
+      nBuckets: Int = 4096,
+      maxN: Int = 2
   ): DataFrame =
     importanceWeightsWith(
-      df, idCol, textCol, trainImportanceModel(df, textCol, targetPred, nBuckets))
+      df, idCol, textCol, trainImportanceModel(df, textCol, targetPred, nBuckets, maxN))
+
+  /** The hashed feature list of one document: word unigrams, then (for
+    * `maxN = 2`, the paper's feature set) space-joined word bigrams, in
+    * that pinned order — the order IS the scoring fold order, so train
+    * and apply must share this definition exactly.
+    */
+  private def gramList(textCol: String, maxN: Int): Column = {
+    val toks = graft.functions.ComputeOnce(
+      graft.data.TextAnalysis.tokens(col(textCol)))
+    if (maxN == 1) toks
+    else concat(toks, graft.data.TextAnalysis.ngrams(toks, 2))
+  }
 
   /** Train the hashed-gram importance model and serialize it — the
     * CAMPAIGN half of [[importanceWeights]] (the decontaminate-bloom /
     * ANN-codebook precedent): train once per (corpus snapshot, target,
-    * nBuckets) through `ModelStore.bytesOrTrain`, then every run in any
-    * JVM pays only the scoring scan. Format: nBuckets, entry count, then
-    * (bucket, rc, tc) longs sorted by bucket — deterministic bytes for a
-    * deterministic model.
+    * nBuckets, maxN) through `ModelStore.bytesOrTrain`, then every run in
+    * any JVM pays only the scoring scan. Format: nBuckets, maxN, entry
+    * count, then (bucket, rc, tc) longs sorted by bucket — deterministic
+    * bytes for a deterministic model.
+    *
+    * `maxN = 2` (unigrams + bigrams, the DSIR paper's feature set) is the
+    * default because it is MEASURED better, not assumed: recovering the
+    * `src0` target domain on the sf0.01 corpus, unigram-only weights rank
+    * a (target, non-target) pair correctly 0.790 of the time; adding
+    * bigrams lifts that to 0.997 (SCALE.md r15) — word-pair statistics
+    * carry the domain signal single words wash out.
     */
   def trainImportanceModel(
       df: DataFrame,
       textCol: String,
       targetPred: Column,
-      nBuckets: Int = 4096
+      nBuckets: Int = 4096,
+      maxN: Int = 2
   ): Array[Byte] = {
+    require(maxN == 1 || maxN == 2,
+      s"trainImportanceModel: maxN=$maxN — 1 (unigrams) or 2 (+bigrams, the DSIR feature set)")
     // the model collects driver-side and re-enters the plan as two map
     // LITERALS (~16 B/bucket) — loud ceiling per the flood-guard stance
     // (maxBucketRows/maxBroadcastRows): a runaway bucket count turns the
@@ -449,10 +472,9 @@ object CorpusOps {
       nBuckets > 0 && nBuckets <= (1 << 20),
       s"trainImportanceModel: nBuckets=$nBuckets outside (0, ${1 << 20}] — " +
         "the model is driver-resident plan material; DSIR operates at ~10^4 buckets")
-    val toks = graft.data.TextAnalysis.tokens(col(textCol))
     val bucket = pmod(graft.functions.Md5Hash60(col("_tok")), lit(nBuckets.toLong))
     val model = df
-      .select(explode(toks).as("_tok"), targetPred.cast("long").as("_is_t"))
+      .select(explode(gramList(textCol, maxN)).as("_tok"), targetPred.cast("long").as("_is_t"))
       .groupBy(bucket.as("_b"))
       .agg(count(lit(1)).as("_rc"), sum(col("_is_t")).as("_tc"))
       .collect()
@@ -461,6 +483,7 @@ object CorpusOps {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(nBuckets)
+    out.writeInt(maxN)
     out.writeInt(model.length)
     model.foreach { case (b, rc, tc) =>
       out.writeLong(b); out.writeLong(rc); out.writeLong(tc)
@@ -481,10 +504,10 @@ object CorpusOps {
   ): DataFrame = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(modelBytes))
     val nBuckets = in.readInt()
+    val maxN = in.readInt()
     val model = Array.fill(in.readInt())((in.readLong(), in.readLong(), in.readLong()))
     val tT = model.map(_._3).sum
     val rT = model.map(_._2).sum
-    val toks = graft.data.TextAnalysis.tokens(col(textCol))
     val bucket = (t: Column) => pmod(graft.functions.Md5Hash60(t), lit(nBuckets.toLong))
     // exact-integer inputs to an identical expression tree on both engines
     val tDen = lit(tT.toDouble + 0.5 * nBuckets)
@@ -497,7 +520,7 @@ object CorpusOps {
       ((coalesce(element_at(tcMap, bucket(t)), lit(0L)).cast("double") + 0.5) / tDen) /
         ((coalesce(element_at(rcMap, bucket(t)), lit(0L)).cast("double") + 0.5) / rDen)
     val fold = aggregate(col("_toks"), lit(0.0), (acc, t) => acc + term(t))
-    df.withColumn("_toks", toks)
+    df.withColumn("_toks", gramList(textCol, maxN))
       .select(
         col(idCol),
         size(col("_toks")).cast("long").as("n_grams"),
