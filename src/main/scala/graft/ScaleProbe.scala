@@ -614,8 +614,8 @@ object ChainCcProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       val ok = agg.getLong(0) == n && agg.getLong(1) == 0L && agg.getLong(2) == 0L
       println(f"$n%10d $rounds%7d $sec%8.1f  ${if (ok) "OK" else s"WRONG: $agg"}")
-      labels.unpersist(blocking = false)
-      pairs.unpersist(blocking = false)
+      graft.core.Checkpoints.release(labels)
+      graft.core.Checkpoints.release(pairs)
     }
     spark.stop()
   }

@@ -427,25 +427,40 @@ object CorpusOps {
     importanceWeightsWith(
       df, idCol, textCol, trainImportanceModel(df, textCol, targetPred, nBuckets, maxN))
 
-  /** The hashed feature list of one document: word unigrams, then (for
-    * `maxN = 2`, the paper's feature set) space-joined word bigrams, in
-    * that pinned order — the order IS the scoring fold order, so train
-    * and apply must share this definition exactly.
+  /** Adds column `out` = the hashed feature list of one document: word
+    * unigrams, then (for `maxN = 2`, the paper's feature set) space-joined
+    * word bigrams, in that pinned order — the order IS the scoring fold
+    * order, so train and apply must share this definition exactly.
+    *
+    * TWO pinned projections, per the [[graft.data.TextAnalysis.ngrams]]
+    * contract: the token array materializes as a real attribute BEFORE the
+    * bigram lambda references it (a raw tokenizer expression inside the
+    * lambda re-runs the regex split per element — the O(words²) trap that
+    * made the r15 maxN=2 flip 8× slower than its unigram floor), and the
+    * gram list itself is ComputeOnce-pinned so downstream `size`/fold
+    * references read the attribute instead of re-concatenating.
     */
-  private def gramList(textCol: String, maxN: Int): Column = {
+  private def withGrams(df: DataFrame, textCol: String, maxN: Int, out: String): DataFrame = {
+    val t0 = "_imp_t0"
     val toks = graft.functions.ComputeOnce(
       graft.data.TextAnalysis.tokens(col(textCol)))
-    if (maxN == 1) toks
-    else concat(toks, graft.data.TextAnalysis.ngrams(toks, 2))
+    val grams =
+      if (maxN == 1) col(t0)
+      else concat(col(t0), graft.data.TextAnalysis.ngrams(col(t0), 2))
+    df.withColumn(t0, toks)
+      .withColumn(out, graft.functions.ComputeOnce(grams))
+      .drop(t0)
   }
 
   /** Train the hashed-gram importance model and serialize it — the
     * CAMPAIGN half of [[importanceWeights]] (the decontaminate-bloom /
     * ANN-codebook precedent): train once per (corpus snapshot, target,
     * nBuckets, maxN) through `ModelStore.bytesOrTrain`, then every run in
-    * any JVM pays only the scoring scan. Format: nBuckets, maxN, entry
-    * count, then (bucket, rc, tc) longs sorted by bucket — deterministic
-    * bytes for a deterministic model.
+    * any JVM pays only the scoring scan. Format: magic `IMP2` (format
+    * version — the bytes changed shape in r15 when maxN was added, and a
+    * stale-format store file must fail LOUDLY, not misparse), nBuckets,
+    * maxN, entry count, then (bucket, rc, tc) longs sorted by bucket —
+    * deterministic bytes for a deterministic model.
     *
     * `maxN = 2` (unigrams + bigrams, the DSIR paper's feature set) is the
     * default because it is MEASURED better, not assumed: recovering the
@@ -473,8 +488,8 @@ object CorpusOps {
       s"trainImportanceModel: nBuckets=$nBuckets outside (0, ${1 << 20}] — " +
         "the model is driver-resident plan material; DSIR operates at ~10^4 buckets")
     val bucket = pmod(graft.functions.Md5Hash60(col("_tok")), lit(nBuckets.toLong))
-    val model = df
-      .select(explode(gramList(textCol, maxN)).as("_tok"), targetPred.cast("long").as("_is_t"))
+    val model = withGrams(df, textCol, maxN, "_g")
+      .select(explode(col("_g")).as("_tok"), targetPred.cast("long").as("_is_t"))
       .groupBy(bucket.as("_b"))
       .agg(count(lit(1)).as("_rc"), sum(col("_is_t")).as("_tc"))
       .collect()
@@ -482,6 +497,7 @@ object CorpusOps {
       .sortBy(_._1) // deterministic bytes + literal arrays (lookup is order-free)
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
+    out.writeInt(ImpModelMagic)
     out.writeInt(nBuckets)
     out.writeInt(maxN)
     out.writeInt(model.length)
@@ -492,9 +508,25 @@ object CorpusOps {
     bos.toByteArray
   }
 
+  /** Serialized-model format version ([[trainImportanceModel]]): "IMP2". */
+  private[graft] val ImpModelMagic: Int = 0x494d5032
+
   /** Apply a serialized importance model ([[trainImportanceModel]]) — one
     * shuffle-free scoring scan; output identical to [[importanceWeights]]
     * trained on the same corpus (spec-pinned byte round-trip).
+    *
+    * Scale shape (the r15 verdict's fix, all three mechanical): the model
+    * enters the plan as two DENSE `nBuckets`-length ARRAY literals indexed
+    * by bucket — `element_at(array, i)` is an O(1) ordinal access where
+    * `GetMapValue` on a map LITERAL is an O(nBuckets) linear key scan per
+    * lookup (~4×10¹⁰ comparisons at sf0.1, the round-15 8.5–9.6× floor
+    * breach). Each gram is md5-hashed to its bucket exactly ONCE (a
+    * `transform` to an index array; the old tree hashed twice per term,
+    * once per map), and the fold is computed exactly once behind
+    * [[graft.functions.ComputeOnce]] (the old plan duplicated the whole
+    * `aggregate` across the two output columns). Per-gram cost is now
+    * O(1) regardless of nBuckets — at DSIR's ~10⁴ buckets on a 100 TB
+    * corpus the scan stays tokenize-bound, not lookup-bound.
     */
   def importanceWeightsWith(
       df: DataFrame,
@@ -503,30 +535,52 @@ object CorpusOps {
       modelBytes: Array[Byte]
   ): DataFrame = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(modelBytes))
+    require(modelBytes.length >= 16 && in.readInt() == ImpModelMagic,
+      "importanceWeightsWith: model bytes lack the IMP2 magic — a stale-format " +
+        "(pre-maxN) ModelStore file or foreign bytes; retrain via trainImportanceModel")
     val nBuckets = in.readInt()
     val maxN = in.readInt()
-    val model = Array.fill(in.readInt())((in.readLong(), in.readLong(), in.readLong()))
+    require(nBuckets > 0 && nBuckets <= (1 << 20) && (maxN == 1 || maxN == 2),
+      s"importanceWeightsWith: implausible header (nBuckets=$nBuckets, maxN=$maxN) — corrupt model bytes")
+    val nEntries = in.readInt()
+    require(nEntries >= 0 && nEntries <= nBuckets && modelBytes.length == 16 + 24 * nEntries,
+      s"importanceWeightsWith: ${modelBytes.length} bytes for $nEntries entries — " +
+        s"expected exactly ${16 + 24 * nEntries}; corrupt or stale-format model")
+    val model = Array.fill(nEntries)((in.readLong(), in.readLong(), in.readLong()))
     val tT = model.map(_._3).sum
     val rT = model.map(_._2).sum
-    val bucket = (t: Column) => pmod(graft.functions.Md5Hash60(t), lit(nBuckets.toLong))
+    // dense bucket-indexed count arrays; absent buckets are genuine zeros
+    val rcArr = new Array[Long](nBuckets)
+    val tcArr = new Array[Long](nBuckets)
+    model.foreach { case (b, rc, tc) =>
+      require(b >= 0 && b < nBuckets, s"importanceWeightsWith: bucket $b outside [0, $nBuckets)")
+      rcArr(b.toInt) = rc; tcArr(b.toInt) = tc
+    }
+    val rcLit = lit(rcArr)
+    val tcLit = lit(tcArr)
     // exact-integer inputs to an identical expression tree on both engines
     val tDen = lit(tT.toDouble + 0.5 * nBuckets)
     val rDen = lit(rT.toDouble + 0.5 * nBuckets)
-    val rcMap = map_from_arrays(
-      lit(model.map(_._1)), lit(model.map(_._2)))
-    val tcMap = map_from_arrays(
-      lit(model.map(_._1)), lit(model.map(_._3)))
-    def term(t: Column): Column =
-      ((coalesce(element_at(tcMap, bucket(t)), lit(0L)).cast("double") + 0.5) / tDen) /
-        ((coalesce(element_at(rcMap, bucket(t)), lit(0L)).cast("double") + 0.5) / rDen)
-    val fold = aggregate(col("_toks"), lit(0.0), (acc, t) => acc + term(t))
-    df.withColumn("_toks", gramList(textCol, maxN))
+    def term(b: Column): Column =
+      ((element_at(tcLit, b).cast("double") + 0.5) / tDen) /
+        ((element_at(rcLit, b).cast("double") + 0.5) / rDen)
+    // 1-based ordinals into the dense arrays, each gram hashed exactly once
+    val bkts = transform(
+      col("_toks"),
+      t => (pmod(graft.functions.Md5Hash60(t), lit(nBuckets.toLong)) + lit(1L)).cast("int"))
+    val fold = graft.functions.ComputeOnce(
+      aggregate(bkts, lit(0.0), (acc, b) => acc + term(b)))
+    // _toks and _fold are pinned as real attributes (ComputeOnce inside
+    // each keeps CollapseProject from inlining them): the tokenize and the
+    // fold each run ONCE per row, downstream references are attribute reads
+    withGrams(df, textCol, maxN, "_toks")
+      .withColumn("_fold", fold)
       .select(
         col(idCol),
         size(col("_toks")).cast("long").as("n_grams"),
-        floor(fold * lit(1e6)).cast("long").as("imp_e6"),
+        floor(col("_fold") * lit(1e6)).cast("long").as("imp_e6"),
         when(size(col("_toks")) > 0,
-          floor(fold / size(col("_toks")).cast("double") * lit(1e6)).cast("long"))
+          floor(col("_fold") / size(col("_toks")).cast("double") * lit(1e6)).cast("long"))
           .otherwise(lit(0L)).as("imp_mean_e6"))
   }
 }

@@ -629,6 +629,10 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // the live label CHECKPOINT generation (initial + every-4-rounds
+    // re-truncate): released via Checkpoints.release when superseded —
+    // Dataset.unpersist silently no-ops on checkpoint-backed frames
+    var liveCk: DataFrame = labels
     var prevCache: Option[DataFrame] = None
     var changed = 1L
     var iter = 0
@@ -668,10 +672,14 @@ object Dedup {
         labels = labels.localCheckpoint()
         prevCache.foreach(_.unpersist())
         prevCache = None
+        graft.core.Checkpoints.release(liveCk)
+        liveCk = labels
       }
     }
     if (changed > 0) {
       prevCache.foreach(_.unpersist())
+      graft.core.Checkpoints.release(liveCk)
+      graft.core.Checkpoints.release(edges)
       throw new IllegalStateException(
         s"duplicateClusters: min-label propagation did not converge in $maxIter " +
           s"iterations ($changed labels still changing) — the pair graph has a " +
@@ -679,9 +687,11 @@ object Dedup {
           "duplicateClustersAlternating (O(log^2 n) rounds, diameter-independent).")
     }
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
-    // hand the caller a plan that survives the last cache's release
+    // hand the caller a plan that survives the internal releases
     val result = out.localCheckpoint()
     prevCache.foreach(_.unpersist())
+    graft.core.Checkpoints.release(liveCk)
+    graft.core.Checkpoints.release(edges)
     result
   }
 
@@ -767,13 +777,15 @@ object Dedup {
       // both sides are DISTINCT canonical sets: equal counts + empty
       // one-sided difference <=> set equality (exact, edge-sized work)
       converged = nextCount == edgeCount && next.except(edges).isEmpty
-      edges.unpersist(blocking = false)
+      // Checkpoints.release, not Dataset.unpersist (a no-op on checkpoint
+      // frames): without it a 22-round run strands 22 edge-list copies
+      graft.core.Checkpoints.release(edges)
       edges = next
       edgeCount = nextCount
       iter += 1
     }
     if (!converged) {
-      edges.unpersist(blocking = false)
+      graft.core.Checkpoints.release(edges)
       throw new IllegalStateException(
         s"duplicateClustersAlternating: edge set not stable after $maxIter " +
           "rounds — raise maxIter (O(log^2 n) rounds suffice for any input; " +
@@ -787,7 +799,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("cluster_id")).as("cluster_id"))
     val result = out.localCheckpoint()
-    edges.unpersist(blocking = false)
+    graft.core.Checkpoints.release(edges)
     (result, iter)
   }
 

@@ -686,8 +686,10 @@ object Similarity {
       // the trainer returns a plain model Seq — nothing downstream
       // references the checkpointed sample, so release its executor-local
       // blocks here; without this, repeated trainings in one session
-      // accumulate sampleN·dim·8-byte checkpoint blocks (ADVICE r14)
-      sampleDs.unpersist(blocking = false)
+      // accumulate sampleN·dim·8-byte checkpoint blocks (ADVICE r14).
+      // Checkpoints.release, NOT Dataset.unpersist: the latter silently
+      // no-ops on checkpoint-backed frames (see Checkpoints scaladoc)
+      graft.core.Checkpoints.release(sampleDs)
     }
     cbs
   }
@@ -1674,7 +1676,7 @@ object Similarity {
       // materialize the q-sized result so the corpus-sized assignment
       // checkpoint can release before the caller consumes the frame
       .localCheckpoint()
-    cellsCk.unpersist(blocking = false)
+    graft.core.Checkpoints.release(cellsCk)
     out
   }
 
@@ -1753,7 +1755,14 @@ object Similarity {
   ): DataFrame = {
     val plan = imiProbePlan(
       corpus, queries, idCol, vecCol, imiCodebooks, pSubs, maxCandPerQuery, maxBroadcastRows)
-    val chosen = plan.filter(col("chosen")).select(col("p_sub")).head().getInt(0)
+    // an EMPTY query batch yields an empty plan frame (no probes → no
+    // curve rows): name the cause instead of a bare head() NoSuchElement
+    val chosenRows = plan.filter(col("chosen")).select(col("p_sub")).collect()
+    require(chosenRows.nonEmpty,
+      "pqTopKPrunedImiRerankAuto: probe plan is empty — the query batch has no rows, " +
+        "so there is no fence to choose (an unsatisfiable budget is reported separately, " +
+        "via the plan's fits=false fallback row)")
+    val chosen = chosenRows.head.getInt(0)
     pqTopKPrunedImiRerank(
       corpus, queries, idCol, vecCol, imiCodebooks, pqCodebooks,
       k = k, rerankR = rerankR, pSub = chosen,

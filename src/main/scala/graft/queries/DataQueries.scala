@@ -2013,8 +2013,15 @@ object DataQueries {
   private val impScoredCtes: String = {
     val half = ImpBuckets / 2 // 0.5 * nBuckets, exact
     val bkt = (e: String) => s"${hash60Sql(e)} % $ImpBuckets"
+    // grams = unigrams ++ space-joined bigrams, in that pinned order —
+    // the exact twin of CorpusOps.gramList (maxN = 2, the DSIR feature
+    // set); the fold order below is the gram-list order on both engines
     s"""$toksCte,
-       |tokb AS (SELECT source, unnest(t) AS tok FROM toks),
+       |grams AS (
+       |  SELECT doc_id, source,
+       |    t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS g
+       |  FROM toks),
+       |tokb AS (SELECT source, unnest(g) AS tok FROM grams),
        |model AS (
        |  SELECT ${bkt("tok")} AS b,
        |    CAST(COUNT(*) AS BIGINT) AS rc,
@@ -2024,13 +2031,13 @@ object DataQueries {
        |mm AS (SELECT map(list(b ORDER BY b),
        |                  list({'rc': rc, 'tc': tc} ORDER BY b)) AS m FROM model),
        |scored AS (
-       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_grams,
-       |    CASE WHEN len(t) = 0 THEN 0.0 ELSE list_reduce(list_transform(t, x ->
+       |  SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+       |    CASE WHEN len(g) = 0 THEN 0.0 ELSE list_reduce(list_transform(g, x ->
        |      (((CAST(coalesce((map_extract(m, ${bkt("x")})[1]).tc, 0) AS DOUBLE) + 0.5)
        |        / (CAST(t_t AS DOUBLE) + $half.0))
        |       / ((CAST(coalesce((map_extract(m, ${bkt("x")})[1]).rc, 0) AS DOUBLE) + 0.5)
        |          / (CAST(r_t AS DOUBLE) + $half.0)))), (a, b) -> a + b) END AS s
-       |  FROM toks, tot, mm)""".stripMargin
+       |  FROM grams, tot, mm)""".stripMargin
   }
 
   val dImportanceWeightsSql: String =
@@ -2052,7 +2059,9 @@ object DataQueries {
     val docs = Tables.documents(spark, dir)
     val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
     val model = ModelStore.bytesOrTrain(
-      s"${ModelStore.rootFor(dir)}/imp-src0-b$ImpBuckets-$stamp")(
+      // key carries format version + maxN: a pre-IMP2 (or unigram-only)
+      // store file must MISS and retrain, never deserialize into garbage
+      s"${ModelStore.rootFor(dir)}/imp2-src0-b$ImpBuckets-n2-$stamp")(
       CorpusOps.trainImportanceModel(
         docs, "text", col("source") === "src0", ImpBuckets))
     CorpusOps.importanceWeightsWith(docs, "doc_id", "text", model)
@@ -2948,7 +2957,8 @@ object DataQueries {
       |  FROM fold f JOIN runs r ON r.grp = f.grp AND r.rn = f.rn + 1),
       |final AS (
       |  SELECT f.grp, f.st FROM fold f JOIN nrun x ON x.grp = f.grp AND f.rn = x.nr)
-      |SELECT u.grp, u.item, u.cnt AS estimate, x.n AS group_total
+      |SELECT u.grp, u.item, u.cnt AS estimate,
+      |  CAST(x.n AS BIGINT) AS group_total
       |FROM (SELECT grp, UNNEST(st, recursive := true) FROM final) u
       |JOIN nrun x ON x.grp = u.grp""".stripMargin
 

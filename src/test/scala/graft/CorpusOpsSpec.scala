@@ -32,9 +32,10 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
-    // every doc present, exact gram counts, empty doc zeroed not null
+    // every doc present, exact gram counts (maxN = 2: 5 unigrams + 4
+    // bigrams), empty doc zeroed not null
     assert(w.size === docs.count())
-    assert(w(30L)._1 === 5L && w(34L) === ((0L, 0L, 0L)))
+    assert(w(30L)._1 === 9L && w(34L) === ((0L, 0L, 0L)))
     // the importance ORDER the face exists for: target-vocab > mixed >
     // background-vocab, on the per-gram mean
     assert(w(30L)._3 > w(31L)._3 && w(31L)._3 > w(32L)._3,
@@ -67,6 +68,26 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = CorpusOps.importanceWeightsWith(docs, "doc_id", "text", bytes)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"scoring scan must not shuffle:\n$plan")
+    // stale-format bytes (pre-IMP2: no magic — the old header's nBuckets
+    // lands where the magic is expected) must fail LOUDLY, never misparse
+    val stale = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.writeInt(4096); out.writeInt(3) // old layout: nBuckets, count, ...
+      (0 until 3).foreach { i => out.writeLong(i.toLong); out.writeLong(2L); out.writeLong(1L) }
+      out.flush(); bos.toByteArray
+    }
+    val staleErr = intercept[IllegalArgumentException] {
+      CorpusOps.importanceWeightsWith(docs, "doc_id", "text", stale)
+    }
+    assert(staleErr.getMessage.contains("IMP2"), staleErr.getMessage)
+    // truncated IMP2 bytes (count promises more entries than present) are
+    // equally loud — the exact-length check, not a read-past-end error
+    val truncated = bytes.dropRight(8)
+    val truncErr = intercept[IllegalArgumentException] {
+      CorpusOps.importanceWeightsWith(docs, "doc_id", "text", truncated)
+    }
+    assert(truncErr.getMessage.contains("bytes"), truncErr.getMessage)
   }
 
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {

@@ -554,4 +554,55 @@ class ScaleMechanicsSpec extends SparkSpec {
           "— if this regresses, demote the pick-by-geometry scaladoc guidance")
     } finally emb.unpersist()
   }
+
+  test("checkpoint blocks release: Dataset.unpersist no-ops on localCheckpoint frames; loops go through Checkpoints.release and strand nothing") {
+    import graft.data.{Dedup, Similarity}
+    val sc = spark.sparkContext
+    def storage: Int = sc.getRDDStorageInfo.length
+    // block-master updates lag async unpersists — poll to a deadline
+    def awaitStorage(expected: Int, what: String): Unit = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (storage != expected && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(storage === expected, s"$what: ${storage} stored RDDs, expected $expected")
+    }
+    // materialize the shared cached fixture FIRST so its cache blocks are
+    // part of the baseline, not a false "leak"
+    val trainCorpus = opCorpus.limit(1000)
+    assert(opCorpus.count() === 200000L)
+    // 1. the trap itself, pinned: ds.unpersist leaves the checkpoint block
+    //    resident (CacheManager doesn't track checkpoint RDDs); if Spark
+    //    ever fixes this, Checkpoints.release can retire — this assert is
+    //    the tripwire
+    val base = storage
+    val ck = spark.range(50000L).toDF("x").localCheckpoint()
+    assert(storage === base + 1)
+    ck.unpersist(blocking = true)
+    assert(storage === base + 1,
+      "Dataset.unpersist released a localCheckpoint block — Spark behavior changed; retire graft.core.Checkpoints")
+    graft.core.Checkpoints.release(ck, blocking = true)
+    awaitStorage(base, "Checkpoints.release on a checkpoint frame")
+    // 2. repeated distributed trainings leave no sample checkpoints behind
+    (1 to 2).foreach { _ =>
+      Similarity.imiCodebooksTrained(
+        trainCorpus, "vec_id", "embedding", 8, iters = 1, sampleN = 64,
+        distributedAssign = true)
+    }
+    awaitStorage(base, "distributed trainer strands sample checkpoints")
+    // 3. both CC faces release every per-round edge/label checkpoint; only
+    //    the returned result frame stays resident (caller-owned)
+    val pairs = spark.range(0, 999L).select(col("id").as("i"), (col("id") + 1).as("j"))
+    val alt = Dedup.duplicateClustersAlternating(pairs)
+    assert(alt.count() === 1000L)
+    awaitStorage(base + 1, "alternating CC strands round checkpoints")
+    graft.core.Checkpoints.release(alt, blocking = true)
+    awaitStorage(base, "releasing the alternating CC result")
+    // star graph (diameter 2): min-label converges in a few rounds — the
+    //    chain above would exceed its O(diameter) maxIter by design
+    val star = spark.range(1, 1000L).select(lit(0L).as("i"), col("id").as("j"))
+    val minLabel = Dedup.duplicateClusters(star)
+    assert(minLabel.count() === 1000L)
+    awaitStorage(base + 1, "min-label CC strands edge/label checkpoints")
+    graft.core.Checkpoints.release(minLabel, blocking = true)
+    awaitStorage(base, "releasing the min-label CC result")
+  }
 }

@@ -45,7 +45,20 @@ def main():
             n_bad += 1
             continue
         try:
-            exp = con.execute(sql).df()
+            rel = con.sql(sql)
+            # HUGEINT tripwire (the r3 trap, reintroduced in r15 as
+            # a5_heavy_hitters): an integer SUM / windowed SUM left uncast
+            # is HUGEINT in DuckDB, and the driver's hash canonicalizes it
+            # as float — never value-exact against Spark's BIGINT. Catch it
+            # by TYPE at the local gate so it can't reach the driver.
+            huge = [c for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+            if huge:
+                print(f"FAIL {name}: oracle outputs HUGEINT column(s) {huge} — "
+                      f"wrap in CAST(... AS BIGINT) (r3 trap)")
+                n_bad += 1
+                continue
+            exp = rel.df()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_bad += 1
