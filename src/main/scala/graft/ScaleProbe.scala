@@ -416,7 +416,10 @@ object ScaleProbe {
     // diameter-independent connected-components face, and the
     // importance-selection faces
     "s_ann_probe_plan", "d_dup_clusters_alt",
-    "d_importance_weights", "d_importance_select"
+    "d_importance_weights", "d_importance_select",
+    // r16: the DSIR resampling step (distributed prefix-sum comb) and the
+    // budget-driven mixture planner/apply pair
+    "d_importance_resample", "d_mix_plan", "d_mix_apply"
   )
 
   /** A table is reused only when its completion marker exists AND records

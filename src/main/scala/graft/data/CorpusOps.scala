@@ -583,4 +583,157 @@ object CorpusOps {
           floor(col("_fold") / size(col("_toks")).cast("double") * lit(1e6)).cast("long"))
           .otherwise(lit(0L)).as("imp_mean_e6"))
   }
+
+  /** Systematic importance RESAMPLING — the sampling step the DSIR paper
+    * actually prescribes (Xie et al. NeurIPS'23 §3: sample the raw corpus
+    * with probability proportional to importance weight), on top of
+    * [[importanceWeights]]'s scores. [[dImportanceSelect]]'s top-K cut is
+    * the budget view; THIS face is the distribution view — n draws with
+    * multiplicity, heavy docs drawn more than once, the output mix
+    * converging to the weight distribution.
+    *
+    * Systematic (low-variance) sampling in EXACT BIGINT arithmetic: lay
+    * the docs on a number line in doc-id order, each covering an interval
+    * of its weight; drop n equally-spaced sample points (spacing W/n,
+    * deterministic offset = md5(seed) mod W) and count how many land in
+    * each doc's interval:
+    *   draws(doc) = ⌊(n·cum − o + W) / W⌋ − ⌊(n·(cum − w) − o + W) / W⌋
+    * (the +W keeps both operands non-negative so truncating and floor
+    * division agree across engines; it cancels in the difference). The
+    * draw counts telescope to EXACTLY n — spec-pinned, oracle-replayable
+    * with the same integer tree.
+    *
+    * Scale shape: the global running sum `cum` is a DISTRIBUTED prefix
+    * sum, never a single-partition global window — one range shuffle on
+    * the id, per-partition totals (≤ P rows) collected and re-entered as
+    * a dense array literal of prefix offsets, then a per-partition
+    * window. O(P) driver rows, two skinny shuffles, no corpus-sized
+    * driver state.
+    */
+  def importanceResample(
+      weights: DataFrame,
+      idCol: String,
+      wCol: String,
+      n: Long,
+      seed: String,
+      nParts: Int = 0
+  ): DataFrame = {
+    require(n > 0, s"importanceResample: n=$n draws must be positive")
+    val spark = weights.sparkSession
+    val p = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
+    // the skinny (id, w, pid) frame is consumed TWICE (per-partition totals,
+    // then the draw pass) — checkpoint it so the upstream weight computation
+    // (typically the full importance scoring scan) runs ONCE, not per action.
+    // ~16 B/row of executor-local blocks; construction is eager (the
+    // semdedup flood-guard precedent) and the blocks release before return
+    val ranged = weights
+      .select(col(idCol), col(wCol).cast("long").as("_w"))
+      .repartitionByRange(p, col(idCol))
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint()
+    // per-partition totals: ≤ p rows to the driver (the codebook stance)
+    val partTotals = ranged
+      .groupBy(col("_pid")).agg(sum(col("_w")).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val totals = Array.tabulate(p)(i => partTotals.getOrElse(i, 0L))
+    val offsets = totals.scanLeft(0L)(_ + _) // offsets(i) = Σ totals(<i)
+    val w0 = offsets(p)
+    require(w0 > 0, "importanceResample: total weight is zero — nothing to draw from")
+    // n·cum + W must stay in BIGINT on BOTH engines; fail loudly with the
+    // remedy (scale the weights down — only ratios matter to the draw)
+    require(w0 <= (Long.MaxValue - w0) / n,
+      s"importanceResample: n=$n × totalWeight=$w0 overflows 64-bit — rescale the " +
+        "weights (e.g. divide by 2^k; draw positions depend only on weight RATIOS)")
+    val off = java.lang.Math.floorMod(graft.functions.Md5Hash60.hash(
+      seed.getBytes("UTF-8")), w0)
+    val offLit = lit(Array.tabulate(p)(i => offsets(i)))
+    val cum =
+      element_at(offLit, col("_pid") + 1) +
+        sum(col("_w")).over(
+          Window.partitionBy(col("_pid")).orderBy(col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val out = ranged
+      .withColumn("_cum", cum)
+      // `div` (integral divide), NOT `/`: long / long is DOUBLE in Spark
+      // and loses exactness past 2^53 — these operands go to n·W
+      .withColumn("_hi", lit(n) * col("_cum") - lit(off) + lit(w0))
+      .withColumn("_lo", lit(n) * (col("_cum") - col("_w")) - lit(off) + lit(w0))
+      .withColumn("n_draws", expr(s"(_hi div ${w0}L) - (_lo div ${w0}L)"))
+      .where(col("n_draws") > 0)
+      .select(col(idCol), col("_w").as("weight"), col("n_draws"))
+      // draw-sized result; hand the caller a frame that survives the release
+      .localCheckpoint()
+    graft.core.Checkpoints.release(ranged)
+    out
+  }
+
+  /** Per-source corpus mixture PLAN under a token budget — the
+    * [[graft.data.Similarity.imiProbePlan]] control-loop pattern applied
+    * to domain mixing (the DoReMi/DSIR deployment step: a target domain
+    * mix exists, the crawl does not match it, and the sampler needs
+    * per-source rates that are honest about shortfalls). For each source:
+    * available tokens, wanted tokens (`budget · share`, exact ppm
+    * arithmetic), the md5-ticket keep-rate that realizes
+    * `min(want, avail)`, and a loud `fits` verdict — an under-supplied
+    * source caps at rate 1 and flags `fits = false` instead of silently
+    * under-delivering the mix. Everything stays in BIGINT; the output is
+    * |sources| rows (driver-trivial, broadcastable to the apply join).
+    *
+    * One aggregation pass over the corpus — at 100 TB the plan costs one
+    * map-side-combinable groupBy on the source key.
+    */
+  def corpusMixPlan(
+      df: DataFrame,
+      srcCol: String,
+      tokens: Column,
+      targetSharesPpm: Map[String, Long],
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens > 0, s"corpusMixPlan: budgetTokens=$budgetTokens must be positive")
+    val shareSum = targetSharesPpm.values.sum
+    require(targetSharesPpm.values.forall(_ >= 0) && shareSum <= 1000000L,
+      s"corpusMixPlan: shares must be non-negative ppm summing ≤ 1e6 (got $shareSum)")
+    val sorted = targetSharesPpm.toSeq.sortBy(_._1)
+    val shareMap = map_from_arrays(
+      lit(sorted.map(_._1).toArray), lit(sorted.map(_._2).toArray))
+    val share = coalesce(element_at(shareMap, col("source")), lit(0L))
+    df.groupBy(col(srcCol).as("source"))
+      .agg(sum(tokens.cast("long")).as("avail_tokens"))
+      // `div`, not `/` — long / long is DOUBLE in Spark (exactness)
+      .withColumn("_want_num", lit(budgetTokens) * share)
+      .withColumn("want_tokens", expr("_want_num div 1000000L"))
+      .withColumn(
+        "plan_tokens", least(col("want_tokens"), col("avail_tokens")))
+      .withColumn(
+        "rate_ppm",
+        when(col("avail_tokens") > 0,
+          least(lit(1000000L),
+            expr("(1000000L * want_tokens) div avail_tokens")))
+          .otherwise(lit(0L)))
+      .withColumn("fits", col("avail_tokens") >= col("want_tokens"))
+      .drop("_want_num")
+  }
+
+  /** Apply a [[corpusMixPlan]]: deterministic per-source md5-ticket
+    * sampling at the planned rate (the [[stratifiedSample]] family —
+    * survival is a pure function of (source, id), reproducible across
+    * runs and partitionings, stable under corpus growth). The plan frame
+    * is |sources| rows and broadcasts; the corpus is touched once.
+    */
+  def applyMixPlan(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      plan: DataFrame
+  ): DataFrame = {
+    val ticket = pmod(
+      graft.functions.Md5Hash60(
+        concat(col(srcCol), lit("|"), col(idCol).cast("string"))),
+      lit(1000000L))
+    df.join(
+        broadcast(plan.select(col("source").as("_mix_src"), col("rate_ppm"))),
+        col(srcCol) === col("_mix_src"))
+      .where(ticket < col("rate_ppm"))
+      .select(col(idCol), col(srcCol).as("source"))
+  }
 }

@@ -2089,6 +2089,98 @@ object DataQueries {
        |ORDER BY imp_mean_e6 DESC, doc_id
        |LIMIT 100""".stripMargin
 
+  /** Systematic importance RESAMPLING over the weights face — the DSIR
+    * sampling step itself ([[graft.data.CorpusOps.importanceResample]]):
+    * 200 draws proportional to `imp_e6`, deterministic offset, draws with
+    * multiplicity. Oracle replays the exact BIGINT interval-count tree
+    * over a windowed cumulative sum (CAST — the HUGEINT trap).
+    */
+  private val ImpResampleN = 200L
+  private val ImpResampleSeed = "graft-r16"
+
+  def dImportanceResample(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.importanceResample(
+      dImportanceWeights(spark, dir).select(col("doc_id"), col("imp_e6")),
+      "doc_id", "imp_e6", n = ImpResampleN, seed = ImpResampleSeed)
+
+  val dImportanceResampleSql: String = {
+    val n = ImpResampleN
+    s"""WITH $impScoredCtes,
+       |iw AS (SELECT doc_id, CAST(floor(s * 1000000.0) AS BIGINT) AS w FROM scored),
+       |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM iw),
+       |cw AS (SELECT doc_id, w,
+       |  CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM iw),
+       |od AS (SELECT (${hash60Sql(s"'$ImpResampleSeed'")} % tot) AS o, tot FROM tw),
+       |dr AS (
+       |  SELECT doc_id, w,
+       |    CAST(((CAST($n AS BIGINT) * cum - o + tot) // tot)
+       |      - ((CAST($n AS BIGINT) * (cum - w) - o + tot) // tot) AS BIGINT) AS n_draws
+       |  FROM cw, od)
+       |SELECT doc_id, w AS weight, n_draws FROM dr WHERE n_draws > 0""".stripMargin
+  }
+
+  /** Per-source mixture PLAN under a 4000-token budget against a
+    * 40/30/20/10 target over src0-3
+    * ([[graft.data.CorpusOps.corpusMixPlan]]): exact-BIGINT wants/rates,
+    * loud `fits = false` on the under-supplied source (src0 at sf0.01),
+    * zero rows for unplanned sources. Both flag states exercised.
+    */
+  private val MixShares = Seq(
+    "src0" -> 400000L, "src1" -> 300000L, "src2" -> 200000L, "src3" -> 100000L)
+  private val MixBudget = 4000L
+
+  def dMixPlan(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.corpusMixPlan(
+      Tables.documents(spark, dir), "source",
+      size(TextAnalysis.tokens(col("text"))).cast("long"),
+      MixShares.toMap, MixBudget)
+
+  private val mixPlanCtes: String = {
+    val shareCase = MixShares
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+    s"""av AS (
+       |  SELECT source, CAST(SUM(len(t)) AS BIGINT) AS avail_tokens
+       |  FROM toks GROUP BY 1),
+       |pl AS (
+       |  SELECT source, avail_tokens,
+       |    (CAST($MixBudget AS BIGINT) * CAST(($shareCase) AS BIGINT)) // 1000000
+       |      AS want_tokens
+       |  FROM av),
+       |plan AS (
+       |  SELECT source, avail_tokens, want_tokens,
+       |    least(want_tokens, avail_tokens) AS plan_tokens,
+       |    CASE WHEN avail_tokens > 0
+       |      THEN least(CAST(1000000 AS BIGINT),
+       |                 (CAST(1000000 AS BIGINT) * want_tokens) // avail_tokens)
+       |      ELSE CAST(0 AS BIGINT) END AS rate_ppm,
+       |    avail_tokens >= want_tokens AS fits
+       |  FROM pl)""".stripMargin
+  }
+
+  val dMixPlanSql: String =
+    s"""WITH $toksCte,
+       |$mixPlanCtes
+       |SELECT source, avail_tokens, want_tokens, plan_tokens, rate_ppm, fits
+       |FROM plan""".stripMargin
+
+  /** The plan applied ([[graft.data.CorpusOps.applyMixPlan]]): per-source
+    * md5-ticket sampling at the planned ppm rate — the stratifiedSample
+    * determinism contract, rates chosen by the plan instead of by hand.
+    */
+  def dMixApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    CorpusOps.applyMixPlan(docs, "doc_id", "source", dMixPlan(spark, dir))
+  }
+
+  val dMixApplySql: String =
+    s"""WITH $toksCte,
+       |$mixPlanCtes
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN plan p ON p.source = d.source
+       |WHERE ${hash60Sql("d.source || '|' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+       |      < p.rate_ppm""".stripMargin
+
   /** Concat-and-chunk sequence packing into 512-token sequences, 8 shards —
     * per-shard running sums (never a global cumsum), layout a pure function
     * of (doc_id, token count).
@@ -3235,6 +3327,9 @@ object DataQueries {
     "d_importance_weights" -> dImportanceWeights,
     "d_importance_select" -> dImportanceSelect,
     "d_importance_campaign" -> dImportanceCampaign,
+    "d_importance_resample" -> dImportanceResample,
+    "d_mix_plan" -> dMixPlan,
+    "d_mix_apply" -> dMixApply,
     "d_seq_pack" -> dSeqPack,
     "t_redact" -> tRedact,
     "d_corpus_assembly" -> dCorpusAssembly,
@@ -3316,6 +3411,9 @@ object DataQueries {
     "d_importance_weights" -> dImportanceWeightsSql,
     "d_importance_select" -> dImportanceSelectSql,
     "d_importance_campaign" -> dImportanceCampaignSql,
+    "d_importance_resample" -> dImportanceResampleSql,
+    "d_mix_plan" -> dMixPlanSql,
+    "d_mix_apply" -> dMixApplySql,
     "d_seq_pack" -> dSeqPackSql,
     "t_redact" -> tRedactSql,
     "d_corpus_assembly" -> dCorpusAssemblySql,

@@ -90,6 +90,86 @@ class CorpusOpsSpec extends SparkSpec {
     assert(truncErr.getMessage.contains("bytes"), truncErr.getMessage)
   }
 
+  test("importanceResample: exactly n draws, proportional ±1, partition-invariant, zero-weight never drawn") {
+    val w = Seq(
+      (1L, 500L), (2L, 250L), (3L, 125L), (4L, 125L),
+      (5L, 0L), (6L, 1L), (7L, 999L)
+    ).toDF("doc_id", "w")
+    val n = 40L
+    val total = 2000L
+    val out = CorpusOps.importanceResample(w, "doc_id", "w", n, "spec-seed")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the telescoping contract: the draw counts sum to EXACTLY n
+    assert(out.values.map(_._2).sum === n)
+    // zero-weight doc never drawn
+    assert(!out.contains(5L))
+    // systematic sampling puts each doc within 1 of its proportional share
+    out.foreach { case (id, (wi, d)) =>
+      val exact = n.toDouble * wi / total
+      assert(math.abs(d - exact) <= 1.0, s"doc $id: $d draws vs proportional $exact")
+    }
+    // deterministic, and INVARIANT to the partition count — pins the
+    // distributed prefix-sum (range shuffle + per-partition offsets)
+    val p1 = CorpusOps.importanceResample(w.repartition(5), "doc_id", "w", n, "spec-seed", nParts = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val p7 = CorpusOps.importanceResample(w.repartition(3), "doc_id", "w", n, "spec-seed", nParts = 7)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(p1 === p7)
+    assert(p1.map(r => r._1 -> ((r._2, r._3))).toMap === out)
+    // a different seed shifts the comb offset (almost surely a different draw set)
+    val other = CorpusOps.importanceResample(w, "doc_id", "w", n, "other-seed")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(other.values.sum === n)
+    // overflow guard is loud with the remedy named
+    val big = Seq((1L, Long.MaxValue / 10), (2L, Long.MaxValue / 10)).toDF("doc_id", "w")
+    val err = intercept[IllegalArgumentException] {
+      CorpusOps.importanceResample(big, "doc_id", "w", 1000L, "s")
+    }
+    assert(err.getMessage.contains("overflows"), err.getMessage)
+  }
+
+  test("corpusMixPlan/applyMixPlan: exact BIGINT wants and rates, loud fits=false, apply respects the plan") {
+    val docs = (0L until 400L).map { i =>
+      val src = s"s${i % 4}"
+      // s0 is token-poor (10/doc), the rest are rich (40/doc)
+      (i, src, if (src == "s0") 10L else 40L)
+    }.toDF("doc_id", "source", "n_tok")
+    // shares: s0 40%, s1 40%, s2 20%; s3 unplanned. budget 4000
+    val plan = CorpusOps.corpusMixPlan(
+      docs, "source", col("n_tok"),
+      Map("s0" -> 400000L, "s1" -> 400000L, "s2" -> 200000L), 4000L)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    // s0: avail 1000, want 1600 -> fits=false, capped rate 1e6, plan 1000
+    assert(plan("s0") === ((1000L, 1600L, 1000L, 1000000L, false)))
+    // s1: avail 4000, want 1600 -> rate 400000 exactly
+    assert(plan("s1") === ((4000L, 1600L, 1600L, 400000L, true)))
+    // s2: avail 4000, want 800 -> rate 200000
+    assert(plan("s2") === ((4000L, 800L, 800L, 200000L, true)))
+    // s3 unplanned: want 0, rate 0, fits (vacuously)
+    assert(plan("s3") === ((4000L, 0L, 0L, 0L, true)))
+    val planDf = CorpusOps.corpusMixPlan(
+      docs, "source", col("n_tok"),
+      Map("s0" -> 400000L, "s1" -> 400000L, "s2" -> 200000L), 4000L)
+    val kept = CorpusOps.applyMixPlan(docs, "doc_id", "source", planDf)
+      .as[(Long, String)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // capped source keeps EVERYTHING; unplanned source keeps NOTHING
+    assert(bySrc("s0") === 100)
+    assert(!bySrc.contains("s3"))
+    // md5 tickets are uniform: s1 keeps ~40 of 100 docs, s2 ~20
+    assert(bySrc("s1") > 25 && bySrc("s1") < 55, s"s1 kept ${bySrc("s1")}")
+    assert(bySrc("s2") > 10 && bySrc("s2") < 32, s"s2 kept ${bySrc("s2")}")
+    // determinism + growth stability (the stratifiedSample contract)
+    val grown = (0L until 800L).map { i =>
+      val src = s"s${i % 4}"
+      (i, src, if (src == "s0") 10L else 40L)
+    }.toDF("doc_id", "source", "n_tok")
+    val keptGrown = CorpusOps.applyMixPlan(grown, "doc_id", "source", planDf)
+      .filter($"doc_id" < 400).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(keptGrown === kept.sortBy(_._1).toSeq)
+  }
+
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {
     val docs = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
     val rates = Map("en" -> 0.5, "de" -> 0.1)
