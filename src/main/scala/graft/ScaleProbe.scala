@@ -417,9 +417,11 @@ object ScaleProbe {
     // importance-selection faces
     "s_ann_probe_plan", "d_dup_clusters_alt",
     "d_importance_weights", "d_importance_select",
-    // r16: the DSIR resampling step (distributed prefix-sum comb) and the
-    // budget-driven mixture planner/apply pair
-    "d_importance_resample", "d_mix_plan", "d_mix_apply"
+    // r16: the DSIR resampling step (distributed prefix-sum comb), the
+    // budget-driven mixture planner/apply pair, and the persisted
+    // cell-bucketed ANN index face
+    "d_importance_resample", "d_mix_plan", "d_mix_apply",
+    "s_ann_pq_imi_idx"
   )
 
   /** A table is reused only when its completion marker exists AND records

@@ -1130,49 +1130,98 @@ object Similarity {
       pSub: Int = 1,
       nearestEncode: Boolean = false
   ): DataFrame = {
+    pqImiAdcTopK(
+      encodeImiPq(corpus, idCol, vecCol, imiCodebooks, pqCodebooks, nearestEncode),
+      queries, idCol, vecCol, imiCodebooks, pqCodebooks, k, pSub)
+  }
+
+  /** The corpus-side IMI+PQ ENCODE — the (n_id, n_bk, n_codes) columns the
+    * pruned-ADC faces join against. Split out so it can be computed ONCE
+    * and PERSISTED as a cell-bucketed index table
+    * ([[pqTopKPrunedImiIndexed]]): inline, every query batch re-pays the
+    * full per-row PqEncode/imiAssign scan — at 100 TB that is re-encoding
+    * the corpus per batch, and it is the dominant term of the composed
+    * faces (the scoring join touches only fenced candidates).
+    */
+  def encodeImiPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      nearestEncode: Boolean = false
+  ): DataFrame = {
     require(imiCodebooks.length == 2,
-      s"pqTopKPrunedImi: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
-    val kSub = imiCodebooks.head.length
-    require(pSub >= 1 && pSub <= kSub, s"pqTopKPrunedImi: pSub=$pSub out of 1..$kSub")
-    val m = pqCodebooks.length
-    val cbK = pqCodebooks.head.length
-    val c = corpus.select(
+      s"encodeImiPq: need exactly 2 half-space cell codebooks, got ${imiCodebooks.length}")
+    corpus.select(
       col(idCol).as("n_id"),
       imiAssign(col(vecCol), imiCodebooks).as("n_bk"),
       pqEncode(col(vecCol), pqCodebooks, nearestEncode).as("n_codes"))
+  }
+
+  /** Query-side probe frame (q_id, q_lut, q_bk) of the IMI-pruned ADC
+    * faces — one row per probed cell (pSub(pSub+1)/2 per query).
+    */
+  private def imiQueryProbes(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      pSub: Int
+  ): DataFrame = {
+    val kSub = imiCodebooks.head.length
     // flattened native LUT against the SCORING codebooks (raw codewords)
     val lut = graft.functions.Pq.lut(col(vecCol), pqCodebooks)
-    val q = broadcast(
-      if (pSub == 1)
-        queries.select(
+    if (pSub == 1)
+      queries.select(
+        col(idCol).as("q_id"),
+        lut.as("q_lut"),
+        imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
+    else
+      // probe machinery pinned exactly like [[Dedup.semanticDedupImi]]:
+      // the per-half CELL dot table and both top-p lists each in their
+      // own ComputeOnce column — the probe array references each top
+      // list pSub+ times and the top-p splice fold references its lut
+      // slice ~3^pSub times; inlined, every reference would re-run the
+      // whole subtree on the interpreted HOF path
+      queries
+        .withColumn(
+          "_ilut",
+          graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+        .withColumn(
+          "_t0",
+          graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 0)))
+        .withColumn(
+          "_t1",
+          graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 1)))
+        .select(
           col(idCol).as("q_id"),
           lut.as("q_lut"),
-          imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
-      else
-        // probe machinery pinned exactly like [[Dedup.semanticDedupImi]]:
-        // the per-half CELL dot table and both top-p lists each in their
-        // own ComputeOnce column — the probe array references each top
-        // list pSub+ times and the top-p splice fold references its lut
-        // slice ~3^pSub times; inlined, every reference would re-run the
-        // whole subtree on the interpreted HOF path
-        queries
-          .withColumn(
-            "_ilut",
-            graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
-          .withColumn(
-            "_t0",
-            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 0)))
-          .withColumn(
-            "_t1",
-            graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pSub, 1)))
-          .select(
-            col(idCol).as("q_id"),
-            lut.as("q_lut"),
-            explode(imiProbeCells(col("_t0"), col("_t1"), kSub, pSub)).as("q_bk")))
+          explode(imiProbeCells(col("_t0"), col("_t1"), kSub, pSub)).as("q_bk"))
+  }
+
+  /** ADC fence-join + top-k over an already-encoded corpus frame. */
+  private def pqImiAdcTopK(
+      encoded: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      pSub: Int
+  ): DataFrame = {
+    val kSub = imiCodebooks.head.length
+    require(pSub >= 1 && pSub <= kSub, s"pqImiAdcTopK: pSub=$pSub out of 1..$kSub")
+    val m = pqCodebooks.length
+    val cbK = pqCodebooks.head.length
+    val q = broadcast(
+      imiQueryProbes(queries, idCol, vecCol, imiCodebooks, pqCodebooks, pSub))
     val score = (0 until m)
       .map(mi => element_at(col("q_lut"), lit(mi * cbK) + element_at(col("n_codes"), mi + 1) + 1))
       .reduce(_ + _) // left-assoc: subspace order, matches the oracle fold
-    val scored = c
+    val scored = encoded
       .join(q, col("n_bk") === col("q_bk") && col("n_id") =!= col("q_id"))
       .withColumn("score", score)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("n_id").asc)
@@ -1185,6 +1234,51 @@ object Similarity {
         col("rank"),
         floor(col("score") * 1e6).cast("long").as("score_e6")
       )
+  }
+
+  /** [[pqTopKPrunedImi]] over a PERSISTED index — the "build once, query
+    * many" production shape: `index` is the [[encodeImiPq]] frame written
+    * as a table BUCKETED BY `n_bk` (e.g. via
+    * [[graft.connectors.Bucketing.ensureBucketed]]), so every query batch
+    * reads 3 small columns instead of re-encoding the corpus, and — when
+    * `pruneBuckets` — the probed cells are collected (a bounded
+    * q·pSub(pSub+1)/2-value driver action) and pushed as an `IN` filter
+    * on the bucket column, which Spark turns into BUCKET PRUNING: the
+    * scan reads only files of probed buckets
+    * (`SelectedBucketsCount` in the plan, spec-pinned). At 100 TB the
+    * fence thereby becomes an I/O bound, not just a join bound — the
+    * non-probed part of the index is never read.
+    *
+    * Results are row-identical to [[pqTopKPrunedImi]] on the same corpus
+    * and codebooks (spec-pinned): the IN filter is implied by the join
+    * condition, so pruning is plan-only.
+    */
+  def pqTopKPrunedImiIndexed(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      imiCodebooks: Seq[Seq[Seq[Double]]],
+      pqCodebooks: Seq[Seq[Seq[Double]]],
+      k: Int,
+      pSub: Int = 1,
+      pruneBuckets: Boolean = true,
+      maxPruneCells: Int = 65536
+  ): DataFrame = {
+    Seq("n_id", "n_bk", "n_codes").foreach(c =>
+      require(index.columns.contains(c),
+        s"pqTopKPrunedImiIndexed: index lacks column $c — build it with encodeImiPq"))
+    val pruned =
+      if (!pruneBuckets) index
+      else {
+        val cells = imiQueryProbes(queries, idCol, vecCol, imiCodebooks, pqCodebooks, pSub)
+          .select(col("q_bk")).distinct().collect().map(_.get(0))
+        // a probe set larger than the IN-filter budget would bloat the plan
+        // for no pruning win (most buckets touched anyway) — skip, loudly
+        if (cells.length > maxPruneCells) index
+        else index.where(col("n_bk").isin(cells.toSeq: _*))
+      }
+    pqImiAdcTopK(pruned, queries, idCol, vecCol, imiCodebooks, pqCodebooks, k, pSub)
   }
 
   /** Residual of a vector against its own IMI product cell —

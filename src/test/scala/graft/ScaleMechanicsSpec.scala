@@ -555,6 +555,47 @@ class ScaleMechanicsSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
+  test("persisted ANN index: indexed face ≡ inline face row-for-row; probed cells become bucket pruning") {
+    import graft.data.Similarity
+    val corpus = opCorpus.limit(4000).cache()
+    corpus.count()
+    val icbs = Similarity.imiCodebooks(corpus, "vec_id", "embedding", 4)
+    val pcbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val q = corpus.filter($"vec_id" % 401 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Long)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val inline = rows(Similarity.pqTopKPrunedImi(
+      corpus, q, "vec_id", "embedding", icbs, pcbs, k = 5, pSub = 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx_spec").toString
+    val idx = graft.connectors.Bucketing.ensureBucketed(
+      spark,
+      Similarity.encodeImiPq(corpus, "vec_id", "embedding", icbs, pcbs),
+      "graft_ann_idx_spec", dir, "n_bk", 8, sourceStamp = "spec")
+    // row-identical to the inline face — the index changes the read path,
+    // never the answer (with and without the pruning filter)
+    assert(rows(Similarity.pqTopKPrunedImiIndexed(
+      idx, q, "vec_id", "embedding", icbs, pcbs, k = 5, pSub = 2)) === inline)
+    assert(rows(Similarity.pqTopKPrunedImiIndexed(
+      idx, q, "vec_id", "embedding", icbs, pcbs, k = 5, pSub = 2,
+      pruneBuckets = false)) === inline)
+    // the 100 TB contract: a single query at pSub=1 probes ONE cell, and
+    // the index scan must read only that cell's bucket — not the corpus
+    val someId = corpus.agg(min($"vec_id")).as[Long].head()
+    val one = corpus.filter($"vec_id" === someId)
+    val plan = Similarity.pqTopKPrunedImiIndexed(
+      idx, one, "vec_id", "embedding", icbs, pcbs, k = 5, pSub = 1)
+      .queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the indexed scan:\n${plan.take(2000)}")
+    assert(sel.get.group(1).toInt === 1,
+      s"single-cell probe read ${sel.get.group(1)} buckets, expected 1")
+    // oversized probe sets skip the IN filter instead of bloating the plan
+    val unpruned = Similarity.pqTopKPrunedImiIndexed(
+      idx, q, "vec_id", "embedding", icbs, pcbs, k = 5, pSub = 2, maxPruneCells = 1)
+    assert(rows(unpruned) === inline)
+    corpus.unpersist()
+  }
+
   test("checkpoint blocks release: Dataset.unpersist no-ops on localCheckpoint frames; loops go through Checkpoints.release and strand nothing") {
     import graft.data.{Dedup, Similarity}
     val sc = spark.sparkContext
