@@ -182,6 +182,61 @@ object Dedup {
     * DataOpsSpec pins the guard firing under a crafted flood and the
     * clustering face sailing through the same corpus.
     */
+  /** The banded LSH bucket frame (sid, band, bucket) — the shared front
+    * half of [[minhashPairs]] and [[graft.data.SnapshotOps.incrementalNearDup]],
+    * and the ROW LAYOUT of a persisted near-dup band index.
+    *
+    * NULL-text docs carry NULL signatures (tokens(null) is null, so every
+    * h-column is null) and concat_ws collapses their bucket to "" in
+    * EVERY band — one shared quadratic bucket of rows that can never
+    * verify (null jaccard is dropped by the filter) yet would trip the
+    * flood guard first on a NULL-heavy crawl feed. They cannot pair, so
+    * they never enter banding; h0 is null iff the whole signature is
+    * (ShingleHash60 emits at least one shingle for any non-null tokens).
+    */
+  private[data] def bandedBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int,
+      rows: Int
+  ): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n, k)
+      .filter(col("h0").isNotNull)
+    val nBands = k / rows
+    val bands = array((0 until nBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket")
+      )
+    }: _*)
+    sig.select(col("sid"), explode(bands).as("bb"))
+      .select(col("sid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** One (band,bucket)-count pass before a quadratic bucket join — the
+    * flood guard shared by the pair faces: fail with the top offender
+    * sizes instead of an executor OOM mid-join. EAGER (runs a job).
+    */
+  private[data] def assertNoBucketFlood(
+      banded: DataFrame, maxBucketRows: Int, face: String, remedy: String): Unit = {
+    val oversized = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketRows)
+      .orderBy(col("_bc").desc)
+      .limit(3)
+      .collect()
+    if (oversized.nonEmpty) {
+      val tops = oversized
+        .map(r => s"band=${r.get(0)} bucket=${r.get(1)} rows=${r.get(2)}")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"$face: duplicate flood — band bucket(s) above maxBucketRows=$maxBucketRows ($tops). " +
+          remedy)
+    }
+  }
+
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -194,29 +249,12 @@ object Dedup {
   ): DataFrame = {
     require(k % rows == 0, "k must be divisible by band rows")
     require(maxBucketRows > 0, "maxBucketRows must be positive")
-    // NULL-text docs carry NULL signatures (tokens(null) is null, so every
-    // h-column is null) and concat_ws collapses their bucket to "" in
-    // EVERY band — one shared quadratic bucket of rows that can never
-    // verify (null jaccard is dropped by the filter) yet would trip the
-    // flood guard first on a NULL-heavy crawl feed. They cannot pair, so
-    // they never enter banding; h0 is null iff the whole signature is
-    // (ShingleHash60 emits at least one shingle for any non-null tokens).
-    val sig = minhashSignatures(df, idCol, textCol, n, k)
-      .filter(col("h0").isNotNull)
-    val nBands = k / rows
-    val bands = array((0 until nBands).map { b =>
-      struct(
-        lit(b).as("band"),
-        concat_ws("_", (0 until rows).map(r => col(s"h${b * rows + r}")): _*).as("bucket")
-      )
-    }: _*)
     // the (sid, band, bucket) frame feeds THREE consumers (flood guard,
     // both sides of the candidate self-join) — localCheckpoint pays the
     // tokenize+shingle+k-hash signature scan once instead of three lineage
     // re-derivations (ids + hash strings only, never text: executor-local
     // disk stays corpus-metadata-sized). Same pattern as `candidates`.
-    val banded = sig.select(col("sid"), explode(bands).as("bb"))
-      .select(col("sid"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedBuckets(df, idCol, textCol, n, k, rows)
       .localCheckpoint()
     // the flood guard: one (band,bucket)-count pass before the quadratic
     // join — a cheap aggregation over the checkpointed frame buys the
@@ -224,26 +262,14 @@ object Dedup {
     // "executor OOM mid-join". NOTE this makes construction EAGER (it
     // runs a job and can throw before any action) — the documented
     // contract of the pair face.
-    val oversized = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > maxBucketRows)
-      .orderBy(col("_bc").desc)
-      .limit(3)
-      .collect()
-    if (oversized.nonEmpty) {
-      val tops = oversized
-        .map(r => s"band=${r.get(0)} bucket=${r.get(1)} rows=${r.get(2)}")
-        .mkString(", ")
-      throw new IllegalStateException(
-        s"minhashPairs: duplicate flood — band bucket(s) above maxBucketRows=$maxBucketRows " +
-          s"($tops). The within-bucket pair join is duplicity²-quadratic and the pairs it " +
-          "would emit are quadratic OUTPUT, not just work. If the flood is VERBATIM copies, " +
-          "use minhashPairsForClustering for cluster-grain consumers, or collapse " +
-          "exact-duplicate texts to reps, run minhashPairs on the reps, and expand rep " +
-          "pairs to member pairs lazily (see scaladoc). If the flood is DISTINCT near-dup " +
-          "texts (the collapse cannot shrink it), the quadratic is inherent to the pair " +
-          "grain — pre-shard the corpus or raise maxBucketRows only if it is truly intended.")
-    }
+    assertNoBucketFlood(banded, maxBucketRows, "minhashPairs",
+      "The within-bucket pair join is duplicity²-quadratic and the pairs it " +
+        "would emit are quadratic OUTPUT, not just work. If the flood is VERBATIM copies, " +
+        "use minhashPairsForClustering for cluster-grain consumers, or collapse " +
+        "exact-duplicate texts to reps, run minhashPairs on the reps, and expand rep " +
+        "pairs to member pairs lazily (see scaladoc). If the flood is DISTINCT near-dup " +
+        "texts (the collapse cannot shrink it), the quadratic is inherent to the pair " +
+        "grain — pre-shard the corpus or raise maxBucketRows only if it is truly intended.")
     val l = banded.select(col("band"), col("bucket"), col("sid").as("i"))
     val r = banded.select(col("band"), col("bucket"), col("sid").as("j"))
     // materialize the (tiny) candidate list once — it feeds the id semi-join
@@ -254,6 +280,10 @@ object Dedup {
       .select(col("i"), col("j"))
       .distinct()
       .localCheckpoint()
+    // the banded frame's last consumer was the candidate join just
+    // materialized — release its blocks (Checkpoints, not the no-op
+    // Dataset.unpersist); `candidates` stays: the returned plan reads it
+    graft.core.Checkpoints.release(banded)
     // verify ONLY the candidates with true Jaccard (two-phase LSH: the
     // quadratic verifier runs on the collided fraction, not all pairs) —
     // and build shingle sets ONLY for candidate docs (semi-join), not the

@@ -105,4 +105,114 @@ object SnapshotOps {
           .otherwise(lit("new"))
           .as("verdict"))
   }
+
+  /** NEAR-dup incremental dedup — [[incrementalDedup]]'s contract at the
+    * MinHash-LSH grain: gate a delta batch against the already-ingested
+    * corpus without an all-pairs comparison, catching recrawls that
+    * differ by boilerplate/timestamps where the exact hash face misses.
+    * Verdicts per delta doc:
+    *   - `dup_corpus` — banded-signature collision with an INGESTED doc,
+    *     verified at true n-gram Jaccard ≥ `threshold`;
+    *   - `dup_delta` — verified collision with an EARLIER delta doc
+    *     (lower id = first-seen, the arrival-order rule of the streaming
+    *     near-dup gate; pair-grain, not transitive closure);
+    *   - `new` — everything else. `dup_corpus` wins when both hold.
+    *
+    * Scale shape: the corpus side participates ONLY through its banded
+    * bucket frame (sid, band, bucket — [[Dedup.bandedBuckets]], ids +
+    * hash strings, never text), which is exactly the layout a production
+    * pipeline PERSISTS as its near-dup index and appends per delta; the
+    * candidate joins are bucket-equi-joins guarded by the shared flood
+    * guard, and only collided candidates pay the shingle-set verify
+    * (two-phase LSH, delta-sized). Nothing here rereads or reshuffles
+    * ingested text beyond one signature scan to build/refresh the index.
+    */
+  def incrementalNearDup(
+      corpusIndex: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      rows: Int = 2,
+      threshold: Double = 0.8,
+      maxBucketRows: Int = 10000
+  ): DataFrame = {
+    require(k % rows == 0, "incrementalNearDup: k must be divisible by band rows")
+    val dB = Dedup.bandedBuckets(delta, idCol, textCol, n, k, rows).localCheckpoint()
+    val cB = Dedup.bandedBuckets(corpusIndex, idCol, textCol, n, k, rows).localCheckpoint()
+    val remedy =
+      "A single band bucket would drive a quadratic candidate join; collapse exact " +
+        "duplicates first or raise maxBucketRows only if the distinct-grain quadratic " +
+        "is truly intended (the minhashPairs scaladoc discusses both contracts)."
+    Dedup.assertNoBucketFlood(dB, maxBucketRows, "incrementalNearDup(delta)", remedy)
+    Dedup.assertNoBucketFlood(cB, maxBucketRows, "incrementalNearDup(corpus)", remedy)
+    // delta × corpus collisions → candidate (did, cid); delta × delta
+    // collisions → candidate (i, j) — both off the SAME banded frames, so
+    // each side pays its tokenize+shingle+k-hash signature scan once
+    val candDC = dB.select(col("band"), col("bucket"), col("sid").as("did"))
+      .join(cB.select(col("band"), col("bucket"), col("sid").as("cid")), Seq("band", "bucket"))
+      .select(col("did"), col("cid"))
+      .distinct()
+      .localCheckpoint()
+    val candDD = dB.select(col("band"), col("bucket"), col("sid").as("i"))
+      .join(dB.select(col("band"), col("bucket"), col("sid").as("j")), Seq("band", "bucket"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"))
+      .distinct()
+      .localCheckpoint()
+    val shingles = (df: DataFrame) => df.select(
+      col(idCol).as("sid"),
+      graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n).as("sset"))
+    // ONE delta shingle-set frame feeds both verify arms (semi-join to
+    // candidate ids only — the two-phase LSH contract)
+    val dCandIds = candDC.select(col("did").as("sid"))
+      .unionByName(candDD.select(col("i").as("sid")))
+      .unionByName(candDD.select(col("j").as("sid")))
+      .distinct()
+    val dSets = shingles(delta)
+      .join(dCandIds, Seq("sid"), "left_semi")
+      .localCheckpoint()
+    val cSets = shingles(corpusIndex)
+      .join(candDC.select(col("cid").as("sid")).distinct(), Seq("sid"), "left_semi")
+    def jaccardAtLeast(df: DataFrame, a: String, b: String): DataFrame = df
+      .withColumn("c", size(array_intersect(col(a), col(b))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("c").cast("double") / (size(col(a)) + size(col(b)) - col("c")))
+      .filter(col("jaccard") >= threshold)
+    val corpusDup = jaccardAtLeast(
+      candDC
+        .join(dSets.select(col("sid").as("did"), col("sset").as("sd")), Seq("did"))
+        .join(cSets.select(col("sid").as("cid"), col("sset").as("sc")), Seq("cid")),
+      "sd", "sc")
+      .select(col("did"))
+      .distinct()
+      .withColumn("_dup_corpus", lit(true))
+    // delta × delta verified pairs: first-seen (lower id) wins
+    val deltaDup = jaccardAtLeast(
+      candDD
+        .join(dSets.select(col("sid").as("i"), col("sset").as("si")), Seq("i"))
+        .join(dSets.select(col("sid").as("j"), col("sset").as("sj")), Seq("j")),
+      "si", "sj")
+      .select(col("j").as("did"))
+      .distinct()
+      .withColumn("_dup_delta", lit(true))
+    val out = delta.select(col(idCol))
+      .join(corpusDup, col(idCol) === corpusDup("did"), "left").drop("did")
+      .join(deltaDup, col(idCol) === deltaDup("did"), "left").drop("did")
+      .select(
+        col(idCol),
+        when(col("_dup_corpus"), lit("dup_corpus"))
+          .when(col("_dup_delta"), lit("dup_delta"))
+          .otherwise(lit("new"))
+          .as("verdict"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(dB)
+    graft.core.Checkpoints.release(cB)
+    graft.core.Checkpoints.release(candDC)
+    graft.core.Checkpoints.release(candDD)
+    graft.core.Checkpoints.release(dSets)
+    out
+  }
 }

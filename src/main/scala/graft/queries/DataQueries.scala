@@ -3229,6 +3229,73 @@ object DataQueries {
       textCol = "text")
   }
 
+  /** NEAR-dup incremental face ([[SnapshotOps.incrementalNearDup]]): the
+    * same delta/recrawl fixture as `d_dedup_incremental`, gated at the
+    * MinHash-LSH grain — recrawls verify at jaccard 1 against their
+    * originals (in corpus → `dup_corpus`, in delta → `dup_delta`), and
+    * the corpus's organic near-dups exercise the sub-1.0 band. Oracle
+    * replays banding over the tagged union and verifies with the
+    * all-pairs jaccard CTE restricted to collisions.
+    */
+  def dNearDupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val recrawl = docs
+      .filter(pmod(col("doc_id"), lit(5)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    SnapshotOps.incrementalNearDup(
+      corpusIndex = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0),
+      delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(recrawl),
+      idCol = "doc_id",
+      textCol = "text")
+  }
+
+  val dNearDupIncrementalSql: String = {
+    val tok = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    val bandSelects = (0 until K / 2)
+      .map(b => s"SELECT sid, $b AS band, h${2 * b} || '_' || h${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tok AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, $tok AS t FROM documents WHERE doc_id % 5 = 1),
+       |tags AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'd' ELSE 'c' END AS tag FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, 'd' AS tag FROM documents WHERE doc_id % 5 = 1),
+       |$shCte, $mhCte, $jaccardPairsSql,
+       |bands AS (
+       |  $bandSelects),
+       |tb AS (SELECT b.sid, b.band, b.bucket, g.tag FROM bands b JOIN tags g ON g.doc_id = b.sid),
+       |candc AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN x.tag = 'd' THEN x.sid ELSE y.sid END AS did,
+       |    CASE WHEN x.tag = 'd' THEN y.sid ELSE x.sid END AS cid
+       |  FROM tb x JOIN tb y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.sid < y.sid AND x.tag <> y.tag),
+       |corpus_dup AS (
+       |  SELECT DISTINCT c.did
+       |  FROM candc c JOIN jac
+       |    ON jac.i = least(c.did, c.cid) AND jac.j = greatest(c.did, c.cid)
+       |  WHERE jac.jaccard >= 0.8),
+       |candd AS (
+       |  SELECT DISTINCT x.sid AS i, y.sid AS j
+       |  FROM tb x JOIN tb y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.sid < y.sid
+       |      AND x.tag = 'd' AND y.tag = 'd'),
+       |delta_dup AS (
+       |  SELECT DISTINCT c.j AS did
+       |  FROM candd c JOIN jac ON jac.i = c.i AND jac.j = c.j
+       |  WHERE jac.jaccard >= 0.8)
+       |SELECT t.doc_id,
+       |  CASE WHEN cd.did IS NOT NULL THEN 'dup_corpus'
+       |       WHEN dd.did IS NOT NULL THEN 'dup_delta'
+       |       ELSE 'new' END AS verdict
+       |FROM tags t
+       |LEFT JOIN corpus_dup cd ON cd.did = t.doc_id
+       |LEFT JOIN delta_dup dd ON dd.did = t.doc_id
+       |WHERE t.tag = 'd'""".stripMargin
+  }
+
   val dDedupIncrementalSql: String =
     """WITH corpus AS (
       |  SELECT DISTINCT md5(text) AS content_hash
@@ -3320,6 +3387,7 @@ object DataQueries {
     "d_incremental_rebuild" -> dIncrementalRebuild,
     "d_snapshot_diff" -> dSnapshotDiff,
     "d_dedup_incremental" -> dDedupIncremental,
+    "d_neardup_incremental" -> dNearDupIncremental,
     "d_boilerplate_strip" -> dBoilerplateStrip,
     "d_decontaminate_multi" -> dDecontaminateMulti,
     "d_split_assign" -> dSplitAssign,
@@ -3405,6 +3473,7 @@ object DataQueries {
     "d_incremental_rebuild" -> dIncrementalRebuildSql,
     "d_snapshot_diff" -> dSnapshotDiffSql,
     "d_dedup_incremental" -> dDedupIncrementalSql,
+    "d_neardup_incremental" -> dNearDupIncrementalSql,
     "d_boilerplate_strip" -> dBoilerplateStripSql,
     "d_decontaminate_multi" -> dDecontaminateMultiSql,
     "d_split_assign" -> dSplitAssignSql,

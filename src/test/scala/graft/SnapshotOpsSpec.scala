@@ -87,4 +87,45 @@ class SnapshotOpsSpec extends SparkSpec {
     assert(got.filter($"doc_id" === 1 && $"verdict" === "dup_corpus").count() === 1)
     assert(got.filter($"doc_id" === 2 && $"verdict" === "new").count() === 1)
   }
+
+  test("incrementalNearDup: catches NON-verbatim recrawls the exact face misses; dup_corpus wins; first-seen within delta") {
+    // base doc plus a boilerplate-suffixed recrawl: near-dup, NOT exact-dup
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = Seq(
+      (10L, base),
+      (11L, "completely different text about walruses and icebergs floating north")
+    ).toDF("doc_id", "text")
+    val fresh = "volcano geology basalt columns lava tubes caldera rims " * 4
+    val delta = Seq(
+      (20L, base + " cookie notice"),   // near-dup of ingested 10 -> dup_corpus
+      (21L, "short fresh unrelated document about tide pools"),
+      (22L, base + " cookie notice"),   // ALSO near-dups ingested 10 -> dup_corpus (wins over its delta-dup with 20)
+      (23L, base),                      // exact text of ingested 10 -> dup_corpus
+      (24L, fresh),                     // first-seen of a fresh near-dup pair -> new
+      (25L, fresh + " trailing boilerplate")  // near-dups delta 24 only -> dup_delta
+    ).toDF("doc_id", "text")
+    val got = SnapshotOps
+      .incrementalNearDup(corpus, delta, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got === Map(
+      20L -> "dup_corpus", 21L -> "new", 22L -> "dup_corpus", 23L -> "dup_corpus",
+      24L -> "new", 25L -> "dup_delta"))
+    // the exact face MISSES the boilerplate recrawl — the reason this
+    // operator exists
+    val exact = SnapshotOps.incrementalDedup(corpus, delta, "doc_id", "text")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(exact(20L) === "new")
+    // sub-threshold overlap stays new: same vocabulary, low Jaccard
+    val far = Seq((30L, "alpha beta gamma completely reshuffled with other words now"))
+      .toDF("doc_id", "text")
+    val gotFar = SnapshotOps.incrementalNearDup(corpus, far, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(gotFar(30L) === "new")
+    // flood guard stays loud through this face
+    val flood = (0L until 50L).map(i => (100L + i, base)).toDF("doc_id", "text")
+    val err = intercept[IllegalStateException] {
+      SnapshotOps.incrementalNearDup(corpus, flood, "doc_id", "text", maxBucketRows = 10)
+    }
+    assert(err.getMessage.contains("duplicate flood"), err.getMessage)
+  }
 }
