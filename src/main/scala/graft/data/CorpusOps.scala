@@ -667,6 +667,55 @@ object CorpusOps {
     out
   }
 
+  /** Exact global top-fraction cut — keep the best `keepPpm`/1e6 of the
+    * corpus by a score column, with EXACT global ranks, no global sort
+    * node and no driver-resident result: `orderBy(...).limit(k)` plans as
+    * `TakeOrderedAndProject`, which materializes all k rows ON THE DRIVER
+    * — fine for a top-100 report, fatal for "keep the best 10% of 10¹¹
+    * docs" (the quality-filter cut of corpus curation). This face is the
+    * distributed-rank primitive instead: range-partition on the ordering
+    * key (skinny (id, score) rows), collect ≤P per-partition counts,
+    * re-enter prefix offsets as a dense array literal, per-partition
+    * `row_number` + offset = exact global rank (the
+    * [[importanceResample]] prefix-sum pattern applied to ordinals).
+    * Ties break by id — a total order, so ranks are partition-count
+    * invariant (spec-pinned). Output `(id, score, rank)`, rank ≤
+    * `⌊N·keepPpm/1e6⌋`.
+    */
+  def topFraction(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      keepPpm: Long,
+      nParts: Int = 0
+  ): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L,
+      s"topFraction: keepPpm=$keepPpm outside [0, 1e6]")
+    val spark = df.sparkSession
+    val p = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.select(col(idCol), col(scoreCol).cast("long").as("_s"))
+      .repartitionByRange(p, col("_s").desc, col(idCol).asc)
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cnt = Array.tabulate(p)(i => counts.getOrElse(i, 0L))
+    val offsets = cnt.scanLeft(0L)(_ + _)
+    val n = offsets(p)
+    val keepN = n * keepPpm / 1000000L
+    val offLit = lit(Array.tabulate(p)(i => offsets(i)))
+    val rank = element_at(offLit, col("_pid") + 1) +
+      row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(col("_s").desc, col(idCol).asc))
+    val out = ranged
+      .withColumn("rank", rank.cast("long"))
+      .where(col("rank") <= keepN)
+      .select(col(idCol), col("_s").as(scoreCol), col("rank"))
+      .localCheckpoint()
+    graft.core.Checkpoints.release(ranged)
+    out
+  }
+
   /** Per-source corpus mixture PLAN under a token budget — the
     * [[graft.data.Similarity.imiProbePlan]] control-loop pattern applied
     * to domain mixing (the DoReMi/DSIR deployment step: a target domain

@@ -135,6 +135,45 @@ object DataQueries {
        |FROM scored""".stripMargin
   }
 
+  /** Exact top-10% quality cut ([[CorpusOps.topFraction]] over the hashed
+    * linear quality score): the "keep the best fraction" filter of corpus
+    * curation with EXACT global ranks — distributed prefix-sum ranks, not
+    * a driver-resident TakeOrderedAndProject. Oracle replays the score
+    * CTEs plus a window ROW_NUMBER against the exact ⌊N/10⌋ cut.
+    */
+  def dQualityCut(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.topFraction(
+      TextAnalysis.qualityModelScore(Tables.documents(spark, dir), "doc_id", "text", dims = 64),
+      "doc_id", "score_e6", keepPpm = 100000L)
+
+  val dQualityCutSql: String = {
+    val w = TextAnalysis.modelWeights(64).map(_.toString).mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |w AS (SELECT $w::DOUBLE[] AS wv),
+       |scored AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE list_reduce(
+       |           list_transform(t, x -> wv[CAST(${hash60Sql("x")} % 64 AS INT) + 1]),
+       |           (a, b) -> a + b)
+       |    END AS raw
+       |  FROM toks CROSS JOIN w),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(floor(raw / (n_tokens + 1) * 1e6) AS BIGINT) AS score_e6
+       |  FROM scored),
+       |rk AS (
+       |  SELECT doc_id, score_e6,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc),
+       |cut AS (SELECT (COUNT(*) * 100000) // 1000000 AS keep_n FROM sc)
+       |SELECT doc_id, score_e6, rank
+       |FROM rk, cut WHERE rank <= keep_n""".stripMargin
+  }
+
   /** Per-source document cap (at most 5 docs per source, best-first by
     * n_chars with doc_id tiebreak) — the per-domain cap of a web corpus.
     */
@@ -3393,6 +3432,7 @@ object DataQueries {
     "d_split_assign" -> dSplitAssign,
     "t_quality" -> tQuality,
     "t_quality_model" -> tQualityModel,
+    "d_quality_cut" -> dQualityCut,
     "d_source_cap" -> dSourceCap,
     "t_langid" -> tLangId,
     "t_fingerprint" -> tFingerprint,
@@ -3479,6 +3519,7 @@ object DataQueries {
     "d_split_assign" -> dSplitAssignSql,
     "t_quality" -> tQualitySql,
     "t_quality_model" -> tQualityModelSql,
+    "d_quality_cut" -> dQualityCutSql,
     "d_source_cap" -> dSourceCapSql,
     "t_langid" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,

@@ -128,6 +128,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(err.getMessage.contains("overflows"), err.getMessage)
   }
 
+  test("topFraction: exact global ranks match a full sort, partition-invariant, tie-break by id, edge fractions") {
+    // scores with heavy ties so the id tie-break is load-bearing
+    val docs = (0L until 5000L).map(i => (i, (i % 97) * 1000L)).toDF("doc_id", "s")
+    val got = CorpusOps.topFraction(docs, "doc_id", "s", keepPpm = 100000L)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(got.size === 500)
+    // ground truth: full sort (fixture-sized — the thing topFraction
+    // avoids at scale, used here as the oracle)
+    val truth = docs.orderBy($"s".desc, $"doc_id".asc).limit(500)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) === truth)
+    assert(got.map(_._3) === (1L to 500L))
+    // partition-count invariance: the distributed rank is exact at any P
+    val p1 = CorpusOps.topFraction(docs.repartition(7), "doc_id", "s", 100000L, nParts = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    val p9 = CorpusOps.topFraction(docs.repartition(3), "doc_id", "s", 100000L, nParts = 9)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(p1 === got && p9 === got)
+    // edges: 0 keeps nothing, 1e6 keeps everything
+    assert(CorpusOps.topFraction(docs, "doc_id", "s", 0L).count() === 0L)
+    assert(CorpusOps.topFraction(docs, "doc_id", "s", 1000000L).count() === 5000L)
+  }
+
   test("corpusMixPlan/applyMixPlan: exact BIGINT wants and rates, loud fits=false, apply respects the plan") {
     val docs = (0L until 400L).map { i =>
       val src = s"s${i % 4}"
