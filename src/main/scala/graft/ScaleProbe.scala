@@ -421,7 +421,8 @@ object ScaleProbe {
     // budget-driven mixture planner/apply pair, and the persisted
     // cell-bucketed ANN index face
     "d_importance_resample", "d_mix_plan", "d_mix_apply",
-    "s_ann_pq_imi_idx", "d_neardup_incremental", "d_quality_cut"
+    "s_ann_pq_imi_idx", "d_neardup_incremental", "d_quality_cut",
+    "d_curation_pipeline"
   )
 
   /** A table is reused only when its completion marker exists AND records

@@ -174,6 +174,95 @@ object DataQueries {
        |FROM rk, cut WHERE rank <= keep_n""".stripMargin
   }
 
+  /** Curation capstone: quality gate → exact dedup (keep-first) →
+    * budget-driven mixture plan+apply, composed as ONE lazy Catalyst plan
+    * (qualityModelScore, the dedup window, corpusMixPlan and applyMixPlan
+    * are all driver-action-free, so the whole pipeline optimizes as a
+    * single tree — column pruning reaches the scan, the |sources|-row
+    * plan broadcasts, and nothing materializes between stages). The
+    * incremental-rebuild capstone proves the snapshot chain; this one
+    * proves the SELECTION chain.
+    */
+  private val CurationScoreFloor = -150000L
+
+  def dCurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityModelScore(docs, "doc_id", "text", dims = 64)
+    val kept = docs.join(
+      scored.filter(col("score_e6") > CurationScoreFloor).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val deduped = kept
+      .withColumn("_keep", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("_keep"))
+      .drop("_keep")
+    val plan = CorpusOps.corpusMixPlan(
+      deduped, "source",
+      size(TextAnalysis.tokens(col("text"))).cast("long"),
+      MixShares.toMap, budgetTokens = 2000L)
+    CorpusOps.applyMixPlan(deduped, "doc_id", "source", plan)
+      .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  // lazy: references MixShares, declared later in this object (vals
+  // initialize in declaration order; the oracleSql map at the end forces it)
+  lazy val dCurationPipelineSql: String = {
+    val wv = TextAnalysis.modelWeights(64).map(_.toString).mkString("[", ",", "]")
+    val shareCase = MixShares
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+    s"""WITH ltoks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |wv AS (SELECT $wv::DOUBLE[] AS w),
+       |scored AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE list_reduce(
+       |           list_transform(t, x -> w[CAST(${hash60Sql("x")} % 64 AS INT) + 1]),
+       |           (a, b) -> a + b)
+       |    END AS raw
+       |  FROM ltoks CROSS JOIN wv),
+       |sc2 AS (
+       |  SELECT doc_id,
+       |    CAST(floor(raw / (n_tokens + 1) * 1e6) AS BIGINT) AS score_e6
+       |  FROM scored),
+       |kept AS (
+       |  SELECT d.* FROM documents d JOIN sc2 s ON s.doc_id = d.doc_id
+       |  WHERE s.score_e6 > -150000),
+       |dd AS (
+       |  SELECT doc_id, source, text,
+       |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+       |  FROM kept),
+       |dedup AS (SELECT doc_id, source, text FROM dd WHERE doc_id = keep_id),
+       |dtoks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM dedup),
+       |av AS (
+       |  SELECT source, CAST(SUM(len(t)) AS BIGINT) AS avail_tokens
+       |  FROM dtoks GROUP BY 1),
+       |pl AS (
+       |  SELECT source, avail_tokens,
+       |    (CAST(2000 AS BIGINT) * CAST(($shareCase) AS BIGINT)) // 1000000 AS want_tokens
+       |  FROM av),
+       |plan AS (
+       |  SELECT source,
+       |    CASE WHEN avail_tokens > 0
+       |      THEN least(CAST(1000000 AS BIGINT),
+       |                 (CAST(1000000 AS BIGINT) * want_tokens) // avail_tokens)
+       |      ELSE CAST(0 AS BIGINT) END AS rate_ppm
+       |  FROM pl)
+       |SELECT d.doc_id, d.source, s.n_tokens
+       |FROM dedup d
+       |JOIN plan p ON p.source = d.source
+       |JOIN scored s ON s.doc_id = d.doc_id
+       |WHERE ${hash60Sql("d.source || '|' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+       |      < p.rate_ppm""".stripMargin
+  }
+
   /** Per-source document cap (at most 5 docs per source, best-first by
     * n_chars with doc_id tiebreak) — the per-domain cap of a web corpus.
     */
@@ -3433,6 +3522,7 @@ object DataQueries {
     "t_quality" -> tQuality,
     "t_quality_model" -> tQualityModel,
     "d_quality_cut" -> dQualityCut,
+    "d_curation_pipeline" -> dCurationPipeline,
     "d_source_cap" -> dSourceCap,
     "t_langid" -> tLangId,
     "t_fingerprint" -> tFingerprint,
@@ -3520,6 +3610,7 @@ object DataQueries {
     "t_quality" -> tQualitySql,
     "t_quality_model" -> tQualityModelSql,
     "d_quality_cut" -> dQualityCutSql,
+    "d_curation_pipeline" -> dCurationPipelineSql,
     "d_source_cap" -> dSourceCapSql,
     "t_langid" -> tLangIdSql,
     "t_fingerprint" -> tFingerprintSql,

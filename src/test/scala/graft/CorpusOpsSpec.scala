@@ -193,6 +193,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(keptGrown === kept.sortBy(_._1).toSeq)
   }
 
+  test("curation capstone composes as ONE lazy plan: construction launches no Spark jobs") {
+    // parquet LISTING jobs ("parquet at Tables.scala") are read plumbing
+    // that spark.read runs per fresh DataFrameReader — only jobs from
+    // pipeline stages (a collect, a checkpoint, a flood guard) count
+    val eager = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name)
+        if (!names.forall(_.startsWith("parquet at"))) eager.add(names.mkString(" | "))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val df = graft.queries.DataQueries.queries("d_curation_pipeline")(spark, sf)
+      Thread.sleep(1000) // listener bus is async
+      assert(eager.isEmpty,
+        s"capstone construction ran eager stage(s): ${eager.toArray.mkString("; ")}")
+      // and the composed gate actually selects: planned sources only
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      assert(rows.map(_.getString(1)).toSet.subsetOf(Set("src0", "src1", "src2", "src3")))
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {
     val docs = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
     val rates = Map("en" -> 0.5, "de" -> 0.1)
