@@ -716,6 +716,39 @@ object CorpusOps {
     out
   }
 
+  /** Per-GROUP top-fraction cut — keep the best `keepPpm`/1e6 of every
+    * group (source / domain / shard) by score: the per-domain quality
+    * filter of corpus curation, where a global cut would let one
+    * high-scoring domain crowd out the rest. One shuffle on the group
+    * key; ranks and the per-group cut (`⌊n_g·keepPpm/1e6⌋`) are exact
+    * BIGINT.
+    *
+    * Scale contract: within-group work is a per-group SORT, so this face
+    * is for HIGH-CARDINALITY grouping (domains, sources, shards) where
+    * groups are small relative to executors. For a low-cardinality /
+    * skewed grouping (a handful of languages, one giant group), run
+    * [[topFraction]] once per group instead — its prefix-sum rank
+    * parallelizes INSIDE the group.
+    */
+  def topFractionByGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      scoreCol: String,
+      keepPpm: Long
+  ): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L,
+      s"topFractionByGroup: keepPpm=$keepPpm outside [0, 1e6]")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("_s").desc, col(idCol).asc)
+    val cw = Window.partitionBy(col(groupCol))
+    df.select(col(idCol), col(groupCol), col(scoreCol).cast("long").as("_s"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(cw))
+      .where(col("rank") <= expr(s"(_n * ${keepPpm}L) div 1000000L"))
+      .select(col(idCol), col(groupCol), col("_s").as(scoreCol), col("rank"))
+  }
+
   /** Per-source corpus mixture PLAN under a token budget — the
     * [[graft.data.Similarity.imiProbePlan]] control-loop pattern applied
     * to domain mixing (the DoReMi/DSIR deployment step: a target domain

@@ -263,6 +263,46 @@ object DataQueries {
        |      < p.rate_ppm""".stripMargin
   }
 
+  /** Per-SOURCE top-20% quality cut ([[CorpusOps.topFractionByGroup]]):
+    * the per-domain quality filter — a global cut would let one
+    * high-scoring source crowd out the rest; this keeps the best fifth
+    * of every source by the hashed linear score, exact per-group ranks.
+    */
+  def dQualityCutBySource(spark: SparkSession, dir: String): DataFrame =
+    CorpusOps.topFractionByGroup(
+      TextAnalysis.qualityModelScore(Tables.documents(spark, dir), "doc_id", "text", dims = 64)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("source")), Seq("doc_id")),
+      "doc_id", "source", "score_e6", keepPpm = 200000L)
+
+  val dQualityCutBySourceSql: String = {
+    val w = TextAnalysis.modelWeights(64).map(_.toString).mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |w AS (SELECT $w::DOUBLE[] AS wv),
+       |scored AS (
+       |  SELECT doc_id, source, len(t) AS n_tokens,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE list_reduce(
+       |           list_transform(t, x -> wv[CAST(${hash60Sql("x")} % 64 AS INT) + 1]),
+       |           (a, b) -> a + b)
+       |    END AS raw
+       |  FROM toks CROSS JOIN w),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |    CAST(floor(raw / (n_tokens + 1) * 1e6) AS BIGINT) AS score_e6
+       |  FROM scored),
+       |rk AS (
+       |  SELECT doc_id, source, score_e6,
+       |    CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY source ORDER BY score_e6 DESC, doc_id ASC) AS BIGINT) AS rank,
+       |    COUNT(*) OVER (PARTITION BY source) AS n_g
+       |  FROM sc)
+       |SELECT doc_id, source, score_e6, rank
+       |FROM rk WHERE rank <= (n_g * 200000) // 1000000""".stripMargin
+  }
+
   /** Per-source document cap (at most 5 docs per source, best-first by
     * n_chars with doc_id tiebreak) — the per-domain cap of a web corpus.
     */
@@ -3539,6 +3579,7 @@ object DataQueries {
     "t_quality" -> tQuality,
     "t_quality_model" -> tQualityModel,
     "d_quality_cut" -> dQualityCut,
+    "d_quality_cut_by_source" -> dQualityCutBySource,
     "d_curation_pipeline" -> dCurationPipeline,
     "d_source_cap" -> dSourceCap,
     "t_langid" -> tLangId,
@@ -3627,6 +3668,7 @@ object DataQueries {
     "t_quality" -> tQualitySql,
     "t_quality_model" -> tQualityModelSql,
     "d_quality_cut" -> dQualityCutSql,
+    "d_quality_cut_by_source" -> dQualityCutBySourceSql,
     "d_curation_pipeline" -> dCurationPipelineSql,
     "d_source_cap" -> dSourceCapSql,
     "t_langid" -> tLangIdSql,

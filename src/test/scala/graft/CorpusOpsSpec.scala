@@ -151,6 +151,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.topFraction(docs, "doc_id", "s", 1000000L).count() === 5000L)
   }
 
+  test("topFractionByGroup: exact per-group cut, no cross-group crowding, floor quota") {
+    // group g0 scores high across the board, g1 low: a GLOBAL cut would
+    // keep only g0 — the per-group face must keep the best of EACH
+    val docs = (0L until 300L).map { i =>
+      val g = if (i % 2 == 0) "g0" else "g1"
+      (i, g, (if (g == "g0") 1000000L else 1000L) + i)
+    }.toDF("doc_id", "g", "s")
+    val got = CorpusOps.topFractionByGroup(docs, "doc_id", "g", "s", keepPpm = 100000L)
+      .as[(Long, String, Long, Long)].collect()
+    val byG = got.groupBy(_._2)
+    // exactly floor(150 * 0.1) = 15 per group — no crowding
+    assert(byG("g0").length === 15 && byG("g1").length === 15)
+    // each group keeps its OWN best, ranks 1..15
+    Seq("g0", "g1").foreach { g =>
+      val kept = byG(g).sortBy(_._4)
+      assert(kept.map(_._4) === (1L to 15L))
+      val truth = docs.filter($"g" === g).orderBy($"s".desc, $"doc_id".asc).limit(15)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(kept.map(_._1).toSeq === truth)
+    }
+    // quota is a floor: 9 rows at 10% keep nothing
+    val tiny = (0L until 9L).map(i => (i, "x", i)).toDF("doc_id", "g", "s")
+    assert(CorpusOps.topFractionByGroup(tiny, "doc_id", "g", "s", 100000L).count() === 0L)
+  }
+
   test("corpusMixPlan/applyMixPlan: exact BIGINT wants and rates, loud fits=false, apply respects the plan") {
     val docs = (0L until 400L).map { i =>
       val src = s"s${i % 4}"
