@@ -131,6 +131,58 @@ object Bucketing {
     spark.table(tableName)
   }
 
+  /** APPEND rows to a bucketed table built by [[ensureBucketed]] — the
+    * per-delta index maintenance path (a near-dup band index ingesting a
+    * gated batch, an ANN index absorbing new embeddings): the appended rows
+    * are hashed into the SAME bucket layout (`bucketBy` must match the
+    * existing spec or Spark rejects the write), so co-located joins and
+    * bucket pruning keep holding over old + new rows with no rebuild.
+    *
+    * `newSourceStamp` is the stamp of the corpus AS OF AFTER this append
+    * (e.g. [[stampDir]] over source + delta): the on-disk marker is
+    * rewritten with it, so a later `ensureBucketed(..., newSourceStamp)`
+    * re-registers the appended table instead of rebuilding — and any OTHER
+    * stamp (including the pre-append one) correctly invalidates. The table
+    * must already exist in this session's catalog (call ensureBucketed
+    * first); key/bucket-count must match the marker spec — fail loudly,
+    * appending under a different spec would silently break co-location.
+    */
+  def appendBucketed(
+      spark: SparkSession,
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      keyCol: String,
+      nBuckets: Int,
+      newSourceStamp: String
+  ): DataFrame = synchronized {
+    require(spark.catalog.tableExists(tableName),
+      s"appendBucketed: table $tableName not registered — call ensureBucketed first")
+    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+    require(marker.exists(), s"appendBucketed: no build marker at $path — not an ensureBucketed table")
+    val spec = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val specLines = spec.linesIterator.toSeq
+    require(specLines.contains(s"key=$keyCol") && specLines.contains(s"buckets=$nBuckets"),
+      s"appendBucketed: $tableName is bucketed under a different spec than (key=$keyCol, " +
+        s"buckets=$nBuckets) — appending would break co-location; rebuild via ensureBucketed")
+    val schemaDdl = specLines.find(_.startsWith("schema="))
+      .map(_.stripPrefix("schema=")).getOrElse("")
+    df.repartition(nBuckets, org.apache.spark.sql.functions.col(keyCol))
+      .write
+      .mode("append")
+      .format("parquet")
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(tableName)
+    java.nio.file.Files.write(
+      marker.toPath,
+      s"key=$keyCol\nbuckets=$nBuckets\nstamp=$newSourceStamp\nschema=$schemaDdl"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.table(tableName)
+  }
+
   /** Cheap driver-side content stamp for a source file or directory tree:
     * an md5 digest of the sorted per-file (relative path, size, mtime)
     * manifest, walked RECURSIVELY so partitioned/nested layouts are

@@ -18,8 +18,17 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
-  /** Unpersist the RDD(s) behind a checkpoint-backed frame. Safe on any
-    * Dataset: frames with no `LogicalRDD` leaf are left untouched.
+  /** Unpersist the RDD(s) behind a checkpoint-backed frame.
+    *
+    * Scope contract: this releases EVERY `LogicalRDD` leaf reachable in the
+    * analyzed plan — not just "the" checkpoint. Call it on the checkpoint
+    * ROOT you own (the frame `localCheckpoint()` returned, or a projection
+    * of exactly that one checkpoint), as every current call site does. On a
+    * frame DERIVED from several checkpoints (e.g. a join of two
+    * checkpointed inputs) it would release upstream checkpoints that may
+    * still be shared with other live consumers — release each input
+    * individually instead. Frames with no `LogicalRDD` leaf are left
+    * untouched (a no-op, never an error).
     */
   def release(df: Dataset[_], blocking: Boolean = false): Unit =
     df.queryExecution.analyzed.foreach {

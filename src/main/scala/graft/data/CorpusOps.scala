@@ -442,6 +442,13 @@ object CorpusOps {
     */
   private def withGrams(df: DataFrame, textCol: String, maxN: Int, out: String): DataFrame = {
     val t0 = "_imp_t0"
+    // the temp names are fixed (they are part of the fold contract above);
+    // an input that already carries one would be silently overwritten and
+    // dropped — fail loudly instead (ADVICE r16)
+    Seq(t0, out).foreach(c =>
+      require(!df.columns.contains(c),
+        s"importanceWeights: input already has a column named '$c' — it would be " +
+          "silently overwritten by the gram machinery; rename it upstream"))
     val toks = graft.functions.ComputeOnce(
       graft.data.TextAnalysis.tokens(col(textCol)))
     val grams =
@@ -546,6 +553,10 @@ object CorpusOps {
     require(nEntries >= 0 && nEntries <= nBuckets && modelBytes.length == 16 + 24 * nEntries,
       s"importanceWeightsWith: ${modelBytes.length} bytes for $nEntries entries — " +
         s"expected exactly ${16 + 24 * nEntries}; corrupt or stale-format model")
+    Seq("_fold").foreach(c =>
+      require(!df.columns.contains(c),
+        s"importanceWeightsWith: input already has a column named '$c' — it would be " +
+          "silently overwritten by the scoring fold; rename it upstream"))
     val model = Array.fill(nEntries)((in.readLong(), in.readLong(), in.readLong()))
     val tT = model.map(_._3).sum
     val rT = model.map(_._2).sum
@@ -610,6 +621,48 @@ object CorpusOps {
     * window. O(P) driver rows, two skinny shuffles, no corpus-sized
     * driver state.
     */
+  /** The shared distributed-prefix machinery of [[importanceResample]] and
+    * [[topFraction]] (VERDICT r16 #7 — one implementation, two orderings):
+    * range-shuffle the skinny frame on `order`, pin the partition id,
+    * `localCheckpoint` (the frame is consumed TWICE — the ≤P-row stats pass
+    * below and the caller's window pass — so the upstream computation runs
+    * once, not per action), then collect per-partition SUMs of `qtyCol`
+    * (≤ P rows to the driver, the codebook stance) and return
+    *   (ranged frame, offsets, minQty)
+    * where `offsets(i) = Σ totals(<i)` (so `offsets(P)` is the grand total)
+    * and `minQty` is the global minimum of `qtyCol` — computed in the SAME
+    * cheap aggregation so callers can assert sign contracts without an
+    * extra job (`Long.MaxValue` on an empty frame).
+    *
+    * The CALLER owns the returned checkpoint: release it via
+    * [[graft.core.Checkpoints.release]] once the window pass has produced
+    * (and checkpointed) its result. Partition-count invariance of the
+    * derived ranks/draws is spec-pinned against THIS helper (CorpusOpsSpec).
+    */
+  private[data] def distributedPrefix(
+      df: DataFrame,
+      order: Seq[Column],
+      qtyCol: String,
+      nParts: Int
+  ): (DataFrame, Array[Long], Long) = {
+    val spark = df.sparkSession
+    val p = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(p, order: _*)
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+      .localCheckpoint()
+    val stats = ranged
+      .groupBy(col("_pid")).agg(sum(col(qtyCol)).as("_t"), min(col(qtyCol)).as("_m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val totals = Array.fill(p)(0L)
+    var minQty = Long.MaxValue
+    stats.foreach { case (pid, t, m) =>
+      totals(pid) = t
+      if (m < minQty) minQty = m
+    }
+    (ranged, totals.scanLeft(0L)(_ + _), minQty)
+  }
+
   def importanceResample(
       weights: DataFrame,
       idCol: String,
@@ -619,24 +672,21 @@ object CorpusOps {
       nParts: Int = 0
   ): DataFrame = {
     require(n > 0, s"importanceResample: n=$n draws must be positive")
-    val spark = weights.sparkSession
-    val p = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
-    // the skinny (id, w, pid) frame is consumed TWICE (per-partition totals,
-    // then the draw pass) — checkpoint it so the upstream weight computation
-    // (typically the full importance scoring scan) runs ONCE, not per action.
-    // ~16 B/row of executor-local blocks; construction is eager (the
-    // semdedup flood-guard precedent) and the blocks release before return
-    val ranged = weights
-      .select(col(idCol), col(wCol).cast("long").as("_w"))
-      .repartitionByRange(p, col(idCol))
-      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
-      .localCheckpoint()
-    // per-partition totals: ≤ p rows to the driver (the codebook stance)
-    val partTotals = ranged
-      .groupBy(col("_pid")).agg(sum(col("_w")).as("_t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val totals = Array.tabulate(p)(i => partTotals.getOrElse(i, 0L))
-    val offsets = totals.scanLeft(0L)(_ + _) // offsets(i) = Σ totals(<i)
+    // the skinny (id, w, pid) frame: ~16 B/row of executor-local blocks;
+    // construction is eager (the semdedup flood-guard precedent) and the
+    // blocks release before return
+    val (ranged, offsets, minW) = distributedPrefix(
+      weights.select(col(idCol), col(wCol).cast("long").as("_w")),
+      Seq(col(idCol)), "_w", nParts)
+    val p = offsets.length - 1
+    // a negative weight makes its interval run backwards — n_draws can go
+    // NEGATIVE and be silently dropped by the `> 0` filter, breaking the
+    // exactly-n telescoping contract; fail loudly like the overflow guard
+    // (ADVICE r16; checked in the same aggregation as the totals)
+    require(minW >= 0,
+      s"importanceResample: negative weight (min=$minW) — intervals would run " +
+        "backwards and silently break the exactly-n draw contract; weights must " +
+        "be non-negative (clamp or shift upstream)")
     val w0 = offsets(p)
     require(w0 > 0, "importanceResample: total weight is zero — nothing to draw from")
     // n·cum + W must stay in BIGINT on BOTH engines; fail loudly with the
@@ -691,16 +741,12 @@ object CorpusOps {
   ): DataFrame = {
     require(keepPpm >= 0 && keepPpm <= 1000000L,
       s"topFraction: keepPpm=$keepPpm outside [0, 1e6]")
-    val spark = df.sparkSession
-    val p = if (nParts > 0) nParts else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.select(col(idCol), col(scoreCol).cast("long").as("_s"))
-      .repartitionByRange(p, col("_s").desc, col(idCol).asc)
-      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val cnt = Array.tabulate(p)(i => counts.getOrElse(i, 0L))
-    val offsets = cnt.scanLeft(0L)(_ + _)
+    // qty = 1 per row: the prefix sum of ordinals IS the per-partition
+    // row count (minQty is trivially 1 — no sign contract to assert)
+    val (ranged, offsets, _) = distributedPrefix(
+      df.select(col(idCol), col(scoreCol).cast("long").as("_s"), lit(1L).as("_q")),
+      Seq(col("_s").desc, col(idCol).asc), "_q", nParts)
+    val p = offsets.length - 1
     val n = offsets(p)
     val keepN = n * keepPpm / 1000000L
     val offLit = lit(Array.tabulate(p)(i => offsets(i)))
@@ -779,8 +825,19 @@ object CorpusOps {
     val shareMap = map_from_arrays(
       lit(sorted.map(_._1).toArray), lit(sorted.map(_._2).toArray))
     val share = coalesce(element_at(shareMap, col("source")), lit(0L))
-    df.groupBy(col(srcCol).as("source"))
+    val avail = df.groupBy(col(srcCol).as("source"))
       .agg(sum(tokens.cast("long")).as("avail_tokens"))
+    // a PLANNED source entirely absent from the corpus must still emit a
+    // row: groupBy only yields sources present in df, so a want>0/avail=0
+    // shortfall would otherwise vanish silently and applyMixPlan would
+    // under-deliver the mix with no flag (ADVICE r16). The full-outer join
+    // unions the target key set in (|sources| rows, driver-trivial);
+    // corpus-only sources keep their existing share-0 rows.
+    val spark = df.sparkSession
+    val plannedKeys = spark.createDataset(sorted.map(_._1))(
+      org.apache.spark.sql.Encoders.STRING).toDF("source")
+    avail.join(plannedKeys, Seq("source"), "full_outer")
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       // `div`, not `/` — long / long is DOUBLE in Spark (exactness)
       .withColumn("_want_num", lit(budgetTokens) * share)
       .withColumn("want_tokens", expr("_want_num div 1000000L"))

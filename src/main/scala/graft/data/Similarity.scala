@@ -1275,8 +1275,14 @@ object Similarity {
           .select(col("q_bk")).distinct().collect().map(_.get(0))
         // a probe set larger than the IN-filter budget would bloat the plan
         // for no pruning win (most buckets touched anyway) — skip, loudly
-        if (cells.length > maxPruneCells) index
-        else index.where(col("n_bk").isin(cells.toSeq: _*))
+        if (cells.length > maxPruneCells) {
+          org.slf4j.LoggerFactory.getLogger("graft.data.Similarity").warn(
+            s"pqTopKPrunedImiIndexed: probe set (${cells.length} cells) exceeds " +
+              s"maxPruneCells=$maxPruneCells — falling back to the UNPRUNED index scan " +
+              "(answers unchanged, bucket-pruning I/O win lost); raise maxPruneCells " +
+              "or probe fewer cells (lower pSub / fewer queries per batch)")
+          index
+        } else index.where(col("n_bk").isin(cells.toSeq: _*))
       }
     pqImiAdcTopK(pruned, queries, idCol, vecCol, imiCodebooks, pqCodebooks, k, pSub)
   }

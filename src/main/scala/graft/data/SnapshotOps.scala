@@ -127,6 +127,11 @@ object SnapshotOps {
     * (two-phase LSH, delta-sized). Nothing here rereads or reshuffles
     * ingested text beyond one signature scan to build/refresh the index.
     */
+  private val nearDupFloodRemedy =
+    "A single band bucket would drive a quadratic candidate join; collapse exact " +
+      "duplicates first or raise maxBucketRows only if the distinct-grain quadratic " +
+      "is truly intended (the minhashPairs scaladoc discusses both contracts)."
+
   def incrementalNearDup(
       corpusIndex: DataFrame,
       delta: DataFrame,
@@ -141,12 +146,130 @@ object SnapshotOps {
     require(k % rows == 0, "incrementalNearDup: k must be divisible by band rows")
     val dB = Dedup.bandedBuckets(delta, idCol, textCol, n, k, rows).localCheckpoint()
     val cB = Dedup.bandedBuckets(corpusIndex, idCol, textCol, n, k, rows).localCheckpoint()
-    val remedy =
-      "A single band bucket would drive a quadratic candidate join; collapse exact " +
-        "duplicates first or raise maxBucketRows only if the distinct-grain quadratic " +
-        "is truly intended (the minhashPairs scaladoc discusses both contracts)."
-    Dedup.assertNoBucketFlood(dB, maxBucketRows, "incrementalNearDup(delta)", remedy)
-    Dedup.assertNoBucketFlood(cB, maxBucketRows, "incrementalNearDup(corpus)", remedy)
+    Dedup.assertNoBucketFlood(dB, maxBucketRows, "incrementalNearDup(delta)", nearDupFloodRemedy)
+    Dedup.assertNoBucketFlood(cB, maxBucketRows, "incrementalNearDup(corpus)", nearDupFloodRemedy)
+    val out = nearDupVerdicts(dB, cB, corpusIndex, delta, idCol, textCol, n, threshold)
+    graft.core.Checkpoints.release(dB)
+    graft.core.Checkpoints.release(cB)
+    out
+  }
+
+  /** The persisted near-dup BAND INDEX layout for a corpus: one
+    * (sid, band, bucket) row per (doc, band) — [[Dedup.bandedBuckets]]'s
+    * frame made public so a pipeline can materialize it ONCE per corpus
+    * stamp (e.g. via [[graft.connectors.Bucketing.ensureBucketed]] bucketed
+    * by `bucket`), append each ingested delta's bands, and serve every
+    * subsequent [[incrementalNearDupIndexed]] gate from the table instead
+    * of re-scanning corpus text per batch. Append-equivalence
+    * (index(A) ∪ bands(D) ≡ index(A ∪ D)) holds because a doc's bands are
+    * a pure function of its own text — spec-pinned in SnapshotOpsSpec.
+    */
+  def nearDupBandIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      rows: Int = 2
+  ): DataFrame = {
+    require(k % rows == 0, "nearDupBandIndex: k must be divisible by band rows")
+    Dedup.bandedBuckets(corpus, idCol, textCol, n, k, rows)
+  }
+
+  /** [[incrementalNearDup]] served from a PERSISTED band index — the
+    * production shape (VERDICT r16 #1, the [[graft.data.Similarity.pqTopKPrunedImiIndexed]]
+    * precedent): the corpus side's (sid, band, bucket) frame comes from
+    * `bandIndex` (a [[nearDupBandIndex]] table, ideally bucketed by
+    * `bucket`) instead of a per-call tokenize+shingle+k-hash re-scan of
+    * corpus text — at 100 TB that re-scan IS the query cost, paid on every
+    * delta batch. `corpusText` is still needed, but ONLY for the verify
+    * arm: the shingle sets of COLLIDED candidates (a delta-sized left-semi
+    * fetch, the two-phase LSH contract), never the full corpus.
+    *
+    * When `pruneBuckets`, the delta's distinct bucket keys (bounded by
+    * deltaRows × nBands) are collected and pushed as an `IN` filter on the
+    * index's bucket column — on a bucket-bucketed table Spark turns that
+    * into BUCKET PRUNING (`SelectedBucketsCount`): the non-collided part
+    * of the index is never read. The filter is implied by the candidate
+    * equi-join, so pruning is plan-only — answers are identical to
+    * [[incrementalNearDup]] on the same corpus (the SAME oracle gates
+    * both, spec-pinned). An oversized probe set falls back to the
+    * unpruned index read with a logged warning (the maxPruneCells rule).
+    *
+    * The flood guard runs on the PRUNED index slice — the actual join
+    * input — plus the delta bands; a flood in a never-probed bucket is a
+    * build-time concern ([[nearDupBandIndex]] callers gate there), not a
+    * query-time one.
+    */
+  def incrementalNearDupIndexed(
+      bandIndex: DataFrame,
+      corpusText: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      k: Int = 16,
+      rows: Int = 2,
+      threshold: Double = 0.8,
+      maxBucketRows: Int = 10000,
+      pruneBuckets: Boolean = true,
+      maxPruneBuckets: Int = 65536
+  ): DataFrame = {
+    require(k % rows == 0, "incrementalNearDupIndexed: k must be divisible by band rows")
+    Seq("sid", "band", "bucket").foreach(c =>
+      require(bandIndex.columns.contains(c),
+        s"incrementalNearDupIndexed: bandIndex lacks column $c — build it with nearDupBandIndex"))
+    val dB = Dedup.bandedBuckets(delta, idCol, textCol, n, k, rows).localCheckpoint()
+    Dedup.assertNoBucketFlood(
+      dB, maxBucketRows, "incrementalNearDupIndexed(delta)", nearDupFloodRemedy)
+    val cB = if (pruneBuckets) pruneIndexToDelta(bandIndex, dB, maxPruneBuckets) else bandIndex
+    Dedup.assertNoBucketFlood(
+      cB, maxBucketRows, "incrementalNearDupIndexed(index)", nearDupFloodRemedy)
+    val out = nearDupVerdicts(dB, cB, corpusText, delta, idCol, textCol, n, threshold)
+    graft.core.Checkpoints.release(dB)
+    out
+  }
+
+  /** The index slice a delta batch actually probes: the delta's DISTINCT
+    * bucket keys (bounded by deltaRows × nBands — a driver-bounded collect,
+    * the probed-cells stance of `pqTopKPrunedImiIndexed`) pushed as an `IN`
+    * filter on the index's bucket column. On a bucket-bucketed table this
+    * plans as BUCKET PRUNING (`SelectedBucketsCount` — spec-pinned in
+    * SnapshotOpsSpec). Plan-only: the filter is implied by the candidate
+    * equi-join, so the answer never changes. Oversized probe sets fall
+    * back to the unpruned index, loudly.
+    */
+  private[graft] def pruneIndexToDelta(
+      bandIndex: DataFrame,
+      deltaBands: DataFrame,
+      maxPruneBuckets: Int
+  ): DataFrame = {
+    val buckets = deltaBands.select(col("bucket")).distinct().collect().map(_.getString(0))
+    if (buckets.length > maxPruneBuckets) {
+      org.slf4j.LoggerFactory.getLogger("graft.data.SnapshotOps").warn(
+        s"incrementalNearDupIndexed: delta probe set (${buckets.length} buckets) exceeds " +
+          s"maxPruneBuckets=$maxPruneBuckets — falling back to the UNPRUNED index scan " +
+          "(answers unchanged, bucket-pruning I/O win lost); split the delta batch or " +
+          "raise maxPruneBuckets")
+      bandIndex
+    } else bandIndex.where(col("bucket").isin(buckets.toSeq: _*))
+  }
+
+  /** Shared verdict tail of [[incrementalNearDup]] and
+    * [[incrementalNearDupIndexed]]: candidate equi-joins off the two band
+    * frames, candidate-only shingle verify, per-doc verdict. Owns (and
+    * releases) the candidate/verify checkpoints; the CALLERS own `dB`/`cB`.
+    */
+  private def nearDupVerdicts(
+      dB: DataFrame,
+      cB: DataFrame,
+      corpusText: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      threshold: Double
+  ): DataFrame = {
     // delta × corpus collisions → candidate (did, cid); delta × delta
     // collisions → candidate (i, j) — both off the SAME banded frames, so
     // each side pays its tokenize+shingle+k-hash signature scan once
@@ -173,7 +296,7 @@ object SnapshotOps {
     val dSets = shingles(delta)
       .join(dCandIds, Seq("sid"), "left_semi")
       .localCheckpoint()
-    val cSets = shingles(corpusIndex)
+    val cSets = shingles(corpusText)
       .join(candDC.select(col("cid").as("sid")).distinct(), Seq("sid"), "left_semi")
     def jaccardAtLeast(df: DataFrame, a: String, b: String): DataFrame = df
       .withColumn("c", size(array_intersect(col(a), col(b))).cast("long"))
@@ -208,8 +331,6 @@ object SnapshotOps {
           .otherwise(lit("new"))
           .as("verdict"))
       .localCheckpoint()
-    graft.core.Checkpoints.release(dB)
-    graft.core.Checkpoints.release(cB)
     graft.core.Checkpoints.release(candDC)
     graft.core.Checkpoints.release(candDD)
     graft.core.Checkpoints.release(dSets)

@@ -126,6 +126,14 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.importanceResample(big, "doc_id", "w", 1000L, "s")
     }
     assert(err.getMessage.contains("overflows"), err.getMessage)
+    // a NEGATIVE weight runs its interval backwards and would silently
+    // break the exactly-n contract (its n_draws can go negative and be
+    // filtered) — loud failure, checked in the same totals aggregation
+    val neg = Seq((1L, 500L), (2L, -3L), (3L, 100L)).toDF("doc_id", "w")
+    val errNeg = intercept[IllegalArgumentException] {
+      CorpusOps.importanceResample(neg, "doc_id", "w", 10L, "s")
+    }
+    assert(errNeg.getMessage.contains("negative weight"), errNeg.getMessage)
   }
 
   test("topFraction: exact global ranks match a full sort, partition-invariant, tie-break by id, edge fractions") {
@@ -216,6 +224,23 @@ class CorpusOpsSpec extends SparkSpec {
     val keptGrown = CorpusOps.applyMixPlan(grown, "doc_id", "source", planDf)
       .filter($"doc_id" < 400).as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(keptGrown === kept.sortBy(_._1).toSeq)
+    // a planned source ABSENT from the corpus still emits a row — want>0,
+    // avail=0, rate 0, fits=false (ADVICE r16: groupBy alone would drop it
+    // and the shortfall would be silent)
+    val planAbsent = CorpusOps.corpusMixPlan(
+      docs, "source", col("n_tok"),
+      Map("s1" -> 500000L, "missing_src" -> 500000L), 4000L)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(planAbsent("missing_src") === ((0L, 2000L, 0L, 0L, false)),
+      s"absent planned source row: ${planAbsent.get("missing_src")}")
+    // and an absent source with want=0 is vacuously fine
+    val planAbsent0 = CorpusOps.corpusMixPlan(
+      docs, "source", col("n_tok"),
+      Map("s1" -> 1000000L, "missing_src" -> 0L), 4000L)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(planAbsent0("missing_src") === true)
   }
 
   test("curation capstone composes as ONE lazy plan: construction launches no Spark jobs") {
@@ -239,6 +264,26 @@ class CorpusOpsSpec extends SparkSpec {
       val rows = df.collect()
       assert(rows.nonEmpty)
       assert(rows.map(_.getString(1)).toSet.subsetOf(Set("src0", "src1", "src2", "src3")))
+      // skinny-shuffle pin (VERDICT r16 #4): no exchange in the whole
+      // pipeline may CARRY the text column — the dedup rank moves
+      // (md5, doc_id) and the winners ride a broadcast, so corpus text
+      // never crosses a shuffle. AQE off for this assertion: the adaptive
+      // wrapper hides pre-execution exchanges from plan.collect.
+      val aqe = "spark.sql.adaptive.enabled"
+      val aqePrev = spark.conf.get(aqe)
+      try {
+        spark.conf.set(aqe, "false")
+        val plan = graft.queries.DataQueries.queries("d_curation_pipeline")(spark, sf)
+          .queryExecution.executedPlan
+        val exchanges = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }
+        assert(exchanges.nonEmpty, "expected shuffles (window + mix aggregation) in the capstone")
+        exchanges.foreach { e =>
+          assert(!e.output.exists(_.name == "text"),
+            s"an exchange carries corpus text:\n$e")
+        }
+      } finally spark.conf.set(aqe, aqePrev)
     } finally spark.sparkContext.removeSparkListener(l)
   }
 

@@ -128,4 +128,76 @@ class SnapshotOpsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("duplicate flood"), err.getMessage)
   }
+
+  test("incrementalNearDupIndexed: persisted band index ≡ inline rebuild; probes prune buckets; append ≡ rebuild") {
+    import graft.connectors.Bucketing
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val fresh = "volcano geology basalt columns lava tubes caldera rims " * 4
+    val corpus = Seq(
+      (10L, base),
+      (11L, "completely different text about walruses and icebergs floating north")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (20L, base + " cookie notice"),
+      (21L, "short fresh unrelated document about tide pools"),
+      (22L, base + " cookie notice"),
+      (23L, base),
+      (24L, fresh),
+      (25L, fresh + " trailing boilerplate")
+    ).toDF("doc_id", "text")
+    val inline = SnapshotOps.incrementalNearDup(corpus, delta, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_idx_spec").toString
+    val table = "graft_neardup_idx_spec"
+    val idx = Bucketing.ensureBucketed(
+      spark, SnapshotOps.nearDupBandIndex(corpus, "doc_id", "text"),
+      table, dir, "bucket", 8, sourceStamp = "specA")
+    // the index changes the read path, never the answer — pruned and unpruned
+    assert(SnapshotOps.incrementalNearDupIndexed(idx, corpus, delta, "doc_id", "text")
+      .as[(Long, String)].collect().toMap === inline)
+    assert(SnapshotOps.incrementalNearDupIndexed(
+      idx, corpus, delta, "doc_id", "text", pruneBuckets = false)
+      .as[(Long, String)].collect().toMap === inline)
+    // an oversized probe set falls back to the unpruned read, same answer
+    assert(SnapshotOps.incrementalNearDupIndexed(
+      idx, corpus, delta, "doc_id", "text", maxPruneBuckets = 1)
+      .as[(Long, String)].collect().toMap === inline)
+    // the 100 TB contract: a one-doc delta's buckets must prune the index
+    // scan to a strict subset of its 8 file buckets. A STANDALONE filter
+    // plan auto-disables the bucketed read ("disabled by query planner" —
+    // nothing downstream wants the distribution), so pin with
+    // autoBucketedScan off, the state the face's candidate JOIN induces.
+    val oneDelta = Seq((30L, "a tiny single probe document")).toDF("doc_id", "text")
+    val abs = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val absPrev = spark.conf.get(abs)
+    val plan = try {
+      spark.conf.set(abs, "false")
+      SnapshotOps.pruneIndexToDelta(
+        idx, SnapshotOps.nearDupBandIndex(oneDelta, "doc_id", "text"), 65536)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set(abs, absPrev)
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r.findFirstMatchIn(plan)
+    assert(sel.isDefined, s"no bucket pruning in the indexed scan:\n${plan.take(2000)}")
+    assert(sel.get.group(1).toInt < 8,
+      s"one-doc probe read ${sel.get.group(1)} of 8 buckets — pruning bought nothing")
+    // append ≡ rebuild: ingest the gated batch's bands, compare to a
+    // from-scratch index over corpus ∪ delta (bands are a pure function of
+    // each doc's own text, so the union IS the rebuild)
+    Bucketing.appendBucketed(
+      spark, SnapshotOps.nearDupBandIndex(delta, "doc_id", "text"),
+      table, dir, "bucket", 8, newSourceStamp = "specB")
+    val appended = spark.table(table)
+      .as[(Long, Int, String)].collect().toSet
+    val rebuilt = SnapshotOps.nearDupBandIndex(
+      corpus.unionByName(delta), "doc_id", "text")
+      .as[(Long, Int, String)].collect().toSet
+    assert(appended === rebuilt, "appended index drifted from a full rebuild")
+    // the post-append stamp re-REGISTERS (by-name df must never evaluate);
+    // any other stamp would rebuild
+    val reRead = Bucketing.ensureBucketed(
+      spark, sys.error("appended stamp must re-register, not rebuild"): org.apache.spark.sql.DataFrame,
+      table, dir, "bucket", 8, sourceStamp = "specB")
+    assert(reRead.count() === appended.size.toLong)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
