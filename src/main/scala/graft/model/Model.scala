@@ -103,3 +103,19 @@ case class ItemObservation(group: String, item: String)
   * `estimate` undercounts by at most groupTotal/k (the MG guarantee).
   */
 case class HeavyHitter(group: String, item: String, estimate: Long, groupTotal: Long)
+
+/** One scored arrival of the streaming per-source quality gate. */
+case class ScoredDoc(sid: Long, source: String, score: Long)
+
+/** The quality gate's verdict for one arrival: of the `nPrev` docs its
+  * source streamed before it, `nBetter` sat in strictly higher score bins;
+  * the doc is kept iff `nBetter < max(1, (nPrev+1)·keepPpm div 1e6)` — it
+  * would rank within the top keep-fraction of everything seen so far.
+  */
+case class QualityVerdict(
+    sid: Long, source: String, score: Long, nPrev: Long, nBetter: Long, keep: Boolean)
+
+/** Per-source state of the streaming quality gate: a fixed-width score
+  * histogram plus the arrival count — bounded regardless of stream length.
+  */
+case class QualityGateState(bins: Array[Long], n: Long)

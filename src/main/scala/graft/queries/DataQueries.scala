@@ -174,6 +174,72 @@ object DataQueries {
        |FROM rk, cut WHERE rank <= keep_n""".stripMargin
   }
 
+  /** Batch replay of the STREAMING per-source quality gate
+    * ([[graft.stateful.Processors.qualityGateBatch]] ≡ one micro-batch of
+    * [[graft.stateful.Processors.qualityGate]] against empty state,
+    * spec-pinned): each doc is kept iff it would rank in the top 30% of
+    * the quality scores its source has streamed BEFORE it (sid order),
+    * judged on a 128-bin histogram. The oracle replays the score CTEs,
+    * the non-negative clamped bin function, and the strictly-higher-bin
+    * count via a per-source inequality self-join (quadratic — fine as an
+    * oracle, which is exactly what the histogram fold avoids at scale).
+    */
+  private val QGateKeepPpm = 300000L
+  private val QGateBinLo = -250000L
+  private val QGateBinWidth = 4096L
+  private val QGateBins = 128
+
+  def dQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityModelScore(docs, "doc_id", "text", dims = 64)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    graft.stateful.Processors.qualityGateBatch(
+        scored, "doc_id", "source", "score_e6",
+        QGateKeepPpm, QGateBinLo, QGateBinWidth, QGateBins)
+      .select(
+        col("sid").as("doc_id"), col("source"), col("score").as("score_e6"),
+        col("nPrev").as("n_prev"), col("nBetter").as("n_better"), col("keep"))
+  }
+
+  val dQualityGateSql: String = {
+    val w = TextAnalysis.modelWeights(64).map(_.toString).mkString("[", ",", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |w AS (SELECT $w::DOUBLE[] AS wv),
+       |scored AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE list_reduce(
+       |           list_transform(t, x -> wv[CAST(${hash60Sql("x")} % 64 AS INT) + 1]),
+       |           (a, b) -> a + b)
+       |    END AS raw
+       |  FROM toks CROSS JOIN w),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(floor(raw / (n_tokens + 1) * 1e6) AS BIGINT) AS score_e6
+       |  FROM scored),
+       |b AS (
+       |  SELECT s.doc_id, d.source, s.score_e6,
+       |    least(greatest(s.score_e6 - (${QGateBinLo}), 0) // ${QGateBinWidth},
+       |          ${QGateBins - 1}) AS bin
+       |  FROM sc s JOIN documents d USING (doc_id)),
+       |np AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS n_prev
+       |  FROM b),
+       |nb AS (
+       |  SELECT a.doc_id, CAST(COUNT(c.doc_id) AS BIGINT) AS n_better
+       |  FROM b a LEFT JOIN b c
+       |    ON c.source = a.source AND c.doc_id < a.doc_id AND c.bin > a.bin
+       |  GROUP BY 1)
+       |SELECT b.doc_id, b.source, b.score_e6, np.n_prev, nb.n_better,
+       |  nb.n_better < greatest(CAST(1 AS BIGINT),
+       |    ((np.n_prev + 1) * ${QGateKeepPpm}) // 1000000) AS keep
+       |FROM b JOIN np USING (doc_id) JOIN nb USING (doc_id)""".stripMargin
+  }
+
   /** Curation capstone: quality gate → exact dedup (keep-first) →
     * budget-driven mixture plan+apply, composed as ONE lazy Catalyst plan
     * (qualityModelScore, the dedup window, corpusMixPlan and applyMixPlan
@@ -2374,9 +2440,18 @@ object DataQueries {
     val shareCase = MixShares
       .map { case (k, v) => s"WHEN '$k' THEN $v" }
       .mkString("CASE source ", " ", " ELSE 0 END")
-    s"""av AS (
+    // planned-but-absent sources still emit a row (avail 0, fits false on
+    // want>0) — the full-outer key union mirrors corpusMixPlan exactly; at
+    // this fixture all planned sources exist, so the rows are identical
+    val keyValues = MixShares.map { case (k, _) => s"('$k')" }.mkString(", ")
+    s"""av0 AS (
        |  SELECT source, CAST(SUM(len(t)) AS BIGINT) AS avail_tokens
        |  FROM toks GROUP BY 1),
+       |pkeys AS (SELECT * FROM (VALUES $keyValues) k(source)),
+       |av AS (
+       |  SELECT COALESCE(a.source, k.source) AS source,
+       |    COALESCE(a.avail_tokens, CAST(0 AS BIGINT)) AS avail_tokens
+       |  FROM av0 a FULL OUTER JOIN pkeys k ON a.source = k.source),
        |pl AS (
        |  SELECT source, avail_tokens,
        |    (CAST($MixBudget AS BIGINT) * CAST(($shareCase) AS BIGINT)) // 1000000
@@ -2415,6 +2490,88 @@ object DataQueries {
        |FROM documents d JOIN plan p ON p.source = d.source
        |WHERE ${hash60Sql("d.source || '|' || CAST(d.doc_id AS VARCHAR)")} % 1000000
        |      < p.rate_ppm""".stripMargin
+
+  /** DSIR capstone — the full selection chain "score once (persisted
+    * campaign model), resample under the draw budget, mix to target" as
+    * ONE composed face (VERDICT r16 #5; the selection-chain analogue of
+    * `d_curation_pipeline`): [[dImportanceCampaign]]'s ModelStore-backed
+    * scoring scan → [[graft.data.CorpusOps.importanceResample]] (200
+    * systematic draws ∝ imp_e6) → [[graft.data.CorpusOps.corpusMixPlan]]
+    * over the resampled MULTISET (a doc drawn d times supplies d × its
+    * tokens — multiplicity is the whole point of resampling) →
+    * [[graft.data.CorpusOps.applyMixPlan]]. Output: the docs the final
+    * mix keeps, with their draw counts.
+    *
+    * The ONE materialization boundary is the resample's distributed
+    * prefix sum (range shuffle → ≤P per-partition totals collected → comb
+    * offsets as literals — documented in [[graft.data.CorpusOps.distributedPrefix]]);
+    * everything downstream of the `drawn` frame composes LAZILY
+    * ([[dsirAfterResample]], construction-jobs spec-pinned up to that
+    * boundary in CorpusOpsSpec). `drawn` itself is a draw-sized
+    * localCheckpoint, so both its consumers (the mixture aggregation and
+    * the final join) read it without re-deriving the scoring scan.
+    */
+  private val DsirMixBudget = 3000L
+
+  def dDsirPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val weights = dImportanceCampaign(spark, dir)
+    val drawn = CorpusOps.importanceResample(
+      weights.select(col("doc_id"), col("imp_e6")),
+      "doc_id", "imp_e6", n = ImpResampleN, seed = ImpResampleSeed)
+    dsirAfterResample(Tables.documents(spark, dir), drawn)
+  }
+
+  /** The lazy back half of [[dDsirPipeline]] (everything after the
+    * resample boundary): multiset mixture plan + apply in one Catalyst
+    * tree — no collect, no checkpoint, no job at construction.
+    */
+  private[graft] def dsirAfterResample(docs: DataFrame, drawn: DataFrame): DataFrame = {
+    val selected = docs.join(drawn.select(col("doc_id"), col("n_draws")), Seq("doc_id"))
+    val plan = CorpusOps.corpusMixPlan(
+      selected, "source",
+      size(TextAnalysis.tokens(col("text"))).cast("long") * col("n_draws"),
+      MixShares.toMap, DsirMixBudget)
+    CorpusOps.applyMixPlan(selected, "doc_id", "source", plan)
+      .join(drawn.select(col("doc_id"), col("n_draws")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_draws"))
+  }
+
+  lazy val dDsirPipelineSql: String = {
+    val n = ImpResampleN
+    val shareCase = MixShares
+      .map { case (k, v) => s"WHEN '$k' THEN $v" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+    s"""WITH $impScoredCtes,
+       |iw AS (SELECT doc_id, CAST(floor(s * 1000000.0) AS BIGINT) AS w FROM scored),
+       |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tot FROM iw),
+       |cw AS (SELECT doc_id, w,
+       |  CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM iw),
+       |od AS (SELECT (${hash60Sql(s"'$ImpResampleSeed'")} % tot) AS o, tot FROM tw),
+       |drawn AS (
+       |  SELECT doc_id,
+       |    CAST(((CAST($n AS BIGINT) * cum - o + tot) // tot)
+       |      - ((CAST($n AS BIGINT) * (cum - w) - o + tot) // tot) AS BIGINT) AS n_draws
+       |  FROM cw, od),
+       |sel AS (
+       |  SELECT t.doc_id, t.source, CAST(len(t.t) AS BIGINT) * d.n_draws AS wtok, d.n_draws
+       |  FROM toks t JOIN drawn d USING (doc_id) WHERE d.n_draws > 0),
+       |av AS (
+       |  SELECT source, CAST(SUM(wtok) AS BIGINT) AS avail_tokens
+       |  FROM sel GROUP BY 1),
+       |plan AS (
+       |  SELECT source,
+       |    CASE WHEN avail_tokens > 0
+       |      THEN least(CAST(1000000 AS BIGINT),
+       |        (CAST(1000000 AS BIGINT) *
+       |          ((CAST($DsirMixBudget AS BIGINT) * CAST(($shareCase) AS BIGINT)) // 1000000))
+       |        // avail_tokens)
+       |      ELSE CAST(0 AS BIGINT) END AS rate_ppm
+       |  FROM av)
+       |SELECT s.doc_id, s.source, s.n_draws
+       |FROM sel s JOIN plan p ON p.source = s.source
+       |WHERE ${hash60Sql("s.source || '|' || CAST(s.doc_id AS VARCHAR)")} % 1000000
+       |      < p.rate_ppm""".stripMargin
+  }
 
   /** Concat-and-chunk sequence packing into 512-token sequences, 8 shards —
     * per-shard running sums (never a global cumsum), layout a pure function
@@ -3632,6 +3789,7 @@ object DataQueries {
     "t_quality_model" -> tQualityModel,
     "d_quality_cut" -> dQualityCut,
     "d_quality_cut_by_source" -> dQualityCutBySource,
+    "d_quality_gate" -> dQualityGate,
     "d_curation_pipeline" -> dCurationPipeline,
     "d_source_cap" -> dSourceCap,
     "t_langid" -> tLangId,
@@ -3677,6 +3835,7 @@ object DataQueries {
     "d_importance_resample" -> dImportanceResample,
     "d_mix_plan" -> dMixPlan,
     "d_mix_apply" -> dMixApply,
+    "d_dsir_pipeline" -> dDsirPipeline,
     "d_seq_pack" -> dSeqPack,
     "t_redact" -> tRedact,
     "d_corpus_assembly" -> dCorpusAssembly,
@@ -3724,6 +3883,7 @@ object DataQueries {
     "t_quality_model" -> tQualityModelSql,
     "d_quality_cut" -> dQualityCutSql,
     "d_quality_cut_by_source" -> dQualityCutBySourceSql,
+    "d_quality_gate" -> dQualityGateSql,
     "d_curation_pipeline" -> dCurationPipelineSql,
     "d_source_cap" -> dSourceCapSql,
     "t_langid" -> tLangIdSql,
@@ -3769,6 +3929,7 @@ object DataQueries {
     "d_importance_resample" -> dImportanceResampleSql,
     "d_mix_plan" -> dMixPlanSql,
     "d_mix_apply" -> dMixApplySql,
+    "d_dsir_pipeline" -> dDsirPipelineSql,
     "d_seq_pack" -> dSeqPackSql,
     "t_redact" -> tRedactSql,
     "d_corpus_assembly" -> dCorpusAssemblySql,

@@ -193,6 +193,14 @@ object Relational {
       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
 
   /** Top-3 line items per order by price — ranking window coverage. */
+  /** Top-3 line items per order over the FULL lineitem table — one
+    * exchange on the group key, rank never leaves its task. Grown from a
+    * 2% orderkey slice in r17 (VERDICT r16 #3): the sliced face's 0.25 s
+    * floor sat under bench_compare's 0.3 s noise cutoff, so it printed the
+    * round's highest ratios while being structurally un-gateable; at full
+    * table the floor clears the cutoff and the window path participates
+    * in the regression gate.
+    */
   def qTopPerGroup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val w = org.apache.spark.sql.expressions.Window
@@ -200,7 +208,6 @@ object Relational {
       .orderBy($"price_c".desc, $"l_linenumber".asc)
     Tables
       .lineitem(spark, dir)
-      .filter($"l_orderkey" % 50 === 0)
       .select($"l_orderkey", $"l_linenumber", cents($"l_extendedprice").as("price_c"))
       .withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 3)
@@ -212,7 +219,7 @@ object Relational {
       |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_c,
       |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
       |      ORDER BY CAST(round(l_extendedprice*100) AS BIGINT) DESC, l_linenumber ASC) AS rnk
-      |  FROM lineitem WHERE l_orderkey % 50 = 0)
+      |  FROM lineitem)
       |WHERE rnk <= 3""".stripMargin
 
   /** Tumbling event-time window rollup over the event stream (the batch face

@@ -287,6 +287,150 @@ object Processors {
     (m.toVector.sortBy { case (i, c) => (-c, i) }, n)
   }
 
+  /** Streaming per-source QUALITY GATE against the running score
+    * distribution — the streaming face of the corpus top-fraction cut
+    * (VERDICT r16 #6): [[graft.data.CorpusOps.topFraction]] needs the whole
+    * corpus before it can rank; an ingest pipeline must verdict each
+    * arrival NOW. The gate keeps a doc iff it would rank within the top
+    * `keepPpm`/1e6 of everything its source has streamed so far:
+    *
+    *   keep ⇔ nBetter < max(1, (nPrev + 1) · keepPpm div 1e6)
+    *
+    * where nBetter counts previously-seen docs in strictly HIGHER score
+    * bins. State per source is a fixed `nBins`-bin histogram + count —
+    * bounded on an unbounded stream, the MG-summary property (a GK sketch
+    * bounds rank error tighter per byte, but the binned rule is EXACT on
+    * its own bin grain, which is what makes the face oracle-replayable in
+    * SQL — the integer tree and the bin function replay bit-for-bit).
+    * The quota floor of 1 admits each source's first arrival (cold start:
+    * nothing to rank against yet, so the gate trusts it). Bins:
+    * `min((max(score − binLo, 0)) div binWidth, nBins−1)` — the clamp
+    * keeps both operands non-negative so truncating and floor division
+    * agree across engines. Rows fold in sid order within a batch (the
+    * NearDupProcessor rule), so replays are deterministic under any
+    * partitioning, and the sequential fold makes multi-batch streaming ≡
+    * one fold over the concatenated arrivals (spec-pinned).
+    */
+  class QualityGateProcessor(
+      keepPpm: Long, binLo: Long, binWidth: Long, nBins: Int, ttlMs: Long)
+      extends StatefulProcessor[String, graft.model.ScoredDoc, graft.model.QualityVerdict] {
+    @transient private var st: ValueState[graft.model.QualityGateState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[graft.model.QualityGateState](
+        "hist", Encoders.product[graft.model.QualityGateState], ttlConfig(ttlMs))
+
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[graft.model.ScoredDoc],
+        timerValues: TimerValues
+    ): Iterator[graft.model.QualityVerdict] = {
+      val cur =
+        if (st.exists()) st.get()
+        else graft.model.QualityGateState(new Array[Long](nBins), 0L)
+      val bins = cur.bins.clone() // never mutate a state-store-owned array
+      var n = cur.n
+      val out = rows.toVector.sortBy(_.sid).map { r =>
+        val v = qualityFoldOne(bins, n, r.sid, key, r.score, keepPpm, binLo, binWidth)
+        n += 1
+        v
+      }
+      st.update(graft.model.QualityGateState(bins, n))
+      out.iterator
+    }
+  }
+
+  def qualityGate(
+      ds: Dataset[graft.model.ScoredDoc],
+      keepPpm: Long,
+      binLo: Long,
+      binWidth: Long,
+      nBins: Int,
+      ttlMs: Long = 0L
+  ): Dataset[graft.model.QualityVerdict] = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, s"qualityGate: keepPpm=$keepPpm outside [0, 1e6]")
+    require(binWidth > 0 && nBins > 0, s"qualityGate: need positive binWidth/nBins")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.source)
+      .transformWithState(
+        new QualityGateProcessor(keepPpm, binLo, binWidth, nBins, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** The deterministic BATCH replay of [[qualityGate]] — one logical
+    * micro-batch holding the whole frame, empty prior state (the
+    * [[heavyHittersBatch]] / nearDupGateBatch rule): exactly the verdicts
+    * the streaming gate emits for that batch, which is what gives the
+    * streaming-only operator a three-check oracle row (`d_quality_gate`).
+    *
+    * Scale shape: ONE exchange on the source key, then a sid-sorted
+    * per-source fold through O(nBins) state via `flatMapSortedGroups` —
+    * the group streams, never materializes, so a source with 10⁹ docs
+    * costs nBins longs, the same bound as the streaming state. The
+    * imperative fold is the operator: arrival i's verdict depends on the
+    * folded histogram of arrivals < i, which no window expression can
+    * carry without materializing a per-row histogram. High-cardinality
+    * grouping contract (sources/domains), like [[graft.data.CorpusOps.topFractionByGroup]].
+    */
+  def qualityGateBatch(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      srcCol: String,
+      scoreCol: String,
+      keepPpm: Long,
+      binLo: Long,
+      binWidth: Long,
+      nBins: Int
+  ): Dataset[graft.model.QualityVerdict] = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L,
+      s"qualityGateBatch: keepPpm=$keepPpm outside [0, 1e6]")
+    require(binWidth > 0 && nBins > 0, s"qualityGateBatch: need positive binWidth/nBins")
+    import df.sparkSession.implicits._
+    import org.apache.spark.sql.functions.col
+    df.select(
+        col(srcCol).cast("string").as("source"),
+        col(idCol).cast("long").as("sid"),
+        col(scoreCol).cast("long").as("score"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("sid")) { (src, it) =>
+        val bins = new Array[Long](nBins)
+        var n = 0L
+        it.map { case (_, sid, score) =>
+          val v = qualityFoldOne(bins, n, sid, src, score, keepPpm, binLo, binWidth)
+          n += 1
+          v
+        }
+      }
+  }
+
+  /** One arrival of the quality-gate fold, shared verbatim by the
+    * streaming processor and the batch replay so the two faces can never
+    * drift: verdict against the pre-arrival histogram, then the arrival
+    * enters its bin (mutates `bins`). `(nPrev+1)·keepPpm` stays in 64-bit
+    * to ~9.2e12 arrivals per source — beyond any real stream.
+    */
+  private[graft] def qualityFoldOne(
+      bins: Array[Long],
+      nPrev: Long,
+      sid: Long,
+      source: String,
+      score: Long,
+      keepPpm: Long,
+      binLo: Long,
+      binWidth: Long
+  ): graft.model.QualityVerdict = {
+    val bin = math.min(math.max(score - binLo, 0L) / binWidth, (bins.length - 1).toLong).toInt
+    var nBetter = 0L
+    var b = bin + 1
+    while (b < bins.length) { nBetter += bins(b); b += 1 }
+    val quota = math.max(1L, (nPrev + 1) * keepPpm / 1000000L)
+    val keep = nBetter < quota
+    bins(bin) += 1
+    graft.model.QualityVerdict(sid, source, score, nPrev, nBetter, keep)
+  }
+
   /** First-seen-wins dedup: ValueState[Boolean] "seen" with native state TTL
     * (reference pattern/dedup/Deduplicator.java:18-72).
     */

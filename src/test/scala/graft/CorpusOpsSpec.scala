@@ -287,6 +287,43 @@ class CorpusOpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("DSIR capstone: lazy after the resample boundary; draws carry into the final mix") {
+    // pre-pay the ONE materialization boundary (campaign scoring scan +
+    // the resample's prefix-sum checkpoint/collect) ...
+    val docs = graft.core.Tables.documents(spark, sf)
+    val drawn = CorpusOps.importanceResample(
+      graft.queries.DataQueries.dImportanceCampaign(spark, sf)
+        .select($"doc_id", $"imp_e6"),
+      "doc_id", "imp_e6", n = 200L, seed = "graft-r16")
+    // ... then the back half (multiset mixture plan + apply) must compose
+    // as ONE lazy tree: zero jobs at construction (the curation precedent)
+    val eager = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val names = js.stageInfos.map(_.name)
+        if (!names.forall(_.startsWith("parquet at"))) eager.add(names.mkString(" | "))
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val df =
+      try {
+        val composed = graft.queries.DataQueries.dsirAfterResample(docs, drawn)
+        Thread.sleep(1000) // listener bus is async
+        assert(eager.isEmpty,
+          s"post-boundary DSIR construction ran eager stage(s): ${eager.toArray.mkString("; ")}")
+        composed
+      } finally spark.sparkContext.removeSparkListener(l)
+    val rows = df.as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    // only planned sources survive the mix, and every survivor was drawn
+    assert(rows.map(_._2).toSet.subsetOf(Set("src0", "src1", "src2", "src3")))
+    assert(rows.forall(_._3 >= 1L))
+    // every survivor IS a drawn doc (the mix never invents rows) —
+    // multiplicity itself is pinned in the importanceResample spec above
+    val drawnIds = drawn.select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_._1).toSet.subsetOf(drawnIds))
+  }
+
   test("stratifiedSample: deterministic, rate-respecting, stable under corpus growth") {
     val docs = (0L until 2000L).map(i => (i, if (i % 4 == 0) "en" else "de")).toDF("doc_id", "lang")
     val rates = Map("en" -> 0.5, "de" -> 0.1)

@@ -334,4 +334,89 @@ class ProcessorsSpec extends SparkSpec {
       }
     }
   }
+
+  // ------------------------------------------------- streaming quality gate
+
+  test("qualityGate: hand-checked running-quantile verdicts; batch replay ≡ one streaming micro-batch; sources isolated") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // keep top 50%, bins of 10 over [0, 100): verdicts hand-derived in
+      // the comments (quota floor admits the cold start; same-bin ties are
+      // not "better"; the quota grows with the running count)
+      val docs = Seq(
+        graft.model.ScoredDoc(1L, "s", 95L), // nPrev 0, quota 1, nBetter 0 -> keep
+        graft.model.ScoredDoc(2L, "s", 50L), // nPrev 1, quota 1, nBetter 1 -> drop
+        graft.model.ScoredDoc(3L, "s", 96L), // same bin as 95: nBetter 0   -> keep
+        graft.model.ScoredDoc(4L, "s", 10L), // nPrev 3, quota 2, nBetter 3 -> drop
+        graft.model.ScoredDoc(5L, "s", 94L), // nPrev 4, quota 2, nBetter 0 -> keep
+        graft.model.ScoredDoc(10L, "t", 5L)) // other source: cold start    -> keep
+      val mem = MemoryStream[graft.model.ScoredDoc]
+      val out = Processors.qualityGate(
+        mem.toDS(), keepPpm = 500000L, binLo = 0L, binWidth = 10L, nBins = 10)
+      val q = out.writeStream.format("memory").queryName("qgate1").outputMode("append").start()
+      val streamed = try {
+        mem.addData(docs: _*)
+        q.processAllAvailable()
+        spark.table("qgate1").as[graft.model.QualityVerdict].collect().toVector.sortBy(_.sid)
+      } finally q.stop()
+      assert(streamed.map(v => v.sid -> v.keep) ===
+        Vector(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true, 10L -> true))
+      // the batch face IS the one-micro-batch replay, row for row — the
+      // contract the d_quality_gate oracle row rests on
+      val batch = Processors.qualityGateBatch(
+          docs.toDF(), "sid", "source", "score",
+          keepPpm = 500000L, binLo = 0L, binWidth = 10L, nBins = 10)
+        .collect().toVector.sortBy(_.sid)
+      assert(batch === streamed,
+        s"batch replay diverged:\nbatch   =$batch\nstreamed=$streamed")
+    }
+  }
+
+  test("qualityGate: state carries across micro-batches — sid-ordered batches fold ≡ one batch over the concatenation; kill-and-resume ≡ uninterrupted") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      // deterministic scores, two sources, split into sid-ordered phases —
+      // the sequential-fold property makes phase-split streaming equal one
+      // fold over the concatenation (and the batch face computes that fold)
+      val all = (1L to 60L).map { i =>
+        graft.model.ScoredDoc(i, if (i % 3 == 0) "a" else "b", (i * 37) % 100)
+      }
+      val (phase1, phase2) = all.partition(_.sid <= 30L)
+      val expect = Processors.qualityGateBatch(
+          all.toDF(), "sid", "source", "score",
+          keepPpm = 300000L, binLo = 0L, binWidth = 5L, nBins = 20)
+        .collect().toVector.sortBy(_.sid)
+
+      val base = java.nio.file.Files.createTempDirectory("qgate_endure").toString
+      def run(tag: String, kill: Boolean): Vector[graft.model.QualityVerdict] = {
+        val out = s"$base/$tag/out"; val ckpt = s"$base/$tag/ckpt"
+        val mem = MemoryStream[graft.model.ScoredDoc]
+        val gated = Processors.qualityGate(
+          mem.toDS(), keepPpm = 300000L, binLo = 0L, binWidth = 5L, nBins = 20)
+        def start() = gated.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        val q1 = start()
+        try { mem.addData(phase1: _*); q1.processAllAvailable() } finally if (kill) q1.stop()
+        if (kill) {
+          mem.addData(phase2: _*) // lands while the query is DOWN
+          val q2 = start()
+          try q2.processAllAvailable() finally q2.stop()
+        } else {
+          try { mem.addData(phase2: _*); q1.processAllAvailable() } finally q1.stop()
+        }
+        spark.read.parquet(out).as[graft.model.QualityVerdict]
+          .collect().toVector.sortBy(_.sid)
+      }
+      val straight = run("straight", kill = false)
+      assert(straight === expect,
+        "two sid-ordered micro-batches diverged from the single concatenated fold")
+      val interrupted = run("killed", kill = true)
+      assert(interrupted === straight,
+        s"kill-and-resume diverged from the uninterrupted run")
+      // exactly-once across the kill, and the gate actually discriminates
+      assert(interrupted.map(_.sid).distinct.length === interrupted.length)
+      assert(interrupted.exists(_.keep) && interrupted.exists(!_.keep))
+    }
+  }
 }
