@@ -193,8 +193,21 @@ object SnapshotOps {
     * of the index is never read. The filter is implied by the candidate
     * equi-join, so pruning is plan-only — answers are identical to
     * [[incrementalNearDup]] on the same corpus (the SAME oracle gates
-    * both, spec-pinned). An oversized probe set falls back to the
-    * unpruned index read with a logged warning (the maxPruneCells rule).
+    * both, spec-pinned).
+    *
+    * `maxPruneBuckets` caps the literal count, and the cap is a PLAN-cost
+    * bound, not a correctness one (measured r17, NearDupIdxProbe-style):
+    * Catalyst clones the whole IN literal list on every optimizer pass of
+    * every consumer, so an 18k-string probe set cost 4–8 s of pure
+    * planning PER consumer at sf0.1 (the flood guard and the candidate
+    * join each pay it — a 4× face regression), while ≤ ~2k literals plan
+    * in noise. Above the cap the UNPRUNED index read is the right shape —
+    * the candidate equi-join on (band, bucket) already does the filtering
+    * at execution (a semi-join pre-prune measured as pure overhead:
+    * +0.4–0.8 s for zero answer change); what's lost is only the scan-side
+    * I/O skip, which a probe set that large wouldn't deliver anyway (most
+    * buckets touched). Small deltas — the per-batch production grain —
+    * stay under the cap and keep the `SelectedBucketsCount` win.
     *
     * The flood guard runs on the PRUNED index slice — the actual join
     * input — plus the delta bands; a flood in a never-probed bucket is a
@@ -213,7 +226,7 @@ object SnapshotOps {
       threshold: Double = 0.8,
       maxBucketRows: Int = 10000,
       pruneBuckets: Boolean = true,
-      maxPruneBuckets: Int = 65536
+      maxPruneBuckets: Int = 2048
   ): DataFrame = {
     require(k % rows == 0, "incrementalNearDupIndexed: k must be divisible by band rows")
     Seq("sid", "band", "bucket").foreach(c =>
@@ -248,9 +261,10 @@ object SnapshotOps {
     if (buckets.length > maxPruneBuckets) {
       org.slf4j.LoggerFactory.getLogger("graft.data.SnapshotOps").warn(
         s"incrementalNearDupIndexed: delta probe set (${buckets.length} buckets) exceeds " +
-          s"maxPruneBuckets=$maxPruneBuckets — falling back to the UNPRUNED index scan " +
-          "(answers unchanged, bucket-pruning I/O win lost); split the delta batch or " +
-          "raise maxPruneBuckets")
+          s"maxPruneBuckets=$maxPruneBuckets — serving the UNPRUNED index (answers " +
+          "unchanged; the candidate equi-join does the filtering, only the scan-side " +
+          "I/O skip is lost). Expected for large delta batches; split the batch if " +
+          "the bucket-pruned read matters")
       bandIndex
     } else bandIndex.where(col("bucket").isin(buckets.toSeq: _*))
   }
