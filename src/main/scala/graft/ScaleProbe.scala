@@ -422,7 +422,12 @@ object ScaleProbe {
     // cell-bucketed ANN index face
     "d_importance_resample", "d_mix_plan", "d_mix_apply",
     "s_ann_pq_imi_idx", "d_neardup_incremental", "d_quality_cut",
-    "d_curation_pipeline"
+    "d_curation_pipeline",
+    // r17: the persisted near-dup band index face, the streaming quality
+    // gate's batch replay, the composed DSIR selection capstone, and the
+    // grown full-lineitem top-per-group window
+    "d_neardup_indexed", "d_quality_gate", "d_dsir_pipeline",
+    "q_top_per_group"
   )
 
   /** A table is reused only when its completion marker exists AND records

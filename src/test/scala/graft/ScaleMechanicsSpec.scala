@@ -596,6 +596,43 @@ class ScaleMechanicsSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("persisted ANN index: appending a delta's encodes ≡ re-encoding the union (build once, append per batch)") {
+    // the near-dup band index's append-equivalence rule applied to the ANN
+    // index: encodeImiPq is a pure per-row function of (vector, codebooks),
+    // so Bucketing.appendBucketed over a delta's encodes must equal a full
+    // rebuild over corpus ∪ delta — the maintenance path a production index
+    // runs per ingest batch instead of re-encoding 100 TB
+    import graft.data.Similarity
+    val corpus = opCorpus.filter($"vec_id" < 3000L).cache()
+    corpus.count()
+    val delta = opCorpus.filter($"vec_id" >= 3000L && $"vec_id" < 3300L)
+    val icbs = Similarity.imiCodebooks(corpus, "vec_id", "embedding", 4)
+    val pcbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx_append").toString
+    val table = "graft_ann_idx_append_spec"
+    graft.connectors.Bucketing.ensureBucketed(
+      spark, Similarity.encodeImiPq(corpus, "vec_id", "embedding", icbs, pcbs),
+      table, dir, "n_bk", 8, sourceStamp = "specA")
+    graft.connectors.Bucketing.appendBucketed(
+      spark, Similarity.encodeImiPq(delta, "vec_id", "embedding", icbs, pcbs),
+      table, dir, "n_bk", 8, newSourceStamp = "specB")
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.select($"n_id", $"n_bk", $"n_codes").as[(Long, Int, Seq[Int])]
+        .collect().map(r => (r._1, r._2, r._3.toVector)).toSet
+    val appended = rowSet(spark.table(table))
+    val rebuilt = rowSet(Similarity.encodeImiPq(
+      corpus.unionByName(delta), "vec_id", "embedding", icbs, pcbs))
+    assert(appended === rebuilt, "appended ANN index drifted from a full re-encode")
+    // the post-append stamp re-registers; the by-name frame must not evaluate
+    val reRead = graft.connectors.Bucketing.ensureBucketed(
+      spark,
+      sys.error("appended stamp must re-register, not rebuild"): org.apache.spark.sql.DataFrame,
+      table, dir, "n_bk", 8, sourceStamp = "specB")
+    assert(reRead.count() === 3300L)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    corpus.unpersist()
+  }
+
   test("checkpoint blocks release: Dataset.unpersist no-ops on localCheckpoint frames; loops go through Checkpoints.release and strand nothing") {
     import graft.data.{Dedup, Similarity}
     val sc = spark.sparkContext
