@@ -217,6 +217,51 @@ object StreamScaleProbe {
     }
   }
 
+  /** Scored-arrival stage for the streaming quality gate: (sid, source,
+    * score) rows — the gate's input is an already-scored stream, so the
+    * hashed quality score is computed once at stage time. 10 files with
+    * maxFilesPerTrigger=3 gives several micro-batches, so the running
+    * histograms genuinely carry across batches.
+    */
+  private def qualityStage(spark: SparkSession, dir: String): String = {
+    val base = s"/tmp/graft-sprobe-qgate-${math.abs(dir.hashCode)}"
+    if (!new java.io.File(s"$base/_DONE").exists()) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.data.TextAnalysis.qualityModelScore(docs, "doc_id", "text", dims = 64)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("doc_id").as("sid"), col("source"), col("score_e6").as("score"))
+        .repartition(10).write.mode("overwrite").parquet(s"$base/data")
+      new java.io.File(s"$base/_DONE").createNewFile()
+      ()
+    }
+    s"$base/data"
+  }
+
+  /** scored documents → streaming quality gate. The 100 TB claim under
+    * measurement: state rows track the SOURCE count (one bounded histogram
+    * per source), NOT the arrival count — 10× the input rows over the same
+    * source set must hold state rows flat.
+    */
+  private def qualityGateFace(spark: SparkSession, dir: String): (Double, Long, Long) = {
+    import spark.implicits._
+    val path = qualityStage(spark, dir)
+    val schema = spark.read.parquet(path).schema
+    val out = outTmp("qgate-out")
+    drive(spark) { ckpt =>
+      graft.stateful.Processors.qualityGate(
+          spark.readStream.schema(schema).option("maxFilesPerTrigger", "3").parquet(path)
+            .as[graft.model.ScoredDoc],
+          keepPpm = 300000L, binLo = -250000L, binWidth = 4096L, nBins = 128)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", s"$out/verdicts")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
+  }
+
   /** Version/event parquet stages for the as-of faces: every event is a
     * version row (history IS the state axis), a 1-in-10 slice probes.
     * Written once per dir, several files each so both file sources
@@ -300,7 +345,8 @@ object StreamScaleProbe {
       "cdc_pipeline" -> (d => cdcPipeline(spark, d)),
       "neardup_gate" -> (d => neardupGate(spark, d)),
       "asof_nolag" -> (d => asof(spark, d, -1L)),
-      "asof_lag" -> (d => asof(spark, d, lagFor(d)))
+      "asof_lag" -> (d => asof(spark, d, lagFor(d))),
+      "quality_gate" -> (d => qualityGateFace(spark, d))
     )
     val selected =
       if (args.length > 2) faces.filter(f => args.drop(2).contains(f._1)) else faces
@@ -311,7 +357,7 @@ object StreamScaleProbe {
     // SPARK_GRAFT_SCALE_FACTOR names the replication factor (default 10 =
     // the sf1 decade; 100 = sf10), so one probe binary walks any decade.
     val needed = selected.map {
-      case ("neardup_gate", _) => "documents"
+      case ("neardup_gate", _) | ("quality_gate", _) => "documents"
       case _ => "events"
     }.toSet
     if (needed.nonEmpty) {
