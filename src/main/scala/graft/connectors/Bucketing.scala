@@ -169,6 +169,18 @@ object Bucketing {
         s"buckets=$nBuckets) — appending would break co-location; rebuild via ensureBucketed")
     val schemaDdl = specLines.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema=")).getOrElse("")
+    // crash-safety ordering (code-review r17): the data append and the
+    // marker rewrite cannot be atomic, so the marker is DELETED first —
+    // a crash anywhere in the window leaves no marker, which the build
+    // path treats as "rebuild, never trust" (and a blind append RETRY
+    // hits the marker-exists require above instead of double-appending).
+    // Rewriting the marker last would instead leave the PRE-append stamp
+    // validating a table that already contains the delta — the silent
+    // wrong-layout acceptance the marker exists to prevent.
+    if (!marker.delete())
+      throw new IllegalStateException(
+        s"appendBucketed: could not remove the build marker at $path before appending — " +
+          "refusing to append under a stamp that would misdescribe the result")
     df.repartition(nBuckets, org.apache.spark.sql.functions.col(keyCol))
       .write
       .mode("append")

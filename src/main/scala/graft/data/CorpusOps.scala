@@ -639,10 +639,18 @@ object CorpusOps {
     * (and checkpointed) its result. Partition-count invariance of the
     * derived ranks/draws is spec-pinned against THIS helper (CorpusOpsSpec).
     */
+  /** `qtyCol = None` counts ROWS (the ordinal/rank mode — no per-row
+    * quantity column is added to the checkpoint; the count comes from the
+    * same aggregation for free, minQty is trivially 1). The stats pass and
+    * any caller guard run inside a release-on-failure boundary: the eager
+    * checkpoint must never strand its executor blocks when a contract
+    * check throws (`Dataset.unpersist` is a no-op on checkpoint frames —
+    * the Checkpoints scaladoc).
+    */
   private[data] def distributedPrefix(
       df: DataFrame,
       order: Seq[Column],
-      qtyCol: String,
+      qtyCol: Option[String],
       nParts: Int
   ): (DataFrame, Array[Long], Long) = {
     val spark = df.sparkSession
@@ -651,9 +659,14 @@ object CorpusOps {
       .repartitionByRange(p, order: _*)
       .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
       .localCheckpoint()
-    val stats = ranged
-      .groupBy(col("_pid")).agg(sum(col(qtyCol)).as("_t"), min(col(qtyCol)).as("_m"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val stats = releaseOnFailure(ranged) {
+      val (t, m) = qtyCol match {
+        case Some(c) => (sum(col(c)).as("_t"), min(col(c)).as("_m"))
+        case None => (count(lit(1)).as("_t"), lit(1L).as("_m"))
+      }
+      ranged.groupBy(col("_pid")).agg(t, m)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    }
     val totals = Array.fill(p)(0L)
     var minQty = Long.MaxValue
     stats.foreach { case (pid, t, m) =>
@@ -662,6 +675,20 @@ object CorpusOps {
     }
     (ranged, totals.scanLeft(0L)(_ + _), minQty)
   }
+
+  /** Run `f`; on ANY throw, release the checkpoint-backed frames first and
+    * rethrow — the error-path sibling of the happy-path tail release. A
+    * contract guard (negative weight, flood, overflow) that fires AFTER an
+    * eager `localCheckpoint` would otherwise strand corpus-sized executor
+    * blocks in every catch-and-retry loop (code-review r17).
+    */
+  private[graft] def releaseOnFailure[T](frames: DataFrame*)(f: => T): T =
+    try f
+    catch {
+      case e: Throwable =>
+        frames.foreach(graft.core.Checkpoints.release(_))
+        throw e
+    }
 
   def importanceResample(
       weights: DataFrame,
@@ -677,23 +704,26 @@ object CorpusOps {
     // blocks release before return
     val (ranged, offsets, minW) = distributedPrefix(
       weights.select(col(idCol), col(wCol).cast("long").as("_w")),
-      Seq(col(idCol)), "_w", nParts)
+      Seq(col(idCol)), Some("_w"), nParts)
     val p = offsets.length - 1
-    // a negative weight makes its interval run backwards — n_draws can go
-    // NEGATIVE and be silently dropped by the `> 0` filter, breaking the
-    // exactly-n telescoping contract; fail loudly like the overflow guard
-    // (ADVICE r16; checked in the same aggregation as the totals)
-    require(minW >= 0,
-      s"importanceResample: negative weight (min=$minW) — intervals would run " +
-        "backwards and silently break the exactly-n draw contract; weights must " +
-        "be non-negative (clamp or shift upstream)")
+    releaseOnFailure(ranged) {
+      // a negative weight makes its interval run backwards — n_draws can go
+      // NEGATIVE and be silently dropped by the `> 0` filter, breaking the
+      // exactly-n telescoping contract; fail loudly like the overflow guard
+      // (ADVICE r16; checked in the same aggregation as the totals)
+      require(minW >= 0,
+        s"importanceResample: negative weight (min=$minW) — intervals would run " +
+          "backwards and silently break the exactly-n draw contract; weights must " +
+          "be non-negative (clamp or shift upstream)")
+      val w0 = offsets(p)
+      require(w0 > 0, "importanceResample: total weight is zero — nothing to draw from")
+      // n·cum + W must stay in BIGINT on BOTH engines; fail loudly with the
+      // remedy (scale the weights down — only ratios matter to the draw)
+      require(w0 <= (Long.MaxValue - w0) / n,
+        s"importanceResample: n=$n × totalWeight=$w0 overflows 64-bit — rescale the " +
+          "weights (e.g. divide by 2^k; draw positions depend only on weight RATIOS)")
+    }
     val w0 = offsets(p)
-    require(w0 > 0, "importanceResample: total weight is zero — nothing to draw from")
-    // n·cum + W must stay in BIGINT on BOTH engines; fail loudly with the
-    // remedy (scale the weights down — only ratios matter to the draw)
-    require(w0 <= (Long.MaxValue - w0) / n,
-      s"importanceResample: n=$n × totalWeight=$w0 overflows 64-bit — rescale the " +
-        "weights (e.g. divide by 2^k; draw positions depend only on weight RATIOS)")
     val off = java.lang.Math.floorMod(graft.functions.Md5Hash60.hash(
       seed.getBytes("UTF-8")), w0)
     val offLit = lit(Array.tabulate(p)(i => offsets(i)))
@@ -702,17 +732,19 @@ object CorpusOps {
         sum(col("_w")).over(
           Window.partitionBy(col("_pid")).orderBy(col(idCol))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val out = ranged
-      .withColumn("_cum", cum)
-      // `div` (integral divide), NOT `/`: long / long is DOUBLE in Spark
-      // and loses exactness past 2^53 — these operands go to n·W
-      .withColumn("_hi", lit(n) * col("_cum") - lit(off) + lit(w0))
-      .withColumn("_lo", lit(n) * (col("_cum") - col("_w")) - lit(off) + lit(w0))
-      .withColumn("n_draws", expr(s"(_hi div ${w0}L) - (_lo div ${w0}L)"))
-      .where(col("n_draws") > 0)
-      .select(col(idCol), col("_w").as("weight"), col("n_draws"))
-      // draw-sized result; hand the caller a frame that survives the release
-      .localCheckpoint()
+    val out = releaseOnFailure(ranged) {
+      ranged
+        .withColumn("_cum", cum)
+        // `div` (integral divide), NOT `/`: long / long is DOUBLE in Spark
+        // and loses exactness past 2^53 — these operands go to n·W
+        .withColumn("_hi", lit(n) * col("_cum") - lit(off) + lit(w0))
+        .withColumn("_lo", lit(n) * (col("_cum") - col("_w")) - lit(off) + lit(w0))
+        .withColumn("n_draws", expr(s"(_hi div ${w0}L) - (_lo div ${w0}L)"))
+        .where(col("n_draws") > 0)
+        .select(col(idCol), col("_w").as("weight"), col("n_draws"))
+        // draw-sized result; hand the caller a frame that survives the release
+        .localCheckpoint()
+    }
     graft.core.Checkpoints.release(ranged)
     out
   }
@@ -741,11 +773,13 @@ object CorpusOps {
   ): DataFrame = {
     require(keepPpm >= 0 && keepPpm <= 1000000L,
       s"topFraction: keepPpm=$keepPpm outside [0, 1e6]")
-    // qty = 1 per row: the prefix sum of ordinals IS the per-partition
-    // row count (minQty is trivially 1 — no sign contract to assert)
+    // ordinal mode (qtyCol = None): the prefix sum of row COUNTS needs no
+    // per-row quantity column in the checkpoint — the stats aggregation
+    // counts for free (code-review r17: a lit(1) column was +8 B on every
+    // checkpointed corpus row purely to be summed)
     val (ranged, offsets, _) = distributedPrefix(
-      df.select(col(idCol), col(scoreCol).cast("long").as("_s"), lit(1L).as("_q")),
-      Seq(col("_s").desc, col(idCol).asc), "_q", nParts)
+      df.select(col(idCol), col(scoreCol).cast("long").as("_s")),
+      Seq(col("_s").desc, col(idCol).asc), None, nParts)
     val p = offsets.length - 1
     val n = offsets(p)
     val keepN = n * keepPpm / 1000000L
@@ -753,11 +787,13 @@ object CorpusOps {
     val rank = element_at(offLit, col("_pid") + 1) +
       row_number().over(
         Window.partitionBy(col("_pid")).orderBy(col("_s").desc, col(idCol).asc))
-    val out = ranged
-      .withColumn("rank", rank.cast("long"))
-      .where(col("rank") <= keepN)
-      .select(col(idCol), col("_s").as(scoreCol), col("rank"))
-      .localCheckpoint()
+    val out = releaseOnFailure(ranged) {
+      ranged
+        .withColumn("rank", rank.cast("long"))
+        .where(col("rank") <= keepN)
+        .select(col(idCol), col("_s").as(scoreCol), col("rank"))
+        .localCheckpoint()
+    }
     graft.core.Checkpoints.release(ranged)
     out
   }

@@ -145,10 +145,16 @@ object SnapshotOps {
   ): DataFrame = {
     require(k % rows == 0, "incrementalNearDup: k must be divisible by band rows")
     val dB = Dedup.bandedBuckets(delta, idCol, textCol, n, k, rows).localCheckpoint()
-    val cB = Dedup.bandedBuckets(corpusIndex, idCol, textCol, n, k, rows).localCheckpoint()
-    Dedup.assertNoBucketFlood(dB, maxBucketRows, "incrementalNearDup(delta)", nearDupFloodRemedy)
-    Dedup.assertNoBucketFlood(cB, maxBucketRows, "incrementalNearDup(corpus)", nearDupFloodRemedy)
-    val out = nearDupVerdicts(dB, cB, corpusIndex, delta, idCol, textCol, n, threshold)
+    val cB = CorpusOps.releaseOnFailure(dB) {
+      Dedup.bandedBuckets(corpusIndex, idCol, textCol, n, k, rows).localCheckpoint()
+    }
+    // guards + verdict build inside a release-on-failure boundary: a flood
+    // throw must not strand the two checkpoints in a catch-and-retry loop
+    val out = CorpusOps.releaseOnFailure(dB, cB) {
+      Dedup.assertNoBucketFlood(dB, maxBucketRows, "incrementalNearDup(delta)", nearDupFloodRemedy)
+      Dedup.assertNoBucketFlood(cB, maxBucketRows, "incrementalNearDup(corpus)", nearDupFloodRemedy)
+      nearDupVerdicts(dB, cB, corpusIndex, delta, idCol, textCol, n, threshold)
+    }
     graft.core.Checkpoints.release(dB)
     graft.core.Checkpoints.release(cB)
     out
@@ -233,12 +239,35 @@ object SnapshotOps {
       require(bandIndex.columns.contains(c),
         s"incrementalNearDupIndexed: bandIndex lacks column $c — build it with nearDupBandIndex"))
     val dB = Dedup.bandedBuckets(delta, idCol, textCol, n, k, rows).localCheckpoint()
-    Dedup.assertNoBucketFlood(
-      dB, maxBucketRows, "incrementalNearDupIndexed(delta)", nearDupFloodRemedy)
-    val cB = if (pruneBuckets) pruneIndexToDelta(bandIndex, dB, maxPruneBuckets) else bandIndex
-    Dedup.assertNoBucketFlood(
-      cB, maxBucketRows, "incrementalNearDupIndexed(index)", nearDupFloodRemedy)
-    val out = nearDupVerdicts(dB, cB, corpusText, delta, idCol, textCol, n, threshold)
+    val out = CorpusOps.releaseOnFailure(dB) {
+      // the (n, k, rows) triple is part of the INDEX IDENTITY: banding the
+      // delta under different parameters than the persisted index yields
+      // zero collisions and silently verdicts every true near-dup `new` —
+      // the one failure mode a layout cache must never have (the Bucketing
+      // marker stance). The band-id range check below catches band-count
+      // drift loudly and costs one skinny aggregation; parameter changes
+      // that PRESERVE the band count (e.g. a different shingle n) cannot be
+      // seen structurally — put the full triple in the index build stamp
+      // (as the d_neardup_indexed face does) so ensureBucketed rebuilds on
+      // any change (code-review r17).
+      // every doc explodes ALL its bands, so ANY non-empty index built under
+      // this (k, rows) has band ids exactly 0..nBands-1; an EMPTY index is
+      // legitimate (first batch ever — no candidates, all verdicts `new`)
+      val nBands = k / rows
+      val maxBand = bandIndex.agg(max(col("band"))).head()
+      if (!maxBand.isNullAt(0))
+        require(maxBand.getInt(0) == nBands - 1,
+          s"incrementalNearDupIndexed: index band ids reach ${maxBand.getInt(0)} but " +
+            s"k=$k/rows=$rows implies bands 0..${nBands - 1} — the index was built under " +
+            "DIFFERENT banding parameters; rebuild it with nearDupBandIndex under this " +
+            "(n, k, rows) and stamp the triple into the build")
+      Dedup.assertNoBucketFlood(
+        dB, maxBucketRows, "incrementalNearDupIndexed(delta)", nearDupFloodRemedy)
+      val cB = if (pruneBuckets) pruneIndexToDelta(bandIndex, dB, maxPruneBuckets) else bandIndex
+      Dedup.assertNoBucketFlood(
+        cB, maxBucketRows, "incrementalNearDupIndexed(index)", nearDupFloodRemedy)
+      nearDupVerdicts(dB, cB, corpusText, delta, idCol, textCol, n, threshold)
+    }
     graft.core.Checkpoints.release(dB)
     out
   }

@@ -261,9 +261,12 @@ object DataQueries {
     // rank windows over a projected (md5(text), doc_id) frame — the
     // exchange carries 24-byte rows, never corpus text — and the winning
     // ids left-semi join back. The winner-id frame broadcasts (8 B/id:
-    // fine to ~10^8 distinct docs); past that, serve the semi join from a
-    // doc_id-bucketed corpus table (connectors/Bucketing) so neither side
-    // re-shuffles text. Verdicts identical to the full-width window (same
+    // fine to ~10^8 distinct docs); past that the forced hint FAILS LOUDLY
+    // (Spark's 8 GB broadcast ceiling / driver OOM — a hint overrides
+    // autoBroadcastJoinThreshold) rather than silently degrading: at that
+    // size swap to the doc_id-bucketed corpus table semi join
+    // (connectors/Bucketing) so neither side re-shuffles text.
+    // Verdicts identical to the full-width window (same
     // min-id-per-hash keep set, same oracle); the one-lazy-plan property
     // survives (spec-pinned), and CorpusOpsSpec plan-asserts that no
     // exchange in the pipeline carries the text column.
@@ -3618,7 +3621,12 @@ object DataQueries {
         Tables.documents(spark, dir).filter(pmod(col("doc_id"), lit(3)) =!= 0),
         "doc_id", "text"),
       s"graft_neardup_bands$slug", s"/tmp/graft_bucketed/$slug/neardup_bands", "bucket", 64,
-      sourceStamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
+      // the banding triple is part of the index identity (the
+      // incrementalNearDupIndexed scaladoc): carrying it in the stamp makes
+      // a parameter change REBUILD instead of silently probing a
+      // differently-banded layout
+      sourceStamp =
+        s"n3k16r2|${graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")}")
   }
 
   /** [[dNearDupIncremental]] served from the persisted band index

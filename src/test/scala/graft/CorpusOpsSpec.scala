@@ -120,6 +120,11 @@ class CorpusOpsSpec extends SparkSpec {
     val other = CorpusOps.importanceResample(w, "doc_id", "w", n, "other-seed")
       .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(other.values.sum === n)
+    // guard throws must not STRAND the eager prefix checkpoint (the
+    // release-on-failure boundary — code-review r17): block count returns
+    // to baseline after each intercepted failure
+    def blocks() = spark.sparkContext.getRDDStorageInfo.length
+    val baseBlocks = blocks()
     // overflow guard is loud with the remedy named
     val big = Seq((1L, Long.MaxValue / 10), (2L, Long.MaxValue / 10)).toDF("doc_id", "w")
     val err = intercept[IllegalArgumentException] {
@@ -134,6 +139,11 @@ class CorpusOpsSpec extends SparkSpec {
       CorpusOps.importanceResample(neg, "doc_id", "w", 10L, "s")
     }
     assert(errNeg.getMessage.contains("negative weight"), errNeg.getMessage)
+    // async unpersist: poll to a deadline (the ScaleMechanicsSpec pattern)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (blocks() > baseBlocks && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(blocks() <= baseBlocks,
+      s"guard throws stranded checkpoint blocks: ${blocks()} vs baseline $baseBlocks")
   }
 
   test("topFraction: exact global ranks match a full sort, partition-invariant, tie-break by id, edge fractions") {

@@ -121,12 +121,19 @@ class SnapshotOpsSpec extends SparkSpec {
     val gotFar = SnapshotOps.incrementalNearDup(corpus, far, "doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(gotFar(30L) === "new")
-    // flood guard stays loud through this face
+    // flood guard stays loud through this face — and the throw must not
+    // strand the band-frame checkpoints (release-on-failure, r17)
+    def blocks() = spark.sparkContext.getRDDStorageInfo.length
+    val baseBlocks = blocks()
     val flood = (0L until 50L).map(i => (100L + i, base)).toDF("doc_id", "text")
     val err = intercept[IllegalStateException] {
       SnapshotOps.incrementalNearDup(corpus, flood, "doc_id", "text", maxBucketRows = 10)
     }
     assert(err.getMessage.contains("duplicate flood"), err.getMessage)
+    val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+    while (blocks() > baseBlocks && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(blocks() <= baseBlocks,
+      s"flood throw stranded checkpoint blocks: ${blocks()} vs baseline $baseBlocks")
   }
 
   test("incrementalNearDupIndexed: persisted band index ≡ inline rebuild; probes prune buckets; append ≡ rebuild") {
@@ -198,6 +205,20 @@ class SnapshotOpsSpec extends SparkSpec {
       spark, sys.error("appended stamp must re-register, not rebuild"): org.apache.spark.sql.DataFrame,
       table, dir, "bucket", 8, sourceStamp = "specB")
     assert(reRead.count() === appended.size.toLong)
+    // banding-parameter drift fails LOUDLY: an index built at (k=16,rows=2)
+    // probed at rows=4 would otherwise produce zero collisions and verdict
+    // every true near-dup `new` — silent wrong results (code-review r17)
+    val errBand = intercept[IllegalArgumentException] {
+      SnapshotOps.incrementalNearDupIndexed(
+        reRead, corpus, delta, "doc_id", "text", rows = 4)
+    }
+    assert(errBand.getMessage.contains("DIFFERENT banding parameters"), errBand.getMessage)
+    // an EMPTY index is legitimate (first batch): all verdicts `new`
+    val emptyIdx = reRead.filter(lit(false))
+    val firstBatch = SnapshotOps.incrementalNearDupIndexed(
+      emptyIdx, corpus.filter(lit(false)), delta, "doc_id", "text")
+      .as[(Long, String)].collect()
+    assert(firstBatch.nonEmpty && firstBatch.forall(_._2 != "dup_corpus"))
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 }
