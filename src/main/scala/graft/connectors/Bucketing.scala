@@ -30,6 +30,59 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
+  /** The registered catalog entry must actually BE the layout at `path`
+    * with the requested clustering — a name reused for a different path
+    * (or registered elsewhere in this JVM) would otherwise return the
+    * wrong table's data and plan exchange-free joins over it. Shared by
+    * [[ensureBucketed]] (re-register on mismatch) and [[appendBucketed]]
+    * (fail loudly on mismatch — ADVICE r17: an append routed to a
+    * same-named table at a DIFFERENT path would land the delta in the
+    * wrong table while rewriting this path's marker with the post-append
+    * stamp, the silent wrong-layout acceptance the marker exists to
+    * prevent).
+    */
+  private def catalogMatches(
+      spark: SparkSession,
+      tableName: String,
+      path: String,
+      keyCol: String,
+      nBuckets: Int
+  ): Boolean =
+    try {
+      val detail = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+        .toMap
+      val locOk = detail.get("Location").exists { loc =>
+        new java.io.File(loc.stripPrefix("file:")).getCanonicalPath ==
+          new java.io.File(path).getCanonicalPath
+      }
+      // exact column-list equality, not substring containment: a table
+      // clustered on `userkey2` must NOT satisfy a request for `key`
+      val bucketColsOk = detail.get("Bucket Columns").exists { raw =>
+        raw.stripPrefix("[").stripSuffix("]")
+          .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq == Seq(keyCol)
+      }
+      locOk &&
+        detail.get("Num Buckets").exists(_.trim == nBuckets.toString) &&
+        bucketColsOk
+    } catch { case _: Throwable => false }
+
+  /** The `stamp=` line of the build marker at `path`, if one exists — the
+    * sourceStamp the table was built (or last appended) under. Callers
+    * that encode operator parameters into the stamp (the near-dup band
+    * triple, the pHash band width) can validate those parameters against
+    * the PERSISTED layout without scanning it (ADVICE r17: the band-range
+    * drift guard was a full column-pruned index scan per delta batch).
+    */
+  def readStamp(path: String): Option[String] = {
+    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+    if (!marker.exists()) None
+    else new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.find(_.startsWith("stamp=")).map(_.stripPrefix("stamp="))
+  }
+
   /** Register (materializing if needed) a bucketed copy of `df` as
     * `tableName` at `path`, clustered and sorted by `keyCol` into
     * `nBuckets`. Returns the bucketed table as a DataFrame.
@@ -66,37 +119,13 @@ object Bucketing {
     def specMatches(spec: String): Boolean =
       spec == specOf(schemaFrom(spec)) && schemaFrom(spec).nonEmpty
 
-    // the registered catalog entry must actually BE the layout at `path`
-    // with the requested clustering — a name reused for a different path
-    // (or registered elsewhere in this JVM) would otherwise return the
-    // wrong table's data and plan exchange-free joins over it
-    def catalogMatches(): Boolean =
-      try {
-        val detail = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName").collect()
-          .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
-          .toMap
-        val locOk = detail.get("Location").exists { loc =>
-          new java.io.File(loc.stripPrefix("file:")).getCanonicalPath ==
-            new java.io.File(path).getCanonicalPath
-        }
-        // exact column-list equality, not substring containment: a table
-        // clustered on `userkey2` must NOT satisfy a request for `key`
-        val bucketColsOk = detail.get("Bucket Columns").exists { raw =>
-          raw.stripPrefix("[").stripSuffix("]")
-            .split(",").map(_.trim.stripPrefix("`").stripSuffix("`")).toSeq == Seq(keyCol)
-        }
-        locOk &&
-          detail.get("Num Buckets").exists(_.trim == nBuckets.toString) &&
-          bucketColsOk
-      } catch { case _: Throwable => false }
-
     if (spark.catalog.tableExists(tableName)) {
       // in-catalog table: still validate the on-disk spec AND that the
       // catalog entry points at this path with this bucket spec — a prior
       // run in this JVM may have registered it before the source was
       // regenerated, or under the same name for a different layout
       readMarker() match {
-        case Some(spec) if specMatches(spec) && catalogMatches() =>
+        case Some(spec) if specMatches(spec) && catalogMatches(spark, tableName, path, keyCol, nBuckets) =>
           return spark.table(tableName)
         case _ => spark.sql(s"DROP TABLE IF EXISTS $tableName")
       }
@@ -158,6 +187,11 @@ object Bucketing {
   ): DataFrame = synchronized {
     require(spark.catalog.tableExists(tableName),
       s"appendBucketed: table $tableName not registered — call ensureBucketed first")
+    require(catalogMatches(spark, tableName, path, keyCol, nBuckets),
+      s"appendBucketed: catalog entry $tableName does not match (path=$path, key=$keyCol, " +
+        s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
+        "spec in this session; appending would land the delta in that other table while " +
+        "rewriting this path's marker. Re-register via ensureBucketed first")
     val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
     require(marker.exists(), s"appendBucketed: no build marker at $path — not an ensureBucketed table")
     val spec = new String(

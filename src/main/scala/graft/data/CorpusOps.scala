@@ -686,7 +686,14 @@ object CorpusOps {
     try f
     catch {
       case e: Throwable =>
-        frames.foreach(graft.core.Checkpoints.release(_))
+        // a release that itself throws (executor loss mid-unpersist) must
+        // not REPLACE the original guard exception — the caller needs the
+        // real failure; the cleanup failure rides along as suppressed
+        // (ADVICE r17)
+        frames.foreach { fr =>
+          try graft.core.Checkpoints.release(fr)
+          catch { case r: Throwable => e.addSuppressed(r) }
+        }
         throw e
     }
 

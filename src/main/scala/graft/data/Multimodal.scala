@@ -264,6 +264,152 @@ object Multimodal {
       .distinct()
   }
 
+  /** The persisted MIH BAND INDEX layout for a media corpus: one
+    * `(sid, band, bucket, fp)` row per (image, band) — the stored side of
+    * [[perceptualPairs]] made a first-class frame so a pipeline can
+    * materialize it ONCE per corpus stamp (bucketed by `bucket` via
+    * [[graft.connectors.Bucketing.ensureBucketed]]), append each ingested
+    * delta's bands ([[graft.connectors.Bucketing.appendBucketed]]), and
+    * serve every subsequent pairs/clusters/gate query from the skinny
+    * table instead of re-decoding + re-fingerprinting the BINARY column
+    * per call — at billion-image scale that per-call media re-scan IS the
+    * query cost (the exact shape [[SnapshotOps.nearDupBandIndex]] removed
+    * for text in r17). Carrying `fp` in the index makes the Hamming
+    * verify free at query time: no candidate ever touches media bytes.
+    *
+    * Append ≡ rebuild holds because a row's (band, bucket, fp) is a pure
+    * function of its own media bytes (spec-pinned in DataOpsSpec).
+    * `bandBits` is part of the INDEX IDENTITY — put [[phashStamp]] in the
+    * ensureBucketed `sourceStamp` so a parameter change rebuilds, and pass
+    * the persisted stamp to [[perceptualPairsIndexed]] to validate per
+    * query (the [[SnapshotOps.bandStamp]] discipline).
+    */
+  def phashBandIndex(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      bandBits: Int = 8
+  ): DataFrame = {
+    require(64 % bandBits == 0, s"phashBandIndex: bandBits=$bandBits must divide 64")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    // ComputeOnce barrier: the band array references _fp nBands times and
+    // CollapseProject would otherwise inline the 64-sample fingerprint
+    // subtree into every reference (the perceptualPairs lesson)
+    df.select(
+      col(idCol).cast("long").as("sid"),
+      graft.functions.ComputeOnce(perceptualHash(col(binCol))).as("fp"))
+      .select(col("sid"), col("fp"), explode(array((0 until nBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          shiftright(col("fp"), b * bandBits).bitwiseAND(lit(mask)).cast("string").as("bucket"))
+      }: _*)).as("_b"))
+      .select(col("sid"), col("_b.band").as("band"), col("_b.bucket").as("bucket"), col("fp"))
+  }
+
+  /** Canonical encoding of the band width for a persisted pHash index's
+    * build stamp — the [[SnapshotOps.bandStamp]] discipline for the MIH
+    * index family.
+    */
+  def phashStamp(bandBits: Int): String = s"phash(bandBits=$bandBits)"
+
+  /** [[perceptualPairs]] served from a PERSISTED [[phashBandIndex]] — the
+    * production shape: BOTH join sides derive from the skinny index (the
+    * probe side re-derives each row's band value from the stored `fp` and
+    * expands its radius-`probeRadius` Hamming ball; the stored side is the
+    * index as-is), so the pairs/clusters family never re-reads the binary
+    * column at all. Same exactness guarantee, same flood stance, same
+    * output (SAME oracle gates both faces — the index must never change
+    * the answer; spec-pinned equivalence in DataOpsSpec).
+    *
+    * `indexStamp` (the persisted table's build stamp,
+    * [[graft.connectors.Bucketing.readStamp]]) validates `bandBits`
+    * against the layout without scanning it; probing a differently-banded
+    * index would silently emit garbage candidates — fail loudly instead.
+    *
+    * The flood guard aggregates the index's (band, bucket) counts — one
+    * pass over skinny persisted rows (never media bytes), the price of
+    * the loud-error contract on a quadratic-output join. The guard makes
+    * construction EAGER (it runs a count job and can throw before any
+    * action) — the documented [[perceptualPairs]] contract.
+    */
+  def perceptualPairsIndexed(
+      index: DataFrame,
+      maxHamming: Int = 7,
+      bandBits: Int = 8,
+      probeRadius: Int = 0,
+      maxBucketRows: Int = 10000,
+      indexStamp: Option[String] = None
+  ): DataFrame = {
+    require(64 % bandBits == 0, s"perceptualPairsIndexed: bandBits=$bandBits must divide 64")
+    require(maxHamming >= 0, s"perceptualPairsIndexed: maxHamming=$maxHamming")
+    require(maxBucketRows > 0, s"perceptualPairsIndexed: maxBucketRows must be positive")
+    require(probeRadius == 0 || probeRadius == 1,
+      s"perceptualPairsIndexed: probeRadius=$probeRadius not in {0, 1}")
+    Seq("sid", "band", "bucket", "fp").foreach(c =>
+      require(index.columns.contains(c),
+        s"perceptualPairsIndexed: index lacks column $c — build it with phashBandIndex"))
+    val nBands = 64 / bandBits
+    require(maxHamming < nBands * (probeRadius + 1),
+      s"perceptualPairsIndexed: maxHamming=$maxHamming beyond the pigeonhole guarantee " +
+        s"(${nBands * (probeRadius + 1) - 1} at $nBands bands, radius $probeRadius) — " +
+        s"the banded join would MISS qualifying pairs; narrow bandBits, raise " +
+        s"probeRadius, or lower maxHamming")
+    indexStamp.foreach(s =>
+      require(s.contains(phashStamp(bandBits)),
+        s"perceptualPairsIndexed: the persisted index's build stamp ($s) does not carry " +
+          s"${phashStamp(bandBits)} — the index was built under a DIFFERENT band width; " +
+          "rebuild it with phashBandIndex under this bandBits and put phashStamp(bandBits) " +
+          "in the ensureBucketed sourceStamp"))
+    val mask = (1L << bandBits) - 1
+    val stored = index.select(col("sid"), col("band"), col("bucket"), col("fp"))
+    // flood guard on the stored index's (band, bucket) grain — identical
+    // stance to the inline face, but over persisted skinny rows
+    val oversized = stored.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bc"))
+      .filter(col("_bc") > maxBucketRows)
+      .orderBy(col("_bc").desc)
+      .limit(3)
+      .collect()
+    if (oversized.nonEmpty) {
+      val tops = oversized
+        .map(r => s"band=${r.get(0)} bucket=${r.get(1)} rows=${r.get(2)}")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"perceptualPairsIndexed: perceptual-dup flood — (band, bucket) bucket(s) above " +
+          s"maxBucketRows=$maxBucketRows ($tops). Collapse byte-identical media to min-id " +
+          "representatives before indexing, or raise maxBucketRows only if the " +
+          "duplicity²-quadratic pair output is truly intended (the perceptualPairs " +
+          "scaladoc discusses both contracts).")
+    }
+    // probe side: each index row (one per band) re-derives its numeric band
+    // value from fp — shiftright by the band COLUMN, so one expression
+    // serves all bands — and explodes the exact value plus its radius-1
+    // single-bit flips. The multiset equals the inline face's probe side.
+    // SQL form: the Scala DSL's shiftright only takes a literal bit count,
+    // and here the shift is the band COLUMN (one expression serves all bands)
+    val bv = expr(s"shiftright(fp, band * $bandBits)").bitwiseAND(lit(mask))
+    val probeVals = bv +: (if (probeRadius == 0) Seq.empty[Column]
+                           else (0 until bandBits).map(i => bv.bitwiseXOR(lit(1L << i))))
+    val probed = stored
+      .select(col("sid"), col("fp"), col("band"),
+        explode(array(probeVals.map(_.cast("string")): _*)).as("bucket"))
+      .repartition(
+        index.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("bucket"))
+    probed.select(col("sid").as("a_id"), col("fp").as("_fpa"), col("band"), col("bucket"))
+      .join(
+        stored.select(col("sid").as("b_id"), col("fp").as("_fpb"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(
+        col("a_id"),
+        col("b_id"),
+        bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Accept/reject verdict for a media feed — the [[CorpusIngest.verdict]]
     * contract for binary columns: `(original columns, byte_len,
     * reject_reason)` with reason NULL for accepted media, else the FIRST

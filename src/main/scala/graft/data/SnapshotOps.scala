@@ -182,6 +182,18 @@ object SnapshotOps {
     Dedup.bandedBuckets(corpus, idCol, textCol, n, k, rows)
   }
 
+  /** Canonical encoding of the banding triple for a persisted index's build
+    * stamp. Put this in the `sourceStamp` passed to
+    * [[graft.connectors.Bucketing.ensureBucketed]] when materializing a
+    * [[nearDupBandIndex]]; pass the persisted stamp
+    * ([[graft.connectors.Bucketing.readStamp]]) back as
+    * [[incrementalNearDupIndexed]]'s `indexStamp` and the parameter-drift
+    * guard validates against the marker instead of scanning the index —
+    * and catches ALL drift (a shingle-n change preserves the band count,
+    * which the structural max-band scan cannot see).
+    */
+  def bandStamp(n: Int, k: Int, rows: Int): String = s"bands(n=$n,k=$k,rows=$rows)"
+
   /** [[incrementalNearDup]] served from a PERSISTED band index — the
     * production shape (VERDICT r16 #1, the [[graft.data.Similarity.pqTopKPrunedImiIndexed]]
     * precedent): the corpus side's (sid, band, bucket) frame comes from
@@ -232,41 +244,52 @@ object SnapshotOps {
       threshold: Double = 0.8,
       maxBucketRows: Int = 10000,
       pruneBuckets: Boolean = true,
-      maxPruneBuckets: Int = 2048
+      maxPruneBuckets: Int = 2048,
+      indexStamp: Option[String] = None,
+      checkCoverage: Boolean = false
   ): DataFrame = {
     require(k % rows == 0, "incrementalNearDupIndexed: k must be divisible by band rows")
     Seq("sid", "band", "bucket").foreach(c =>
       require(bandIndex.columns.contains(c),
         s"incrementalNearDupIndexed: bandIndex lacks column $c — build it with nearDupBandIndex"))
+    // the (n, k, rows) triple is part of the INDEX IDENTITY: banding the
+    // delta under different parameters than the persisted index yields
+    // zero collisions and silently verdicts every true near-dup `new` —
+    // the one failure mode a layout cache must never have (the Bucketing
+    // marker stance). With `indexStamp` (the persisted table's build stamp,
+    // Bucketing.readStamp) the guard is a STRING check against the marker —
+    // free per call, and it catches shingle-n drift the structural scan
+    // can't see (ADVICE r17: the agg(max) ran a full column-pruned index
+    // scan on every delta batch, eroding the bucket-pruned read's win).
+    // Without a stamp, fall back to that scan: band-count drift is loud;
+    // every doc explodes ALL its bands, so ANY non-empty index built under
+    // this (k, rows) has band ids exactly 0..nBands-1; an EMPTY index is
+    // legitimate (first batch ever — no candidates, all verdicts `new`).
+    indexStamp match {
+      case Some(s) =>
+        require(s.contains(bandStamp(n, k, rows)),
+          s"incrementalNearDupIndexed: the persisted index's build stamp ($s) does not " +
+            s"carry ${bandStamp(n, k, rows)} — the index was built under DIFFERENT banding " +
+            "parameters; rebuild it with nearDupBandIndex under this (n, k, rows) and put " +
+            "bandStamp(n, k, rows) in the ensureBucketed sourceStamp")
+      case None =>
+        val nBands = k / rows
+        val maxBand = bandIndex.agg(max(col("band"))).head()
+        if (!maxBand.isNullAt(0))
+          require(maxBand.getInt(0) == nBands - 1,
+            s"incrementalNearDupIndexed: index band ids reach ${maxBand.getInt(0)} but " +
+              s"k=$k/rows=$rows implies bands 0..${nBands - 1} — the index was built under " +
+              "DIFFERENT banding parameters; rebuild it with nearDupBandIndex under this " +
+              "(n, k, rows) and stamp the triple into the build")
+    }
     val dB = Dedup.bandedBuckets(delta, idCol, textCol, n, k, rows).localCheckpoint()
     val out = CorpusOps.releaseOnFailure(dB) {
-      // the (n, k, rows) triple is part of the INDEX IDENTITY: banding the
-      // delta under different parameters than the persisted index yields
-      // zero collisions and silently verdicts every true near-dup `new` —
-      // the one failure mode a layout cache must never have (the Bucketing
-      // marker stance). The band-id range check below catches band-count
-      // drift loudly and costs one skinny aggregation; parameter changes
-      // that PRESERVE the band count (e.g. a different shingle n) cannot be
-      // seen structurally — put the full triple in the index build stamp
-      // (as the d_neardup_indexed face does) so ensureBucketed rebuilds on
-      // any change (code-review r17).
-      // every doc explodes ALL its bands, so ANY non-empty index built under
-      // this (k, rows) has band ids exactly 0..nBands-1; an EMPTY index is
-      // legitimate (first batch ever — no candidates, all verdicts `new`)
-      val nBands = k / rows
-      val maxBand = bandIndex.agg(max(col("band"))).head()
-      if (!maxBand.isNullAt(0))
-        require(maxBand.getInt(0) == nBands - 1,
-          s"incrementalNearDupIndexed: index band ids reach ${maxBand.getInt(0)} but " +
-            s"k=$k/rows=$rows implies bands 0..${nBands - 1} — the index was built under " +
-            "DIFFERENT banding parameters; rebuild it with nearDupBandIndex under this " +
-            "(n, k, rows) and stamp the triple into the build")
       Dedup.assertNoBucketFlood(
         dB, maxBucketRows, "incrementalNearDupIndexed(delta)", nearDupFloodRemedy)
       val cB = if (pruneBuckets) pruneIndexToDelta(bandIndex, dB, maxPruneBuckets) else bandIndex
       Dedup.assertNoBucketFlood(
         cB, maxBucketRows, "incrementalNearDupIndexed(index)", nearDupFloodRemedy)
-      nearDupVerdicts(dB, cB, corpusText, delta, idCol, textCol, n, threshold)
+      nearDupVerdicts(dB, cB, corpusText, delta, idCol, textCol, n, threshold, checkCoverage)
     }
     graft.core.Checkpoints.release(dB)
     out
@@ -302,6 +325,19 @@ object SnapshotOps {
     * [[incrementalNearDupIndexed]]: candidate equi-joins off the two band
     * frames, candidate-only shingle verify, per-doc verdict. Owns (and
     * releases) the candidate/verify checkpoints; the CALLERS own `dB`/`cB`.
+    *
+    * ==The index ⊆ corpusText contract==
+    * Every corpus-side sid in `cB` MUST have its text in `corpusText`: a
+    * collided cid absent from `corpusText` silently vanishes in the verify
+    * semi-join below and the true near-dup verdicts `new` — the same
+    * silent-miss class the band-parameter guard exists to prevent (ADVICE
+    * r17). The contract holds structurally when index and corpus advance
+    * TOGETHER (the [[graft.data.CorpusIngest]] capstone appends a gated
+    * batch to both in one pass); `checkCoverage=true` asserts it instead —
+    * one anti-join of the (delta-bounded, checkpointed) collided cids
+    * against the corpus id column, failing loudly on the first miss. Off
+    * by default: the assert reads the corpus id column per batch, which
+    * the structurally-maintained pipeline shouldn't pay.
     */
   private def nearDupVerdicts(
       dB: DataFrame,
@@ -311,7 +347,8 @@ object SnapshotOps {
       idCol: String,
       textCol: String,
       n: Int,
-      threshold: Double
+      threshold: Double,
+      checkCoverage: Boolean = false
   ): DataFrame = {
     // delta × corpus collisions → candidate (did, cid); delta × delta
     // collisions → candidate (i, j) — both off the SAME banded frames, so
@@ -321,12 +358,29 @@ object SnapshotOps {
       .select(col("did"), col("cid"))
       .distinct()
       .localCheckpoint()
-    val candDD = dB.select(col("band"), col("bucket"), col("sid").as("i"))
-      .join(dB.select(col("band"), col("bucket"), col("sid").as("j")), Seq("band", "bucket"))
-      .filter(col("i") < col("j"))
-      .select(col("i"), col("j"))
-      .distinct()
-      .localCheckpoint()
+    val candDD = CorpusOps.releaseOnFailure(candDC) {
+      dB.select(col("band"), col("bucket"), col("sid").as("i"))
+        .join(dB.select(col("band"), col("bucket"), col("sid").as("j")), Seq("band", "bucket"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"))
+        .distinct()
+        .localCheckpoint()
+    }
+    CorpusOps.releaseOnFailure(candDC, candDD) {
+      if (checkCoverage) {
+        val missing = candDC.select(col("cid")).distinct()
+          .join(corpusText.select(col(idCol).as("cid")), Seq("cid"), "left_anti")
+          .limit(3).collect()
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            "incrementalNearDup: band index contains sids absent from corpusText (e.g. " +
+              missing.map(_.get(0)).mkString(", ") +
+              ") — their collided candidates would silently vanish in the verify " +
+              "semi-join and true near-dups verdict `new`. The index and the corpus text " +
+              "must advance together (append the same gated batch to both — the " +
+              "CorpusIngest capstone shape) or be rebuilt from the same snapshot.")
+      }
+    }
     val shingles = (df: DataFrame) => df.select(
       col(idCol).as("sid"),
       graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n).as("sset"))

@@ -753,6 +753,85 @@ class DataOpsSpec extends SparkSpec {
       Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 8, bandBits = 16, probeRadius = 1))
   }
 
+  test("perceptualPairsIndexed: persisted band index ≡ inline pairs; append ≡ rebuild; drift and flood loud") {
+    import graft.connectors.Bucketing
+    // the billion-scale crafted corpus from the MIH test: pairs at several
+    // hamming widths, some reachable only via radius-1 probing
+    def mk(f: Int => Int, n: Int = 144): Array[Byte] = Array.tabulate(n)(i => f(i).toByte)
+    val base = mk(i => (i * 7) % 251)
+    def edited(cells: Seq[Int]): Array[Byte] = {
+      val a = base.clone()
+      cells.foreach(c => a(2 * c) = 0xff.toByte)
+      a
+    }
+    val imgs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> base,
+      2L -> edited(Seq(5)),
+      3L -> edited(Seq(23)),
+      4L -> edited(Seq(5, 23)),
+      5L -> edited(Seq(41, 59)),
+      6L -> edited(Seq(5, 23, 41)),
+      7L -> edited(Seq(5, 23, 41, 59)),
+      8L -> mk(i => if (i % 2 == 0) 5 else 250),
+      9L -> mk(i => (i * 31) % 251)
+    )
+    val df = imgs.toDF("doc_id", "bin")
+    def pairsOf(d: org.apache.spark.sql.DataFrame) = d
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val inline15 = pairsOf(Multimodal
+      .perceptualPairs(df, "doc_id", "bin", maxHamming = 15, bandBits = 8, probeRadius = 1))
+    val inline7r0 = pairsOf(Multimodal
+      .perceptualPairs(df, "doc_id", "bin", maxHamming = 7, bandBits = 8, probeRadius = 0))
+    assert(inline15.nonEmpty && inline7r0.nonEmpty)
+    // raw index frame ≡ inline, at both probe configurations
+    val rawIdx = Multimodal.phashBandIndex(df, "doc_id", "bin", bandBits = 8)
+    assert(pairsOf(Multimodal.perceptualPairsIndexed(
+      rawIdx, maxHamming = 15, bandBits = 8, probeRadius = 1)) === inline15)
+    assert(pairsOf(Multimodal.perceptualPairsIndexed(
+      rawIdx, maxHamming = 7, bandBits = 8, probeRadius = 0)) === inline7r0)
+    // persisted: build over a corpus slice, append the delta, equal a rebuild
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_idx_spec").toString
+    val table = "graft_phash_idx_spec"
+    val corpusSlice = df.filter($"doc_id" <= 6L)
+    val deltaSlice = df.filter($"doc_id" > 6L)
+    Bucketing.ensureBucketed(
+      spark, Multimodal.phashBandIndex(corpusSlice, "doc_id", "bin"),
+      table, dir, "bucket", 8,
+      sourceStamp = s"${Multimodal.phashStamp(8)}|specA")
+    Bucketing.appendBucketed(
+      spark, Multimodal.phashBandIndex(deltaSlice, "doc_id", "bin"),
+      table, dir, "bucket", 8,
+      newSourceStamp = s"${Multimodal.phashStamp(8)}|specB")
+    val appended = spark.table(table).as[(Long, Int, String, Long)].collect().toSet
+    val rebuilt = Multimodal.phashBandIndex(df, "doc_id", "bin")
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(appended === rebuilt, "appended pHash index drifted from a full rebuild")
+    // the post-append table serves the SAME pairs as the inline face, and
+    // the stamp validates the band width without scanning the layout
+    val stamp = Bucketing.readStamp(dir)
+    assert(stamp.exists(_.contains(Multimodal.phashStamp(8))), s"stamp: $stamp")
+    assert(pairsOf(Multimodal.perceptualPairsIndexed(
+      spark.table(table), maxHamming = 15, bandBits = 8, probeRadius = 1,
+      indexStamp = stamp)) === inline15)
+    // band-width drift is loud: probing an 8-bit index as 16-bit would emit
+    // garbage candidates silently
+    val errDrift = intercept[IllegalArgumentException] {
+      Multimodal.perceptualPairsIndexed(
+        spark.table(table), maxHamming = 7, bandBits = 16, probeRadius = 1,
+        indexStamp = stamp)
+    }
+    assert(errDrift.getMessage.contains("DIFFERENT band width"), errDrift.getMessage)
+    // the flood guard holds on the indexed path too
+    val template = Array.tabulate(144)(i => ((i * 7) % 251).toByte)
+    val flood = (1L to 60L).map(id => (id, template)).toDF("doc_id", "bin")
+    val errFlood = intercept[IllegalStateException] {
+      Multimodal.perceptualPairsIndexed(
+        Multimodal.phashBandIndex(flood, "doc_id", "bin"), maxBucketRows = 20)
+    }
+    assert(errFlood.getMessage.contains("perceptual-dup flood"), errFlood.getMessage)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("semDedupPlan: auto-k IMI branch escalates probe depth in the weak-threshold regime") {
     import graft.queries.DataQueries
     // fixture scale: flat quantizer, single probe — the regime the

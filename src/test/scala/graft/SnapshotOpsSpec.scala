@@ -221,4 +221,77 @@ class SnapshotOpsSpec extends SparkSpec {
     assert(firstBatch.nonEmpty && firstBatch.forall(_._2 != "dup_corpus"))
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("incrementalNearDupIndexed: stamp-validated parameters skip the scan; drift and coverage holes fail loudly") {
+    import graft.connectors.Bucketing
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    val corpus = Seq(
+      (10L, base),
+      (11L, "completely different text about walruses and icebergs floating north")
+    ).toDF("doc_id", "text")
+    val delta = Seq((20L, base + " cookie notice"), (21L, "short fresh tide pools"))
+      .toDF("doc_id", "text")
+    val inline = SnapshotOps.incrementalNearDup(corpus, delta, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stamp_spec").toString
+    val table = "graft_neardup_stamp_spec"
+    val idx = Bucketing.ensureBucketed(
+      spark, SnapshotOps.nearDupBandIndex(corpus, "doc_id", "text"),
+      table, dir, "bucket", 8,
+      sourceStamp = s"${SnapshotOps.bandStamp(3, 16, 2)}|specA")
+    val stamp = Bucketing.readStamp(dir)
+    assert(stamp.exists(_.contains(SnapshotOps.bandStamp(3, 16, 2))), s"stamp: $stamp")
+    // stamped path: same verdicts as the inline face (and no structure scan)
+    assert(SnapshotOps.incrementalNearDupIndexed(
+      idx, corpus, delta, "doc_id", "text", indexStamp = stamp)
+      .as[(Long, String)].collect().toMap === inline)
+    // ANY parameter drift — including shingle-n, which preserves the band
+    // count and is invisible to the structural max-band check — is loud
+    val errN = intercept[IllegalArgumentException] {
+      SnapshotOps.incrementalNearDupIndexed(
+        idx, corpus, delta, "doc_id", "text", n = 4, indexStamp = stamp)
+    }
+    assert(errN.getMessage.contains("does not carry"), errN.getMessage)
+    // the index ⊆ corpusText contract: a corpus-side text feed MISSING an
+    // indexed doc would silently verdict its true near-dups `new`; the
+    // opt-in coverage assert names the hole instead
+    val holed = corpus.filter($"doc_id" =!= 10L)
+    val errCov = intercept[IllegalStateException] {
+      SnapshotOps.incrementalNearDupIndexed(
+        idx, holed, delta, "doc_id", "text", indexStamp = stamp, checkCoverage = true)
+    }
+    assert(errCov.getMessage.contains("absent from corpusText"), errCov.getMessage)
+    // and with the full corpus the same assert passes through unchanged
+    assert(SnapshotOps.incrementalNearDupIndexed(
+      idx, corpus, delta, "doc_id", "text", indexStamp = stamp, checkCoverage = true)
+      .as[(Long, String)].collect().toMap === inline)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("appendBucketed: a catalog name registered for a DIFFERENT path/spec refuses the append loudly") {
+    import graft.connectors.Bucketing
+    val rows = (0L until 20L).map(i => (i, s"t$i")).toDF("sid", "bucket")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_append_guard_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_append_guard_b").toString
+    val table = "graft_append_guard_spec"
+    Bucketing.ensureBucketed(spark, rows, table, dirA, "bucket", 4, sourceStamp = "a")
+    // simulate the drift: the same NAME re-registered for another location
+    // (a second pipeline in this JVM reusing the table name)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Bucketing.ensureBucketed(spark, rows, table, dirB, "bucket", 4, sourceStamp = "b")
+    // appending "at dirA" now targets a catalog entry that points at dirB:
+    // without the catalog check the delta would land in dirB while dirA's
+    // marker got rewritten (ADVICE r17) — must refuse instead
+    val err = intercept[IllegalArgumentException] {
+      Bucketing.appendBucketed(spark, rows, table, dirA, "bucket", 4, newSourceStamp = "a2")
+    }
+    assert(err.getMessage.contains("DIFFERENT location or bucket spec"), err.getMessage)
+    // dirA's marker survives the refused append (nothing was deleted)
+    assert(Bucketing.readStamp(dirA) === Some("a"))
+    // and the append against the CURRENT registration still works
+    Bucketing.appendBucketed(spark, rows, table, dirB, "bucket", 4, newSourceStamp = "b2")
+    assert(spark.table(table).count() === 40L)
+    assert(Bucketing.readStamp(dirB) === Some("b2"))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
