@@ -37,7 +37,10 @@ object NearDupIdxProbe {
       spark,
       graft.data.SnapshotOps.nearDupBandIndex(corpusText, "doc_id", "text"),
       s"graft_neardup_bands$slug", s"/tmp/graft_bucketed/$slug/neardup_bands", "bucket", 64,
-      sourceStamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
+      // SAME stamp format as the d_neardup_indexed face (bandStamp prefix) —
+      // a differing format would ping-pong rebuilds of the shared table
+      sourceStamp = s"${graft.data.SnapshotOps.bandStamp(3, 16, 2)}|" +
+        graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
     val buildS = timed(index())
     println(f"[neardup-idx] index build/register: $buildS%.2f s (amortized across all batches)")
     // delta grains: the bench fixture's 1-in-3 (delta ≈ half the corpus —

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Crossover probe for the persisted pHash MIH band index (r18): times the
+  * inline faces ([[graft.data.Multimodal.perceptualPairs]] and the
+  * clusters composition — both re-fingerprint the BINARY column per call)
+  * against the indexed faces ([[graft.data.Multimodal.perceptualPairsIndexed]]
+  * — both join sides from the skinny persisted table, media bytes never
+  * touched). The removed term is the 64-sample fingerprint scan over the
+  * media payload; at billion-image scale that scan IS the query cost, so
+  * the win grows with payload size — the fixture's "images" are text
+  * bytes, the honest lower bound. Evidence for SCALE.md; re-run after
+  * touching the pHash index path.
+  *
+  * usage: runMain graft.PhashIdxProbe <sfDir> [reps]
+  */
+object PhashIdxProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val docs = graft.core.Tables.documents(spark, dir)
+      .withColumn("bin", col("text").cast("binary"))
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_bucketed/$slug/phash_bands"
+    def index() = graft.connectors.Bucketing.ensureBucketed(
+      spark,
+      graft.data.Multimodal.phashBandIndex(docs, "doc_id", "bin", bandBits = 8),
+      s"graft_phash_bands$slug", path, "bucket", 64,
+      // SAME stamp format as the m_phash_indexed face — shared table
+      sourceStamp = s"${graft.data.Multimodal.phashStamp(8)}|" +
+        graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
+    val buildS = timed(index())
+    println(f"[phash-idx] index build/register: $buildS%.2f s (amortized across all queries)")
+    val stamp = graft.connectors.Bucketing.readStamp(path)
+    def pairsInline() = graft.data.Multimodal.perceptualPairs(
+      docs, "doc_id", "bin", maxHamming = 15, bandBits = 8, probeRadius = 1)
+    def pairsIndexed() = graft.data.Multimodal.perceptualPairsIndexed(
+      index(), maxHamming = 15, bandBits = 8, probeRadius = 1, indexStamp = stamp)
+    def run(tag: String, inline: () => org.apache.spark.sql.DataFrame,
+            indexed: () => org.apache.spark.sql.DataFrame): Unit = {
+      val ti = (1 to reps).map(_ =>
+        timed(inline().write.mode("overwrite").format("noop").save())).min
+      val tx = (1 to reps).map(_ =>
+        timed(indexed().write.mode("overwrite").format("noop").save())).min
+      println(f"[phash-idx] $tag: inline $ti%.2f s, indexed $tx%.2f s (${ti / tx}%.2fx)")
+    }
+    run("pairs", () => pairsInline(), () => pairsIndexed())
+    run("clusters",
+      () => graft.data.Dedup.duplicateClusters(
+        pairsInline().select(col("a_id").as("i"), col("b_id").as("j"))),
+      () => graft.data.Dedup.duplicateClusters(
+        pairsIndexed().select(col("a_id").as("i"), col("b_id").as("j"))))
+    spark.stop()
+  }
+}

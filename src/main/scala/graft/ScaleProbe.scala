@@ -427,7 +427,10 @@ object ScaleProbe {
     // gate's batch replay, the composed DSIR selection capstone, and the
     // grown full-lineitem top-per-group window
     "d_neardup_indexed", "d_quality_gate", "d_dsir_pipeline",
-    "q_top_per_group"
+    "q_top_per_group",
+    // r18: the persisted pHash MIH index faces and the gated-ingest
+    // index-maintenance capstone
+    "m_phash_indexed", "m_phash_clusters_idx", "d_ingest_index_capstone"
   )
 
   /** A table is reused only when its completion marker exists AND records

@@ -229,6 +229,64 @@ object Bucketing {
     spark.table(tableName)
   }
 
+  /** EXACTLY-ONCE [[appendBucketed]] under kill-and-resume — the
+    * [[TxnLogSink]] fencing discipline applied to index maintenance. A
+    * production ingest job appends each gated batch to its persisted
+    * indexes; the job can be killed and replayed at any point, and the
+    * marker stamp is the transactional fence (TxnLogSink's committed
+    * manifest): `preStamp` names the index state BEFORE this batch,
+    * `postStamp` the state after it.
+    *
+    *  - marker == `postStamp`: this batch already committed (a REPLAYED
+    *    epoch after restart, or a repeat call) → re-register only, zero
+    *    data motion — the skip fence that makes a replayed append
+    *    exactly-once.
+    *  - marker == `preStamp`: the expected base state → append the delta
+    *    and advance the marker (the happy path; appendBucketed's
+    *    delete-marker-first protocol makes a crash INSIDE this step
+    *    detectable as the next case).
+    *  - anything else (no marker = a TORN append; an unknown stamp = a
+    *    foreign layout): rebuild from `rebuildPost` under `postStamp` —
+    *    the never-trust stance; mode-overwrite clears any partial files.
+    *
+    * All three frames are by-name and evaluate only on the path that needs
+    * them. Single-writer per path (JVM-level synchronized, marker-level
+    * cross-JVM detection only) — concurrent writers to one index need the
+    * full TxnLogSink manifest race, which keyed index maintenance doesn't:
+    * one ingest stream owns its index.
+    */
+  def appendBucketedExactlyOnce(
+      spark: SparkSession,
+      delta: => DataFrame,
+      rebuildPre: => DataFrame,
+      rebuildPost: => DataFrame,
+      tableName: String,
+      path: String,
+      keyCol: String,
+      nBuckets: Int,
+      preStamp: String,
+      postStamp: String
+  ): DataFrame = synchronized {
+    require(preStamp != postStamp,
+      "appendBucketedExactlyOnce: preStamp == postStamp — the fence cannot distinguish " +
+        "applied from unapplied; derive postStamp from the batch identity")
+    require(postStamp.nonEmpty, "appendBucketedExactlyOnce: postStamp must be non-empty")
+    readStamp(path) match {
+      case Some(s) if s == postStamp =>
+        // already committed: re-register from the marker (rebuildPost never
+        // evaluates when the on-disk spec matches)
+        ensureBucketed(spark, rebuildPost, tableName, path, keyCol, nBuckets, postStamp)
+      case Some(s) if s == preStamp =>
+        // expected base: make sure THIS session has the registration, then append
+        ensureBucketed(spark, rebuildPre, tableName, path, keyCol, nBuckets, preStamp)
+        appendBucketed(spark, delta, tableName, path, keyCol, nBuckets, postStamp)
+      case _ =>
+        // torn append (marker deleted, data possibly partial) or unknown
+        // lineage: rebuild the post state from scratch
+        ensureBucketed(spark, rebuildPost, tableName, path, keyCol, nBuckets, postStamp)
+    }
+  }
+
   /** Cheap driver-side content stamp for a source file or directory tree:
     * an md5 digest of the sorted per-file (relative path, size, mtime)
     * manifest, walked RECURSIVELY so partitioned/nested layouts are

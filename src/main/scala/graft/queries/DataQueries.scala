@@ -3767,6 +3767,198 @@ object DataQueries {
        |WHERE t.tag = 'd'""".stripMargin
   }
 
+  /** The gated-ingest INDEX-MAINTENANCE capstone (VERDICT r17 #3): one
+    * batch flows gate → exactly-once index append → post-append serve, the
+    * production loop a live training-data feed runs per micro-batch.
+    *
+    *  1. GATE: [[CorpusIngest.verdictExact]] over the ingest batch (the
+    *     near-dup fixture's delta: every third doc + a recrawl slice) —
+    *     too_short/lang/contaminated, the audit-exact contamination arm.
+    *  2. APPEND: the accepted rows' near-dup BANDS and IMI-PQ CODES are
+    *     appended to this face's persisted indexes via
+    *     [[graft.connectors.Bucketing.appendBucketedExactlyOnce]] — the
+    *     marker-stamp fence (TxnLogSink's committed-manifest skip): a
+    *     replayed batch re-registers and moves no data, a torn append
+    *     rebuilds, spec-pinned under simulated kill-and-resume
+    *     (ScaleMechanicsSpec). Both indexes advance WITH the corpus text
+    *     in the same pass — the structural form of the index ⊆ corpusText
+    *     contract ([[SnapshotOps]] coverage guard scaladoc).
+    *  3. SERVE: a second (probe) batch runs
+    *     [[SnapshotOps.incrementalNearDupIndexed]] against the POST-APPEND
+    *     band index — probes whose originals were accepted in step 2
+    *     verdict `dup_corpus` through the rows this very call appended.
+    *
+    * Output: `(doc_id, phase, verdict)` — gate verdicts (`accepted` or the
+    * reject reason) plus the probe batch's near-dup verdicts. The oracle
+    * replays the whole chain: the exact gate, the accepted set, and the
+    * near-dup of the probe against corpus ∪ accepted (append ≡ rebuild
+    * makes the persisted index equal that logical union).
+    */
+  def dIngestIndexCapstone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.connectors.Bucketing
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val recrawl = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(recrawl)
+    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    // 1) gate — checkpointed once (skinny: id + reason), five consumers
+    val gated = CorpusIngest.verdictExact(
+      batch, "doc_id", "text", allowedLangs = Seq("en"), minTokens = 5,
+      bench = bench, benchTextCol = "text", n = 3)
+      .select(col("doc_id"), col("reject_reason"))
+      .localCheckpoint()
+    val out = CorpusOps.releaseOnFailure(gated) {
+      val acceptedIds = gated.filter(col("reject_reason").isNull).select(col("doc_id"))
+      val acceptedDocs = batch.join(acceptedIds, Seq("doc_id"), "left_semi")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docsStamp = Bucketing.stampDir(s"$dir/documents.parquet")
+      // 2a) near-dup band index: bootstrap the PRE state once per corpus
+      // stamp, then the fenced append per batch
+      val bandPath = s"/tmp/graft_bucketed/$slug/capstone_bands"
+      val bandTable = s"graft_capstone_bands$slug"
+      val bandPre = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|pre"
+      val bandPost = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|ingested"
+      if (!Bucketing.readStamp(bandPath).contains(bandPost))
+        Bucketing.ensureBucketed(
+          spark, SnapshotOps.nearDupBandIndex(corpus, "doc_id", "text"),
+          bandTable, bandPath, "bucket", 64, sourceStamp = bandPre)
+      val postIdx = Bucketing.appendBucketedExactlyOnce(
+        spark,
+        delta = SnapshotOps.nearDupBandIndex(acceptedDocs, "doc_id", "text"),
+        rebuildPre = SnapshotOps.nearDupBandIndex(corpus, "doc_id", "text"),
+        rebuildPost = SnapshotOps.nearDupBandIndex(
+          corpus.unionByName(acceptedDocs), "doc_id", "text"),
+        bandTable, bandPath, "bucket", 64, bandPre, bandPost)
+      // 2b) IMI-PQ ANN index: the accepted rows that HAVE embeddings (the
+      // recrawl ids are text-only) get their codes appended under the same
+      // fence — one gated batch updates BOTH heavy index families
+      val emb = Tables.embeddings(spark, dir)
+      val corpusEmb = emb.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+      val batchEmb = emb.join(
+        acceptedIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+      val icbs = imiCodebooksFor(spark, dir, ImiKSub)
+      val pcbs = codebooksFor(spark, dir, m = PqM, k = PqK)
+      val annPath = s"/tmp/graft_bucketed/$slug/capstone_ann"
+      val annTable = s"graft_capstone_ann$slug"
+      val embStamp = Bucketing.stampDir(s"$dir/embeddings.parquet")
+      val annPre = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|pre"
+      val annPost = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|ingested"
+      if (!Bucketing.readStamp(annPath).contains(annPost))
+        Bucketing.ensureBucketed(
+          spark, Similarity.encodeImiPq(corpusEmb, "vec_id", "embedding", icbs, pcbs),
+          annTable, annPath, "n_bk", 64, sourceStamp = annPre)
+      Bucketing.appendBucketedExactlyOnce(
+        spark,
+        delta = Similarity.encodeImiPq(batchEmb, "vec_id", "embedding", icbs, pcbs),
+        rebuildPre = Similarity.encodeImiPq(corpusEmb, "vec_id", "embedding", icbs, pcbs),
+        rebuildPost = Similarity.encodeImiPq(
+          corpusEmb.unionByName(batchEmb), "vec_id", "embedding", icbs, pcbs),
+        annTable, annPath, "n_bk", 64, annPre, annPost)
+      // 3) serve: the probe batch gated against the POST-APPEND band index;
+      // corpusText advanced in lockstep (the coverage contract, held
+      // structurally — both sides grew by the same accepted rows)
+      val probe = docs.filter(pmod(col("doc_id"), lit(7)) === 2)
+        .withColumn("doc_id", col("doc_id") + lit(2000000L))
+      val nd = SnapshotOps.incrementalNearDupIndexed(
+        bandIndex = postIdx,
+        corpusText = corpus.unionByName(acceptedDocs),
+        delta = probe,
+        idCol = "doc_id",
+        textCol = "text",
+        indexStamp = Bucketing.readStamp(bandPath))
+      gated.select(
+        col("doc_id"),
+        lit("gate").as("phase"),
+        coalesce(col("reject_reason"), lit("accepted")).as("verdict"))
+        .unionByName(nd.select(col("doc_id"), lit("neardup").as("phase"), col("verdict")))
+        .localCheckpoint()
+    }
+    graft.core.Checkpoints.release(gated)
+    out
+  }
+
+  lazy val dIngestIndexCapstoneSql: String = {
+    val tok = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+    val bandSelects = (0 until K / 2)
+      .map(b => s"SELECT sid, $b AS band, h${2 * b} || '_' || h${2 * b + 1} AS bucket FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH batch AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 1),
+       |btoks AS (SELECT doc_id, text, $tok AS t FROM batch),
+       |bgrams AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t)-2, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS g
+       |  FROM btoks),
+       |evt AS (SELECT $tok AS t FROM documents WHERE doc_id % 97 = 0),
+       |evalg AS (
+       |  SELECT DISTINCT unnest(list_transform(
+       |    range(1, greatest(len(t)-2, 0)+1),
+       |    i -> array_to_string(list_slice(t, i, i+2), ' '))) AS g
+       |  FROM evt),
+       |cont AS (SELECT DISTINCT doc_id FROM bgrams JOIN evalg USING (g)),
+       |gscored AS (SELECT doc_id, t, len(t) AS n_tokens, $langScoreExprsSql FROM btoks),
+       |gate AS (
+       |  SELECT doc_id,
+       |    CASE WHEN t IS NULL OR n_tokens < 5 THEN 'too_short'
+       |      WHEN ($langCaseSql) <> 'en' THEN 'lang'
+       |      WHEN doc_id IN (SELECT doc_id FROM cont) THEN 'contaminated'
+       |    END AS reason
+       |  FROM gscored),
+       |accepted AS (
+       |  SELECT b.doc_id, b.text FROM batch b JOIN gate g USING (doc_id)
+       |  WHERE g.reason IS NULL),
+       |toks AS (
+       |  SELECT doc_id, $tok AS t FROM documents WHERE doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, $tok AS t FROM accepted
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, $tok AS t FROM documents WHERE doc_id % 7 = 2),
+       |tags AS (
+       |  SELECT doc_id, 'c' AS tag FROM documents WHERE doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT doc_id, 'c' AS tag FROM accepted
+       |  UNION ALL
+       |  SELECT doc_id + 2000000 AS doc_id, 'd' AS tag FROM documents WHERE doc_id % 7 = 2),
+       |$shCte, $mhCte, $jaccardPairsSql,
+       |bands AS (
+       |  $bandSelects),
+       |tb AS (SELECT b.sid, b.band, b.bucket, g.tag FROM bands b JOIN tags g ON g.doc_id = b.sid),
+       |candc AS (
+       |  SELECT DISTINCT
+       |    CASE WHEN x.tag = 'd' THEN x.sid ELSE y.sid END AS did,
+       |    CASE WHEN x.tag = 'd' THEN y.sid ELSE x.sid END AS cid
+       |  FROM tb x JOIN tb y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.sid < y.sid AND x.tag <> y.tag),
+       |corpus_dup AS (
+       |  SELECT DISTINCT c.did
+       |  FROM candc c JOIN jac
+       |    ON jac.i = least(c.did, c.cid) AND jac.j = greatest(c.did, c.cid)
+       |  WHERE jac.jaccard >= 0.8),
+       |candd AS (
+       |  SELECT DISTINCT x.sid AS i, y.sid AS j
+       |  FROM tb x JOIN tb y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.sid < y.sid
+       |      AND x.tag = 'd' AND y.tag = 'd'),
+       |delta_dup AS (
+       |  SELECT DISTINCT c.j AS did
+       |  FROM candd c JOIN jac ON jac.i = c.i AND jac.j = c.j
+       |  WHERE jac.jaccard >= 0.8)
+       |SELECT doc_id, 'gate' AS phase, COALESCE(reason, 'accepted') AS verdict FROM gate
+       |UNION ALL
+       |SELECT t.doc_id, 'neardup' AS phase,
+       |  CASE WHEN cd.did IS NOT NULL THEN 'dup_corpus'
+       |       WHEN dd.did IS NOT NULL THEN 'dup_delta'
+       |       ELSE 'new' END AS verdict
+       |FROM tags t
+       |LEFT JOIN corpus_dup cd ON cd.did = t.doc_id
+       |LEFT JOIN delta_dup dd ON dd.did = t.doc_id
+       |WHERE t.tag = 'd'""".stripMargin
+  }
+
   val dDedupIncrementalSql: String =
     """WITH corpus AS (
       |  SELECT DISTINCT md5(text) AS content_hash
@@ -3922,6 +4114,7 @@ object DataQueries {
     "d_decontaminate_campaign" -> dDecontaminateCampaign,
     "d_ingest_gate" -> dIngestGate,
     "d_ingest_gate_exact" -> dIngestGateExact,
+    "d_ingest_index_capstone" -> dIngestIndexCapstone,
     "d_semdedup" -> dSemDedup,
     "d_semdedup_probe2" -> dSemDedupProbe2,
     "d_semdedup_imi" -> dSemDedupImi,
@@ -4017,6 +4210,7 @@ object DataQueries {
     "d_decontaminate_bloom" -> dDecontaminateBloomSql,
     "d_decontaminate_campaign" -> dDecontaminateCampaignSql,
     "d_ingest_gate_exact" -> dIngestGateExactSql,
+    "d_ingest_index_capstone" -> dIngestIndexCapstoneSql,
     "d_semdedup" -> dSemDedupSql,
     "d_semdedup_probe2" -> dSemDedupProbe2Sql,
     "d_semdedup_imi" -> dSemDedupImiSql,

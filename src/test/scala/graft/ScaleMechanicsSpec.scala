@@ -633,6 +633,59 @@ class ScaleMechanicsSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("appendBucketedExactlyOnce: replayed epoch skips, torn append rebuilds, foreign stamp rebuilds") {
+    import graft.connectors.Bucketing
+    val corpus = (0L until 40L).map(i => (i, s"b${i % 8}")).toDF("sid", "bucket")
+    val delta = (100L until 120L).map(i => (i, s"b${i % 8}")).toDF("sid", "bucket")
+    val union = corpus.unionByName(delta)
+    def rowSet(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSet
+    val expected = rowSet(union)
+    val dir = java.nio.file.Files.createTempDirectory("graft_append_once").toString
+    val table = "graft_append_once_spec"
+    def boom = sys.error("this frame must not evaluate"): org.apache.spark.sql.DataFrame
+    try {
+      // bootstrap PRE, then the happy-path fenced append
+      Bucketing.ensureBucketed(spark, corpus, table, dir, "bucket", 4, sourceStamp = "pre")
+      val r1 = Bucketing.appendBucketedExactlyOnce(
+        spark, delta, boom, boom, table, dir, "bucket", 4, "pre", "post")
+      assert(rowSet(r1) === expected)
+      assert(Bucketing.readStamp(dir) === Some("post"))
+      // REPLAYED epoch (kill after commit, resume re-runs the batch): the
+      // fence skips — no frame evaluates, no data moves
+      val r2 = Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, boom, table, dir, "bucket", 4, "pre", "post")
+      assert(rowSet(r2) === expected)
+      // fresh-JVM replay shape: catalog entry dropped, only marker + files
+      // remain — the fence re-registers without data motion
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val r3 = Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, boom, table, dir, "bucket", 4, "pre", "post")
+      assert(rowSet(r3) === expected)
+      // TORN append (killed between the marker delete and the data write,
+      // possibly with partial files): no marker on disk + junk rows — the
+      // fence rebuilds the post state from scratch, never trusts
+      assert(new java.io.File(dir, "_GRAFT_BUCKETED_DDL").delete())
+      (900L until 903L).map(i => (i, "junk")).toDF("sid", "bucket")
+        .write.mode("append").parquet(dir)
+      val r4 = Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, union, table, dir, "bucket", 4, "pre", "post")
+      assert(rowSet(r4) === expected, "torn-append rebuild kept partial rows")
+      assert(Bucketing.readStamp(dir) === Some("post"))
+      // FOREIGN stamp (another pipeline's layout at this path): rebuild
+      val marker = new java.io.File(dir, "_GRAFT_BUCKETED_DDL").toPath
+      val spec = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      java.nio.file.Files.write(marker, spec.replace("stamp=post", "stamp=stranger").getBytes("UTF-8"))
+      val r5 = Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, union, table, dir, "bucket", 4, "pre", "post")
+      assert(rowSet(r5) === expected)
+      assert(Bucketing.readStamp(dir) === Some("post"))
+      // an indistinguishable fence is refused
+      intercept[IllegalArgumentException](Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, boom, table, dir, "bucket", 4, "same", "same"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("checkpoint blocks release: Dataset.unpersist no-ops on localCheckpoint frames; loops go through Checkpoints.release and strand nothing") {
     import graft.data.{Dedup, Similarity}
     val sc = spark.sparkContext
