@@ -287,6 +287,125 @@ object Bucketing {
     }
   }
 
+  /** COMPACT a bucketed table built by [[ensureBucketed]] and grown by
+    * [[appendBucketed]] back to ~one file per bucket — the small-files
+    * maintenance path every per-batch index-append pipeline eventually
+    * needs. Each append lands up to `nBuckets` new files (its repartition
+    * writes one file per bucket it has rows for), so a long-running ingest
+    * accumulates batches × buckets files: at production grain (a batch
+    * every few minutes for months) the index read pays thousands of file
+    * opens, footer reads and scheduler splits per bucket while the DATA is
+    * unchanged — the classic post-maintenance killer at 100 TB. Compaction
+    * rewrites the table into the same bucket layout (one task per bucket →
+    * one file per bucket) and leaves everything else identical: same spec,
+    * same stamp (the marker is rewritten byte-for-byte, so downstream
+    * stamp-validated readers and exactly-once fences see NO state change —
+    * compaction is physical, never logical), same answers (spec-pinned in
+    * ScaleMechanicsSpec).
+    *
+    * Already-compact tables (≤ `nBuckets` data files) return untouched —
+    * the skip that makes it safe to call unconditionally per batch, the
+    * production cadence (compact when the file count warrants, which the
+    * caller need not track).
+    *
+    * Crash-safety: the compacted copy is fully staged NEXT TO the table
+    * first (`<path>__compacting`); only then does the swap run under the
+    * same delete-marker-first fence as [[appendBucketed]] — a crash before
+    * the fence leaves the original table intact (plus an orphan staging
+    * dir, cleaned on the next compact); a crash anywhere inside the swap
+    * window leaves no marker, which every reader/maintainer treats as
+    * "rebuild, never trust". The marker is rewritten only after the staged
+    * files are in place. Single-writer per path, like the append path.
+    */
+  def compactBucketed(
+      spark: SparkSession,
+      tableName: String,
+      path: String,
+      keyCol: String,
+      nBuckets: Int
+  ): DataFrame = synchronized {
+    require(spark.catalog.tableExists(tableName),
+      s"compactBucketed: table $tableName not registered — call ensureBucketed first")
+    require(catalogMatches(spark, tableName, path, keyCol, nBuckets),
+      s"compactBucketed: catalog entry $tableName does not match (path=$path, key=$keyCol, " +
+        s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
+        "spec in this session; compacting would rewrite the wrong table. Re-register via " +
+        "ensureBucketed first")
+    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+    require(marker.exists(), s"compactBucketed: no build marker at $path — not an ensureBucketed table")
+    val spec = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val specLines = spec.linesIterator.toSeq
+    require(specLines.contains(s"key=$keyCol") && specLines.contains(s"buckets=$nBuckets"),
+      s"compactBucketed: $tableName is bucketed under a different spec than (key=$keyCol, " +
+        s"buckets=$nBuckets) — a rewrite under the wrong spec would break co-location")
+
+    def dataFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def deleteTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteTree)
+      f.delete(): Unit
+    }
+
+    val before = dataFiles(new java.io.File(path))
+    if (before.length <= nBuckets) return spark.table(tableName)
+
+    // 1) STAGE: materialize the compacted copy fully before touching the
+    // table — the read and the write (to staging) never overlap a mutation.
+    // Read the PATH plainly, not the catalog table: a bucketed-table scan
+    // already satisfies HashPartitioning(key, nBuckets), so Catalyst elides
+    // the repartition below — and then DisableUnnecessaryBucketedScan,
+    // seeing no operator that needs the distribution anymore, disables the
+    // bucketed scan too, leaving size-grouped file splits whose tasks each
+    // write files into SEVERAL buckets (measured: an 8-file compact "output"
+    // from a 4-bucket table). A plain file scan has no interesting output
+    // partitioning, so the exchange stays and one task holds exactly one
+    // bucket's keys → one file per bucket.
+    val stagingPath = path + "__compacting"
+    val stagingTable = tableName + "_compact_staging"
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    deleteTree(new java.io.File(stagingPath)) // orphan from a prior crash
+    spark.read.parquet(path)
+      .repartition(nBuckets, org.apache.spark.sql.functions.col(keyCol))
+      .write
+      .mode("overwrite")
+      .format("parquet")
+      .option("path", stagingPath)
+      .bucketBy(nBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(stagingTable)
+    val staged = dataFiles(new java.io.File(stagingPath))
+
+    // 2) FENCE + SWAP: marker deleted first (a crash inside this window
+    // leaves no marker = rebuild-never-trust); bucket ids live in the file
+    // NAMES (Spark's BucketingUtils parses them back on read), so a plain
+    // move preserves the bucket mapping exactly.
+    if (!marker.delete())
+      throw new IllegalStateException(
+        s"compactBucketed: could not remove the build marker at $path before the swap — " +
+          "refusing to rewrite files under a marker that would misdescribe a torn state")
+    before.foreach { f =>
+      if (!f.delete())
+        throw new IllegalStateException(
+          s"compactBucketed: could not delete $f mid-swap — marker already removed, " +
+            "the table will rebuild from source on next ensureBucketed")
+    }
+    staged.foreach { f =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(path, f.getName).toPath)
+    }
+    // 3) COMMIT: the marker returns byte-for-byte — same key/buckets/stamp/
+    // schema; compaction must be invisible to every stamp-validated reader
+    java.nio.file.Files.write(
+      marker.toPath, spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    deleteTree(new java.io.File(stagingPath))
+    // the session's FileStatusCache still lists the pre-swap files
+    spark.sql(s"REFRESH TABLE $tableName")
+    spark.table(tableName)
+  }
+
   /** Cheap driver-side content stamp for a source file or directory tree:
     * an md5 digest of the sorted per-file (relative path, size, mtime)
     * manifest, walked RECURSIVELY so partitioned/nested layouts are

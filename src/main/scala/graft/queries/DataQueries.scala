@@ -3720,6 +3720,59 @@ object DataQueries {
       indexStamp = stamp)
   }
 
+  /** [[dNearDupIndexed]] served from a COMPACTED index
+    * ([[graft.connectors.Bucketing.compactBucketed]]): the same corpus-side
+    * band index, but built the way a production pipeline actually grows it
+    * — bootstrap over half the corpus, a fenced
+    * ([[graft.connectors.Bucketing.appendBucketedExactlyOnce]]) append of
+    * the other half, then compaction back to one file per bucket. Append ≡
+    * rebuild makes the logical index equal [[dNearDupIndexed]]'s, and
+    * compaction is physical-only, so the SAME oracle gates all three faces
+    * — the maintenance chain (build → append → compact → serve) must never
+    * change an answer. What this face adds over `d_neardup_indexed` is the
+    * small-files story: per-batch appends land ~nBuckets files each, and
+    * at production cadence the index read pays thousands of file opens per
+    * bucket until compaction folds them back (CompactProbe measures the
+    * decay and the win; SCALE.md r18).
+    */
+  def dNearDupCompacted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.connectors.Bucketing
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val recrawl = docs
+      .filter(pmod(col("doc_id"), lit(5)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_bucketed/$slug/neardup_bands_compact"
+    val table = s"graft_neardup_bands_compact$slug"
+    val docsStamp = Bucketing.stampDir(s"$dir/documents.parquet")
+    val pre = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|half"
+    val post = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|full"
+    val even = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+    if (!Bucketing.readStamp(path).contains(post))
+      Bucketing.ensureBucketed(
+        spark, SnapshotOps.nearDupBandIndex(even, "doc_id", "text"),
+        table, path, "bucket", 64, sourceStamp = pre)
+    Bucketing.appendBucketedExactlyOnce(
+      spark,
+      delta = SnapshotOps.nearDupBandIndex(odd, "doc_id", "text"),
+      rebuildPre = SnapshotOps.nearDupBandIndex(even, "doc_id", "text"),
+      rebuildPost = SnapshotOps.nearDupBandIndex(corpus, "doc_id", "text"),
+      table, path, "bucket", 64, pre, post)
+    // idempotent maintenance call: folds the append's files on first run,
+    // skips (≤1 file/bucket already) on every later one — marker/stamp
+    // byte-identical either way, so the fences above keep skipping too
+    val idx = Bucketing.compactBucketed(spark, table, path, "bucket", 64)
+    SnapshotOps.incrementalNearDupIndexed(
+      bandIndex = idx,
+      corpusText = corpus,
+      delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(recrawl),
+      idCol = "doc_id",
+      textCol = "text",
+      indexStamp = Bucketing.readStamp(path))
+  }
+
   val dNearDupIncrementalSql: String = {
     val tok = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
     val bandSelects = (0 until K / 2)
@@ -4052,6 +4105,7 @@ object DataQueries {
     "d_dedup_incremental" -> dDedupIncremental,
     "d_neardup_incremental" -> dNearDupIncremental,
     "d_neardup_indexed" -> dNearDupIndexed,
+    "d_neardup_compacted" -> dNearDupCompacted,
     "d_boilerplate_strip" -> dBoilerplateStrip,
     "d_decontaminate_multi" -> dDecontaminateMulti,
     "d_split_assign" -> dSplitAssign,
@@ -4149,6 +4203,9 @@ object DataQueries {
     // the index must never change the answer: the indexed face is gated by
     // the SAME oracle as the inline face (the s_ann_pq_imi_idx rule)
     "d_neardup_indexed" -> dNearDupIncrementalSql,
+    // build → exactly-once append → compact → serve: maintenance is
+    // physical-only end to end, so the inline oracle still gates it
+    "d_neardup_compacted" -> dNearDupIncrementalSql,
     "d_boilerplate_strip" -> dBoilerplateStripSql,
     "d_decontaminate_multi" -> dDecontaminateMultiSql,
     "d_split_assign" -> dSplitAssignSql,

@@ -686,6 +686,73 @@ class ScaleMechanicsSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compactBucketed: appends-grown table collapses to ≤1 file/bucket — same rows, same stamp, same spec; torn compact rebuilds") {
+    import graft.connectors.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val table = "graft_compact_spec"
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(i => (i, s"b${i % 8}")).toDF("sid", "bucket")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.as[(Long, String)].collect().toSet
+    def dataFiles: Seq[String] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(_.getName)
+    def boom = sys.error("this frame must not evaluate"): org.apache.spark.sql.DataFrame
+    try {
+      // build + 3 appends: each append repartitions into the bucket layout,
+      // so the file count grows by ~nBuckets per batch — the small-files
+      // accumulation every per-batch index maintainer hits
+      Bucketing.ensureBucketed(spark, slice(0, 40), table, dir, "bucket", 4, sourceStamp = "s0")
+      Bucketing.appendBucketed(spark, slice(40, 80), table, dir, "bucket", 4, "s1")
+      Bucketing.appendBucketed(spark, slice(80, 120), table, dir, "bucket", 4, "s2")
+      Bucketing.appendBucketed(spark, slice(120, 160), table, dir, "bucket", 4, "s3")
+      val expected = rowSet(slice(0, 160))
+      assert(rowSet(spark.table(table)) === expected)
+      val filesBefore = dataFiles
+      // one file per (batch, non-empty bucket): well above the bucket count
+      assert(filesBefore.length > 4, s"fixture did not accumulate files: $filesBefore")
+
+      val compacted = Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
+      // physical change only: rows, stamp, and spec are untouched
+      assert(rowSet(compacted) === expected, "compaction changed the answer")
+      assert(dataFiles.length <= 4, s"expected <=1 file/bucket after compact, got $dataFiles")
+      assert(Bucketing.readStamp(dir) === Some("s3"), "compaction must preserve the stamp")
+      // the swap preserved bucket hashing: a fresh session-shape re-register
+      // (by-name frame must not evaluate) still answers identically
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val reReg = Bucketing.ensureBucketed(spark, boom, table, dir, "bucket", 4, sourceStamp = "s3")
+      assert(rowSet(reReg) === expected)
+      // and the appendBucketedExactlyOnce fence sees no state change: a
+      // replayed epoch whose postStamp == the (preserved) stamp still skips
+      val replay = Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, boom, table, dir, "bucket", 4, "s2", "s3")
+      assert(rowSet(replay) === expected)
+
+      // already-compact skip: calling again moves nothing (same file NAMES)
+      val namesBefore = dataFiles.sorted
+      Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
+      assert(dataFiles.sorted === namesBefore, "no-op compact must not rewrite files")
+
+      // append AFTER compact keeps working and matching a logical rebuild
+      Bucketing.appendBucketed(spark, slice(160, 200), table, dir, "bucket", 4, "s4")
+      assert(rowSet(spark.table(table)) === rowSet(slice(0, 200)))
+
+      // TORN compact (killed inside the swap window): marker gone, files
+      // partial — the build path rebuilds from source, never trusts
+      assert(new java.io.File(dir, "_GRAFT_BUCKETED_DDL").delete())
+      dataFiles.take(2).foreach(n => assert(new java.io.File(dir, n).delete()))
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val rebuilt = Bucketing.ensureBucketed(spark, slice(0, 200), table, dir, "bucket", 4, "s4")
+      assert(rowSet(rebuilt) === rowSet(slice(0, 200)), "torn-compact rebuild kept partial state")
+
+      // compaction refuses foreign shapes loudly
+      intercept[IllegalArgumentException](
+        Bucketing.compactBucketed(spark, table, dir, "bucket", 8))
+      intercept[IllegalArgumentException](
+        Bucketing.compactBucketed(spark, "graft_compact_spec_missing", dir, "bucket", 4))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("checkpoint blocks release: Dataset.unpersist no-ops on localCheckpoint frames; loops go through Checkpoints.release and strand nothing") {
     import graft.data.{Dedup, Similarity}
     val sc = spark.sparkContext
