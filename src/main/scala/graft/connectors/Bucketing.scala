@@ -226,6 +226,12 @@ object Bucketing {
       marker.toPath,
       s"key=$keyCol\nbuckets=$nBuckets\nstamp=$newSourceStamp\nschema=$schemaDdl"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the write ran through df.sparkSession — under foreachBatch that is
+    // the micro-batch session CLONE, whose post-write refresh touches only
+    // its own cached relation; THIS session's cache would keep serving the
+    // pre-append file list (measured: a streaming append read back as 0
+    // rows). Refresh explicitly so the returned frame sees the new files.
+    spark.sql(s"REFRESH TABLE $tableName")
     spark.table(tableName)
   }
 

@@ -343,4 +343,77 @@ class StreamingIngestSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.unset(key)
   }
+
+  test("streaming index maintenance: epoch-fenced appends per micro-batch through foreachBatch — kill-and-resume, replay skips, index == accepted-rows rebuild") {
+    // the d_ingest_index_capstone loop run through the ACTUAL streaming
+    // engine: each micro-batch gates its rows and appends the accepted
+    // bands under appendBucketedExactlyOnce, with the epoch fence derived
+    // from the foreachBatch batchId (contiguous by engine contract — a
+    // gap would land in the fence's rebuild arm and fail loudly here).
+    // The batch-grain fence outcomes are pinned in ScaleMechanicsSpec;
+    // what this adds is the engine-level composition: batchIds advance the
+    // marker across a kill-and-resume, and a replayed last epoch (the
+    // at-least-once window foreachBatch exposes when a crash lands between
+    // the append and the batch commit) skips with zero data motion.
+    implicit val sc = spark.sqlContext
+    import graft.connectors.Bucketing
+    import graft.data.SnapshotOps
+    import org.apache.spark.sql.functions.length
+    val base = java.nio.file.Files.createTempDirectory("ingest_idx_stream").toString
+    val dir = s"$base/bands"
+    val ckpt = s"$base/ckpt"
+    val table = "graft_stream_idx_spec"
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      SnapshotOps.nearDupBandIndex(df, "doc_id", "text")
+    def boom = sys.error("fence must not evaluate this frame"): org.apache.spark.sql.DataFrame
+    val batchA = Seq((1L, s"$en alpha"), (2L, short), (3L, s"$en gamma"))
+    val batchB = Seq((4L, s"$en delta"), (5L, "no"))
+    val batchC = Seq((6L, s"$en zeta"))
+    def acceptedOf(docs: Seq[(Long, String)]) = docs.filter(_._2.length >= 20)
+    // bootstrap: the empty pre-state of epoch 0, stamped as epoch -1
+    Bucketing.ensureBucketed(
+      spark, bands(Seq.empty[(Long, String)].toDF("doc_id", "text")),
+      table, dir, "bucket", 4, sourceStamp = "epoch=-1")
+    def appendEpoch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val accepted = df.filter(length(df("text")) >= 20)
+      Bucketing.appendBucketedExactlyOnce(
+        spark, bands(accepted), boom, boom,
+        table, dir, "bucket", 4, s"epoch=${id - 1}", s"epoch=$id")
+      (): Unit
+    }
+    val mem = MemoryStream[(Long, String)]
+    def start() = mem.toDS().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(appendEpoch _)
+      .start()
+    def indexSet = spark.table(table)
+      .as[(Long, Int, String)].collect().toSet
+    def expect(docs: Seq[(Long, String)]) =
+      bands(acceptedOf(docs).toDF("doc_id", "text")).as[(Long, Int, String)].collect().toSet
+    try {
+      val q1 = start()
+      try {
+        mem.addData(batchA: _*); q1.processAllAvailable()
+        assert(indexSet === expect(batchA), "epoch-0 append drifted from the accepted rows")
+        assert(!indexSet.exists(_._1 == 2L), "a rejected doc's bands reached the index")
+        mem.addData(batchB: _*); q1.processAllAvailable()
+        assert(indexSet === expect(batchA ++ batchB))
+      } finally q1.stop() // KILL; batch C arrives while the query is down
+      mem.addData(batchC: _*)
+      val q2 = start()
+      try {
+        q2.processAllAvailable()
+        assert(indexSet === expect(batchA ++ batchB ++ batchC),
+          "resume on the same checkpoint must append exactly the missed batch")
+      } finally q2.stop()
+      // the at-least-once boundary: the engine re-runs the last foreachBatch
+      // when killed between the append and the batch commit — the postStamp
+      // fence must skip with zero data motion (all frames by-name boom)
+      val lastEpoch = Bucketing.readStamp(dir).get.stripPrefix("epoch=").toLong
+      Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, boom,
+        table, dir, "bucket", 4, s"epoch=${lastEpoch - 1}", s"epoch=$lastEpoch")
+      assert(indexSet === expect(batchA ++ batchB ++ batchC), "replayed epoch moved data")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
