@@ -34,6 +34,25 @@ object GenCorpus {
   private def rndFor(seed: Long, id: Long, stream: Int): java.util.Random =
     new java.util.Random(seed * 1000003L + id * 31L + stream)
 
+  /** A doc id that belongs to one of the special slices below (exact dup or
+    * recrawl), i.e. whose STORED text is not its own [[baseText]].
+    */
+  private def isSpecial(id: Long): Boolean =
+    (id > 0 && id % 640 == 639) || (id > 10 && id % 23 == 7)
+
+  /** Nearest plain (non-special) id at or below `id0` — special slices must
+    * reference PLAIN originals, otherwise `baseText(orig)` differs from the
+    * orig's stored text: an "exact dup" of a recrawl row duplicated nothing
+    * and a recrawl of a special row near-dup'd no stored doc, drifting the
+    * documented dup marginals and breaking the baseText scaladoc invariant
+    * (code-review r18). Plain density ≈ 95%, so the scan is 1–2 steps.
+    */
+  private def plainAtOrBelow(id0: Long): Long = {
+    var id = math.max(id0, 0L)
+    while (isSpecial(id) && id > 0) id -= 1
+    id
+  }
+
   /** Pure function of (seed, id): the doc's own base text — recrawl rows can
     * regenerate their original's text without a join.
     */
@@ -72,9 +91,9 @@ object GenCorpus {
       // a true NEAR-dup (high but sub-1.0 Jaccard); exact-dup slice
       // (~1/640): byte-identical copy of the previous doc
       val text =
-        if (id > 0 && id % 640 == 639) baseText(seed, id - 1)
+        if (id > 0 && id % 640 == 639) baseText(seed, plainAtOrBelow(id - 1))
         else if (id > 10 && id % 23 == 7) {
-          val orig = id - 1 - r.nextInt(10)
+          val orig = plainAtOrBelow(id - 1 - r.nextInt(10))
           baseText(seed, orig) + " " + Vocab(r.nextInt(Vocab.length)) + " " +
             Vocab(r.nextInt(Vocab.length))
         } else baseText(seed, id)

@@ -43,6 +43,10 @@ object NearDupIdxProbe {
         graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
     val buildS = timed(index())
     println(f"[neardup-idx] index build/register: $buildS%.2f s (amortized across all batches)")
+    // pass the persisted stamp exactly as the shipping face does: without it
+    // every timed rep pays the fallback max-band full index scan the stamp
+    // path removed, understating the index's win (code-review r18)
+    val stamp = graft.connectors.Bucketing.readStamp(s"/tmp/graft_bucketed/$slug/neardup_bands")
     // delta grains: the bench fixture's 1-in-3 (delta ≈ half the corpus —
     // adversarial for the index), then 1-in-30 and 1-in-300 (the
     // production-shaped small batches)
@@ -54,7 +58,8 @@ object NearDupIdxProbe {
           graft.data.SnapshotOps.incrementalNearDup(corpusText, delta, "doc_id", "text")
             .write.mode("overwrite").format("noop").save())).min
         val indexed = (1 to reps).map(_ => timed(
-          graft.data.SnapshotOps.incrementalNearDupIndexed(index(), corpusText, delta, "doc_id", "text")
+          graft.data.SnapshotOps.incrementalNearDupIndexed(
+            index(), corpusText, delta, "doc_id", "text", indexStamp = stamp)
             .write.mode("overwrite").format("noop").save())).min
         println(f"[neardup-idx] $tag ($n rows): inline $inline%.2f s, indexed $indexed%.2f s " +
           f"(${inline / indexed}%.2fx)")

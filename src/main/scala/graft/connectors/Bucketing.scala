@@ -160,6 +160,31 @@ object Bucketing {
     spark.table(tableName)
   }
 
+  /** Read and validate the build marker at `path` against the requested
+    * (key, buckets) spec, returning the full marker content — the ONE
+    * reader of the marker grammar for the maintenance paths
+    * ([[appendBucketed]], [[compactBucketed]]), next to [[ensureBucketed]]'s
+    * one writer: a marker-format change now has a single site on each side
+    * instead of silently diverging parsers (code-review r18).
+    */
+  private def requireMarkerSpec(
+      path: String,
+      what: String,
+      keyCol: String,
+      nBuckets: Int
+  ): String = {
+    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+    require(marker.exists(), s"$what: no build marker at $path — not an ensureBucketed table")
+    val spec = new String(
+      java.nio.file.Files.readAllBytes(marker.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val specLines = spec.linesIterator.toSeq
+    require(specLines.contains(s"key=$keyCol") && specLines.contains(s"buckets=$nBuckets"),
+      s"$what: the table at $path is bucketed under a different spec than (key=$keyCol, " +
+        s"buckets=$nBuckets) — proceeding would break co-location; rebuild via ensureBucketed")
+    spec
+  }
+
   /** APPEND rows to a bucketed table built by [[ensureBucketed]] — the
     * per-delta index maintenance path (a near-dup band index ingesting a
     * gated batch, an ANN index absorbing new embeddings): the appended rows
@@ -192,16 +217,9 @@ object Bucketing {
         s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
         "spec in this session; appending would land the delta in that other table while " +
         "rewriting this path's marker. Re-register via ensureBucketed first")
+    val spec = requireMarkerSpec(path, "appendBucketed", keyCol, nBuckets)
     val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
-    require(marker.exists(), s"appendBucketed: no build marker at $path — not an ensureBucketed table")
-    val spec = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val specLines = spec.linesIterator.toSeq
-    require(specLines.contains(s"key=$keyCol") && specLines.contains(s"buckets=$nBuckets"),
-      s"appendBucketed: $tableName is bucketed under a different spec than (key=$keyCol, " +
-        s"buckets=$nBuckets) — appending would break co-location; rebuild via ensureBucketed")
-    val schemaDdl = specLines.find(_.startsWith("schema="))
+    val schemaDdl = spec.linesIterator.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema=")).getOrElse("")
     // crash-safety ordering (code-review r17): the data append and the
     // marker rewrite cannot be atomic, so the marker is DELETED first —
@@ -337,15 +355,8 @@ object Bucketing {
         s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
         "spec in this session; compacting would rewrite the wrong table. Re-register via " +
         "ensureBucketed first")
+    val spec = requireMarkerSpec(path, "compactBucketed", keyCol, nBuckets)
     val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
-    require(marker.exists(), s"compactBucketed: no build marker at $path — not an ensureBucketed table")
-    val spec = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-    val specLines = spec.linesIterator.toSeq
-    require(specLines.contains(s"key=$keyCol") && specLines.contains(s"buckets=$nBuckets"),
-      s"compactBucketed: $tableName is bucketed under a different spec than (key=$keyCol, " +
-        s"buckets=$nBuckets) — a rewrite under the wrong spec would break co-location")
 
     def dataFiles(dir: java.io.File): Seq[java.io.File] =
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq

@@ -366,7 +366,11 @@ object SnapshotOps {
         .distinct()
         .localCheckpoint()
     }
-    CorpusOps.releaseOnFailure(candDC, candDD) {
+    // everything from here to the final verdict checkpoint runs under the
+    // failure guard: an executor loss in the shingle-verify jobs must not
+    // strand candDC/candDD/dSets in a catch-and-retry loop (the same leak
+    // class the candDD construction above guards — code-review r18)
+    val out = CorpusOps.releaseOnFailure(candDC, candDD) {
       if (checkCoverage) {
         val missing = candDC.select(col("cid")).distinct()
           .join(corpusText.select(col(idCol).as("cid")), Seq("cid"), "left_anti")
@@ -380,57 +384,60 @@ object SnapshotOps {
               "must advance together (append the same gated batch to both — the " +
               "CorpusIngest capstone shape) or be rebuilt from the same snapshot.")
       }
+      val shingles = (df: DataFrame) => df.select(
+        col(idCol).as("sid"),
+        graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n).as("sset"))
+      // ONE delta shingle-set frame feeds both verify arms (semi-join to
+      // candidate ids only — the two-phase LSH contract)
+      val dCandIds = candDC.select(col("did").as("sid"))
+        .unionByName(candDD.select(col("i").as("sid")))
+        .unionByName(candDD.select(col("j").as("sid")))
+        .distinct()
+      val dSets = shingles(delta)
+        .join(dCandIds, Seq("sid"), "left_semi")
+        .localCheckpoint()
+      val verdicts = CorpusOps.releaseOnFailure(dSets) {
+        val cSets = shingles(corpusText)
+          .join(candDC.select(col("cid").as("sid")).distinct(), Seq("sid"), "left_semi")
+        def jaccardAtLeast(df: DataFrame, a: String, b: String): DataFrame = df
+          .withColumn("c", size(array_intersect(col(a), col(b))).cast("long"))
+          .withColumn(
+            "jaccard",
+            col("c").cast("double") / (size(col(a)) + size(col(b)) - col("c")))
+          .filter(col("jaccard") >= threshold)
+        val corpusDup = jaccardAtLeast(
+          candDC
+            .join(dSets.select(col("sid").as("did"), col("sset").as("sd")), Seq("did"))
+            .join(cSets.select(col("sid").as("cid"), col("sset").as("sc")), Seq("cid")),
+          "sd", "sc")
+          .select(col("did"))
+          .distinct()
+          .withColumn("_dup_corpus", lit(true))
+        // delta × delta verified pairs: first-seen (lower id) wins
+        val deltaDup = jaccardAtLeast(
+          candDD
+            .join(dSets.select(col("sid").as("i"), col("sset").as("si")), Seq("i"))
+            .join(dSets.select(col("sid").as("j"), col("sset").as("sj")), Seq("j")),
+          "si", "sj")
+          .select(col("j").as("did"))
+          .distinct()
+          .withColumn("_dup_delta", lit(true))
+        delta.select(col(idCol))
+          .join(corpusDup, col(idCol) === corpusDup("did"), "left").drop("did")
+          .join(deltaDup, col(idCol) === deltaDup("did"), "left").drop("did")
+          .select(
+            col(idCol),
+            when(col("_dup_corpus"), lit("dup_corpus"))
+              .when(col("_dup_delta"), lit("dup_delta"))
+              .otherwise(lit("new"))
+              .as("verdict"))
+          .localCheckpoint()
+      }
+      graft.core.Checkpoints.release(dSets)
+      verdicts
     }
-    val shingles = (df: DataFrame) => df.select(
-      col(idCol).as("sid"),
-      graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n).as("sset"))
-    // ONE delta shingle-set frame feeds both verify arms (semi-join to
-    // candidate ids only — the two-phase LSH contract)
-    val dCandIds = candDC.select(col("did").as("sid"))
-      .unionByName(candDD.select(col("i").as("sid")))
-      .unionByName(candDD.select(col("j").as("sid")))
-      .distinct()
-    val dSets = shingles(delta)
-      .join(dCandIds, Seq("sid"), "left_semi")
-      .localCheckpoint()
-    val cSets = shingles(corpusText)
-      .join(candDC.select(col("cid").as("sid")).distinct(), Seq("sid"), "left_semi")
-    def jaccardAtLeast(df: DataFrame, a: String, b: String): DataFrame = df
-      .withColumn("c", size(array_intersect(col(a), col(b))).cast("long"))
-      .withColumn(
-        "jaccard",
-        col("c").cast("double") / (size(col(a)) + size(col(b)) - col("c")))
-      .filter(col("jaccard") >= threshold)
-    val corpusDup = jaccardAtLeast(
-      candDC
-        .join(dSets.select(col("sid").as("did"), col("sset").as("sd")), Seq("did"))
-        .join(cSets.select(col("sid").as("cid"), col("sset").as("sc")), Seq("cid")),
-      "sd", "sc")
-      .select(col("did"))
-      .distinct()
-      .withColumn("_dup_corpus", lit(true))
-    // delta × delta verified pairs: first-seen (lower id) wins
-    val deltaDup = jaccardAtLeast(
-      candDD
-        .join(dSets.select(col("sid").as("i"), col("sset").as("si")), Seq("i"))
-        .join(dSets.select(col("sid").as("j"), col("sset").as("sj")), Seq("j")),
-      "si", "sj")
-      .select(col("j").as("did"))
-      .distinct()
-      .withColumn("_dup_delta", lit(true))
-    val out = delta.select(col(idCol))
-      .join(corpusDup, col(idCol) === corpusDup("did"), "left").drop("did")
-      .join(deltaDup, col(idCol) === deltaDup("did"), "left").drop("did")
-      .select(
-        col(idCol),
-        when(col("_dup_corpus"), lit("dup_corpus"))
-          .when(col("_dup_delta"), lit("dup_delta"))
-          .otherwise(lit("new"))
-          .as("verdict"))
-      .localCheckpoint()
     graft.core.Checkpoints.release(candDC)
     graft.core.Checkpoints.release(candDD)
-    graft.core.Checkpoints.release(dSets)
     out
   }
 }

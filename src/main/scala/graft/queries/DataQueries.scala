@@ -3866,12 +3866,20 @@ object DataQueries {
       val acceptedDocs = batch.join(acceptedIds, Seq("doc_id"), "left_semi")
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
       val docsStamp = Bucketing.stampDir(s"$dir/documents.parquet")
+      // the GATE configuration is part of the index identity too: the
+      // appended rows are the gate's ACCEPTED set, so a gate change (langs,
+      // minTokens, bench slice, n-gram grain) under an unchanged corpus
+      // stamp would otherwise hit the postStamp skip arm and serve a stale
+      // corpus ∪ old-accepted index against the NEW accepted corpusText —
+      // the silent index ⊄ corpusText miss the stamp discipline exists to
+      // prevent (code-review r18)
+      val gateCfg = "gate(langs=en,min=5,bench=97,ngram=3)"
       // 2a) near-dup band index: bootstrap the PRE state once per corpus
       // stamp, then the fenced append per batch
       val bandPath = s"/tmp/graft_bucketed/$slug/capstone_bands"
       val bandTable = s"graft_capstone_bands$slug"
-      val bandPre = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|pre"
-      val bandPost = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|ingested"
+      val bandPre = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|$gateCfg|pre"
+      val bandPost = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|$gateCfg|ingested"
       if (!Bucketing.readStamp(bandPath).contains(bandPost))
         Bucketing.ensureBucketed(
           spark, SnapshotOps.nearDupBandIndex(corpus, "doc_id", "text"),
@@ -3895,8 +3903,8 @@ object DataQueries {
       val annPath = s"/tmp/graft_bucketed/$slug/capstone_ann"
       val annTable = s"graft_capstone_ann$slug"
       val embStamp = Bucketing.stampDir(s"$dir/embeddings.parquet")
-      val annPre = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|pre"
-      val annPost = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|ingested"
+      val annPre = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|$gateCfg|pre"
+      val annPost = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|$gateCfg|ingested"
       if (!Bucketing.readStamp(annPath).contains(annPost))
         Bucketing.ensureBucketed(
           spark, Similarity.encodeImiPq(corpusEmb, "vec_id", "embedding", icbs, pcbs),
@@ -3920,12 +3928,19 @@ object DataQueries {
         idCol = "doc_id",
         textCol = "text",
         indexStamp = Bucketing.readStamp(bandPath))
-      gated.select(
-        col("doc_id"),
-        lit("gate").as("phase"),
-        coalesce(col("reject_reason"), lit("accepted")).as("verdict"))
-        .unionByName(nd.select(col("doc_id"), lit("neardup").as("phase"), col("verdict")))
-        .localCheckpoint()
+      // nd is itself a checkpoint frame (incrementalNearDupIndexed's
+      // contract); it is intermediate here, so release it once the union
+      // has checkpointed — on failure too (code-review r18)
+      val fused = CorpusOps.releaseOnFailure(nd) {
+        gated.select(
+          col("doc_id"),
+          lit("gate").as("phase"),
+          coalesce(col("reject_reason"), lit("accepted")).as("verdict"))
+          .unionByName(nd.select(col("doc_id"), lit("neardup").as("phase"), col("verdict")))
+          .localCheckpoint()
+      }
+      graft.core.Checkpoints.release(nd)
+      fused
     }
     graft.core.Checkpoints.release(gated)
     out
