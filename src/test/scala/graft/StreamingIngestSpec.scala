@@ -399,6 +399,20 @@ class StreamingIngestSpec extends SparkSpec {
         mem.addData(batchB: _*); q1.processAllAvailable()
         assert(indexSet === expect(batchA ++ batchB))
       } finally q1.stop() // KILL; batch C arrives while the query is down
+      // maintenance window: compact the appends-grown index while the query
+      // is down — physical-only, so the epoch fence must not see it (stamp
+      // byte-identical) and the resumed stream must keep appending as if
+      // nothing happened
+      val filesBefore = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
+      val filesAfter = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      assert(filesAfter <= math.min(filesBefore, 4),
+        s"mid-stream compact: $filesBefore -> $filesAfter files")
+      assert(Bucketing.readStamp(dir) === Some("epoch=1"),
+        "compaction must preserve the epoch fence stamp")
+      assert(indexSet === expect(batchA ++ batchB), "compaction changed the indexed rows")
       mem.addData(batchC: _*)
       val q2 = start()
       try {
