@@ -33,10 +33,11 @@ object NearDupIdxProbe {
     val docs = graft.core.Tables.documents(spark, dir)
     val corpusText = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val idxPath = s"/tmp/graft_bucketed/$slug/neardup_bands" // ONE copy of the shared-table path
     def index() = graft.connectors.Bucketing.ensureBucketed(
       spark,
       graft.data.SnapshotOps.nearDupBandIndex(corpusText, "doc_id", "text"),
-      s"graft_neardup_bands$slug", s"/tmp/graft_bucketed/$slug/neardup_bands", "bucket", 64,
+      s"graft_neardup_bands$slug", idxPath, "bucket", 64,
       // SAME stamp format as the d_neardup_indexed face (bandStamp prefix) —
       // a differing format would ping-pong rebuilds of the shared table
       sourceStamp = s"${graft.data.SnapshotOps.bandStamp(3, 16, 2)}|" +
@@ -45,8 +46,11 @@ object NearDupIdxProbe {
     println(f"[neardup-idx] index build/register: $buildS%.2f s (amortized across all batches)")
     // pass the persisted stamp exactly as the shipping face does: without it
     // every timed rep pays the fallback max-band full index scan the stamp
-    // path removed, understating the index's win (code-review r18)
-    val stamp = graft.connectors.Bucketing.readStamp(s"/tmp/graft_bucketed/$slug/neardup_bands")
+    // path removed, understating the index's win (code-review r18). A None
+    // here would silently re-enter that fallback — refuse to measure it.
+    val stamp = graft.connectors.Bucketing.readStamp(idxPath)
+    require(stamp.isDefined,
+      s"no build stamp at $idxPath — the probe would silently time the max-band fallback scan")
     // delta grains: the bench fixture's 1-in-3 (delta ≈ half the corpus —
     // adversarial for the index), then 1-in-30 and 1-in-300 (the
     // production-shaped small batches)

@@ -433,8 +433,13 @@ object SnapshotOps {
               .as("verdict"))
           .localCheckpoint()
       }
-      graft.core.Checkpoints.release(dSets)
-      verdicts
+      // the happy-path release can itself throw (executor loss mid-
+      // unpersist) — guard the freshly-checkpointed result so the outer
+      // rethrow cannot strand it (code-review r18)
+      CorpusOps.releaseOnFailure(verdicts) {
+        graft.core.Checkpoints.release(dSets)
+        verdicts
+      }
     }
     graft.core.Checkpoints.release(candDC)
     graft.core.Checkpoints.release(candDD)

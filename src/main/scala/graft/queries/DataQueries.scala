@@ -3854,11 +3854,19 @@ object DataQueries {
     val recrawl = docs.filter(pmod(col("doc_id"), lit(5)) === 1)
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(recrawl)
-    val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+    // named gate parameters: the SAME values feed the verdictExact call AND
+    // the fence stamps below, so a gate change cannot leave the stamp
+    // behind (code-review r18 — a hand-written stamp literal was itself
+    // the drift hazard the stamp exists to close)
+    val gateLangs = Seq("en")
+    val gateMinTokens = 5
+    val gateBenchMod = 97
+    val gateNgram = 3
+    val bench = docs.filter(pmod(col("doc_id"), lit(gateBenchMod)) === 0)
     // 1) gate — checkpointed once (skinny: id + reason), five consumers
     val gated = CorpusIngest.verdictExact(
-      batch, "doc_id", "text", allowedLangs = Seq("en"), minTokens = 5,
-      bench = bench, benchTextCol = "text", n = 3)
+      batch, "doc_id", "text", allowedLangs = gateLangs, minTokens = gateMinTokens,
+      bench = bench, benchTextCol = "text", n = gateNgram)
       .select(col("doc_id"), col("reject_reason"))
       .localCheckpoint()
     val out = CorpusOps.releaseOnFailure(gated) {
@@ -3872,8 +3880,10 @@ object DataQueries {
       // stamp would otherwise hit the postStamp skip arm and serve a stale
       // corpus ∪ old-accepted index against the NEW accepted corpusText —
       // the silent index ⊄ corpusText miss the stamp discipline exists to
-      // prevent (code-review r18)
-      val gateCfg = "gate(langs=en,min=5,bench=97,ngram=3)"
+      // prevent (code-review r18); derived from the SAME named values the
+      // gate call consumes, never a hand-written literal
+      val gateCfg =
+        s"gate(langs=${gateLangs.mkString("+")},min=$gateMinTokens,bench=$gateBenchMod,ngram=$gateNgram)"
       // 2a) near-dup band index: bootstrap the PRE state once per corpus
       // stamp, then the fenced append per batch
       val bandPath = s"/tmp/graft_bucketed/$slug/capstone_bands"
@@ -3939,8 +3949,12 @@ object DataQueries {
           .unionByName(nd.select(col("doc_id"), lit("neardup").as("phase"), col("verdict")))
           .localCheckpoint()
       }
-      graft.core.Checkpoints.release(nd)
-      fused
+      // guard the fused result against the nd release itself throwing —
+      // the rethrow through the outer guard must not strand it
+      CorpusOps.releaseOnFailure(fused) {
+        graft.core.Checkpoints.release(nd)
+        fused
+      }
     }
     graft.core.Checkpoints.release(gated)
     out

@@ -405,6 +405,10 @@ class StreamingIngestSpec extends SparkSpec {
       // nothing happened
       val filesBefore = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      // the maintenance window must actually run: ≤ nBuckets files would hit
+      // compactBucketed's no-op skip and the asserts below would pass over
+      // an untouched table (code-review r18)
+      assert(filesBefore > 4, s"fixture left only $filesBefore files — compaction would no-op")
       Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
       val filesAfter = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
         .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
