@@ -34,11 +34,18 @@ object GenCorpus {
   private def rndFor(seed: Long, id: Long, stream: Int): java.util.Random =
     new java.util.Random(seed * 1000003L + id * 31L + stream)
 
-  /** A doc id that belongs to one of the special slices below (exact dup or
+  /** The two special slices — each predicate is THE definition, shared by
+    * [[isSpecial]] and the text branches in `main` so the slice membership
+    * and the text generation cannot desynchronize (ADVICE r18: the branch
+    * conditions re-stated these inline).
+    */
+  private def isExactDupSlice(id: Long): Boolean = id > 0 && id % 640 == 639
+  private def isRecrawlSlice(id: Long): Boolean = id > 10 && id % 23 == 7
+
+  /** A doc id that belongs to one of the special slices (exact dup or
     * recrawl), i.e. whose STORED text is not its own [[baseText]].
     */
-  private def isSpecial(id: Long): Boolean =
-    (id > 0 && id % 640 == 639) || (id > 10 && id % 23 == 7)
+  private def isSpecial(id: Long): Boolean = isExactDupSlice(id) || isRecrawlSlice(id)
 
   /** Nearest plain (non-special) id at or below `id0` — special slices must
     * reference PLAIN originals, otherwise `baseText(orig)` differs from the
@@ -89,10 +96,12 @@ object GenCorpus {
       val source = "src" + r.nextInt(20)
       // recrawl slice (~1/23): an earlier doc's text with a mutated tail —
       // a true NEAR-dup (high but sub-1.0 Jaccard); exact-dup slice
-      // (~1/640): byte-identical copy of the previous doc
+      // (~1/640): byte-identical copy of the nearest PLAIN doc at or
+      // below id-1 (specials must reference plain originals — see
+      // plainAtOrBelow)
       val text =
-        if (id > 0 && id % 640 == 639) baseText(seed, plainAtOrBelow(id - 1))
-        else if (id > 10 && id % 23 == 7) {
+        if (isExactDupSlice(id)) baseText(seed, plainAtOrBelow(id - 1))
+        else if (isRecrawlSlice(id)) {
           val orig = plainAtOrBelow(id - 1 - r.nextInt(10))
           baseText(seed, orig) + " " + Vocab(r.nextInt(Vocab.length)) + " " +
             Vocab(r.nextInt(Vocab.length))

@@ -1,5 +1,7 @@
 package graft.connectors
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed-table management — the pre-partitioned co-located join layout.
@@ -27,15 +29,74 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Bucket-count rule at scale: pick size/buckets ≈ one task's comfortable
   * input (~1 GB), and keep the count IDENTICAL across tables that join —
   * mismatched counts shuffle one side.
+  *
+  * ALL file operations here go through the Hadoop `FileSystem` API resolved
+  * from the path's own scheme (VERDICT r18 #1: the maintenance stack was
+  * `java.io.File`-only, which silently confines every persisted-index
+  * 100 TB claim to the local filesystem — the in-repo precedent is
+  * [[KeyedParquetTable]]). Local runs exercise the same code via the
+  * implicit `file:` scheme. The crash-safety protocol needs NO atomic
+  * rename anywhere: the marker is deleted FIRST, and a crash inside any
+  * mutation window leaves "no marker", which every reader/maintainer
+  * treats as rebuild-never-trust — this is what makes the fence survive
+  * object stores, where rename is copy-then-delete and never atomic.
   */
 object Bucketing {
+
+  /** Hadoop conf for path resolution: the active session's (carries
+    * cluster fs.defaultFS / credentials) when one exists, else a plain
+    * `Configuration` (classpath defaults — correct for `file:` paths,
+    * which is all a session-less caller can mean).
+    */
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf())
+
+  /** Filesystem for MARKER IO. On `file:` the default FileSystem is
+    * checksummed (`LocalFileSystem` writes `.crc` sidecars and fails reads
+    * when file and sidecar disagree) — right for data files, wrong for the
+    * marker: it is a tiny control file that external writers legitimately
+    * replace wholesale (another pipeline claiming the path, an operator
+    * clearing a stamp), and a direct replacement under a stale sidecar
+    * reads as CORRUPTION instead of as the spec-drift the marker protocol
+    * already handles. The raw filesystem keeps the marker sidecar-free;
+    * HDFS/S3 are not ChecksumFileSystems and pass through untouched.
+    * Data files stay on the checksummed default so their sidecars follow
+    * them through delete/rename.
+    */
+  private def markerFs(p: Path): FileSystem = fsOf(p) match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  private def markerPath(path: String): Path = new Path(path, "_GRAFT_BUCKETED_DDL")
+
+  private def readFully(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeFully(fs: FileSystem, p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The registered catalog entry must actually BE the layout at `path`
     * with the requested clustering — a name reused for a different path
     * (or registered elsewhere in this JVM) would otherwise return the
     * wrong table's data and plan exchange-free joins over it. Shared by
-    * [[ensureBucketed]] (re-register on mismatch) and [[appendBucketed]]
-    * (fail loudly on mismatch — ADVICE r17: an append routed to a
+    * [[ensureBucketed]] (re-register on mismatch) and the maintenance
+    * paths (fail loudly on mismatch — ADVICE r17: an append routed to a
     * same-named table at a DIFFERENT path would land the delta in the
     * wrong table while rewriting this path's marker with the post-append
     * stamp, the silent wrong-layout acceptance the marker exists to
@@ -52,9 +113,13 @@ object Bucketing {
       val detail = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName").collect()
         .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
         .toMap
+      // scheme-qualify both sides through the filesystem so `file:/x` from
+      // the catalog equals a caller's bare `/x` (and `hdfs://nn/x` its
+      // default-fs-relative form)
       val locOk = detail.get("Location").exists { loc =>
-        new java.io.File(loc.stripPrefix("file:")).getCanonicalPath ==
-          new java.io.File(path).getCanonicalPath
+        val want = new Path(path)
+        val got = new Path(loc)
+        fsOf(want).makeQualified(want) == fsOf(got).makeQualified(got)
       }
       // exact column-list equality, not substring containment: a table
       // clustered on `userkey2` must NOT satisfy a request for `key`
@@ -75,11 +140,10 @@ object Bucketing {
     * drift guard was a full column-pruned index scan per delta batch).
     */
   def readStamp(path: String): Option[String] = {
-    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
-    if (!marker.exists()) None
-    else new String(
-      java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = markerPath(path)
+    val fs = markerFs(marker)
+    if (!fs.exists(marker)) None
+    else readFully(fs, marker)
       .linesIterator.find(_.startsWith("stamp=")).map(_.stripPrefix("stamp="))
   }
 
@@ -101,17 +165,14 @@ object Bucketing {
       nBuckets: Int,
       sourceStamp: String = ""
   ): DataFrame = synchronized {
-    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+    val marker = markerPath(path)
+    val fs = markerFs(marker)
 
     def specOf(schemaDdl: String): String =
       s"key=$keyCol\nbuckets=$nBuckets\nstamp=$sourceStamp\nschema=$schemaDdl"
 
     def readMarker(): Option[String] =
-      if (marker.exists())
-        Some(new String(
-          java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-      else None
+      if (fs.exists(marker)) Some(readFully(fs, marker)) else None
 
     def schemaFrom(spec: String): String =
       spec.linesIterator.find(_.startsWith("schema=")).map(_.stripPrefix("schema=")).getOrElse("")
@@ -138,7 +199,7 @@ object Bucketing {
              |CLUSTERED BY ($keyCol) SORTED BY ($keyCol) INTO $nBuckets BUCKETS
              |LOCATION '$path'""".stripMargin)
       case stale =>
-        if (stale.isDefined) marker.delete() // spec drift: rebuild, never trust
+        if (stale.isDefined) fs.delete(marker, false): Unit // spec drift: rebuild, never trust
         val src = df
         // repartition on the bucket hash first: each task then holds exactly
         // one bucket's keys and writes ONE file per bucket — without this,
@@ -153,9 +214,7 @@ object Bucketing {
           .bucketBy(nBuckets, keyCol)
           .sortBy(keyCol)
           .saveAsTable(tableName)
-        java.nio.file.Files.write(
-          marker.toPath,
-          specOf(src.schema.toDDL).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        writeFully(fs, marker, specOf(src.schema.toDDL))
     }
     spark.table(tableName)
   }
@@ -168,16 +227,15 @@ object Bucketing {
     * instead of silently diverging parsers (code-review r18).
     */
   private def requireMarkerSpec(
+      fs: FileSystem,
       path: String,
       what: String,
       keyCol: String,
       nBuckets: Int
   ): String = {
-    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
-    require(marker.exists(), s"$what: no build marker at $path — not an ensureBucketed table")
-    val spec = new String(
-      java.nio.file.Files.readAllBytes(marker.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val marker = markerPath(path)
+    require(fs.exists(marker), s"$what: no build marker at $path — not an ensureBucketed table")
+    val spec = readFully(fs, marker)
     val specLines = spec.linesIterator.toSeq
     require(specLines.contains(s"key=$keyCol") && specLines.contains(s"buckets=$nBuckets"),
       s"$what: the table at $path is bucketed under a different spec than (key=$keyCol, " +
@@ -217,8 +275,9 @@ object Bucketing {
         s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
         "spec in this session; appending would land the delta in that other table while " +
         "rewriting this path's marker. Re-register via ensureBucketed first")
-    val spec = requireMarkerSpec(path, "appendBucketed", keyCol, nBuckets)
-    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+    val marker = markerPath(path)
+    val fs = markerFs(marker)
+    val spec = requireMarkerSpec(fs, path, "appendBucketed", keyCol, nBuckets)
     val schemaDdl = spec.linesIterator.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema=")).getOrElse("")
     // crash-safety ordering (code-review r17): the data append and the
@@ -229,7 +288,7 @@ object Bucketing {
     // Rewriting the marker last would instead leave the PRE-append stamp
     // validating a table that already contains the delta — the silent
     // wrong-layout acceptance the marker exists to prevent.
-    if (!marker.delete())
+    if (!fs.delete(marker, false))
       throw new IllegalStateException(
         s"appendBucketed: could not remove the build marker at $path before appending — " +
           "refusing to append under a stamp that would misdescribe the result")
@@ -240,10 +299,8 @@ object Bucketing {
       .bucketBy(nBuckets, keyCol)
       .sortBy(keyCol)
       .saveAsTable(tableName)
-    java.nio.file.Files.write(
-      marker.toPath,
-      s"key=$keyCol\nbuckets=$nBuckets\nstamp=$newSourceStamp\nschema=$schemaDdl"
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeFully(fs, marker,
+      s"key=$keyCol\nbuckets=$nBuckets\nstamp=$newSourceStamp\nschema=$schemaDdl")
     // the write ran through df.sparkSession — under foreachBatch that is
     // the micro-batch session CLONE, whose post-write refresh touches only
     // its own cached relation; THIS session's cache would keep serving the
@@ -311,6 +368,25 @@ object Bucketing {
     }
   }
 
+  /** Bucket id encoded in a bucketed data file's NAME — Spark's write path
+    * emits `part-<task>-<uuid>_<bucketId padded to 5>.<ext>` and its scan
+    * path parses the id back with exactly this pattern
+    * (`org.apache.spark.sql.execution.datasources.BucketingUtils`, private
+    * to Spark — re-stated here, and spec-pinned against real written files
+    * so a format change fails loudly rather than silently mis-grouping).
+    */
+  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+
+  private def bucketIdOf(name: String): Option[Int] = name match {
+    case BucketedFileName(id) => Some(id.toInt)
+    case _ => None
+  }
+
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[FileStatus] =
+    (if (fs.exists(dir)) fs.listStatus(dir).toSeq else Seq.empty)
+      .filter(st => st.isFile &&
+        !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+
   /** COMPACT a bucketed table built by [[ensureBucketed]] and grown by
     * [[appendBucketed]] back to ~one file per bucket — the small-files
     * maintenance path every per-batch index-append pipeline eventually
@@ -320,34 +396,53 @@ object Bucketing {
     * every few minutes for months) the index read pays thousands of file
     * opens, footer reads and scheduler splits per bucket while the DATA is
     * unchanged — the classic post-maintenance killer at 100 TB. Compaction
-    * rewrites the table into the same bucket layout (one task per bucket →
-    * one file per bucket) and leaves everything else identical: same spec,
-    * same stamp (the marker is rewritten byte-for-byte, so downstream
-    * stamp-validated readers and exactly-once fences see NO state change —
-    * compaction is physical, never logical), same answers (spec-pinned in
-    * ScaleMechanicsSpec).
+    * rewrites fragmented buckets into the same bucket layout (one task per
+    * bucket → one file per bucket) and leaves everything else identical:
+    * same spec, same stamp (the marker is rewritten byte-for-byte, so
+    * downstream stamp-validated readers and exactly-once fences see NO
+    * state change — compaction is physical, never logical), same answers
+    * (spec-pinned in ScaleMechanicsSpec).
     *
-    * Already-compact tables (≤ `nBuckets` data files) return untouched —
-    * the skip that makes it safe to call unconditionally per batch, the
+    * BUCKET-INCREMENTAL (VERDICT r18 #2): only buckets holding more than
+    * `maxFilesPerBucket` data files are read, rewritten and swapped —
+    * O(fragmented buckets), never O(table). Bucket membership is a pure
+    * function of the file NAME (the same `_<bucketId>` convention Spark's
+    * scan relies on), so untouched buckets' files are not read, not
+    * rewritten, not moved — at 100 TB one hot bucket's compaction costs
+    * that bucket, not the index. The no-op decision is per-bucket too
+    * (ADVICE r18: a total-count threshold let a skewed ingest pile
+    * ~nBuckets files into ONE bucket while total stayed under it): the
+    * call returns untouched only when EVERY bucket is within budget —
+    * what makes it safe and cheap to call unconditionally per batch, the
     * production cadence (compact when the file count warrants, which the
     * caller need not track).
     *
-    * Crash-safety: the compacted copy is fully staged NEXT TO the table
-    * first (`<path>__compacting`); only then does the swap run under the
-    * same delete-marker-first fence as [[appendBucketed]] — a crash before
-    * the fence leaves the original table intact (plus an orphan staging
-    * dir, cleaned on the next compact); a crash anywhere inside the swap
-    * window leaves no marker, which every reader/maintainer treats as
-    * "rebuild, never trust". The marker is rewritten only after the staged
-    * files are in place. Single-writer per path, like the append path.
+    * Crash-safety: the compacted buckets are fully staged NEXT TO the
+    * table first (`<path>__compacting`); only then does the swap run under
+    * the same delete-marker-first fence as [[appendBucketed]] — a crash
+    * before the fence leaves the original table intact (plus an orphan
+    * staging dir, cleaned on the next compact); a crash anywhere inside
+    * the swap window leaves no marker, which every reader/maintainer
+    * treats as "rebuild, never trust". The marker is rewritten only after
+    * the staged files are in place. Single-writer per path, like the
+    * append path — and because the staging read is the one window where a
+    * cross-JVM interleave could commit an append this JVM never saw, the
+    * marker is RE-READ immediately before the fence and must still equal
+    * the spec captured at entry (ADVICE r18: without the re-check, the
+    * swap would rewrite the pre-append marker over a directory that
+    * already contains the interloper's delta — accepting rows the stamp
+    * doesn't describe); a mismatch aborts with the table untouched.
     */
   def compactBucketed(
       spark: SparkSession,
       tableName: String,
       path: String,
       keyCol: String,
-      nBuckets: Int
+      nBuckets: Int,
+      maxFilesPerBucket: Int = 1
   ): DataFrame = synchronized {
+    require(maxFilesPerBucket >= 1,
+      s"compactBucketed: maxFilesPerBucket=$maxFilesPerBucket must be >= 1")
     require(spark.catalog.tableExists(tableName),
       s"compactBucketed: table $tableName not registered — call ensureBucketed first")
     require(catalogMatches(spark, tableName, path, keyCol, nBuckets),
@@ -355,36 +450,45 @@ object Bucketing {
         s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
         "spec in this session; compacting would rewrite the wrong table. Re-register via " +
         "ensureBucketed first")
-    val spec = requireMarkerSpec(path, "compactBucketed", keyCol, nBuckets)
-    val marker = new java.io.File(path, "_GRAFT_BUCKETED_DDL")
+    val root = new Path(path)
+    val fs = fsOf(root) // data files: checksummed default, sidecars follow
+    val marker = markerPath(path)
+    val mfs = markerFs(marker) // marker: raw, sidecar-free (see markerFs)
+    val spec = requireMarkerSpec(mfs, path, "compactBucketed", keyCol, nBuckets)
 
-    def dataFiles(dir: java.io.File): Seq[java.io.File] =
-      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
-    def deleteTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(deleteTree)
-      f.delete(): Unit
-    }
+    // group the current files by the bucket id in their NAME; an
+    // unparseable name in an ensureBucketed-managed directory means the
+    // layout is not what the marker claims — never trust, never guess
+    val byBucket = dataFiles(fs, root).map { st =>
+      val id = bucketIdOf(st.getPath.getName).getOrElse(throw new IllegalStateException(
+        s"compactBucketed: ${st.getPath} carries no bucket id in its name — not a " +
+          "Spark-bucketed data file; the directory holds foreign files, rebuild via " +
+          "ensureBucketed"))
+      id -> st.getPath
+    }.groupBy(_._1)
+    val fragmented = byBucket.filter(_._2.length > maxFilesPerBucket)
+    if (fragmented.isEmpty) return spark.table(tableName)
+    val fragFiles = fragmented.values.flatten.map(_._2).toSeq
 
-    val before = dataFiles(new java.io.File(path))
-    if (before.length <= nBuckets) return spark.table(tableName)
-
-    // 1) STAGE: materialize the compacted copy fully before touching the
-    // table — the read and the write (to staging) never overlap a mutation.
-    // Read the PATH plainly, not the catalog table: a bucketed-table scan
-    // already satisfies HashPartitioning(key, nBuckets), so Catalyst elides
-    // the repartition below — and then DisableUnnecessaryBucketedScan,
-    // seeing no operator that needs the distribution anymore, disables the
-    // bucketed scan too, leaving size-grouped file splits whose tasks each
-    // write files into SEVERAL buckets (measured: an 8-file compact "output"
-    // from a 4-bucket table). A plain file scan has no interesting output
-    // partitioning, so the exchange stays and one task holds exactly one
-    // bucket's keys → one file per bucket.
+    // 1) STAGE: materialize the compacted replacement for the fragmented
+    // buckets fully before touching the table — the read and the write (to
+    // staging) never overlap a mutation. Read the fragmented FILES plainly,
+    // not the catalog table: a bucketed-table scan already satisfies
+    // HashPartitioning(key, nBuckets), so Catalyst elides the repartition
+    // below — and then DisableUnnecessaryBucketedScan, seeing no operator
+    // that needs the distribution anymore, disables the bucketed scan too,
+    // leaving size-grouped file splits whose tasks each write files into
+    // SEVERAL buckets (measured: an 8-file compact "output" from a 4-bucket
+    // table). A plain file scan has no interesting output partitioning, so
+    // the exchange stays and one task holds exactly one bucket's keys → one
+    // file per bucket. Rows in bucket b re-hash to bucket b (same key, same
+    // modulus), so the staged output covers exactly the fragmented buckets.
     val stagingPath = path + "__compacting"
+    val staging = new Path(stagingPath)
     val stagingTable = tableName + "_compact_staging"
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
-    deleteTree(new java.io.File(stagingPath)) // orphan from a prior crash
-    spark.read.parquet(path)
+    if (fs.exists(staging)) fs.delete(staging, true): Unit // orphan from a prior crash
+    spark.read.parquet(fragFiles.map(_.toString): _*)
       .repartition(nBuckets, org.apache.spark.sql.functions.col(keyCol))
       .write
       .mode("overwrite")
@@ -393,31 +497,52 @@ object Bucketing {
       .bucketBy(nBuckets, keyCol)
       .sortBy(keyCol)
       .saveAsTable(stagingTable)
-    val staged = dataFiles(new java.io.File(stagingPath))
+    val staged = dataFiles(fs, staging).map(_.getPath)
+    staged.foreach { p =>
+      val id = bucketIdOf(p.getName)
+      require(id.exists(fragmented.contains),
+        s"compactBucketed: staged file $p landed in bucket $id, outside the fragmented " +
+          s"set ${fragmented.keys.toSeq.sorted.mkString(",")} — the key column no longer " +
+          "hashes rows to their source buckets; aborting before the swap")
+    }
 
-    // 2) FENCE + SWAP: marker deleted first (a crash inside this window
+    // 2) TRIPWIRE: the staging read ran outside the fence — re-read the
+    // marker and require the table is still the one we read (a concurrent
+    // appendBucketed from ANOTHER JVM would have advanced the stamp; this
+    // JVM's own writers are excluded by synchronized). Abort leaves the
+    // table — including the interloper's delta — fully intact.
+    val now = if (mfs.exists(marker)) readFully(mfs, marker) else ""
+    if (now != spec)
+      throw new IllegalStateException(
+        s"compactBucketed: the build marker at $path changed while the compacted copy was " +
+          "staging (another writer appended or rebuilt — the single-writer contract was " +
+          "violated); aborting the swap, the table is untouched. Re-run compaction.")
+
+    // 3) FENCE + SWAP: marker deleted first (a crash inside this window
     // leaves no marker = rebuild-never-trust); bucket ids live in the file
-    // NAMES (Spark's BucketingUtils parses them back on read), so a plain
-    // move preserves the bucket mapping exactly.
-    if (!marker.delete())
+    // NAMES (Spark parses them back on read), so a plain move preserves
+    // the bucket mapping exactly. Only the fragmented buckets' files move.
+    if (!mfs.delete(marker, false))
       throw new IllegalStateException(
         s"compactBucketed: could not remove the build marker at $path before the swap — " +
           "refusing to rewrite files under a marker that would misdescribe a torn state")
-    before.foreach { f =>
-      if (!f.delete())
+    fragFiles.foreach { p =>
+      if (!fs.delete(p, false))
         throw new IllegalStateException(
-          s"compactBucketed: could not delete $f mid-swap — marker already removed, " +
+          s"compactBucketed: could not delete $p mid-swap — marker already removed, " +
             "the table will rebuild from source on next ensureBucketed")
     }
-    staged.foreach { f =>
-      java.nio.file.Files.move(f.toPath, new java.io.File(path, f.getName).toPath)
+    staged.foreach { p =>
+      if (!fs.rename(p, new Path(root, p.getName)))
+        throw new IllegalStateException(
+          s"compactBucketed: could not move staged $p into place mid-swap — marker " +
+            "already removed, the table will rebuild from source on next ensureBucketed")
     }
-    // 3) COMMIT: the marker returns byte-for-byte — same key/buckets/stamp/
+    // 4) COMMIT: the marker returns byte-for-byte — same key/buckets/stamp/
     // schema; compaction must be invisible to every stamp-validated reader
-    java.nio.file.Files.write(
-      marker.toPath, spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeFully(mfs, marker, spec)
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
-    deleteTree(new java.io.File(stagingPath))
+    fs.delete(staging, true): Unit
     // the session's FileStatusCache still lists the pre-swap files
     spark.sql(s"REFRESH TABLE $tableName")
     spark.table(tableName)
@@ -432,15 +557,20 @@ object Bucketing {
     * changing changes the digest.
     */
   def stampDir(dir: String): String = {
-    val root = new java.io.File(dir)
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isFile) Seq(f)
-      else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+    val root = new Path(dir)
+    val fs = fsOf(root)
+    def walk(st: FileStatus): Seq[FileStatus] =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).toSeq
+        .filterNot(c => c.getPath.getName.startsWith("_") || c.getPath.getName.startsWith("."))
         .flatMap(walk)
-    val base = root.toPath
-    val manifest = walk(root)
-      .map(f => s"${base.relativize(f.toPath)}|${f.length}|${f.lastModified}")
+    val base = fs.makeQualified(root).toUri.getPath
+    val manifest = (if (fs.exists(root)) walk(fs.getFileStatus(root)) else Seq.empty)
+      .map { st =>
+        val rel = fs.makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(base).stripPrefix("/")
+        s"$rel|${st.getLen}|${st.getModificationTime}"
+      }
       .sorted
       .mkString("\n")
     val md5 = java.security.MessageDigest.getInstance("MD5")

@@ -3387,6 +3387,144 @@ object DataQueries {
        |  END AS reject_reason
        |FROM b""".stripMargin
 
+  /** The MEDIA-index gated-ingest capstone (VERDICT r18 #3) — the
+    * [[dIngestIndexCapstone]] production loop run against the THIRD heavy
+    * index family, the pHash MIH band index: one media batch flows
+    *
+    *  1. GATE: [[Multimodal.mediaVerdict]] over the ingest batch (every
+    *     third doc as media bytes, a fixture mime derived from the id) —
+    *     too_small/too_large/mime in gate order.
+    *  2. APPEND: the accepted rows' pHash BANDS
+    *     ([[Multimodal.phashBandIndex]]) are appended to this face's
+    *     persisted MIH index via
+    *     [[graft.connectors.Bucketing.appendBucketedExactlyOnce]] — the
+    *     marker-stamp fence, with the MEDIA-GATE configuration derived
+    *     into the stamps from the SAME named values the gate consumes
+    *     (the r18 stamp lesson: a gate change under an unchanged corpus
+    *     stamp must never hit the postStamp skip arm and serve a stale
+    *     accepted set).
+    *  3. SERVE: [[Multimodal.perceptualPairsIndexed]] candidates from the
+    *     POST-APPEND index — accepted media pair with their corpus
+    *     originals through the rows this very call appended, and the
+    *     media bytes are never touched on the serve path.
+    *
+    * Output: `(a_id, b_id, phase, info)` — gate verdicts (`b_id = -1`,
+    * info = `accepted` or the reject reason) plus the served pairs
+    * (info = hamming). The oracle replays the whole chain: the gate, the
+    * accepted set, and the MIH pairs over corpus ∪ accepted (append ≡
+    * rebuild makes the persisted index equal that logical union).
+    */
+  def mIngestIndexCapstone(spark: SparkSession, dir: String): DataFrame = {
+    import graft.connectors.Bucketing
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      .withColumn("bin", col("text").cast("binary"))
+    // named gate parameters — these SAME values feed the mediaVerdict call
+    // AND the fence stamps below (the dIngestIndexCapstone discipline)
+    val gateAllowed = Seq("image/png", "image/jpeg")
+    val gateMinBytes = 64
+    val gateMaxBytes = 100000L
+    val mimeMod = 9
+    val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .withColumn("bin", col("text").cast("binary"))
+      .withColumn(
+        "mime",
+        concat(lit("image/"),
+          when(pmod(col("doc_id"), lit(mimeMod)) === 0, lit("png"))
+            .when(pmod(col("doc_id"), lit(mimeMod)) === 3, lit("jpeg"))
+            .otherwise(lit("gif"))))
+    // 1) gate — checkpointed once (skinny: id + reason), two consumers
+    // (the gate phase of the output and the accepted-set semi-join)
+    val gated = Multimodal
+      .mediaVerdict(batch, "bin", "mime", gateAllowed,
+        minBytes = gateMinBytes, maxBytes = gateMaxBytes)
+      .select(col("doc_id"), col("reject_reason"))
+      .localCheckpoint()
+    val out = CorpusOps.releaseOnFailure(gated) {
+      val acceptedIds = gated.filter(col("reject_reason").isNull).select(col("doc_id"))
+      val acceptedDocs = batch.join(acceptedIds, Seq("doc_id"), "left_semi")
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docsStamp = Bucketing.stampDir(s"$dir/documents.parquet")
+      val gateCfg = s"mediagate(allowed=${gateAllowed.mkString("+")}," +
+        s"min=$gateMinBytes,max=$gateMaxBytes,mimeMod=$mimeMod)"
+      val path = s"/tmp/graft_bucketed/$slug/capstone_phash"
+      val table = s"graft_capstone_phash$slug"
+      val pre = s"${Multimodal.phashStamp(8)}|$docsStamp|$gateCfg|pre"
+      val post = s"${Multimodal.phashStamp(8)}|$docsStamp|$gateCfg|ingested"
+      def bandsOf(df: DataFrame) = Multimodal.phashBandIndex(df, "doc_id", "bin", bandBits = 8)
+      if (!Bucketing.readStamp(path).contains(post))
+        Bucketing.ensureBucketed(
+          spark, bandsOf(corpus), table, path, "bucket", 64, sourceStamp = pre)
+      // 2) the fenced append: replayed batch skips, torn append rebuilds
+      val postIdx = Bucketing.appendBucketedExactlyOnce(
+        spark,
+        delta = bandsOf(acceptedDocs),
+        rebuildPre = bandsOf(corpus),
+        rebuildPost = bandsOf(corpus.unionByName(acceptedDocs.drop("mime"))),
+        table, path, "bucket", 64, pre, post)
+      // 3) serve from the post-append index — same parameters as the
+      // m_phash_indexed face; the stamp validates bandBits per query
+      val pairs = Multimodal.perceptualPairsIndexed(
+        postIdx, maxHamming = 15, bandBits = 8, probeRadius = 1,
+        indexStamp = Bucketing.readStamp(path))
+      gated.select(
+        col("doc_id").as("a_id"),
+        lit(-1L).as("b_id"),
+        lit("gate").as("phase"),
+        coalesce(col("reject_reason"), lit("accepted")).as("info"))
+        .unionByName(pairs.select(
+          col("a_id"), col("b_id"),
+          lit("pairs").as("phase"),
+          col("hamming").cast("string").as("info")))
+        .localCheckpoint()
+    }
+    graft.core.Checkpoints.release(gated)
+    out
+  }
+
+  lazy val mIngestIndexCapstoneSql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id, text,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       |    'image/' || CASE WHEN doc_id % 9 = 0 THEN 'png'
+       |                     WHEN doc_id % 9 = 3 THEN 'jpeg'
+       |                     ELSE 'gif' END AS mime
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |gate AS (
+       |  SELECT doc_id,
+       |    CASE WHEN text IS NULL OR byte_len < 64 THEN 'too_small'
+       |         WHEN byte_len > 100000 THEN 'too_large'
+       |         WHEN mime IS NULL OR mime NOT IN ('image/png', 'image/jpeg') THEN 'mime'
+       |    END AS reason
+       |  FROM batch),
+       |media AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+       |  UNION ALL
+       |  SELECT b.doc_id, b.text FROM batch b JOIN gate g USING (doc_id)
+       |  WHERE g.reason IS NULL),
+       |pb AS (
+       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len,
+       |    lower(hex(encode(text))) AS h
+       |  FROM media),
+       |fp AS (SELECT doc_id, $phashSqlExpr AS fp FROM pb),
+       |bands AS (SELECT doc_id, fp, unnest(range(8)) AS bi FROM fp),
+       |stored AS (SELECT doc_id, fp, bi, (fp >> (bi * 8)) & 255 AS bval FROM bands),
+       |probes AS (SELECT unnest(range(9)) AS p),
+       |probed AS (
+       |  SELECT doc_id, fp, bi,
+       |    CASE WHEN p = 0 THEN bval ELSE xor(bval, (1::BIGINT << (p - 1))) END AS bval
+       |  FROM stored CROSS JOIN probes),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, bb.doc_id AS b_id,
+       |    bit_count(xor(a.fp, bb.fp)) AS ham
+       |  FROM probed a JOIN stored bb ON a.bi = bb.bi AND a.bval = bb.bval AND a.doc_id < bb.doc_id),
+       |pairs AS (SELECT DISTINCT a_id, b_id, CAST(ham AS BIGINT) AS hamming FROM cand WHERE ham <= 15)
+       |SELECT doc_id AS a_id, CAST(-1 AS BIGINT) AS b_id, 'gate' AS phase,
+       |  coalesce(reason, 'accepted') AS info
+       |FROM gate
+       |UNION ALL
+       |SELECT a_id, b_id, 'pairs' AS phase, CAST(hamming AS VARCHAR) AS info FROM pairs""".stripMargin
+
   /** Batch replay of the streaming MinHash near-dup GATE
     * ([[graft.data.Dedup.nearDupGateBatch]] ≡ one micro-batch of
     * `streamingNearDupCandidates` against empty state, spec-pinned):
@@ -4219,6 +4357,7 @@ object DataQueries {
     "m_phash_indexed" -> mPhashIndexed,
     "m_phash_clusters_idx" -> mPhashClustersIdx,
     "m_media_gate" -> mMediaGate,
+    "m_ingest_index_capstone" -> mIngestIndexCapstone,
     "d_neardup_gate" -> dNearDupGate,
     "m_ingest_hits" -> mIngestHits,
     "a5_heavy_hitters" -> aHeavyHitters
@@ -4320,6 +4459,7 @@ object DataQueries {
     "m_phash_indexed" -> mPhashPairsSql,
     "m_phash_clusters_idx" -> mPhashClustersSql,
     "m_media_gate" -> mMediaGateSql,
+    "m_ingest_index_capstone" -> mIngestIndexCapstoneSql,
     "d_neardup_gate" -> dNearDupGateSql,
     "m_ingest_hits" -> mIngestHitsSql,
     "a5_heavy_hitters" -> aHeavyHittersSql

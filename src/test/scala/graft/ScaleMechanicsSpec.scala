@@ -753,6 +753,92 @@ class ScaleMechanicsSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("compactBucketed is bucket-incremental: only fragmented buckets rewritten, untouched buckets' files untouched; per-bucket no-op decision") {
+    import graft.connectors.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_incr").toString
+    val table = "graft_compact_incr_spec"
+    def rows(lo: Long, hi: Long, v: String) = (lo until hi).map(i => (i, v)).toDF("sid", "bucket")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.as[(Long, String)].collect().toSet
+    def fileMeta: Map[String, Long] =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty).toSeq
+        .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified).toMap
+    def bucketIdOf(name: String): Int = {
+      val m = """.*_(\d+)(?:\..*)?$""".r
+      name match { case m(id) => id.toInt }
+    }
+    def boom = sys.error("this frame must not evaluate"): org.apache.spark.sql.DataFrame
+    try {
+      // 8 distinct bucket values over 4 physical buckets, then compact to
+      // the 1-file/bucket baseline
+      val base = (0L until 40L).map(i => (i, s"b${i % 8}")).toDF("sid", "bucket")
+      Bucketing.ensureBucketed(spark, base, table, dir, "bucket", 4, sourceStamp = "s0")
+      Bucketing.appendBucketed(spark, rows(40, 60, "b1"), table, dir, "bucket", 4, "s1")
+      Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
+      val baseline = fileMeta
+      assert(baseline.size <= 4)
+
+      // skewed ingest: two appends whose rows ALL share one bucket value —
+      // one physical bucket accumulates 3 files while the others stay at 1.
+      // TOTAL file count stays <= baseline + 2; with 4 physical buckets
+      // occupied that can sit at/below nBuckets + 2 — the shape the old
+      // TOTAL-count skip (<= nBuckets) could defer indefinitely (ADVICE r18)
+      Bucketing.appendBucketed(spark, rows(100, 120, "b3"), table, dir, "bucket", 4, "s2")
+      Bucketing.appendBucketed(spark, rows(120, 140, "b3"), table, dir, "bucket", 4, "s3")
+      val grown = fileMeta
+      val hotFiles = grown.keySet -- baseline.keySet
+      assert(hotFiles.size === 2, s"each single-value append must land exactly one file: $hotFiles")
+      val hotBucket = hotFiles.map(bucketIdOf)
+      assert(hotBucket.size === 1, s"single-value appends must share one physical bucket: $hotFiles")
+      val expected = rowSet(base) ++ rowSet(rows(40, 60, "b1")) ++
+        rowSet(rows(100, 140, "b3"))
+      assert(rowSet(spark.table(table)) === expected)
+
+      val compacted = Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
+      val after = fileMeta
+      // the hot bucket folded back to one file...
+      assert(after.keys.count(n => hotBucket.contains(bucketIdOf(n))) === 1,
+        s"fragmented bucket not folded: ${after.keys.toSeq.sorted}")
+      // ...and every file NOT in the hot bucket is the same file — same
+      // name, same mtime: not read, not rewritten, not moved (the
+      // O(fragmented buckets) contract, VERDICT r18 #2)
+      val untouchedBefore = grown.filter { case (n, _) => !hotBucket.contains(bucketIdOf(n)) }
+      val untouchedAfter = after.filter { case (n, _) => !hotBucket.contains(bucketIdOf(n)) }
+      assert(untouchedAfter === untouchedBefore,
+        "partial compaction touched files outside the fragmented bucket")
+      // logical state is invisible to readers and fences, as for full compact
+      assert(rowSet(compacted) === expected, "partial compaction changed the answer")
+      assert(Bucketing.readStamp(dir) === Some("s3"), "partial compaction must preserve the stamp")
+      val replay = Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, boom, table, dir, "bucket", 4, "s2", "s3")
+      assert(rowSet(replay) === expected)
+      // per-bucket no-op: everything at <=1 file now — second call moves nothing
+      Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
+      assert(fileMeta === after, "no-op compact must not rewrite files")
+
+      // the deferral shape itself (ADVICE r18): a table whose TOTAL file
+      // count sits at nBuckets while ONE bucket holds all the fragments —
+      // the old total-count skip (<= nBuckets) never compacted this; the
+      // per-bucket decision must
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_compact_skew").toString
+      val table2 = "graft_compact_skew_spec"
+      try {
+        Bucketing.ensureBucketed(spark, rows(0, 10, "x"), table2, dir2, "bucket", 4, "k0")
+        Bucketing.appendBucketed(spark, rows(10, 20, "x"), table2, dir2, "bucket", 4, "k1")
+        Bucketing.appendBucketed(spark, rows(20, 30, "x"), table2, dir2, "bucket", 4, "k2")
+        Bucketing.appendBucketed(spark, rows(30, 40, "x"), table2, dir2, "bucket", 4, "k3")
+        def files2 = Option(new java.io.File(dir2).listFiles()).getOrElse(Array.empty).toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        assert(files2.length === 4, "fixture: one bucket must hold exactly nBuckets files")
+        val c2 = Bucketing.compactBucketed(spark, table2, dir2, "bucket", 4)
+        assert(files2.length === 1,
+          s"skewed single-bucket fragmentation deferred: ${files2.map(_.getName)}")
+        assert(rowSet(c2) === rowSet(rows(0, 40, "x")))
+        assert(Bucketing.readStamp(dir2) === Some("k3"))
+      } finally spark.sql(s"DROP TABLE IF EXISTS $table2")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("checkpoint blocks release: Dataset.unpersist no-ops on localCheckpoint frames; loops go through Checkpoints.release and strand nothing") {
     import graft.data.{Dedup, Similarity}
     val sc = spark.sparkContext
