@@ -14,12 +14,29 @@ import org.apache.spark.sql.functions._
   * bytes, the honest lower bound. Evidence for SCALE.md; re-run after
   * touching the pHash index path.
   *
-  * usage: runMain graft.PhashIdxProbe <sfDir> [reps]
+  * The optional (bandBits, maxHamming, probeRadius) triple (r19) selects
+  * the band geometry: the default (8, 15, 1) is the fixture configuration
+  * the `m_phash_*` faces run; (16, 7, 1) is the documented SCALE
+  * configuration (the mPhashPairs scaladoc) — wider bands spread a
+  * low-entropy fingerprint distribution across 65k bucket values, which
+  * is what clears the duplicity flood the 8-bit geometry hits on large
+  * low-byte-entropy corpora (measured: organic sf10's text-as-media
+  * bytes put 13k rows in one 8-bit bucket — the guard fires by design).
+  *
+  * usage: runMain graft.PhashIdxProbe <sfDir> [reps] [bandBits] [maxHamming] [probeRadius]
   */
 object PhashIdxProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
+    val bandBits = if (args.length > 2) args(2).toInt else 8
+    val probeRadius = if (args.length > 4) args(4).toInt else 1
+    // default maxHamming derives from the geometry: the pigeonhole bound
+    // (nBands·(radius+1) − 1) is the widest exact threshold the banded
+    // join guarantees — a fixed default of 15 would crash the documented
+    // bandBits=16 invocation before measuring anything (code-review r19)
+    val maxHamming = if (args.length > 3) args(3).toInt
+      else (64 / bandBits) * (probeRadius + 1) - 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -34,21 +51,28 @@ object PhashIdxProbe {
     val docs = graft.core.Tables.documents(spark, dir)
       .withColumn("bin", col("text").cast("binary"))
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"/tmp/graft_bucketed/$slug/phash_bands"
+    // band geometry is part of the index identity: a non-default geometry
+    // gets its own path/table so the probe never invalidates the faces'
+    // shared 8-bit layout (and vice versa)
+    val geo = if (bandBits == 8) "" else s"_b$bandBits"
+    val path = s"/tmp/graft_bucketed/$slug/phash_bands$geo"
     def index() = graft.connectors.Bucketing.ensureBucketed(
       spark,
-      graft.data.Multimodal.phashBandIndex(docs, "doc_id", "bin", bandBits = 8),
-      s"graft_phash_bands$slug", path, "bucket", 64,
+      graft.data.Multimodal.phashBandIndex(docs, "doc_id", "bin", bandBits = bandBits),
+      s"graft_phash_bands$slug$geo", path, "bucket", 64,
       // SAME stamp format as the m_phash_indexed face — shared table
-      sourceStamp = s"${graft.data.Multimodal.phashStamp(8)}|" +
+      sourceStamp = s"${graft.data.Multimodal.phashStamp(bandBits)}|" +
         graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
     val buildS = timed(index())
-    println(f"[phash-idx] index build/register: $buildS%.2f s (amortized across all queries)")
+    println(f"[phash-idx] index build/register: $buildS%.2f s (amortized across all queries) " +
+      f"[bandBits=$bandBits maxHamming=$maxHamming radius=$probeRadius]")
     val stamp = graft.connectors.Bucketing.readStamp(path)
     def pairsInline() = graft.data.Multimodal.perceptualPairs(
-      docs, "doc_id", "bin", maxHamming = 15, bandBits = 8, probeRadius = 1)
+      docs, "doc_id", "bin", maxHamming = maxHamming, bandBits = bandBits,
+      probeRadius = probeRadius)
     def pairsIndexed() = graft.data.Multimodal.perceptualPairsIndexed(
-      index(), maxHamming = 15, bandBits = 8, probeRadius = 1, indexStamp = stamp)
+      index(), maxHamming = maxHamming, bandBits = bandBits, probeRadius = probeRadius,
+      indexStamp = stamp)
     def run(tag: String, inline: () => org.apache.spark.sql.DataFrame,
             indexed: () => org.apache.spark.sql.DataFrame): Unit = {
       val ti = (1 to reps).map(_ =>

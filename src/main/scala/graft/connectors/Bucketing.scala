@@ -46,14 +46,18 @@ object Bucketing {
   /** Hadoop conf for path resolution: the active session's (carries
     * cluster fs.defaultFS / credentials) when one exists, else a plain
     * `Configuration` (classpath defaults — correct for `file:` paths,
-    * which is all a session-less caller can mean).
+    * which is all a session-less caller can mean). `newHadoopConf` CLONES
+    * the full SparkConf + hadoop defaults, so each public entry point
+    * resolves ONE conf and threads it (code-review r19 — the maintenance
+    * paths are advertised as safe to call per micro-batch; several clones
+    * per no-op call is avoidable driver work).
     */
   private def hadoopConf(): Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sessionState.newHadoopConf())
       .getOrElse(new Configuration())
 
-  private def fsOf(p: Path): FileSystem = p.getFileSystem(hadoopConf())
+  private def fsOf(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 
   /** Filesystem for MARKER IO. On `file:` the default FileSystem is
     * checksummed (`LocalFileSystem` writes `.crc` sidecars and fails reads
@@ -67,7 +71,7 @@ object Bucketing {
     * Data files stay on the checksummed default so their sidecars follow
     * them through delete/rename.
     */
-  private def markerFs(p: Path): FileSystem = fsOf(p) match {
+  private def markerFs(p: Path, conf: Configuration): FileSystem = fsOf(p, conf) match {
     case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
     case other => other
   }
@@ -107,7 +111,8 @@ object Bucketing {
       tableName: String,
       path: String,
       keyCol: String,
-      nBuckets: Int
+      nBuckets: Int,
+      conf: Configuration
   ): Boolean =
     try {
       val detail = spark.sql(s"DESCRIBE TABLE EXTENDED $tableName").collect()
@@ -119,7 +124,7 @@ object Bucketing {
       val locOk = detail.get("Location").exists { loc =>
         val want = new Path(path)
         val got = new Path(loc)
-        fsOf(want).makeQualified(want) == fsOf(got).makeQualified(got)
+        fsOf(want, conf).makeQualified(want) == fsOf(got, conf).makeQualified(got)
       }
       // exact column-list equality, not substring containment: a table
       // clustered on `userkey2` must NOT satisfy a request for `key`
@@ -141,7 +146,7 @@ object Bucketing {
     */
   def readStamp(path: String): Option[String] = {
     val marker = markerPath(path)
-    val fs = markerFs(marker)
+    val fs = markerFs(marker, hadoopConf())
     if (!fs.exists(marker)) None
     else readFully(fs, marker)
       .linesIterator.find(_.startsWith("stamp=")).map(_.stripPrefix("stamp="))
@@ -165,8 +170,9 @@ object Bucketing {
       nBuckets: Int,
       sourceStamp: String = ""
   ): DataFrame = synchronized {
+    val conf = hadoopConf()
     val marker = markerPath(path)
-    val fs = markerFs(marker)
+    val fs = markerFs(marker, conf)
 
     def specOf(schemaDdl: String): String =
       s"key=$keyCol\nbuckets=$nBuckets\nstamp=$sourceStamp\nschema=$schemaDdl"
@@ -186,7 +192,7 @@ object Bucketing {
       // run in this JVM may have registered it before the source was
       // regenerated, or under the same name for a different layout
       readMarker() match {
-        case Some(spec) if specMatches(spec) && catalogMatches(spark, tableName, path, keyCol, nBuckets) =>
+        case Some(spec) if specMatches(spec) && catalogMatches(spark, tableName, path, keyCol, nBuckets, conf) =>
           return spark.table(tableName)
         case _ => spark.sql(s"DROP TABLE IF EXISTS $tableName")
       }
@@ -268,15 +274,16 @@ object Bucketing {
       nBuckets: Int,
       newSourceStamp: String
   ): DataFrame = synchronized {
+    val conf = hadoopConf()
     require(spark.catalog.tableExists(tableName),
       s"appendBucketed: table $tableName not registered — call ensureBucketed first")
-    require(catalogMatches(spark, tableName, path, keyCol, nBuckets),
+    require(catalogMatches(spark, tableName, path, keyCol, nBuckets, conf),
       s"appendBucketed: catalog entry $tableName does not match (path=$path, key=$keyCol, " +
         s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
         "spec in this session; appending would land the delta in that other table while " +
         "rewriting this path's marker. Re-register via ensureBucketed first")
     val marker = markerPath(path)
-    val fs = markerFs(marker)
+    val fs = markerFs(marker, conf)
     val spec = requireMarkerSpec(fs, path, "appendBucketed", keyCol, nBuckets)
     val schemaDdl = spec.linesIterator.find(_.startsWith("schema="))
       .map(_.stripPrefix("schema=")).getOrElse("")
@@ -425,13 +432,17 @@ object Bucketing {
     * the swap window leaves no marker, which every reader/maintainer
     * treats as "rebuild, never trust". The marker is rewritten only after
     * the staged files are in place. Single-writer per path, like the
-    * append path — and because the staging read is the one window where a
-    * cross-JVM interleave could commit an append this JVM never saw, the
-    * marker is RE-READ immediately before the fence and must still equal
-    * the spec captured at entry (ADVICE r18: without the re-check, the
-    * swap would rewrite the pre-append marker over a directory that
-    * already contains the interloper's delta — accepting rows the stamp
-    * doesn't describe); a mismatch aborts with the table untouched.
+    * append path — and because the staging read runs outside the fence, a
+    * cross-JVM interleave could commit an append this JVM never saw
+    * (ADVICE r18: the swap would then rewrite the pre-append marker over
+    * a directory that already contains the interloper's delta — accepting
+    * rows the stamp doesn't describe). Two guards close that: the marker
+    * is RE-READ immediately before the fence (the cheap abort — table
+    * fully intact), and after the swap the directory manifest must equal
+    * exactly (entry − fragmented) ∪ staged — on mismatch the marker stays
+    * ABSENT, so an interleave that slipped the pre-check degrades to
+    * rebuild-never-trust instead of committing under a stamp that
+    * misdescribes the rows.
     */
   def compactBucketed(
       spark: SparkSession,
@@ -445,26 +456,41 @@ object Bucketing {
       s"compactBucketed: maxFilesPerBucket=$maxFilesPerBucket must be >= 1")
     require(spark.catalog.tableExists(tableName),
       s"compactBucketed: table $tableName not registered — call ensureBucketed first")
-    require(catalogMatches(spark, tableName, path, keyCol, nBuckets),
+    val conf = hadoopConf()
+    require(catalogMatches(spark, tableName, path, keyCol, nBuckets, conf),
       s"compactBucketed: catalog entry $tableName does not match (path=$path, key=$keyCol, " +
         s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
         "spec in this session; compacting would rewrite the wrong table. Re-register via " +
         "ensureBucketed first")
     val root = new Path(path)
-    val fs = fsOf(root) // data files: checksummed default, sidecars follow
+    val fs = fsOf(root, conf) // data files: checksummed default, sidecars follow
     val marker = markerPath(path)
-    val mfs = markerFs(marker) // marker: raw, sidecar-free (see markerFs)
+    val mfs = markerFs(marker, conf) // marker: raw, sidecar-free (see markerFs)
     val spec = requireMarkerSpec(mfs, path, "compactBucketed", keyCol, nBuckets)
+
+    // orphan staging from a prior mid-swap crash is cleaned BEFORE the
+    // no-op check (code-review r19): the crash leaves no marker, so the
+    // subsequent rebuild produces a fully-compact table whose every later
+    // compact call takes the early return below — the orphaned copy of the
+    // fragmented buckets would otherwise sit on storage indefinitely
+    val stagingPath = path + "__compacting"
+    val staging = new Path(stagingPath)
+    val stagingTable = tableName + "_compact_staging"
+    if (fs.exists(staging)) {
+      spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+      fs.delete(staging, true): Unit
+    }
 
     // group the current files by the bucket id in their NAME; an
     // unparseable name in an ensureBucketed-managed directory means the
     // layout is not what the marker claims — never trust, never guess
-    val byBucket = dataFiles(fs, root).map { st =>
-      val id = bucketIdOf(st.getPath.getName).getOrElse(throw new IllegalStateException(
-        s"compactBucketed: ${st.getPath} carries no bucket id in its name — not a " +
+    val entryFiles = dataFiles(fs, root).map(_.getPath)
+    val byBucket = entryFiles.map { p =>
+      val id = bucketIdOf(p.getName).getOrElse(throw new IllegalStateException(
+        s"compactBucketed: $p carries no bucket id in its name — not a " +
           "Spark-bucketed data file; the directory holds foreign files, rebuild via " +
           "ensureBucketed"))
-      id -> st.getPath
+      id -> p
     }.groupBy(_._1)
     val fragmented = byBucket.filter(_._2.length > maxFilesPerBucket)
     if (fragmented.isEmpty) return spark.table(tableName)
@@ -483,11 +509,7 @@ object Bucketing {
     // the exchange stays and one task holds exactly one bucket's keys → one
     // file per bucket. Rows in bucket b re-hash to bucket b (same key, same
     // modulus), so the staged output covers exactly the fragmented buckets.
-    val stagingPath = path + "__compacting"
-    val staging = new Path(stagingPath)
-    val stagingTable = tableName + "_compact_staging"
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
-    if (fs.exists(staging)) fs.delete(staging, true): Unit // orphan from a prior crash
     spark.read.parquet(fragFiles.map(_.toString): _*)
       .repartition(nBuckets, org.apache.spark.sql.functions.col(keyCol))
       .write
@@ -510,7 +532,12 @@ object Bucketing {
     // marker and require the table is still the one we read (a concurrent
     // appendBucketed from ANOTHER JVM would have advanced the stamp; this
     // JVM's own writers are excluded by synchronized). Abort leaves the
-    // table — including the interloper's delta — fully intact.
+    // table — including the interloper's delta — fully intact. This
+    // pre-check is check-then-act (an interleave completing entirely
+    // inside the re-read → delete gap slips past it) — it exists to abort
+    // CHEAPLY with the table untouched; the post-swap manifest check in
+    // step 4 is what guarantees a slipped interleave still cannot commit
+    // under a stamp that misdescribes it (code-review r19).
     val now = if (mfs.exists(marker)) readFully(mfs, marker) else ""
     if (now != spec)
       throw new IllegalStateException(
@@ -538,8 +565,31 @@ object Bucketing {
           s"compactBucketed: could not move staged $p into place mid-swap — marker " +
             "already removed, the table will rebuild from source on next ensureBucketed")
     }
-    // 4) COMMIT: the marker returns byte-for-byte — same key/buckets/stamp/
-    // schema; compaction must be invisible to every stamp-validated reader
+    // 4) MANIFEST CHECK + COMMIT: before restoring the marker, the
+    // directory must hold exactly (entry files − fragmented) ∪ staged —
+    // anything else is a concurrent writer's work that slipped past the
+    // step-2 tripwire (its own marker rewrite was consumed by the delete
+    // above, and any append STARTING now fails its marker-exists require,
+    // so the interloper cannot re-legitimize the state either). On
+    // mismatch the marker stays ABSENT: the interleaved state degrades to
+    // rebuild-never-trust, never to a byte-for-byte stamp that
+    // misdescribes rows it didn't account for (code-review r19 — the
+    // pre-check alone left exactly that silent-acceptance window).
+    val expected = (entryFiles.map(_.getName).toSet --
+      fragFiles.map(_.getName)) ++ staged.map(_.getName)
+    val actual = dataFiles(fs, root).map(_.getPath.getName).toSet
+    if (actual != expected) {
+      val extra = (actual -- expected).toSeq.sorted.take(5)
+      val missing = (expected -- actual).toSeq.sorted.take(5)
+      throw new IllegalStateException(
+        s"compactBucketed: the table at $path changed during the swap " +
+          s"(unexpected files: ${extra.mkString(", ")}; missing: ${missing.mkString(", ")}) — " +
+          "a concurrent writer violated the single-writer contract; leaving NO marker so " +
+          "the next ensureBucketed/fence arm rebuilds rather than trusting the " +
+          "interleaved state")
+    }
+    // the marker returns byte-for-byte — same key/buckets/stamp/schema;
+    // compaction must be invisible to every stamp-validated reader
     writeFully(mfs, marker, spec)
     spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
     fs.delete(staging, true): Unit
@@ -558,7 +608,7 @@ object Bucketing {
     */
   def stampDir(dir: String): String = {
     val root = new Path(dir)
-    val fs = fsOf(root)
+    val fs = fsOf(root, hadoopConf())
     def walk(st: FileStatus): Seq[FileStatus] =
       if (st.isFile) Seq(st)
       else fs.listStatus(st.getPath).toSeq

@@ -3420,11 +3420,16 @@ object DataQueries {
     val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
       .withColumn("bin", col("text").cast("binary"))
     // named gate parameters — these SAME values feed the mediaVerdict call
-    // AND the fence stamps below (the dIngestIndexCapstone discipline)
+    // AND the fence stamps below (the dIngestIndexCapstone discipline);
+    // bandBits likewise feeds build, stamp, AND serve from one value — a
+    // drifted literal would build one geometry, stamp another, and let the
+    // serve's stamp validation pass while the banded join silently returns
+    // near-zero pairs (code-review r19)
     val gateAllowed = Seq("image/png", "image/jpeg")
     val gateMinBytes = 64
     val gateMaxBytes = 100000L
     val mimeMod = 9
+    val bandBits = 8
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       .withColumn("bin", col("text").cast("binary"))
       .withColumn(
@@ -3449,9 +3454,10 @@ object DataQueries {
         s"min=$gateMinBytes,max=$gateMaxBytes,mimeMod=$mimeMod)"
       val path = s"/tmp/graft_bucketed/$slug/capstone_phash"
       val table = s"graft_capstone_phash$slug"
-      val pre = s"${Multimodal.phashStamp(8)}|$docsStamp|$gateCfg|pre"
-      val post = s"${Multimodal.phashStamp(8)}|$docsStamp|$gateCfg|ingested"
-      def bandsOf(df: DataFrame) = Multimodal.phashBandIndex(df, "doc_id", "bin", bandBits = 8)
+      val pre = s"${Multimodal.phashStamp(bandBits)}|$docsStamp|$gateCfg|pre"
+      val post = s"${Multimodal.phashStamp(bandBits)}|$docsStamp|$gateCfg|ingested"
+      def bandsOf(df: DataFrame) =
+        Multimodal.phashBandIndex(df, "doc_id", "bin", bandBits = bandBits)
       if (!Bucketing.readStamp(path).contains(post))
         Bucketing.ensureBucketed(
           spark, bandsOf(corpus), table, path, "bucket", 64, sourceStamp = pre)
@@ -3465,7 +3471,7 @@ object DataQueries {
       // 3) serve from the post-append index — same parameters as the
       // m_phash_indexed face; the stamp validates bandBits per query
       val pairs = Multimodal.perceptualPairsIndexed(
-        postIdx, maxHamming = 15, bandBits = 8, probeRadius = 1,
+        postIdx, maxHamming = 15, bandBits = bandBits, probeRadius = 1,
         indexStamp = Bucketing.readStamp(path))
       gated.select(
         col("doc_id").as("a_id"),
