@@ -816,6 +816,28 @@ class ScaleMechanicsSpec extends SparkSpec {
       Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
       assert(fileMeta === after, "no-op compact must not rewrite files")
 
+      // orphan staging cleanup runs BEFORE the no-op early return
+      // (code-review r19): a mid-swap crash leaves a staged copy next to a
+      // table that the subsequent rebuild makes fully compact — every
+      // later compact call no-ops, so a cleanup placed after the no-op
+      // check would never run and the orphan would sit on storage forever
+      val orphan = new java.io.File(dir + "__compacting")
+      assert(orphan.mkdirs())
+      java.nio.file.Files.write(
+        new java.io.File(orphan, "part-00000-orphan_00000.c000.snappy.parquet").toPath,
+        "junk".getBytes("UTF-8"))
+      Bucketing.compactBucketed(spark, table, dir, "bucket", 4) // no-op: all <=1 file
+      assert(!orphan.exists(), "no-op compact must still clean a prior crash's staging dir")
+      assert(fileMeta === after, "orphan cleanup must not touch the table itself")
+
+      // marker sidecar discipline (code-review r19 / the ChecksumException
+      // mid-port): maintenance writes the marker through the RAW fs — a
+      // checksummed write would plant a .crc sidecar that goes stale the
+      // moment an external writer (or the delete-first fence itself)
+      // replaces the marker, turning legitimate spec drift into corruption
+      assert(!new java.io.File(dir, "._GRAFT_BUCKETED_DDL.crc").exists(),
+        "the build marker must never carry a checksum sidecar")
+
       // the deferral shape itself (ADVICE r18): a table whose TOTAL file
       // count sits at nBuckets while ONE bucket holds all the fragments —
       // the old total-count skip (<= nBuckets) never compacted this; the
