@@ -861,6 +861,57 @@ class ScaleMechanicsSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("bucketed maintenance chain runs on an explicit URI scheme: ensure -> exactly-once append -> compact -> re-register all through file:/ paths") {
+    // the r19 Hadoop-FS port's point is that hdfs://nn/x and s3a://bkt/x
+    // resolve through their own filesystems; the CI-provable slice of that
+    // claim is an EXPLICIT file:/ URI (bare local paths exercise the same
+    // code only via the default-scheme fallback). Every maintenance step
+    // must compose on the scheme'd string — path arithmetic (staging
+    // suffix), marker IO, catalog location matching (scheme-qualified on
+    // both sides), stampDir, and the fences.
+    import graft.connectors.Bucketing
+    val local = java.nio.file.Files.createTempDirectory("graft_scheme").toString
+    val dir = "file:" + local // explicit scheme, same files underneath
+    val table = "graft_scheme_spec"
+    def rows(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"b${i % 8}")).toDF("sid", "bucket")
+    def rowSet(df: org.apache.spark.sql.DataFrame) = df.as[(Long, String)].collect().toSet
+    def localFiles: Int =
+      Option(new java.io.File(local).listFiles()).getOrElse(Array.empty).count(f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def boom = sys.error("this frame must not evaluate"): org.apache.spark.sql.DataFrame
+    try {
+      Bucketing.ensureBucketed(spark, rows(0, 40), table, dir, "bucket", 4, sourceStamp = "pre")
+      assert(Bucketing.readStamp(dir) === Some("pre"), "marker IO must resolve the scheme")
+      val r1 = Bucketing.appendBucketedExactlyOnce(
+        spark, rows(40, 60), boom, boom, table, dir, "bucket", 4, "pre", "post")
+      assert(rowSet(r1) === rowSet(rows(0, 60)))
+      assert(Bucketing.readStamp(dir) === Some("post"))
+      // replay skips with zero data motion, same as on bare paths
+      val r2 = Bucketing.appendBucketedExactlyOnce(
+        spark, boom, boom, boom, table, dir, "bucket", 4, "pre", "post")
+      assert(rowSet(r2) === rowSet(rows(0, 60)))
+      // compaction stages at <scheme'd path>__compacting and swaps back
+      val before = localFiles
+      assert(before > 4, s"fixture did not fragment: $before files")
+      val compacted = Bucketing.compactBucketed(spark, table, dir, "bucket", 4)
+      assert(localFiles <= 4, "compact through the scheme'd path must fold the files")
+      assert(rowSet(compacted) === rowSet(rows(0, 60)))
+      assert(Bucketing.readStamp(dir) === Some("post"), "compact must preserve the stamp")
+      // fresh-session re-register: the catalog's qualified location must
+      // match the scheme'd request (and the bare-path form of the SAME
+      // directory must too — qualification, not string equality)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val reReg = Bucketing.ensureBucketed(spark, boom, table, dir, "bucket", 4, sourceStamp = "post")
+      assert(rowSet(reReg) === rowSet(rows(0, 60)))
+      val viaBare = Bucketing.ensureBucketed(spark, boom, table, local, "bucket", 4, sourceStamp = "post")
+      assert(rowSet(viaBare) === rowSet(rows(0, 60)),
+        "bare path and scheme'd URI of one directory must qualify to the same table")
+      // stampDir digests are scheme-independent (relative manifest)
+      assert(Bucketing.stampDir(dir) === Bucketing.stampDir(local),
+        "stampDir must digest identical content identically across path forms")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("checkpoint blocks release: Dataset.unpersist no-ops on localCheckpoint frames; loops go through Checkpoints.release and strand nothing") {
     import graft.data.{Dedup, Similarity}
     val sc = spark.sparkContext
