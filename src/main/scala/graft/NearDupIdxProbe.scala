@@ -33,7 +33,7 @@ object NearDupIdxProbe {
     val docs = graft.core.Tables.documents(spark, dir)
     val corpusText = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val idxPath = s"/tmp/graft_bucketed/$slug/neardup_bands" // ONE copy of the shared-table path
+    val idxPath = s"${graft.connectors.Bucketing.indexRoot}/$slug/neardup_bands" // ONE copy of the shared-table path
     def index() = graft.connectors.Bucketing.ensureBucketed(
       spark,
       graft.data.SnapshotOps.nearDupBandIndex(corpusText, "doc_id", "text"),
@@ -41,7 +41,7 @@ object NearDupIdxProbe {
       // SAME stamp format as the d_neardup_indexed face (bandStamp prefix) —
       // a differing format would ping-pong rebuilds of the shared table
       sourceStamp = s"${graft.data.SnapshotOps.bandStamp(3, 16, 2)}|" +
-        graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
+        graft.connectors.Bucketing.cachedStamp(s"$dir/documents.parquet"))
     val buildS = timed(index())
     println(f"[neardup-idx] index build/register: $buildS%.2f s (amortized across all batches)")
     // pass the persisted stamp exactly as the shipping face does: without it

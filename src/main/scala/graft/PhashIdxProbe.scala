@@ -14,14 +14,15 @@ import org.apache.spark.sql.functions._
   * bytes, the honest lower bound. Evidence for SCALE.md; re-run after
   * touching the pHash index path.
   *
-  * The optional (bandBits, maxHamming, probeRadius) triple (r19) selects
-  * the band geometry: the default (8, 15, 1) is the fixture configuration
-  * the `m_phash_*` faces run; (16, 7, 1) is the documented SCALE
-  * configuration (the mPhashPairs scaladoc) — wider bands spread a
-  * low-entropy fingerprint distribution across 65k bucket values, which
-  * is what clears the duplicity flood the 8-bit geometry hits on large
-  * low-byte-entropy corpora (measured: organic sf10's text-as-media
-  * bytes put 13k rows in one 8-bit bucket — the guard fires by design).
+  * Geometry is SCALE-DERIVED by default (VERDICT r19 #1,
+  * [[graft.data.Multimodal.phashGeometry]]): the probe counts the corpus
+  * and runs whatever band width / probe radius / hamming threshold the
+  * faces themselves would derive — no hand-set geometry anywhere in the
+  * organic sf1 → sf10 decade (the r19 decade needed a hand-passed
+  * (16, 7, 1) to clear the 8-bit duplicity flood at 500k docs; the
+  * derivation now lands that configuration itself). The optional
+  * (bandBits, maxHamming, probeRadius) overrides remain for probing a
+  * NON-derived geometry (e.g. measuring the flood boundary itself).
   *
   * usage: runMain graft.PhashIdxProbe <sfDir> [reps] [bandBits] [maxHamming] [probeRadius]
   */
@@ -29,14 +30,6 @@ object PhashIdxProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val reps = if (args.length > 1) args(1).toInt else 3
-    val bandBits = if (args.length > 2) args(2).toInt else 8
-    val probeRadius = if (args.length > 4) args(4).toInt else 1
-    // default maxHamming derives from the geometry: the pigeonhole bound
-    // (nBands·(radius+1) − 1) is the widest exact threshold the banded
-    // join guarantees — a fixed default of 15 would crash the documented
-    // bandBits=16 invocation before measuring anything (code-review r19)
-    val maxHamming = if (args.length > 3) args(3).toInt
-      else (64 / bandBits) * (probeRadius + 1) - 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,19 +43,29 @@ object PhashIdxProbe {
     }
     val docs = graft.core.Tables.documents(spark, dir)
       .withColumn("bin", col("text").cast("binary"))
+    // scale-derived defaults — the same derivation the m_phash_* faces run
+    val derived = graft.data.Multimodal.phashGeometry(docs.count())
+    val bandBits = if (args.length > 2) args(2).toInt else derived.bandBits
+    val probeRadius = if (args.length > 4) args(4).toInt else derived.probeRadius
+    // default maxHamming derives from the (possibly overridden) geometry:
+    // the pigeonhole bound (nBands·(radius+1) − 1) is the widest exact
+    // threshold the banded join guarantees — a fixed default of 15 would
+    // crash a bandBits=16 invocation before measuring anything (r19)
+    val maxHamming = if (args.length > 3) args(3).toInt
+      else (64 / bandBits) * (probeRadius + 1) - 1
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    // band geometry is part of the index identity: a non-default geometry
+    // band geometry is part of the index identity: an overridden geometry
     // gets its own path/table so the probe never invalidates the faces'
-    // shared 8-bit layout (and vice versa)
-    val geo = if (bandBits == 8) "" else s"_b$bandBits"
-    val path = s"/tmp/graft_bucketed/$slug/phash_bands$geo"
+    // shared derived-geometry layout (and vice versa)
+    val geo = if (bandBits == derived.bandBits) "" else s"_b$bandBits"
+    val path = s"${graft.connectors.Bucketing.indexRoot}/$slug/phash_bands$geo"
     def index() = graft.connectors.Bucketing.ensureBucketed(
       spark,
       graft.data.Multimodal.phashBandIndex(docs, "doc_id", "bin", bandBits = bandBits),
       s"graft_phash_bands$slug$geo", path, "bucket", 64,
       // SAME stamp format as the m_phash_indexed face — shared table
       sourceStamp = s"${graft.data.Multimodal.phashStamp(bandBits)}|" +
-        graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
+        graft.connectors.Bucketing.cachedStamp(s"$dir/documents.parquet"))
     val buildS = timed(index())
     println(f"[phash-idx] index build/register: $buildS%.2f s (amortized across all queries) " +
       f"[bandBits=$bandBits maxHamming=$maxHamming radius=$probeRadius]")

@@ -40,8 +40,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * mutation window leaves "no marker", which every reader/maintainer
   * treats as rebuild-never-trust — this is what makes the fence survive
   * object stores, where rename is copy-then-delete and never atomic.
+  * One residual window (ADVICE r19): [[writeFully]] is create-then-write,
+  * so a crash INSIDE the marker rewrite itself can leave a marker whose
+  * `key=`/`buckets=` lines landed but whose `stamp=`/`schema=` tail did
+  * not. That torn marker still cannot be trusted into a wrong answer:
+  * [[ensureBucketed]]'s spec check and [[requireMarkerSpec]] both require
+  * the full four-line grammar and treat anything less as spec drift →
+  * rebuild — the same degradation as the no-marker case, one extra write
+  * of the table.
+  *
+  * Concurrency: every mutating entry point serializes on a PER-QUALIFIED-
+  * PATH monitor (VERDICT r19 #2 — an object-global lock ran a driver's
+  * independent index families strictly one-at-a-time even though their
+  * paths are disjoint; the text capstone alone maintains near-dup bands +
+  * IMI-PQ codes, the media capstone a third family). The single-writer-
+  * per-path contract is unchanged — two threads on ONE path still
+  * serialize (and the monitors are plain object locks, so the exactly-once
+  * arm re-entering ensureBucketed/appendBucketed on the same path is
+  * reentrant); two threads on two paths proceed concurrently.
   */
 object Bucketing {
+
+  /** Monitor per qualified table path — lock striping for the maintenance
+    * entry points. Interned forever: a driver maintains a bounded set of
+    * index paths, so the map is index-count-sized, never row-sized.
+    */
+  private val pathLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def lockFor(path: String, conf: Configuration): Object = {
+    val p = new Path(path)
+    val q = fsOf(p, conf).makeQualified(p).toString
+    pathLocks.computeIfAbsent(q, _ => new Object)
+  }
 
   /** Hadoop conf for path resolution: the active session's (carries
     * cluster fs.defaultFS / credentials) when one exists, else a plain
@@ -105,6 +135,15 @@ object Bucketing {
     * wrong table while rewriting this path's marker with the post-append
     * stamp, the silent wrong-layout acceptance the marker exists to
     * prevent).
+    *
+    * Path-form contract (ADVICE r19): both sides are compared after
+    * `makeQualified` — scheme/authority/default-fs normalization, NOT
+    * symlink or `..` resolution (the Hadoop API has no portable realpath
+    * across HDFS/S3/local). Create and maintenance calls must therefore
+    * name the table by the SAME physical path form; a symlinked alias of
+    * the create-time path fails the match, which maintenance reports
+    * loudly (and ensureBucketed resolves by re-registering the canonical
+    * form) — never silently accepts.
     */
   private def catalogMatches(
       spark: SparkSession,
@@ -169,8 +208,7 @@ object Bucketing {
       keyCol: String,
       nBuckets: Int,
       sourceStamp: String = ""
-  ): DataFrame = synchronized {
-    val conf = hadoopConf()
+  ): DataFrame = { val conf = hadoopConf(); lockFor(path, conf).synchronized {
     val marker = markerPath(path)
     val fs = markerFs(marker, conf)
 
@@ -223,7 +261,7 @@ object Bucketing {
         writeFully(fs, marker, specOf(src.schema.toDDL))
     }
     spark.table(tableName)
-  }
+  } }
 
   /** Read and validate the build marker at `path` against the requested
     * (key, buckets) spec, returning the full marker content — the ONE
@@ -246,6 +284,14 @@ object Bucketing {
     require(specLines.contains(s"key=$keyCol") && specLines.contains(s"buckets=$nBuckets"),
       s"$what: the table at $path is bucketed under a different spec than (key=$keyCol, " +
         s"buckets=$nBuckets) — proceeding would break co-location; rebuild via ensureBucketed")
+    // the full four-line grammar must be present: writeFully is create-then-
+    // write, so a crash inside a marker rewrite can land key=/buckets= but
+    // truncate the stamp=/schema= tail (ADVICE r19) — a torn marker is
+    // rebuild-never-trust, exactly like no marker at all
+    require(specLines.exists(_.startsWith("stamp=")) &&
+        specLines.exists(l => l.startsWith("schema=") && l.length > "schema=".length),
+      s"$what: the build marker at $path is torn (stamp=/schema= lines missing — a crash " +
+        "inside the marker write window); rebuild via ensureBucketed")
     spec
   }
 
@@ -273,8 +319,7 @@ object Bucketing {
       keyCol: String,
       nBuckets: Int,
       newSourceStamp: String
-  ): DataFrame = synchronized {
-    val conf = hadoopConf()
+  ): DataFrame = { val conf = hadoopConf(); lockFor(path, conf).synchronized {
     require(spark.catalog.tableExists(tableName),
       s"appendBucketed: table $tableName not registered — call ensureBucketed first")
     require(catalogMatches(spark, tableName, path, keyCol, nBuckets, conf),
@@ -315,7 +360,7 @@ object Bucketing {
     // rows). Refresh explicitly so the returned frame sees the new files.
     spark.sql(s"REFRESH TABLE $tableName")
     spark.table(tableName)
-  }
+  } }
 
   /** EXACTLY-ONCE [[appendBucketed]] under kill-and-resume — the
     * [[TxnLogSink]] fencing discipline applied to index maintenance. A
@@ -354,7 +399,7 @@ object Bucketing {
       nBuckets: Int,
       preStamp: String,
       postStamp: String
-  ): DataFrame = synchronized {
+  ): DataFrame = lockFor(path, hadoopConf()).synchronized {
     require(preStamp != postStamp,
       "appendBucketedExactlyOnce: preStamp == postStamp — the fence cannot distinguish " +
         "applied from unapplied; derive postStamp from the batch identity")
@@ -451,12 +496,11 @@ object Bucketing {
       keyCol: String,
       nBuckets: Int,
       maxFilesPerBucket: Int = 1
-  ): DataFrame = synchronized {
+  ): DataFrame = { val conf = hadoopConf(); lockFor(path, conf).synchronized {
     require(maxFilesPerBucket >= 1,
       s"compactBucketed: maxFilesPerBucket=$maxFilesPerBucket must be >= 1")
     require(spark.catalog.tableExists(tableName),
       s"compactBucketed: table $tableName not registered — call ensureBucketed first")
-    val conf = hadoopConf()
     require(catalogMatches(spark, tableName, path, keyCol, nBuckets, conf),
       s"compactBucketed: catalog entry $tableName does not match (path=$path, key=$keyCol, " +
         s"buckets=$nBuckets) — the name is registered for a DIFFERENT location or bucket " +
@@ -523,7 +567,8 @@ object Bucketing {
     staged.foreach { p =>
       val id = bucketIdOf(p.getName)
       require(id.exists(fragmented.contains),
-        s"compactBucketed: staged file $p landed in bucket $id, outside the fragmented " +
+        s"compactBucketed: staged file $p landed in bucket " +
+          s"${id.map(_.toString).getOrElse("<unparseable>")}, outside the fragmented " +
           s"set ${fragmented.keys.toSeq.sorted.mkString(",")} — the key column no longer " +
           "hashes rows to their source buckets; aborting before the swap")
     }
@@ -596,7 +641,7 @@ object Bucketing {
     // the session's FileStatusCache still lists the pre-swap files
     spark.sql(s"REFRESH TABLE $tableName")
     spark.table(tableName)
-  }
+  } }
 
   /** Cheap driver-side content stamp for a source file or directory tree:
     * an md5 digest of the sorted per-file (relative path, size, mtime)
@@ -607,6 +652,7 @@ object Bucketing {
     * changing changes the digest.
     */
   def stampDir(dir: String): String = {
+    stampWalkCount.incrementAndGet()
     val root = new Path(dir)
     val fs = fsOf(root, hadoopConf())
     def walk(st: FileStatus): Seq[FileStatus] =
@@ -627,4 +673,67 @@ object Bucketing {
       .digest(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     md5.take(8).map(b => f"$b%02x").mkString
   }
+
+  /** Number of full [[stampDir]] walks this JVM has run — the observable
+    * the walk-elimination spec counts (VERDICT r19 #1: the per-batch
+    * maintenance faces must not pay an O(source-files) driver listing per
+    * call; this counter proves where the walks actually happen).
+    */
+  private[graft] val stampWalkCount = new java.util.concurrent.atomic.AtomicLong()
+
+  private val stampMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** [[stampDir]] memoized per qualified path for the JVM's lifetime — the
+    * per-batch maintenance stamp (VERDICT r19 #1: `stampDir` is a
+    * sequential driver-side recursive walk, and the batch index faces ran
+    * it over the full source tree on EVERY append/serve call; at 100 TB —
+    * millions of parquet files behind object-store listing latency — that
+    * walk is a minutes-long driver stall per maintenance call). The walk
+    * now runs ONCE per source per driver: first build / first touch /
+    * recovery after a driver restart; every subsequent per-batch call is
+    * an O(1) map hit.
+    *
+    * Contract: the stamped source must be IMMUTABLE for this JVM's
+    * lifetime, or every mutation must flow through this driver (call
+    * [[invalidateStamp]] after writing). That is the production batch
+    * loop's own shape — the corpus snapshot a maintenance driver serves
+    * is fixed for the driver's run, and a NEW snapshot arrives via a new
+    * driver (or an explicit invalidate). An external writer mutating the
+    * source behind a LIVE driver was never detected mid-flight by the
+    * uncached form either — each call re-walked, so detection landed at
+    * the next call with no ordering guarantee; the honest fix for moving
+    * sources is the epoch-stamp protocol the streaming capstones use
+    * (stamps derived from the ingest fence, zero listing — see
+    * StreamingIngestSpec), not faster re-walking.
+    */
+  def cachedStamp(dir: String): String = {
+    val q = fsOf(new Path(dir), hadoopConf()).makeQualified(new Path(dir)).toString
+    stampMemo.computeIfAbsent(q, _ => stampDir(dir))
+  }
+
+  /** Drop the [[cachedStamp]] memo for `dir` (or every memo when `dir` is
+    * empty) — required after mutating a source this JVM already stamped.
+    */
+  def invalidateStamp(dir: String = ""): Unit =
+    if (dir.isEmpty) stampMemo.clear()
+    else {
+      stampMemo.remove(
+        fsOf(new Path(dir), hadoopConf()).makeQualified(new Path(dir)).toString): Unit
+    }
+
+  private lazy val scopedConf = new graft.core.ScopedConfig()
+
+  /** Root directory for persisted index layouts — every query-face
+    * `ensureBucketed` path hangs off this root, resolved through
+    * [[graft.core.ScopedConfig]] under `GRAFT_BUCKETED_ROOT` (system
+    * property → env var → `.env` → `graft.json` `[common]`) so the SAME
+    * faces run against cluster storage unchanged (VERDICT r19 #3: the
+    * faces — the documented production-loop exemplars — pinned their
+    * roots to `/tmp` literals). The default keeps the local layout; a
+    * cluster deployment sets one key (e.g. `hdfs://nn/graft/indexes` or
+    * `s3a://bucket/graft`) and every face, probe and capstone follows.
+    * Resolved per call: the JVM can re-point it (the JobsSpec layering
+    * pin), and ScopedConfig's file layers are read once per JVM anyway.
+    */
+  def indexRoot: String = scopedConf.getGlobalOrDefault("GRAFT_BUCKETED_ROOT", "/tmp/graft_bucketed")
 }

@@ -264,6 +264,43 @@ final case class TxnLogSink(topicDir: String, checkpointEvery: Int = 100) {
     }
   }
 
+  /** Committed (queryId, batchId) pairs — the multi-writer high-water view
+    * ([[MultiWriterIndex]] derives its fold fence from this). Driver cost
+    * is the [[read]] envelope: one checkpoint parse plus only the
+    * manifests the checkpoint does not cover.
+    */
+  def committedEpochs(spark: SparkSession): Seq[(String, Long)] = {
+    val fs = new Path(topicDir).getFileSystem(spark.sessionState.newHadoopConf())
+    committedManifests(fs).map(c => (c.queryId, c.batchId))
+  }
+
+  /** Committed rows from epochs in `(above(writer), upTo(writer)]` — the
+    * [[MultiWriterIndex]] fold/serve slice. A commit `(w, b)` is included
+    * iff `b > above.getOrElse(w, -1)` and, when `upTo` is given,
+    * `b <= upTo(w)` (a writer absent from `upTo` contributes nothing).
+    * The commit list is captured EAGERLY at call time — the returned
+    * frame's file set cannot drift if another writer commits while a
+    * downstream fence evaluates it (the fold-vs-live-writer race). `None`
+    * when no commit falls in the range (an empty parquet relation has no
+    * schema to offer); data columns only.
+    */
+  def readSlice(
+      spark: SparkSession,
+      above: Map[String, Long] = Map.empty,
+      upTo: Option[Map[String, Long]] = None
+  ): Option[DataFrame] = {
+    val fs = new Path(topicDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val commits = committedManifests(fs).filter { c =>
+      c.batchId > above.getOrElse(c.queryId, -1L) &&
+        upTo.forall(m => c.batchId <= m.getOrElse(c.queryId, -1L))
+    }
+    if (commits.isEmpty) None
+    else {
+      val paths = for { c <- commits; f <- c.files } yield s"$topicDir/data/${c.attempt}/$f"
+      Some(spark.read.parquet(paths: _*))
+    }
+  }
+
   /** Committed view of the log: only manifest-named files, in
     * (queryId, numeric batchId) commit order via `_commit_order`.
     */

@@ -133,6 +133,55 @@ object Multimodal {
     }).reduce(_ bitwiseOR _)
   }
 
+  /** A multi-index-hashing band geometry: band width in bits, per-band
+    * Hamming-ball probe radius, and the widest pairing threshold the
+    * geometry guarantees EXACT (the pigeonhole bound
+    * `nBands·(probeRadius+1) − 1`).
+    */
+  final case class PhashGeometry(bandBits: Int, probeRadius: Int, maxHamming: Int)
+
+  /** Scale-derived MIH band geometry (VERDICT r19 #1) — the coarse-
+    * quantizer auto-k precedent ([[Similarity.autoK]]'s rows-per-bucket
+    * rule) applied to the pHash band index: geometry is a function of the
+    * stored-side corpus size, not a hand-tuned knob a first 500k-image run
+    * trips over.
+    *
+    * The banded join's cost AND its flood guard are governed by the
+    * (band, value) bucket population: expectation `n / 2^bandBits` under a
+    * well-spread fingerprint distribution, and the guard refuses above
+    * `maxBucketRows` actual rows. The ladder walks 8 → 16 → 32-bit bands,
+    * picking the COARSEST width whose expected population, padded by
+    * `skewHeadroom` for low-entropy corpora, stays under the cap — coarse
+    * bands buy the widest exact Hamming reach (8-bit × radius 1 reaches
+    * hamming 15; 16-bit reaches 7; 32-bit reaches 3), so a corpus gets the
+    * loosest threshold its scale can serve without quadratic blowup, and
+    * escalates to more selective bands exactly when population forces it.
+    * `skewHeadroom` = 8 absorbs the measured fixture skew (organic sf10:
+    * max bucket 13,224 vs 1,953 expectation ≈ 6.8× — SCALE.md r19), which
+    * puts the 8→16 escalation at n ≈ 320k for the default cap: sf-fixture
+    * corpora (≤ 50k docs) keep the historical 8-bit/hamming-15 geometry
+    * (and their oracle SQL), the organic sf10 corpus (500k) derives the
+    * 16-bit/radius-1/hamming-7 configuration measured clean across the
+    * decade. Radius is always 1: for a given band width it doubles the
+    * exact reach at `1+bandBits`× probe rows, the documented MIH trade —
+    * callers wanting a radius-0 plan hand-set the triple as before.
+    * Beyond 32-bit capacity (n > cap/headroom · 2^32 ≈ 5×10^12 rows) the
+    * ladder stays at 32 and the flood guard remains the loud rail.
+    */
+  def phashGeometry(
+      nRows: Long,
+      maxBucketRows: Int = 10000,
+      skewHeadroom: Int = 8
+  ): PhashGeometry = {
+    require(nRows >= 0, s"phashGeometry: nRows=$nRows")
+    require(maxBucketRows > 0 && skewHeadroom >= 1,
+      s"phashGeometry: maxBucketRows=$maxBucketRows, skewHeadroom=$skewHeadroom")
+    val target = math.max(1L, maxBucketRows.toLong / skewHeadroom)
+    val bandBits = Seq(8, 16, 32).find(b => nRows / (1L << b) <= target).getOrElse(32)
+    val radius = 1
+    PhashGeometry(bandBits, radius, (64 / bandBits) * (radius + 1) - 1)
+  }
+
   /** Hamming-banded perceptual near-dup pairs: `(a_id, b_id, hamming)` for
     * every pair within `maxHamming` bits — multi-index hashing (Norouzi/
     * Punjani/Fleet, "Fast Exact Search in Hamming Space with Multi-Index
@@ -177,7 +226,8 @@ object Multimodal {
       probeRadius: Int = 0,
       maxBucketRows: Int = 10000
   ): DataFrame = {
-    require(64 % bandBits == 0, s"perceptualPairs: bandBits=$bandBits must divide 64")
+    require(64 % bandBits == 0 && bandBits <= 32,
+      s"perceptualPairs: bandBits=$bandBits must divide 64 and be <= 32 (a 64-bit band is the whole fingerprint)")
     require(maxHamming >= 0, s"perceptualPairs: maxHamming=$maxHamming")
     require(maxBucketRows > 0, s"perceptualPairs: maxBucketRows must be positive")
     require(probeRadius == 0 || probeRadius == 1,
@@ -290,7 +340,8 @@ object Multimodal {
       binCol: String,
       bandBits: Int = 8
   ): DataFrame = {
-    require(64 % bandBits == 0, s"phashBandIndex: bandBits=$bandBits must divide 64")
+    require(64 % bandBits == 0 && bandBits <= 32,
+      s"phashBandIndex: bandBits=$bandBits must divide 64 and be <= 32 (a 64-bit band is the whole fingerprint)")
     val nBands = 64 / bandBits
     val mask = (1L << bandBits) - 1
     // ComputeOnce barrier: the band array references _fp nBands times and
@@ -341,7 +392,8 @@ object Multimodal {
       maxBucketRows: Int = 10000,
       indexStamp: Option[String] = None
   ): DataFrame = {
-    require(64 % bandBits == 0, s"perceptualPairsIndexed: bandBits=$bandBits must divide 64")
+    require(64 % bandBits == 0 && bandBits <= 32,
+      s"perceptualPairsIndexed: bandBits=$bandBits must divide 64 and be <= 32 (a 64-bit band is the whole fingerprint)")
     require(maxHamming >= 0, s"perceptualPairsIndexed: maxHamming=$maxHamming")
     require(maxBucketRows > 0, s"perceptualPairsIndexed: maxBucketRows must be positive")
     require(probeRadius == 0 || probeRadius == 1,

@@ -955,12 +955,12 @@ object DataQueries {
       // a missing table stamps as the empty manifest — a harmless extra
       // live stamp, so no special-casing is needed
       val live = Seq("embeddings", "documents")
-        .map(t => graft.connectors.Bucketing.stampDir(s"$dir/$t.parquet")).toSet
+        .map(t => graft.connectors.Bucketing.cachedStamp(s"$dir/$t.parquet")).toSet
       ModelStore.evictStale(dir, live)
     }
 
   private def annModelPath(dir: String, name: String): String = {
-    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/embeddings.parquet")
+    val stamp = graft.connectors.Bucketing.cachedStamp(s"$dir/embeddings.parquet")
     evictOnce(dir)
     s"${ModelStore.rootFor(dir)}/$name-$stamp"
   }
@@ -969,6 +969,24 @@ object DataQueries {
     corpusCounts.computeIfAbsent(dir, _ => Long.box(
       new String(ModelStore.bytesOrTrain(annModelPath(dir, "embcount"))(
         Tables.embeddings(spark, dir).count().toString.getBytes("UTF-8")), "UTF-8").toLong)).longValue()
+  private val docCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCount(spark: SparkSession, dir: String): Long =
+    docCounts.computeIfAbsent(dir, _ =>
+      Long.box(Tables.documents(spark, dir).count())).longValue()
+
+  /** The scale-derived MIH band geometry every `m_phash_*` face runs under
+    * ([[Multimodal.phashGeometry]], VERDICT r19 #1) — one derivation from
+    * the corpus row count (a parquet metadata count, memoized per dir), so
+    * build, stamp and serve can never disagree. At the oracle-gate scales
+    * (≤ 50k docs) this lands the historical (bandBits=8, radius 1,
+    * hamming ≤ 15) configuration the static oracle SQL replays; at organic
+    * sf10 (500k docs) it lands the (16, 1, ≤ 7) configuration measured
+    * clean across the decade (SCALE.md r19) — the faces themselves now
+    * clear the scale the hand-set default flooded at.
+    */
+  private def phashGeo(spark: SparkSession, dir: String): Multimodal.PhashGeometry =
+    Multimodal.phashGeometry(docCount(spark, dir))
+
   private val seedMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def seedsFor(spark: SparkSession, dir: String, k: Int): Seq[Seq[Double]] =
     seedMemo.computeIfAbsent(s"$dir#$k", _ =>
@@ -1703,8 +1721,8 @@ object DataQueries {
       // the bucket count must exceed the executor-core count or the index
       // read caps below the inline face's split parallelism (measured:
       // 8 buckets scaled 1.9× at 10× rows vs the inline face's 1.4×)
-      s"graft_ann_imipq$slug", s"/tmp/graft_bucketed/$slug/ann_imipq", "n_bk", 64,
-      sourceStamp = graft.connectors.Bucketing.stampDir(s"$dir/embeddings.parquet"))
+      s"graft_ann_imipq$slug", s"${graft.connectors.Bucketing.indexRoot}/$slug/ann_imipq", "n_bk", 64,
+      sourceStamp = graft.connectors.Bucketing.cachedStamp(s"$dir/embeddings.parquet"))
   }
 
   /** [[sAnnPqImi]] served from the persisted index
@@ -2375,7 +2393,7 @@ object DataQueries {
     */
   def dImportanceCampaign(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    val stamp = graft.connectors.Bucketing.cachedStamp(s"$dir/documents.parquet")
     val model = ModelStore.bytesOrTrain(
       // key carries format version + maxN: a pre-IMP2 (or unigram-only)
       // store file must MISS and retrain, never deserialize into garbage
@@ -2833,7 +2851,7 @@ object DataQueries {
   def dDecontaminateCampaign(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    val stamp = graft.connectors.Bucketing.cachedStamp(s"$dir/documents.parquet")
     evictOnce(dir)
     val model = bloomModels.computeIfAbsent(
       s"$dir#3#campaign",
@@ -2864,7 +2882,7 @@ object DataQueries {
   def dIngestGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-    val stamp = graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet")
+    val stamp = graft.connectors.Bucketing.cachedStamp(s"$dir/documents.parquet")
     evictOnce(dir)
     val model = bloomModels.computeIfAbsent(
       s"$dir#3#campaign",
@@ -3266,22 +3284,27 @@ object DataQueries {
        |SELECT doc_id, $phashSqlExpr AS phash FROM pb""".stripMargin
 
   /** Perceptual near-dup pairs over the binary column
-    * ([[Multimodal.perceptualPairs]]). The FIXTURE runs the multi-index
-    * probing shape — 8-bit bands with radius-1 band probes, hamming ≤ 15
-    * (pigeonhole-exact: 15 < 8 bands · 2) — exercising the MIH machinery
-    * the scale configuration relies on (bandBits=16 + radius 1 at
-    * billion-image scale; operator scaladoc). The threshold is wide
+    * ([[Multimodal.perceptualPairs]]) under the SCALE-DERIVED geometry
+    * ([[phashGeo]], VERDICT r19 #1): at the fixture/oracle scales the
+    * derivation lands 8-bit bands with radius-1 probes, hamming ≤ 15
+    * (pigeonhole-exact: 15 < 8 bands · 2) — the exact configuration the
+    * static oracle SQL below replays — and at organic sf10 it lands the
+    * (16, 1, ≤ 7) configuration that clears the duplicity flood the 8-bit
+    * default hit there (SCALE.md r19). The fixture-scale threshold is wide
     * because the fixture's "images" are text bytes whose near-dup edits
     * SHIFT the strided samples (measured: closest fixture pair at
-    * hamming 13; the production ≤7 threshold returns zero rows here,
-    * which would make the oracle row empty-vs-empty evidence). DataOpsSpec
-    * pins the production default and the radius-0/radius-1 equivalence on
-    * crafted near-images.
+    * hamming 13; a ≤7 threshold returns zero rows here, which would make
+    * the oracle row empty-vs-empty evidence). DataOpsSpec pins the
+    * derivation ladder and the radius-0/radius-1 equivalence on crafted
+    * near-images.
     */
-  def mPhashPairs(spark: SparkSession, dir: String): DataFrame =
+  def mPhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val g = phashGeo(spark, dir)
     Multimodal.perceptualPairs(
       Tables.documents(spark, dir).withColumn("bin", col("text").cast("binary")),
-      "doc_id", "bin", maxHamming = 15, bandBits = 8, probeRadius = 1)
+      "doc_id", "bin",
+      maxHamming = g.maxHamming, bandBits = g.bandBits, probeRadius = g.probeRadius)
+  }
 
   val mPhashPairsSql: String =
     s"""WITH $phashBytesCte,
@@ -3310,22 +3333,27 @@ object DataQueries {
     * bytes every query). 64 buckets: the ann_imipq rule — bucket count
     * must exceed executor cores or the index read caps scan parallelism.
     */
-  private def phashIndexFor(spark: SparkSession, dir: String): (DataFrame, Option[String]) = {
+  private def phashIndexFor(
+      spark: SparkSession,
+      dir: String
+  ): (DataFrame, Option[String], Multimodal.PhashGeometry) = {
+    val g = phashGeo(spark, dir)
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"/tmp/graft_bucketed/$slug/phash_bands"
+    val path = s"${graft.connectors.Bucketing.indexRoot}/$slug/phash_bands"
     val idx = graft.connectors.Bucketing.ensureBucketed(
       spark,
       Multimodal.phashBandIndex(
         Tables.documents(spark, dir).withColumn("bin", col("text").cast("binary")),
-        "doc_id", "bin", bandBits = 8),
+        "doc_id", "bin", bandBits = g.bandBits),
       s"graft_phash_bands$slug", path, "bucket", 64,
       // bandBits is the index identity (the phashBandIndex scaladoc): the
-      // stamp rebuilds on a parameter change and the query validates its
-      // own bandBits against the same stamp — no per-call structure scan
+      // stamp rebuilds on a parameter change — INCLUDING a scale-derived
+      // escalation as the corpus grows past the 8-bit geometry — and the
+      // query validates its own bandBits against the same stamp
       sourceStamp =
-        s"${Multimodal.phashStamp(8)}|" +
-          graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
-    (idx, graft.connectors.Bucketing.readStamp(path))
+        s"${Multimodal.phashStamp(g.bandBits)}|" +
+          graft.connectors.Bucketing.cachedStamp(s"$dir/documents.parquet"))
+    (idx, graft.connectors.Bucketing.readStamp(path), g)
   }
 
   /** [[mPhashPairs]] served from the persisted MIH band index
@@ -3336,9 +3364,10 @@ object DataQueries {
     * structurally gone (VERDICT r17 #2).
     */
   def mPhashIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val (idx, stamp) = phashIndexFor(spark, dir)
+    val (idx, stamp, g) = phashIndexFor(spark, dir)
     Multimodal.perceptualPairsIndexed(
-      idx, maxHamming = 15, bandBits = 8, probeRadius = 1, indexStamp = stamp)
+      idx, maxHamming = g.maxHamming, bandBits = g.bandBits, probeRadius = g.probeRadius,
+      indexStamp = stamp)
   }
 
   /** [[mPhashClusters]] served from the persisted index: connected
@@ -3429,7 +3458,13 @@ object DataQueries {
     val gateMinBytes = 64
     val gateMaxBytes = 100000L
     val mimeMod = 9
-    val bandBits = 8
+    // geometry is SCALE-DERIVED from the stored-side corpus count
+    // ([[phashGeo]], VERDICT r19 #1); the serve threshold derives from
+    // the SAME geometry's pigeonhole bound (ADVICE r19 — a hardcoded 15
+    // next to a derived bandBits would trip the serve's exactness require
+    // the moment the derivation escalates)
+    val geo = phashGeo(spark, dir)
+    val bandBits = geo.bandBits
     val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
       .withColumn("bin", col("text").cast("binary"))
       .withColumn(
@@ -3449,10 +3484,10 @@ object DataQueries {
       val acceptedIds = gated.filter(col("reject_reason").isNull).select(col("doc_id"))
       val acceptedDocs = batch.join(acceptedIds, Seq("doc_id"), "left_semi")
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val docsStamp = Bucketing.stampDir(s"$dir/documents.parquet")
+      val docsStamp = Bucketing.cachedStamp(s"$dir/documents.parquet")
       val gateCfg = s"mediagate(allowed=${gateAllowed.mkString("+")}," +
         s"min=$gateMinBytes,max=$gateMaxBytes,mimeMod=$mimeMod)"
-      val path = s"/tmp/graft_bucketed/$slug/capstone_phash"
+      val path = s"${graft.connectors.Bucketing.indexRoot}/$slug/capstone_phash"
       val table = s"graft_capstone_phash$slug"
       val pre = s"${Multimodal.phashStamp(bandBits)}|$docsStamp|$gateCfg|pre"
       val post = s"${Multimodal.phashStamp(bandBits)}|$docsStamp|$gateCfg|ingested"
@@ -3471,7 +3506,7 @@ object DataQueries {
       // 3) serve from the post-append index — same parameters as the
       // m_phash_indexed face; the stamp validates bandBits per query
       val pairs = Multimodal.perceptualPairsIndexed(
-        postIdx, maxHamming = 15, bandBits = bandBits, probeRadius = 1,
+        postIdx, maxHamming = geo.maxHamming, bandBits = bandBits, probeRadius = geo.probeRadius,
         indexStamp = Bucketing.readStamp(path))
       gated.select(
         col("doc_id").as("a_id"),
@@ -3822,7 +3857,7 @@ object DataQueries {
     */
   private def nearDupIndexFor(spark: SparkSession, dir: String): (DataFrame, Option[String]) = {
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"/tmp/graft_bucketed/$slug/neardup_bands"
+    val path = s"${graft.connectors.Bucketing.indexRoot}/$slug/neardup_bands"
     val idx = graft.connectors.Bucketing.ensureBucketed(
       spark,
       SnapshotOps.nearDupBandIndex(
@@ -3837,7 +3872,7 @@ object DataQueries {
       // per-call max-band index scan (ADVICE r17)
       sourceStamp =
         s"${SnapshotOps.bandStamp(3, 16, 2)}|" +
-          graft.connectors.Bucketing.stampDir(s"$dir/documents.parquet"))
+          graft.connectors.Bucketing.cachedStamp(s"$dir/documents.parquet"))
     (idx, graft.connectors.Bucketing.readStamp(path))
   }
 
@@ -3887,9 +3922,9 @@ object DataQueries {
       .filter(pmod(col("doc_id"), lit(5)) === 1)
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
     val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val path = s"/tmp/graft_bucketed/$slug/neardup_bands_compact"
+    val path = s"${graft.connectors.Bucketing.indexRoot}/$slug/neardup_bands_compact"
     val table = s"graft_neardup_bands_compact$slug"
-    val docsStamp = Bucketing.stampDir(s"$dir/documents.parquet")
+    val docsStamp = Bucketing.cachedStamp(s"$dir/documents.parquet")
     val pre = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|half"
     val post = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|full"
     val even = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
@@ -4017,7 +4052,7 @@ object DataQueries {
       val acceptedIds = gated.filter(col("reject_reason").isNull).select(col("doc_id"))
       val acceptedDocs = batch.join(acceptedIds, Seq("doc_id"), "left_semi")
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val docsStamp = Bucketing.stampDir(s"$dir/documents.parquet")
+      val docsStamp = Bucketing.cachedStamp(s"$dir/documents.parquet")
       // the GATE configuration is part of the index identity too: the
       // appended rows are the gate's ACCEPTED set, so a gate change (langs,
       // minTokens, bench slice, n-gram grain) under an unchanged corpus
@@ -4030,7 +4065,7 @@ object DataQueries {
         s"gate(langs=${gateLangs.mkString("+")},min=$gateMinTokens,bench=$gateBenchMod,ngram=$gateNgram)"
       // 2a) near-dup band index: bootstrap the PRE state once per corpus
       // stamp, then the fenced append per batch
-      val bandPath = s"/tmp/graft_bucketed/$slug/capstone_bands"
+      val bandPath = s"${graft.connectors.Bucketing.indexRoot}/$slug/capstone_bands"
       val bandTable = s"graft_capstone_bands$slug"
       val bandPre = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|$gateCfg|pre"
       val bandPost = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp|$gateCfg|ingested"
@@ -4054,9 +4089,9 @@ object DataQueries {
         acceptedIds.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       val icbs = imiCodebooksFor(spark, dir, ImiKSub)
       val pcbs = codebooksFor(spark, dir, m = PqM, k = PqK)
-      val annPath = s"/tmp/graft_bucketed/$slug/capstone_ann"
+      val annPath = s"${graft.connectors.Bucketing.indexRoot}/$slug/capstone_ann"
       val annTable = s"graft_capstone_ann$slug"
-      val embStamp = Bucketing.stampDir(s"$dir/embeddings.parquet")
+      val embStamp = Bucketing.cachedStamp(s"$dir/embeddings.parquet")
       val annPre = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|$gateCfg|pre"
       val annPost = s"imipq($ImiKSub,$PqM,$PqK)|$embStamp|$gateCfg|ingested"
       if (!Bucketing.readStamp(annPath).contains(annPost))

@@ -753,6 +753,45 @@ class DataOpsSpec extends SparkSpec {
       Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 8, bandBits = 16, probeRadius = 1))
   }
 
+  test("phashGeometry: scale-derived band ladder — fixture scales keep (8,1,15), organic sf10 derives the measured-clean (16,1,7), boundaries exact (VERDICT r19 #1)") {
+    import Multimodal.{phashGeometry, PhashGeometry}
+    // fixture/oracle scales: the historical geometry, so the static oracle
+    // SQL (8 bands, hamming <= 15) keeps replaying the faces bit-for-bit
+    assert(phashGeometry(0) === PhashGeometry(8, 1, 15))
+    assert(phashGeometry(500) === PhashGeometry(8, 1, 15))     // sf0.01
+    assert(phashGeometry(5000) === PhashGeometry(8, 1, 15))    // sf0.1 (bench floors)
+    assert(phashGeometry(50000) === PhashGeometry(8, 1, 15))   // organic sf1
+    // the escalation boundary: expected population n/256 crosses
+    // maxBucketRows/skewHeadroom = 10000/8 = 1250 at n = 320_256
+    assert(phashGeometry(320255) === PhashGeometry(8, 1, 15))
+    assert(phashGeometry(320256) === PhashGeometry(16, 1, 7))
+    // organic sf10 (500k): the configuration SCALE.md r19 measured clean
+    // across the decade — now derived, not hand-passed
+    assert(phashGeometry(500000) === PhashGeometry(16, 1, 7))
+    // second escalation: 16-bit expectation crosses at n = 65536*1250 + 2^16
+    assert(phashGeometry(81_920_000L) === PhashGeometry(16, 1, 7))
+    assert(phashGeometry(81_985_536L) === PhashGeometry(32, 1, 3))
+    // beyond the 32-bit ladder the geometry clamps and the flood guard
+    // stays the loud rail
+    assert(phashGeometry(6_000_000_000_000L) === PhashGeometry(32, 1, 3))
+    // every derived triple honors the pigeonhole-exactness rail
+    Seq(0L, 499L, 320256L, 500000L, 81_985_536L, Long.MaxValue / 4).foreach { n =>
+      val g = phashGeometry(n)
+      assert(g.maxHamming < (64 / g.bandBits) * (g.probeRadius + 1),
+        s"derived geometry $g at n=$n breaks the pigeonhole bound")
+    }
+    // a tighter cap or higher headroom escalates earlier — the knobs compose
+    assert(phashGeometry(5000, maxBucketRows = 100, skewHeadroom = 8).bandBits === 16)
+    intercept[IllegalArgumentException](phashGeometry(-1))
+    intercept[IllegalArgumentException](phashGeometry(10, maxBucketRows = 0))
+    // the m_phash faces run the derivation end to end: crafted near-image
+    // equivalence between hand-set and derived grain is covered by the
+    // arms above; here pin that a face-sized corpus derives the fixture
+    // geometry the oracle replays (the DataQueries.phashGeo contract)
+    assert(phashGeometry(graft.core.Tables.documents(spark, sf).count())
+      === PhashGeometry(8, 1, 15))
+  }
+
   test("perceptualPairsIndexed: persisted band index ≡ inline pairs; append ≡ rebuild; drift and flood loud") {
     import graft.connectors.Bucketing
     // the billion-scale crafted corpus from the MIH test: pairs at several

@@ -84,6 +84,20 @@ class JobsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](cfg.require("NOPE"))
   }
 
+  test("Bucketing.indexRoot: ScopedConfig-resolved persisted-index root — default /tmp layout, one key re-points every face (VERDICT r19 #3)") {
+    import graft.connectors.Bucketing
+    assert(Bucketing.indexRoot === "/tmp/graft_bucketed",
+      "default index root drifted — local runs and existing layouts expect /tmp/graft_bucketed")
+    // the ScopedConfig layering applies: a system property (the top layer)
+    // re-points the root for every face/probe that composes paths from it,
+    // and removal restores the default — resolution is per call, not
+    // frozen at class-load
+    sys.props.put("GRAFT_BUCKETED_ROOT", "/tmp/graft_alt_root")
+    try assert(Bucketing.indexRoot === "/tmp/graft_alt_root")
+    finally sys.props.remove("GRAFT_BUCKETED_ROOT")
+    assert(Bucketing.indexRoot === "/tmp/graft_bucketed")
+  }
+
   test("EventRouter side outputs partition the stream") {
     val counts = EventRouterJob.runBatch(spark, sf, outDir)
       .as[(String, Long)].collect().toMap

@@ -962,4 +962,96 @@ class ScaleMechanicsSpec extends SparkSpec {
     graft.core.Checkpoints.release(minLabel, blocking = true)
     awaitStorage(base, "releasing the min-label CC result")
   }
+
+  test("per-path lock striping: two index families' fenced appends interleave from two threads, fences and answers intact (VERDICT r19 #2)") {
+    import graft.connectors.Bucketing
+    // Two independent bucketed tables (the capstone shape: a driver
+    // maintaining near-dup bands AND pq codes), each driven through its
+    // own chain of exactly-once epoch appends from its OWN thread. Under
+    // the old object-global lock this serialized; per-path monitors let
+    // the families proceed concurrently — and the single-writer-per-path
+    // contract is untouched because each path keeps one writer here (the
+    // documented ownership model).
+    val epochs = 4
+    def slice(lo: Long, n: Long) = (lo until lo + n).map(i => (i, s"b${i % 4}")).toDF("sid", "bucket")
+    val dirs = Seq(
+      java.nio.file.Files.createTempDirectory("graft_stripe_a").toString,
+      java.nio.file.Files.createTempDirectory("graft_stripe_b").toString)
+    val tables = Seq("graft_stripe_spec_a", "graft_stripe_spec_b")
+    val boomMsg = "this frame must not evaluate"
+    def boom = sys.error(boomMsg): org.apache.spark.sql.DataFrame
+    try {
+      tables.zip(dirs).foreach { case (t, d) =>
+        Bucketing.ensureBucketed(spark, slice(0, 40), t, d, "bucket", 4, sourceStamp = "e0")
+      }
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = tables.zip(dirs).zipWithIndex.map { case ((t, d), fam) =>
+        new Thread(() => {
+          try {
+            start.await()
+            (1 to epochs).foreach { e =>
+              Bucketing.appendBucketedExactlyOnce(
+                spark, slice(1000L * fam + 100L * e, 10), boom, boom,
+                t, d, "bucket", 4, s"e${e - 1}", s"e$e")
+            }
+          } catch { case th: Throwable => failures.add(th) }
+        })
+      }
+      threads.foreach(_.start()); start.countDown(); threads.foreach(_.join(120000))
+      assert(failures.isEmpty, s"interleaved appends failed: ${failures.peek()}")
+      tables.zip(dirs).zipWithIndex.foreach { case ((t, d), fam) =>
+        assert(Bucketing.readStamp(d) === Some(s"e$epochs"), s"family $fam fence drifted")
+        val got = spark.table(t).as[(Long, String)].collect().toSet
+        val want = ((0L until 40L) ++
+          (1 to epochs).flatMap(e => 1000L * fam + 100L * e until 1000L * fam + 100L * e + 10))
+          .map(i => (i, s"b${i % 4}")).toSet
+        assert(got === want, s"family $fam rows drifted under interleaving")
+        // replayed epoch on the settled table still skips (fence intact)
+        val replay = Bucketing.appendBucketedExactlyOnce(
+          spark, boom, boom, boom, t, d, "bucket", 4, s"e${epochs - 1}", s"e$epochs")
+        assert(replay.count() === want.size.toLong)
+      }
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("cachedStamp: walk-free per-batch stamps — one stampDir walk per source per JVM; invalidateStamp re-walks; value identical to the exact walk (VERDICT r19 #1)") {
+    import graft.connectors.Bucketing
+    val base = java.nio.file.Files.createTempDirectory("graft_memo_stamp").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(base, "part-0.parquet").toPath, "ab".getBytes)
+      val w0 = Bucketing.stampWalkCount.get()
+      val s1 = Bucketing.cachedStamp(base.toString)
+      assert(Bucketing.stampWalkCount.get() === w0 + 1, "first touch must walk")
+      val s2 = Bucketing.cachedStamp(base.toString)
+      assert(s2 === s1)
+      assert(Bucketing.stampWalkCount.get() === w0 + 1,
+        "second per-batch stamp ran a source walk — the O(source-files) driver listing is back")
+      // the memo serves the SAME digest the exact walk computes
+      assert(s1 === Bucketing.stampDir(base.toString))
+      // mutation through this driver: invalidate, fresh walk sees the change
+      java.nio.file.Files.write(new java.io.File(base, "part-1.parquet").toPath, "c".getBytes)
+      assert(Bucketing.cachedStamp(base.toString) === s1,
+        "memo must NOT see uninvalidated mutations (the documented immutable-source contract)")
+      Bucketing.invalidateStamp(base.toString)
+      val s3 = Bucketing.cachedStamp(base.toString)
+      assert(s3 !== s1, "post-invalidate stamp missed the mutation")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+
+  test("maintenance faces are walk-free per batch: a repeated capstone call runs ZERO stampDir walks (VERDICT r19 #1)") {
+    import graft.connectors.Bucketing
+    // First call may pay the one-per-JVM walk (first build / first touch);
+    // the REPEATED call — the per-batch production shape (replayed epoch →
+    // skip-arm serve) — must not list the source tree at all.
+    graft.queries.DataQueries.mIngestIndexCapstone(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    val w0 = Bucketing.stampWalkCount.get()
+    val again = graft.queries.DataQueries.mIngestIndexCapstone(spark, sf)
+    val n = again.count()
+    assert(n > 0, "capstone served no rows — walk-free assertion would be vacuous")
+    assert(Bucketing.stampWalkCount.get() === w0,
+      s"repeated capstone call walked the source tree ${Bucketing.stampWalkCount.get() - w0} " +
+        "time(s) — the per-batch maintenance path regressed to O(source-files) driver listing")
+  }
 }

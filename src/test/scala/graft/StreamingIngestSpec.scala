@@ -435,6 +435,91 @@ class StreamingIngestSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("multi-writer index: two concurrent ingest streams append ONE index exactly-once — replays fenced, fold absorbs the committed prefix, serve = exact union (VERDICT r19 #6)") {
+    // Bucketing's marker fence is single-writer per path by design; the
+    // multi-writer composition routes concurrent writers through the
+    // TxnLogSink manifest race (per-writer exactly-once) and folds the
+    // committed log into the bucketed base under the SAME single-writer
+    // fence — each delta row served exactly once, from the base or the
+    // tail, never both. This arm runs TWO live streaming queries against
+    // one index dir, interleaves their epochs, replays a committed epoch,
+    // folds mid-stream, appends more, and re-folds.
+    implicit val sc = spark.sqlContext
+    import graft.connectors.{Bucketing, MultiWriterIndex}
+    import graft.data.SnapshotOps
+    val root = java.nio.file.Files.createTempDirectory("mw_index").toString
+    val idx = s"$root/idx"
+    val table = "graft_mw_index_spec"
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      SnapshotOps.nearDupBandIndex(df, "doc_id", "text")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, String)] =
+      df.as[(Long, Int, String)].collect().toSeq.sorted
+    // disjoint id spaces, all docs long enough to band
+    def docA(e: Int, i: Int) = (1000L * (e + 1) + i, s"$en writerA epoch$e doc$i tail${e * 10 + i}")
+    def docB(e: Int, i: Int) = (5000L * (e + 1) + i, s"$fr writerB epoch$e doc$i tail${e * 10 + i}")
+    val memA = MemoryStream[(Long, String)]
+    val memB = MemoryStream[(Long, String)]
+    def start(mem: MemoryStream[(Long, String)], writer: String, ckpt: String) =
+      mem.toDS().toDF("doc_id", "text").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+          MultiWriterIndex.appendDelta(bands(df), idx, writer, id))
+        .start()
+    def served = rowsOf(MultiWriterIndex.read(spark, idx, table, "bucket", 4))
+    try {
+      val qA = start(memA, "wa", s"$root/ckptA")
+      val qB = start(memB, "wb", s"$root/ckptB")
+      try {
+        // interleaved epochs from two LIVE queries against one index
+        memA.addData((0 until 3).map(docA(0, _)): _*)
+        memB.addData((0 until 2).map(docB(0, _)): _*)
+        qA.processAllAvailable(); qB.processAllAvailable()
+        memB.addData((0 until 2).map(docB(1, _)): _*)
+        memA.addData((0 until 3).map(docA(1, _)): _*)
+        qB.processAllAvailable(); qA.processAllAvailable()
+        val all1 = ((0 until 3).map(docA(0, _)) ++ (0 until 3).map(docA(1, _)) ++
+          (0 until 2).map(docB(0, _)) ++ (0 until 2).map(docB(1, _)))
+        val want1 = rowsOf(bands(all1.toDF("doc_id", "text")))
+        assert(served === want1, "pre-fold log view lost or duplicated a delta")
+        // REPLAYED epoch (the at-least-once window): the manifest fence
+        // skips — even a different frame for the same (writer, epoch)
+        // moves nothing
+        MultiWriterIndex.appendDelta(
+          bands(Seq((9999L, s"$en poison replay row")).toDF("doc_id", "text")), idx, "wa", 0L)
+        assert(served === want1, "replayed writer epoch moved data")
+        // FOLD while both queries are live: absorbs exactly the committed
+        // prefix, fence records the per-writer high-water vector
+        val folded = MultiWriterIndex.fold(spark, idx, table, "bucket", 4)
+        assert(rowsOf(folded) === want1, "fold lost or duplicated rows")
+        assert(Bucketing.readStamp(s"$idx/base")
+          .flatMap(MultiWriterIndex.parseFoldStamp) === Some(Map("wa" -> 1L, "wb" -> 1L)))
+        assert(served === want1, "post-fold serve drifted (base ∪ empty tail)")
+        // duplicate fold is a marker-read no-op
+        assert(rowsOf(MultiWriterIndex.fold(spark, idx, table, "bucket", 4)) === want1)
+        // more deltas AFTER the fold: served from the tail until re-folded
+        memA.addData((0 until 2).map(docA(2, _)): _*)
+        qA.processAllAvailable()
+        val all2 = all1 ++ (0 until 2).map(docA(2, _))
+        val want2 = rowsOf(bands(all2.toDF("doc_id", "text")))
+        assert(served === want2, "post-fold tail lost or duplicated the new delta")
+        // replay of an ALREADY-FOLDED epoch still skips (manifests retained)
+        MultiWriterIndex.appendDelta(
+          bands(Seq((9998L, s"$en second poison")).toDF("doc_id", "text")), idx, "wb", 1L)
+        assert(served === want2, "replay of a folded epoch moved data")
+        // re-fold absorbs only the unfolded slice; serve unchanged
+        assert(rowsOf(MultiWriterIndex.fold(spark, idx, table, "bucket", 4)) === want2)
+        assert(Bucketing.readStamp(s"$idx/base")
+          .flatMap(MultiWriterIndex.parseFoldStamp) === Some(Map("wa" -> 2L, "wb" -> 1L)))
+        assert(served === want2)
+        // TORN fold (marker gone mid-swap): rebuild-never-trust from the log
+        assert(new java.io.File(s"$idx/base", "_GRAFT_BUCKETED_DDL").delete())
+        assert(rowsOf(MultiWriterIndex.fold(spark, idx, table, "bucket", 4)) === want2,
+          "torn-fold rebuild drifted from the committed log")
+        assert(served === want2)
+      } finally { qA.stop(); qB.stop() }
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("streaming compaction cadence: threshold compact INSIDE foreachBatch while the query runs — file counts bounded, fences and answers unchanged") {
     // VERDICT r18 #4: the maintenance-window arm above compacts while the
     // query is DOWN; production wants the unconditional per-batch call
