@@ -476,7 +476,12 @@ object Bucketing {
     * staging dir, cleaned on the next compact); a crash anywhere inside
     * the swap window leaves no marker, which every reader/maintainer
     * treats as "rebuild, never trust". The marker is rewritten only after
-    * the staged files are in place. Single-writer per path, like the
+    * the staged files are in place. Note the cost split on object stores
+    * (VERDICT r19 plan audit): CORRECTNESS never leans on rename
+    * atomicity (the delete-marker-first fence carries it), but the
+    * staged-file move itself is copy-then-delete there — O(staged bytes)
+    * per compaction, i.e. O(the fragmented buckets' data), which the
+    * bucket-incremental scope already minimizes. Single-writer per path, like the
     * append path — and because the staging read runs outside the fence, a
     * cross-JVM interleave could commit an append this JVM never saw
     * (ADVICE r18: the swap would then rewrite the pre-append marker over

@@ -94,8 +94,16 @@ object MultiWriterIndex {
     * (writerId = the query's stable id, epoch = batchId) — concurrent
     * writers and replayed epochs are both safe; see the object scaladoc.
     */
-  def appendDelta(delta: DataFrame, indexDir: String, writerId: String, epoch: Long): Unit =
+  def appendDelta(delta: DataFrame, indexDir: String, writerId: String, epoch: Long): Unit = {
+    // the id is embedded in the fold-stamp grammar (`mw(w=e,...)`): a
+    // delimiter inside it would render a stamp parseFoldStamp rejects,
+    // degrading every later fold to a full rebuild — refuse upfront
+    // (TxnLogSink separately forbids '-' and '/' for its manifest names)
+    require(writerId.nonEmpty && writerId.forall(c => c.isLetterOrDigit || c == '_'),
+      s"MultiWriterIndex.appendDelta: writerId '$writerId' must be [A-Za-z0-9_]+ — it is " +
+        "embedded in the fold fence stamp and the manifest names")
     logOf(indexDir).writer(writerId)(delta, epoch)
+  }
 
   /** MAINTAINER side: absorb every committed delta into the bucketed base
     * at `<indexDir>/base`, registered as `tableName`, clustered by
@@ -116,6 +124,11 @@ object MultiWriterIndex {
     val log = logOf(indexDir)
     val hwNow: Map[String, Long] = log.committedEpochs(spark)
       .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    // nothing committed and no folded base: nothing to fold, nothing to
+    // serve — the unconditional-cadence caller's first tick before any
+    // writer commits (a base WITH a marker but an empty log falls through
+    // to the truncation check below, which is the loud case it should be)
+    if (hwNow.isEmpty && Bucketing.readStamp(bd).isEmpty) return spark.emptyDataFrame
     val post = foldStamp(hwNow)
     def sliceUpTo(hw: Map[String, Long]): DataFrame =
       log.readSlice(spark, upTo = Some(hw)).getOrElse(

@@ -467,6 +467,12 @@ class StreamingIngestSpec extends SparkSpec {
         .start()
     def served = rowsOf(MultiWriterIndex.read(spark, idx, table, "bucket", 4))
     try {
+      // pre-flight edges: a fold before any commit is an explicit nothing
+      // (the unconditional-cadence first tick), and a writerId that would
+      // corrupt the fold-stamp grammar is refused upfront
+      assert(MultiWriterIndex.fold(spark, idx, table, "bucket", 4).isEmpty)
+      intercept[IllegalArgumentException](MultiWriterIndex.appendDelta(
+        bands(Seq((1L, en)).toDF("doc_id", "text")), idx, "w=bad,id", 0L))
       val qA = start(memA, "wa", s"$root/ckptA")
       val qB = start(memB, "wb", s"$root/ckptB")
       try {
