@@ -65,29 +65,58 @@ object MultiWriterIndex {
   private def logOf(indexDir: String): TxnLogSink = TxnLogSink(s"$indexDir/deltalog")
 
   /** The fold fence: absorbed per-writer high-water marks, canonically
-    * ordered. Parse and render are exact inverses; [[parseFoldStamp]]
+    * ordered, optionally followed by `|suffix` — the caller's OPERATOR
+    * IDENTITY (e.g. [[graft.data.SnapshotOps.bandStamp]] + corpus stamp),
+    * validated per call exactly like the single-writer faces validate
+    * theirs. Parse and render are exact inverses; [[parseFoldStamp]]
     * rejects anything it did not render (a foreign stamp must force the
     * rebuild arm, never a bogus absorbed vector).
     */
-  private def foldStamp(hw: Map[String, Long]): String =
-    "mw(" + hw.toSeq.sorted.map { case (w, e) => s"$w=$e" }.mkString(",") + ")"
+  private def foldStamp(hw: Map[String, Long], suffix: String): String = {
+    val base = "mw(" + hw.toSeq.sorted.map { case (w, e) => s"$w=$e" }.mkString(",") + ")"
+    if (suffix.isEmpty) base else s"$base|$suffix"
+  }
 
-  private[graft] def parseFoldStamp(s: String): Option[Map[String, Long]] =
-    if (!s.startsWith("mw(") || !s.endsWith(")")) None
+  private[graft] def parseFoldStamp(s: String): Option[(Map[String, Long], String)] =
+    if (!s.startsWith("mw(")) None
     else {
-      val body = s.substring(3, s.length - 1)
-      if (body.isEmpty) Some(Map.empty)
+      val close = s.indexOf(')')
+      if (close < 0) None
       else {
-        val parts = body.split(",", -1).toSeq.map { p =>
-          p.split("=", -1) match {
-            case Array(w, e) if w.nonEmpty && e.nonEmpty && e.forall(_.isDigit) =>
-              Some(w -> e.toLong)
-            case _ => None
+        val rest = s.substring(close + 1)
+        val suffix =
+          if (rest.isEmpty) Some("")
+          else if (rest.startsWith("|") && rest.length > 1) Some(rest.substring(1))
+          else None
+        val body = s.substring(3, close)
+        val hw =
+          if (body.isEmpty) Some(Map.empty[String, Long])
+          else {
+            val parts = body.split(",", -1).toSeq.map { p =>
+              p.split("=", -1) match {
+                case Array(w, e) if w.nonEmpty && e.nonEmpty && e.forall(_.isDigit) =>
+                  Some(w -> e.toLong)
+                case _ => None
+              }
+            }
+            if (parts.forall(_.isDefined)) Some(parts.flatten.toMap) else None
           }
-        }
-        if (parts.forall(_.isDefined)) Some(parts.flatten.toMap) else None
+        for { m <- hw; suf <- suffix } yield (m, suf)
       }
     }
+
+  /** A persisted identity suffix that does not match the caller's is a
+    * LOUD error, never a rebuild: the log's rows are the writers' product
+    * (banded/encoded under the caller's parameters at append time), so an
+    * identity change invalidates the WHOLE log — this object can rebuild
+    * the base from the log, but cannot re-derive the log from sources.
+    */
+  private def requireSuffix(what: String, indexDir: String, stored: String, asked: String): Unit =
+    require(stored == asked,
+      s"MultiWriterIndex.$what: the folded base at $indexDir carries identity '$stored' but " +
+        s"the caller asked for '$asked' — the delta log's rows were produced under the stored " +
+        "identity, so a parameter change needs a NEW index dir (re-append the deltas), not a " +
+        "fold")
 
   /** WRITER side: exactly-once append of one epoch's delta rows from
     * writer `writerId`. Call from each ingest stream's `foreachBatch`
@@ -118,7 +147,8 @@ object MultiWriterIndex {
       indexDir: String,
       tableName: String,
       keyCol: String,
-      nBuckets: Int
+      nBuckets: Int,
+      stampSuffix: String = ""
   ): DataFrame = {
     val bd = baseDir(indexDir)
     val log = logOf(indexDir)
@@ -129,7 +159,7 @@ object MultiWriterIndex {
     // writer commits (a base WITH a marker but an empty log falls through
     // to the truncation check below, which is the loud case it should be)
     if (hwNow.isEmpty && Bucketing.readStamp(bd).isEmpty) return spark.emptyDataFrame
-    val post = foldStamp(hwNow)
+    val post = foldStamp(hwNow, stampSuffix)
     def sliceUpTo(hw: Map[String, Long]): DataFrame =
       log.readSlice(spark, upTo = Some(hw)).getOrElse(
         throw new IllegalStateException(
@@ -143,7 +173,8 @@ object MultiWriterIndex {
         // evaluates when the on-disk spec matches the stamp)
         Bucketing.ensureBucketed(
           spark, sliceUpTo(hwNow), tableName, bd, keyCol, nBuckets, sourceStamp = post)
-      case (Some(s), Some(absorbed)) =>
+      case (Some(s), Some((absorbed, storedSuffix))) =>
+        requireSuffix("fold", indexDir, storedSuffix, stampSuffix)
         require(absorbed.forall { case (w, e) => hwNow.getOrElse(w, -1L) >= e },
           s"MultiWriterIndex.fold: the base at $bd claims absorbed epochs ($absorbed) the " +
             s"delta log no longer shows committed ($hwNow) — manifests never vanish, so the " +
@@ -177,19 +208,21 @@ object MultiWriterIndex {
       indexDir: String,
       tableName: String,
       keyCol: String,
-      nBuckets: Int
+      nBuckets: Int,
+      stampSuffix: String = ""
   ): DataFrame = {
     val bd = baseDir(indexDir)
     val log = logOf(indexDir)
     Bucketing.readStamp(bd).flatMap(parseFoldStamp) match {
-      case Some(absorbed) =>
+      case Some((absorbed, storedSuffix)) =>
+        requireSuffix("read", indexDir, storedSuffix, stampSuffix)
         val base = Bucketing.ensureBucketed(
           spark,
           log.readSlice(spark, upTo = Some(absorbed)).getOrElse(
             throw new IllegalStateException(
               s"MultiWriterIndex.read: base at $bd names absorbed epochs ($absorbed) the " +
                 "log holds no rows for — log truncated; rebuild the index")),
-          tableName, bd, keyCol, nBuckets, sourceStamp = foldStamp(absorbed))
+          tableName, bd, keyCol, nBuckets, sourceStamp = foldStamp(absorbed, storedSuffix))
         log.readSlice(spark, above = absorbed) match {
           case Some(tail) => base.unionByName(tail)
           case None => base
@@ -200,4 +233,10 @@ object MultiWriterIndex {
         log.readSlice(spark).getOrElse(spark.emptyDataFrame)
     }
   }
+
+  /** The folded base's marker stamp (`mw(<high-water>)[|<identity>]`), if
+    * a fold has committed one — what a serve face passes to its operator's
+    * stamp validation (the single-writer faces' `readStamp` discipline).
+    */
+  def baseStamp(indexDir: String): Option[String] = Bucketing.readStamp(baseDir(indexDir))
 }

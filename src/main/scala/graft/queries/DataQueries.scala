@@ -3952,6 +3952,58 @@ object DataQueries {
       indexStamp = Bucketing.readStamp(path))
   }
 
+  /** [[dNearDupIndexed]] served from a MULTI-WRITER-grown index
+    * ([[graft.connectors.MultiWriterIndex]], VERDICT r19 #6): the same
+    * corpus-side band index, but grown the way N CONCURRENT ingest streams
+    * grow one index — two writers (`even`: two epochs, `odd`: one) each
+    * commit their slice's band rows to the index's delta log exactly-once
+    * (the TxnLogSink manifest race; replayed epochs skip on their
+    * manifests, so repeat face runs move zero data), a fold absorbs the
+    * committed prefix into the bucketed base under the marker fence
+    * (stamp = the per-writer high-water vector + this face's band/corpus
+    * identity), and the serve probes the folded base. Band-row content is
+    * a pure function of each doc's own text (append ≡ rebuild,
+    * spec-pinned), so log-fragment union ≡ the one-shot build and the
+    * SAME oracle gates this face as `d_neardup_indexed`/`_compacted` —
+    * the multi-writer growth path must never change an answer.
+    *
+    * The operator identity (band triple + corpus stamp) rides BOTH in the
+    * fold-stamp suffix (validated per call) and in the index DIRECTORY:
+    * the log's rows are the writers' product, so an identity change must
+    * land in a fresh log+base pair, not a fold (stale generations under
+    * the old dir are stranded cache, the ModelStore trade).
+    */
+  def dNearDupMultiWriter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.connectors.{Bucketing, MultiWriterIndex}
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+    val recrawl = docs
+      .filter(pmod(col("doc_id"), lit(5)) === 1)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val docsStamp = Bucketing.cachedStamp(s"$dir/documents.parquet")
+    val identity = s"${SnapshotOps.bandStamp(3, 16, 2)}|$docsStamp"
+    val idxDir = s"${Bucketing.indexRoot}/$slug/neardup_mw/$docsStamp"
+    val table = s"graft_neardup_mw$slug"
+    def bands(df: DataFrame) = SnapshotOps.nearDupBandIndex(df, "doc_id", "text")
+    val even = corpus.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = corpus.filter(pmod(col("doc_id"), lit(2)) === 1)
+    MultiWriterIndex.appendDelta(
+      bands(even.filter(pmod(col("doc_id"), lit(4)) === 0)), idxDir, "even", 0L)
+    MultiWriterIndex.appendDelta(
+      bands(even.filter(pmod(col("doc_id"), lit(4)) === 2)), idxDir, "even", 1L)
+    MultiWriterIndex.appendDelta(bands(odd), idxDir, "odd", 0L)
+    val idx = MultiWriterIndex.fold(
+      spark, idxDir, table, "bucket", 64, stampSuffix = identity)
+    SnapshotOps.incrementalNearDupIndexed(
+      bandIndex = idx,
+      corpusText = corpus,
+      delta = docs.filter(pmod(col("doc_id"), lit(3)) === 0).unionByName(recrawl),
+      idCol = "doc_id",
+      textCol = "text",
+      indexStamp = MultiWriterIndex.baseStamp(idxDir))
+  }
+
   val dNearDupIncrementalSql: String = {
     val tok = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
     val bandSelects = (0 until K / 2)
@@ -4314,6 +4366,7 @@ object DataQueries {
     "d_neardup_incremental" -> dNearDupIncremental,
     "d_neardup_indexed" -> dNearDupIndexed,
     "d_neardup_compacted" -> dNearDupCompacted,
+    "d_neardup_multiwriter" -> dNearDupMultiWriter,
     "d_boilerplate_strip" -> dBoilerplateStrip,
     "d_decontaminate_multi" -> dDecontaminateMulti,
     "d_split_assign" -> dSplitAssign,
@@ -4415,6 +4468,8 @@ object DataQueries {
     // build → exactly-once append → compact → serve: maintenance is
     // physical-only end to end, so the inline oracle still gates it
     "d_neardup_compacted" -> dNearDupIncrementalSql,
+    // the multi-writer growth path must never change the answer: same oracle
+    "d_neardup_multiwriter" -> dNearDupIncrementalSql,
     "d_boilerplate_strip" -> dBoilerplateStripSql,
     "d_decontaminate_multi" -> dDecontaminateMultiSql,
     "d_split_assign" -> dSplitAssignSql,

@@ -753,6 +753,66 @@ class DataOpsSpec extends SparkSpec {
       Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 8, bandBits = 16, probeRadius = 1))
   }
 
+  test("perceptualPairs: 32-bit top ladder rung (2 bands, radius 1) is exact at hamming <= 3; indexed face agrees; 64-bit bands refused") {
+    // the widest geometry phashGeometry can derive (n beyond ~82M rows):
+    // 2 bands x 32 bits, radius 1 — pigeonhole bound 2*2-1 = 3. The rung
+    // exercises the shift/mask arithmetic at its edge (shiftright by 32,
+    // mask (1L<<32)-1): the same crafted-grid construction as the 16-bit
+    // arm, with edits spread across BOTH 32-bit halves so pair (1,4)
+    // matches only via a flipped probe, never an exact band.
+    def mk(f: Int => Int, n: Int = 144): Array[Byte] = Array.tabulate(n)(i => f(i).toByte)
+    def refFp(bs: Array[Byte]): Long = {
+      def s(g: Int) = bs((g * bs.length) / 72) & 0xff
+      (for { r <- 0 until 8; c <- 0 until 8 } yield
+        if (s(r * 9 + c) < s(r * 9 + c + 1)) 1L << (r * 8 + c) else 0L).foldLeft(0L)(_ | _)
+    }
+    val base = mk(i => (i * 7) % 251)
+    def edited(cells: Seq[Int]): Array[Byte] = {
+      val a = base.clone()
+      cells.foreach(c => a(2 * c) = 0xff.toByte)
+      a
+    }
+    val imgs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> base,
+      2L -> edited(Seq(5)),        // low half (fp bits < 32)
+      3L -> edited(Seq(41)),       // high half (fp bits >= 32)
+      4L -> edited(Seq(5, 41)),    // BOTH halves vs base: probe-only match
+      5L -> mk(i => if (i % 2 == 0) 5 else 250), // far payload
+      6L -> mk(i => (i * 31) % 251)              // far payload
+    )
+    val fpById = imgs.map { case (id, bs) => id -> refFp(bs) }.toMap
+    val brute3 = (for {
+      (a, fa) <- fpById.toSeq; (b, fb) <- fpById.toSeq if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val dists = brute3.map(_._3)
+    assert(brute3.size >= 4, s"crafted corpus too sparse: $brute3")
+    // bits-per-half spread confirmed: (1,4) has one flipped bit in EACH
+    // 32-bit half, so neither band exact-matches — radius-1 probing is
+    // load-bearing, not decorative
+    val fp14 = fpById(1L) ^ fpById(4L)
+    assert(java.lang.Long.bitCount(fp14 & 0xffffffffL) >= 1 &&
+      java.lang.Long.bitCount(fp14 >>> 32) >= 1, f"edits landed one-sided: $fp14%016x")
+    assert(dists.exists(_ >= 2), s"distance spread too narrow: $dists")
+    val df = imgs.toDF("doc_id", "bin")
+    val got = Multimodal
+      .perceptualPairs(df, "doc_id", "bin", maxHamming = 3, bandBits = 32, probeRadius = 1)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(got === brute3)
+    // the persisted-index face agrees rung-for-rung
+    val idx = Multimodal.phashBandIndex(df, "doc_id", "bin", bandBits = 32)
+    val gotIdx = Multimodal
+      .perceptualPairsIndexed(idx, maxHamming = 3, bandBits = 32, probeRadius = 1)
+      .select($"a_id", $"b_id", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(gotIdx === brute3)
+    // beyond the rung: ham 4 breaks the pigeonhole, 64-bit bands are the
+    // whole fingerprint (mask arithmetic would silently wrap) — both refused
+    intercept[IllegalArgumentException](
+      Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 4, bandBits = 32, probeRadius = 1))
+    intercept[IllegalArgumentException](
+      Multimodal.perceptualPairs(df, "doc_id", "bin", maxHamming = 1, bandBits = 64, probeRadius = 1))
+  }
+
   test("phashGeometry: scale-derived band ladder — fixture scales keep (8,1,15), organic sf10 derives the measured-clean (16,1,7), boundaries exact (VERDICT r19 #1)") {
     import Multimodal.{phashGeometry, PhashGeometry}
     // fixture/oracle scales: the historical geometry, so the static oracle

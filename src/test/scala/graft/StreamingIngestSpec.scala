@@ -498,7 +498,7 @@ class StreamingIngestSpec extends SparkSpec {
         val folded = MultiWriterIndex.fold(spark, idx, table, "bucket", 4)
         assert(rowsOf(folded) === want1, "fold lost or duplicated rows")
         assert(Bucketing.readStamp(s"$idx/base")
-          .flatMap(MultiWriterIndex.parseFoldStamp) === Some(Map("wa" -> 1L, "wb" -> 1L)))
+          .flatMap(MultiWriterIndex.parseFoldStamp) === Some((Map("wa" -> 1L, "wb" -> 1L), "")))
         assert(served === want1, "post-fold serve drifted (base ∪ empty tail)")
         // duplicate fold is a marker-read no-op
         assert(rowsOf(MultiWriterIndex.fold(spark, idx, table, "bucket", 4)) === want1)
@@ -515,7 +515,7 @@ class StreamingIngestSpec extends SparkSpec {
         // re-fold absorbs only the unfolded slice; serve unchanged
         assert(rowsOf(MultiWriterIndex.fold(spark, idx, table, "bucket", 4)) === want2)
         assert(Bucketing.readStamp(s"$idx/base")
-          .flatMap(MultiWriterIndex.parseFoldStamp) === Some(Map("wa" -> 2L, "wb" -> 1L)))
+          .flatMap(MultiWriterIndex.parseFoldStamp) === Some((Map("wa" -> 2L, "wb" -> 1L), "")))
         assert(served === want2)
         // TORN fold (marker gone mid-swap): rebuild-never-trust from the log
         assert(new java.io.File(s"$idx/base", "_GRAFT_BUCKETED_DDL").delete())
