@@ -1029,6 +1029,13 @@ class ScaleMechanicsSpec extends SparkSpec {
         "second per-batch stamp ran a source walk — the O(source-files) driver listing is back")
       // the memo serves the SAME digest the exact walk computes
       assert(s1 === Bucketing.stampDir(base.toString))
+      // the memo keys on the QUALIFIED path: a scheme-explicit alias of an
+      // already-stamped dir is a map hit, not a second walk (the maintenance
+      // chain mixes bare and file:/ forms — ScaleMechanicsSpec URI arm)
+      val w1 = Bucketing.stampWalkCount.get()
+      assert(Bucketing.cachedStamp(s"file:$base") === s1)
+      assert(Bucketing.stampWalkCount.get() === w1,
+        "a scheme-qualified alias of a memoized path re-walked — memo keys must qualify")
       // mutation through this driver: invalidate, fresh walk sees the change
       java.nio.file.Files.write(new java.io.File(base, "part-1.parquet").toPath, "c".getBytes)
       assert(Bucketing.cachedStamp(base.toString) === s1,

@@ -300,6 +300,39 @@ class SinksSpec extends SparkSpec {
     assert(view() === before)
   }
 
+  test("TxnLogSink.readSlice/committedEpochs: per-writer (above, upTo] range semantics — the MultiWriterIndex fence slices") {
+    // two writers, interleaved epochs — the slice bounds are what make the
+    // fold fence race-free (a commit landing after the high-water capture
+    // is excluded by upTo, never half-absorbed), so their edge semantics
+    // get direct pins: above is EXCLUSIVE, upTo INCLUSIVE, a writer absent
+    // from upTo contributes nothing, and empty ranges are None
+    val topic = Files.createTempDirectory("txnlog-slice").toString + "/topic"
+    val sink = graft.connectors.TxnLogSink(topic)
+    for ((w, e) <- Seq(("a", 0L), ("b", 0L), ("a", 1L), ("b", 1L), ("a", 2L)))
+      sink.writer(w)(Seq(mkEnv("insert", s"$w$e", s"""{"w":"$w"}""", e + 1)).toDF(), e)
+    assert(sink.committedEpochs(spark).toSet ===
+      Set(("a", 0L), ("a", 1L), ("a", 2L), ("b", 0L), ("b", 1L)))
+    def keys(above: Map[String, Long] = Map.empty,
+             upTo: Option[Map[String, Long]] = None): Option[Set[String]] =
+      sink.readSlice(spark, above, upTo).map(_.select($"primaryKey").as[String].collect().toSet)
+    // full view
+    assert(keys() === Some(Set("a0", "a1", "a2", "b0", "b1")))
+    // above exclusive: a>0 drops a0 only
+    assert(keys(above = Map("a" -> 0L)) === Some(Set("a1", "a2", "b0", "b1")))
+    // upTo inclusive per writer; a writer missing from upTo contributes nothing
+    assert(keys(upTo = Some(Map("a" -> 1L))) === Some(Set("a0", "a1")))
+    // the fold's happy-path slice: (absorbed, highWater]
+    assert(keys(above = Map("a" -> 0L, "b" -> 0L), upTo = Some(Map("a" -> 2L, "b" -> 1L)))
+      === Some(Set("a1", "a2", "b1")))
+    // empty range is None, not an empty frame (no schema to offer)
+    assert(keys(above = Map("a" -> 2L, "b" -> 1L), upTo = Some(Map("a" -> 2L, "b" -> 1L))) === None)
+    // an UNCOMMITTED attempt stays invisible to every slice: stage a fake
+    // orphan data dir with no manifest
+    val orphan = new java.io.File(s"$topic/data/c-0-deadbeef")
+    Seq(mkEnv("insert", "ORPHAN", "{}", 9)).toDF().write.parquet(orphan.toString)
+    assert(keys().exists(!_.contains("ORPHAN")), "uncommitted attempt leaked into a slice")
+  }
+
   test("TxnLogSink: concurrent committers racing one epoch — exactly one wins, no orphans visible") {
     val topic = Files.createTempDirectory("txnlog-race").toString + "/topic"
     val sink = graft.connectors.TxnLogSink(topic)
