@@ -141,6 +141,15 @@ object MultiWriterIndex {
     * fence detects and refuses cross-JVM interleaves); any cadence,
     * including unconditionally per batch: an already-absorbed state is a
     * marker-read no-op.
+    *
+    * Every fold that moved data ends with an unconditional
+    * [[Bucketing.compactBucketed]] pass (`maxFilesPerBucket`, default 1):
+    * each fold's append lands up to one file per bucket, so a long
+    * cadence without compaction re-creates the small-files decay the
+    * single-writer pipelines already close per batch (CompactProbe,
+    * SCALE.md r18) — and compaction is physical-only (marker restored
+    * byte-for-byte, per-bucket no-op skip), so the fold fence and every
+    * stamp-validated reader see nothing.
     */
   def fold(
       spark: SparkSession,
@@ -148,7 +157,8 @@ object MultiWriterIndex {
       tableName: String,
       keyCol: String,
       nBuckets: Int,
-      stampSuffix: String = ""
+      stampSuffix: String = "",
+      maxFilesPerBucket: Int = 1
   ): DataFrame = {
     val bd = baseDir(indexDir)
     val log = logOf(indexDir)
@@ -191,6 +201,10 @@ object MultiWriterIndex {
           rebuildPre = sliceUpTo(absorbed),
           rebuildPost = sliceUpTo(hwNow),
           tableName, bd, keyCol, nBuckets, preStamp = s, postStamp = post)
+        // the append landed ≤ one file per bucket: fold it back before the
+        // next cadence tick (physical-only; per-bucket no-op when within
+        // budget, so this is safe to run unconditionally)
+        Bucketing.compactBucketed(spark, tableName, bd, keyCol, nBuckets, maxFilesPerBucket)
       case _ =>
         // no marker (torn fold) or a foreign/unparseable stamp: rebuild the
         // full folded state from the log — never trust

@@ -517,6 +517,18 @@ class StreamingIngestSpec extends SparkSpec {
         assert(Bucketing.readStamp(s"$idx/base")
           .flatMap(MultiWriterIndex.parseFoldStamp) === Some((Map("wa" -> 2L, "wb" -> 1L), "")))
         assert(served === want2)
+        // fold cadence keeps the base compact: two data-moving folds would
+        // otherwise leave ~2 files in every touched bucket — the in-fold
+        // compaction pass bounds it at one, with the fold fence unmoved
+        val perBucket = {
+          val re = """.*_(\d+)(?:\..*)?$""".r
+          Option(new java.io.File(s"$idx/base").listFiles()).getOrElse(Array.empty).toSeq
+            .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .flatMap(f => f.getName match { case re(id) => Some(id.toInt); case _ => None })
+            .groupBy(identity).view.mapValues(_.size)
+        }
+        assert(perBucket.nonEmpty && perBucket.values.max <= 1,
+          s"fold cadence left fragmented buckets: ${perBucket.toMap}")
         // TORN fold (marker gone mid-swap): rebuild-never-trust from the log
         assert(new java.io.File(s"$idx/base", "_GRAFT_BUCKETED_DDL").delete())
         assert(rowsOf(MultiWriterIndex.fold(spark, idx, table, "bucket", 4)) === want2,
