@@ -34,9 +34,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    foreachBatch contract TxnLogSink is built for), so a high-water
   *    mark describes exactly the absorbed prefix.
   *  - '''read''' (any reader): folded bucketed base ∪ committed-but-
-  *    unfolded tail (`epoch > absorbed(writer)`) — base queries keep
-  *    bucket pruning and exchange-free joins; the tail is the small
-  *    recent window, the LSM memtable analogue.
+  *    unfolded tail (`epoch > absorbed(writer)`) — the tail is the small
+  *    recent window, the LSM memtable analogue. With no unfolded tail the
+  *    bucketed base serves directly (pruning and exchange-free joins
+  *    intact); with a tail, both halves read the log's immutable files so
+  *    the union is one consistent snapshot (see [[read]]).
   *
   * Exactly-once end to end: a delta row lives in EITHER the base (its
   * epoch ≤ absorbed high-water) OR the tail (epoch > high-water), never
@@ -51,13 +53,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rebuild-never-trust recovery — prune it only with a base backup in
   * hand (the table-format snapshot-expiry trade, out of scope here).
   *
-  * Read-vs-fold isolation is read-committed-at-listing: a reader that
-  * captures its plan while a FOREIGN JVM's fold swaps the base may see
-  * the fold's appended files through a refreshed listing while its tail
-  * filter predates them. The maintainer's own JVM is safe (the fold and
-  * the serve serialize on the base path's [[Bucketing]] monitor); foreign
-  * readers wanting snapshot isolation read the log view alone or fold in
-  * their own session — the documented single-maintainer model.
+  * Read-vs-fold isolation (ADVICE r20): [[read]] is snapshot-consistent —
+  * whenever an unfolded tail exists, both union halves come from the
+  * log's immutable manifest-pinned files, so a fold committing between
+  * plan construction and the frame's action can neither duplicate nor
+  * drop rows; a tail-less read serves the bucketed base, where a racing
+  * fold can only add NEWER epochs (each row still exactly once). The one
+  * residual caveat is physical: a foreign JVM's COMPACTION swaps base
+  * files in place, so a tail-less base read captured mid-swap can fail
+  * on vanished files (never silently double) — the documented
+  * single-maintainer model keeps compaction in the serving JVM, where
+  * the path monitor serializes it with plan capture.
   */
 object MultiWriterIndex {
 
@@ -94,8 +100,11 @@ object MultiWriterIndex {
           else {
             val parts = body.split(",", -1).toSeq.map { p =>
               p.split("=", -1) match {
+                // Try, not bare toLong: an epoch token of digits longer than
+                // Long.MaxValue (corrupt/foreign marker) must yield None and
+                // the rebuild arm, never throw out of fold()/read() (ADVICE r20)
                 case Array(w, e) if w.nonEmpty && e.nonEmpty && e.forall(_.isDigit) =>
-                  Some(w -> e.toLong)
+                  scala.util.Try(e.toLong).toOption.map(w -> _)
                 case _ => None
               }
             }
@@ -167,7 +176,10 @@ object MultiWriterIndex {
     // nothing committed and no folded base: nothing to fold, nothing to
     // serve — the unconditional-cadence caller's first tick before any
     // writer commits (a base WITH a marker but an empty log falls through
-    // to the truncation check below, which is the loud case it should be)
+    // to the truncation check below, which is the loud case it should be).
+    // NOTE the returned frame is SCHEMA-LESS (no row has ever named the
+    // index schema): a caller selecting index columns on this tick must
+    // guard with isEmpty first (ADVICE r20; the spec arm does exactly that)
     if (hwNow.isEmpty && Bucketing.readStamp(bd).isEmpty) return spark.emptyDataFrame
     val post = foldStamp(hwNow, stampSuffix)
     def sliceUpTo(hw: Map[String, Long]): DataFrame =
@@ -216,6 +228,21 @@ object MultiWriterIndex {
   /** READ side: the folded bucketed base (when one exists) unioned with
     * every committed-but-unfolded delta — each row exactly once. Before
     * any fold has run this is the pure committed log view.
+    *
+    * Snapshot stance (ADVICE r20): when an UNFOLDED tail exists, BOTH
+    * halves of the union are served from the delta log's manifest-pinned
+    * attempt files — immutable once committed — instead of the live
+    * catalog table, whose file listing resolves at ACTION time: a fold
+    * committing between read() returning and the frame's action would
+    * swell the table listing with the newly-folded epochs while the tail
+    * filter was computed from the pre-fold absorbed vector, duplicating
+    * those rows in base ∪ tail. Log-slice reads are snapshot-stable by
+    * construction, at the cost of the bucketed layout's pruning on the
+    * base half — the price of a consistent read under a live maintainer.
+    * When the log shows NOTHING unfolded, the bucketed base is served
+    * as-is (pruning and co-location intact): a fold racing that read can
+    * only APPEND epochs this read never claimed to cover — newer rows,
+    * each exactly once, never a duplicate.
     */
   def read(
       spark: SparkSession,
@@ -230,16 +257,20 @@ object MultiWriterIndex {
     Bucketing.readStamp(bd).flatMap(parseFoldStamp) match {
       case Some((absorbed, storedSuffix)) =>
         requireSuffix("read", indexDir, storedSuffix, stampSuffix)
-        val base = Bucketing.ensureBucketed(
-          spark,
-          log.readSlice(spark, upTo = Some(absorbed)).getOrElse(
-            throw new IllegalStateException(
-              s"MultiWriterIndex.read: base at $bd names absorbed epochs ($absorbed) the " +
-                "log holds no rows for — log truncated; rebuild the index")),
-          tableName, bd, keyCol, nBuckets, sourceStamp = foldStamp(absorbed, storedSuffix))
+        def baseSlice = log.readSlice(spark, upTo = Some(absorbed)).getOrElse(
+          throw new IllegalStateException(
+            s"MultiWriterIndex.read: base at $bd names absorbed epochs ($absorbed) the " +
+              "log holds no rows for — log truncated; rebuild the index"))
         log.readSlice(spark, above = absorbed) match {
-          case Some(tail) => base.unionByName(tail)
-          case None => base
+          case Some(tail) =>
+            // unfolded tail: serve base + tail from the immutable log files
+            // (one consistent snapshot; see scaladoc)
+            baseSlice.unionByName(tail)
+          case None =>
+            Bucketing.ensureBucketed(
+              spark, baseSlice,
+              tableName, bd, keyCol, nBuckets,
+              sourceStamp = foldStamp(absorbed, storedSuffix))
         }
       case None =>
         // no folded base yet (or a foreign marker, which fold will rebuild):

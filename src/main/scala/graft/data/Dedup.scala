@@ -220,8 +220,23 @@ object Dedup {
     * sizes instead of an executor OOM mid-join. EAGER (runs a job).
     */
   private[data] def assertNoBucketFlood(
-      banded: DataFrame, maxBucketRows: Int, face: String, remedy: String): Unit = {
-    val oversized = banded.groupBy(col("band"), col("bucket"))
+      banded: DataFrame, maxBucketRows: Int, face: String, remedy: String): Unit =
+    assertNoBucketFloodAll(Seq("" -> banded), maxBucketRows, face, remedy)
+
+  /** [[assertNoBucketFlood]] over SEVERAL tagged frames in ONE job (guide
+    * §1.2/§2.4 — the serve faces guard both join sides per call, and two
+    * eager count passes per batch is one more driver round-trip than the
+    * check needs): the sides are unioned under a tag column and counted in
+    * one aggregation; the error names the flooded side(s). Per-side counts
+    * are unchanged — the tag keys the grouping, so frames never mix.
+    */
+  private[data] def assertNoBucketFloodAll(
+      sides: Seq[(String, DataFrame)],
+      maxBucketRows: Int, face: String, remedy: String): Unit = {
+    val tagged = sides
+      .map { case (t, df) => df.select(lit(t).as("_side"), col("band"), col("bucket")) }
+      .reduce(_ unionByName _)
+    val oversized = tagged.groupBy(col("_side"), col("band"), col("bucket"))
       .agg(count(lit(1)).as("_bc"))
       .filter(col("_bc") > maxBucketRows)
       .orderBy(col("_bc").desc)
@@ -229,7 +244,10 @@ object Dedup {
       .collect()
     if (oversized.nonEmpty) {
       val tops = oversized
-        .map(r => s"band=${r.get(0)} bucket=${r.get(1)} rows=${r.get(2)}")
+        .map { r =>
+          val side = Option(r.getString(0)).filter(_.nonEmpty).map(s => s"side=$s ").getOrElse("")
+          s"${side}band=${r.get(1)} bucket=${r.get(2)} rows=${r.get(3)}"
+        }
         .mkString(", ")
       throw new IllegalStateException(
         s"$face: duplicate flood — band bucket(s) above maxBucketRows=$maxBucketRows ($tops). " +

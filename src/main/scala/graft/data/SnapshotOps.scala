@@ -149,10 +149,14 @@ object SnapshotOps {
       Dedup.bandedBuckets(corpusIndex, idCol, textCol, n, k, rows).localCheckpoint()
     }
     // guards + verdict build inside a release-on-failure boundary: a flood
-    // throw must not strand the two checkpoints in a catch-and-retry loop
+    // throw must not strand the two checkpoints in a catch-and-retry loop.
+    // Both sides' guards run as ONE tagged count job (guide §1.2 — two
+    // eager passes per call was one driver round-trip more than the check
+    // needs); the error still names the flooded side.
     val out = CorpusOps.releaseOnFailure(dB, cB) {
-      Dedup.assertNoBucketFlood(dB, maxBucketRows, "incrementalNearDup(delta)", nearDupFloodRemedy)
-      Dedup.assertNoBucketFlood(cB, maxBucketRows, "incrementalNearDup(corpus)", nearDupFloodRemedy)
+      Dedup.assertNoBucketFloodAll(
+        Seq("delta" -> dB, "corpus" -> cB), maxBucketRows,
+        "incrementalNearDup", nearDupFloodRemedy)
       nearDupVerdicts(dB, cB, corpusIndex, delta, idCol, textCol, n, threshold)
     }
     graft.core.Checkpoints.release(dB)
@@ -284,11 +288,13 @@ object SnapshotOps {
     }
     val dB = Dedup.bandedBuckets(delta, idCol, textCol, n, k, rows).localCheckpoint()
     val out = CorpusOps.releaseOnFailure(dB) {
-      Dedup.assertNoBucketFlood(
-        dB, maxBucketRows, "incrementalNearDupIndexed(delta)", nearDupFloodRemedy)
       val cB = if (pruneBuckets) pruneIndexToDelta(bandIndex, dB, maxPruneBuckets) else bandIndex
-      Dedup.assertNoBucketFlood(
-        cB, maxBucketRows, "incrementalNearDupIndexed(index)", nearDupFloodRemedy)
+      // ONE tagged count job guards both join sides (delta bands + the
+      // pruned index slice — the actual join inputs); the error names the
+      // flooded side (guide §1.2 — one driver round-trip, not two)
+      Dedup.assertNoBucketFloodAll(
+        Seq("delta" -> dB, "index" -> cB), maxBucketRows,
+        "incrementalNearDupIndexed", nearDupFloodRemedy)
       nearDupVerdicts(dB, cB, corpusText, delta, idCol, textCol, n, threshold, checkCoverage)
     }
     graft.core.Checkpoints.release(dB)
@@ -351,26 +357,30 @@ object SnapshotOps {
       checkCoverage: Boolean = false
   ): DataFrame = {
     // delta × corpus collisions → candidate (did, cid); delta × delta
-    // collisions → candidate (i, j) — both off the SAME banded frames, so
-    // each side pays its tokenize+shingle+k-hash signature scan once
-    val candDC = dB.select(col("band"), col("bucket"), col("sid").as("did"))
-      .join(cB.select(col("band"), col("bucket"), col("sid").as("cid")), Seq("band", "bucket"))
-      .select(col("did"), col("cid"))
+    // collisions → candidate (i, j) — ONE join pass off the SAME banded
+    // frames (guide §2.3/§2.4: the delta side was previously shuffled into
+    // TWO separate candidate joins, each with its own distinct exchange and
+    // eager checkpoint; the corpus and delta bands now union under a side
+    // tag, the join runs once, and the tag splits the one checkpointed
+    // candidate frame back into the two views). Candidate sets are
+    // unchanged: same join keys, same `i < j` delta-pair orientation, and
+    // distinct at (side, did, oid) grain ≡ the two per-side distincts.
+    val rhs = cB.select(col("band"), col("bucket"), col("sid").as("oid"), lit("c").as("side"))
+      .unionByName(
+        dB.select(col("band"), col("bucket"), col("sid").as("oid"), lit("d").as("side")))
+    val cand = dB.select(col("band"), col("bucket"), col("sid").as("did"))
+      .join(rhs, Seq("band", "bucket"))
+      .filter(col("side") === "c" || col("did") < col("oid"))
+      .select(col("side"), col("did"), col("oid"))
       .distinct()
       .localCheckpoint()
-    val candDD = CorpusOps.releaseOnFailure(candDC) {
-      dB.select(col("band"), col("bucket"), col("sid").as("i"))
-        .join(dB.select(col("band"), col("bucket"), col("sid").as("j")), Seq("band", "bucket"))
-        .filter(col("i") < col("j"))
-        .select(col("i"), col("j"))
-        .distinct()
-        .localCheckpoint()
-    }
+    val candDC = cand.filter(col("side") === "c").select(col("did"), col("oid").as("cid"))
+    val candDD = cand.filter(col("side") === "d")
+      .select(col("did").as("i"), col("oid").as("j"))
     // everything from here to the final verdict checkpoint runs under the
     // failure guard: an executor loss in the shingle-verify jobs must not
-    // strand candDC/candDD/dSets in a catch-and-retry loop (the same leak
-    // class the candDD construction above guards — code-review r18)
-    val out = CorpusOps.releaseOnFailure(candDC, candDD) {
+    // strand cand/dSets in a catch-and-retry loop (code-review r18)
+    val out = CorpusOps.releaseOnFailure(cand) {
       if (checkCoverage) {
         val missing = candDC.select(col("cid")).distinct()
           .join(corpusText.select(col(idCol).as("cid")), Seq("cid"), "left_anti")
@@ -388,9 +398,9 @@ object SnapshotOps {
         col(idCol).as("sid"),
         graft.functions.ShingleHash60(TextAnalysis.tokens(col(textCol)), n).as("sset"))
       // ONE delta shingle-set frame feeds both verify arms (semi-join to
-      // candidate ids only — the two-phase LSH contract)
-      val dCandIds = candDC.select(col("did").as("sid"))
-        .unionByName(candDD.select(col("i").as("sid")))
+      // candidate ids only — the two-phase LSH contract); `did` covers both
+      // the corpus-arm probe ids and the delta-pair `i` side
+      val dCandIds = cand.select(col("did").as("sid"))
         .unionByName(candDD.select(col("j").as("sid")))
         .distinct()
       val dSets = shingles(delta)
@@ -441,8 +451,7 @@ object SnapshotOps {
         verdicts
       }
     }
-    graft.core.Checkpoints.release(candDC)
-    graft.core.Checkpoints.release(candDD)
+    graft.core.Checkpoints.release(cand)
     out
   }
 }
