@@ -18,8 +18,8 @@ object ProfileOne {
   private case class J(id: Int, site: String, start: Long, var end: Long = 0L)
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: ProfileOne <query> [sfDir] [reps]")
-    val name = args(0)
+    require(args.nonEmpty, "usage: ProfileOne <query>[,<query>...] [sfDir] [reps]")
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -49,35 +49,38 @@ object ProfileOne {
       }
     }
     spark.sparkContext.addSparkListener(listener)
-    val fn = SparkEntry.queries(name)
-    var t0 = 0L
-    var tEnd = 0L
-    (1 to reps).foreach { rep =>
-      jobs.synchronized { jobs.clear() }
-      record = rep == reps
-      t0 = System.currentTimeMillis()
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      tEnd = System.currentTimeMillis()
-      println(f"[profile] $name rep$rep ${(tEnd - t0) / 1e3}%.3f s")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      var t0 = 0L
+      var tEnd = 0L
+      (1 to reps).foreach { rep =>
+        jobs.synchronized { jobs.clear() }
+        record = rep == reps
+        t0 = System.currentTimeMillis()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        tEnd = System.currentTimeMillis()
+        println(f"[profile] $name rep$rep ${(tEnd - t0) / 1e3}%.3f s")
+      }
+      // give the listener bus a moment to drain
+      Thread.sleep(500)
+      val wall = (tEnd - t0).toDouble
+      val js = jobs.synchronized { jobs.toSeq.sortBy(_.start) }
+      var prevEnd = t0
+      var jobMs = 0L
+      var gapMs = 0L
+      println(f"[profile] $name last-rep wall ${wall / 1000}%.3f s, ${js.size} jobs")
+      js.foreach { j =>
+        val dur = j.end - j.start
+        val gap = math.max(0L, j.start - prevEnd)
+        jobMs += math.max(0L, dur)
+        gapMs += gap
+        println(f"[profile]   gap${gap}%5d ms | job ${j.id}%4d ${dur}%6d ms | ${j.site.take(110)}")
+        prevEnd = math.max(prevEnd, j.end)
+      }
+      val tailGap = math.max(0L, tEnd - prevEnd)
+      println(f"[profile] $name jobs ${jobMs}%d ms, gaps ${gapMs}%d ms, tail $tailGap%d ms, wall ${wall}%.0f ms")
+      spark.catalog.clearCache()
     }
-    // give the listener bus a moment to drain
-    Thread.sleep(500)
-    val wall = (tEnd - t0).toDouble
-    val js = jobs.synchronized { jobs.toSeq.sortBy(_.start) }
-    var prevEnd = t0
-    var jobMs = 0L
-    var gapMs = 0L
-    println(f"[profile] last-rep wall ${wall / 1000}%.3f s, ${js.size} jobs")
-    js.foreach { j =>
-      val dur = j.end - j.start
-      val gap = math.max(0L, j.start - prevEnd)
-      jobMs += math.max(0L, dur)
-      gapMs += gap
-      println(f"[profile]   gap${gap}%5d ms | job ${j.id}%4d ${dur}%6d ms | ${j.site.take(110)}")
-      prevEnd = math.max(prevEnd, j.end)
-    }
-    val tailGap = math.max(0L, tEnd - prevEnd)
-    println(f"[profile] jobs ${jobMs}%d ms, gaps ${gapMs}%d ms, tail $tailGap%d ms, wall ${wall}%.0f ms")
     spark.stop()
   }
 }

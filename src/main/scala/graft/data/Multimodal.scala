@@ -259,6 +259,9 @@ object Multimodal {
           val bv = shiftright(col("_fp"), b * bandBits).bitwiseAND(lit(mask))
           mkVals(bv).map(v => struct(lit(b).as("bi"), v.as("bv")))
         }: _*)).as("_band"))
+        // suppressed (null) probe values die here, before the shuffle —
+        // they could only fall out of the equi-join anyway
+        .filter(col("_band.bv").isNotNull)
         .select(col("_id"), col("_fp"), col("_band.bi").as("bi"), col("_band.bv").as("bv"))
         // repartition on the JOIN key with an EXPLICIT partition count:
         // per-probe work is bucketRows, not 1, so probe-side parallelism
@@ -271,10 +274,19 @@ object Multimodal {
         .repartition(
           df.sparkSession.sessionState.conf.numShufflePartitions,
           col("bi"), col("bv"))
-    // probe side: exact value + the single-bit flips within the band
+    // probe side: exact value + the UPWARD single-bit flips within the band
+    // (set a 0-bit only). For a band at hamming 1 exactly one endpoint holds
+    // the 0-bit, so its upward flip lands on the other's stored value — every
+    // qualifying pair is still found (the pigeonhole guarantee is intact),
+    // but via ONE join orientation instead of two: the downward flips only
+    // ever rediscovered the same pair from the other side, and dropping them
+    // halves probe rows (avg bandBits/2 + 1 values instead of bandBits + 1)
+    // and candidate volume (guide §2.3 — shuffle fewer bytes; output pairs
+    // are canonicalized to (min id, max id) below, so answers are identical).
     val probed = withBands(fp, bv =>
       bv +: (if (probeRadius == 0) Seq.empty
-             else (0 until bandBits).map(i => bv.bitwiseXOR(lit(1L << i)))))
+             else (0 until bandBits).map(i =>
+               when(bv.bitwiseAND(lit(1L << i)) === 0, bv.bitwiseXOR(lit(1L << i))))))
     val stored = withBands(fp, bv => Seq(bv))
     // the flood guard: stored-side (band, value) counts before the
     // quadratic join. Stored counts (not probe-expanded) are the right
@@ -304,11 +316,15 @@ object Multimodal {
     }
     val lhs = probed.select(col("_id").as("a_id"), col("_fp").as("_fpa"), col("bi"), col("bv"))
     val rhs = stored.select(col("_id").as("b_id"), col("_fp").as("_fpb"), col("bi"), col("bv"))
+    // upward-only probing finds a hamming-1 band pair in ONE orientation
+    // (the 0-bit holder probes the 1-bit holder), so pairs are canonicalized
+    // to (min id, max id) instead of filtered on probe-side < stored-side;
+    // the distinct pair set — and the oracle — are unchanged
     lhs.join(rhs, Seq("bi", "bv"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
       .select(
-        col("a_id"),
-        col("b_id"),
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
@@ -437,15 +453,25 @@ object Multimodal {
     // probe side: each index row (one per band) re-derives its numeric band
     // value from fp — shiftright by the band COLUMN, so one expression
     // serves all bands — and explodes the exact value plus its radius-1
-    // single-bit flips. The multiset equals the inline face's probe side.
+    // UPWARD single-bit flips (set a 0-bit only): a band at hamming 1 has
+    // exactly one endpoint holding the 0-bit, so its upward flip lands on
+    // the other's stored value and the pair is found in ONE orientation —
+    // the downward flips only rediscovered the same pair from the other
+    // side (guide §2.3: half the probe rows and candidate volume for the
+    // same exact pair set; output is canonicalized to (min id, max id)).
     // SQL form: the Scala DSL's shiftright only takes a literal bit count,
     // and here the shift is the band COLUMN (one expression serves all bands)
     val bv = expr(s"shiftright(fp, band * $bandBits)").bitwiseAND(lit(mask))
     val probeVals = bv +: (if (probeRadius == 0) Seq.empty[Column]
-                           else (0 until bandBits).map(i => bv.bitwiseXOR(lit(1L << i))))
+                           else (0 until bandBits).map(i =>
+                             when(bv.bitwiseAND(lit(1L << i)) === 0,
+                               bv.bitwiseXOR(lit(1L << i)))))
     val probed = stored
       .select(col("sid"), col("fp"), col("band"),
         explode(array(probeVals.map(_.cast("string")): _*)).as("bucket"))
+      // suppressed (null) probes die before the shuffle — an equi-join
+      // would drop them anyway
+      .filter(col("bucket").isNotNull)
       .repartition(
         index.sparkSession.sessionState.conf.numShufflePartitions,
         col("band"), col("bucket"))
@@ -453,10 +479,10 @@ object Multimodal {
       .join(
         stored.select(col("sid").as("b_id"), col("fp").as("_fpb"), col("band"), col("bucket")),
         Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
       .select(
-        col("a_id"),
-        col("b_id"),
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
         bit_count(col("_fpa").bitwiseXOR(col("_fpb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
