@@ -15,7 +15,8 @@ import scala.collection.mutable
   * usage: runMain graft.ProfileOne <query> [sfDir] [reps]
   */
 object ProfileOne {
-  private case class J(id: Int, site: String, start: Long, var end: Long = 0L)
+  private case class J(id: Int, site: String, start: Long, var end: Long = 0L,
+      stages: Seq[String] = Seq.empty)
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ProfileOne <query>[,<query>...] [sfDir] [reps]")
@@ -41,7 +42,8 @@ object ProfileOne {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         if (record) {
           val site = e.stageInfos.lastOption.map(_.name).getOrElse("?")
-          jobs += J(e.jobId, site, e.time)
+          val stages = e.stageInfos.map(s => s"${s.stageId}:${s.name.take(60)}#${s.numTasks}").toSeq
+          jobs += J(e.jobId, site, e.time, stages = stages)
         }
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
@@ -75,6 +77,7 @@ object ProfileOne {
         jobMs += math.max(0L, dur)
         gapMs += gap
         println(f"[profile]   gap${gap}%5d ms | job ${j.id}%4d ${dur}%6d ms | ${j.site.take(110)}")
+        if (dur > 300) j.stages.foreach(s => println(s"[profile]       stage $s"))
         prevEnd = math.max(prevEnd, j.end)
       }
       val tailGap = math.max(0L, tEnd - prevEnd)

@@ -226,19 +226,25 @@ object Dedup {
   /** [[assertNoBucketFlood]] over SEVERAL tagged frames in ONE job (guide
     * §1.2/§2.4 — the serve faces guard both join sides per call, and two
     * eager count passes per batch is one more driver round-trip than the
-    * check needs): the sides are unioned under a tag column and counted in
-    * one aggregation; the error names the flooded side(s). Per-side counts
-    * are unchanged — the tag keys the grouping, so frames never mix.
+    * check needs): each side aggregates on its OWN scan and only the tiny
+    * post-filter offender frames union before one limit-collect. Unioning
+    * the RAW inputs instead was measured 2.5-3.5× slower when a side is a
+    * bucketed table — the union blocks the unnecessary-bucketed-scan
+    * rewrite, leaving one open-cost task per bucket file — while the
+    * aggregated-result union keeps every side's scan shape intact.
+    * Per-side counts are unchanged; the error names the flooded side(s).
     */
   private[data] def assertNoBucketFloodAll(
       sides: Seq[(String, DataFrame)],
       maxBucketRows: Int, face: String, remedy: String): Unit = {
-    val tagged = sides
-      .map { case (t, df) => df.select(lit(t).as("_side"), col("band"), col("bucket")) }
+    val oversized = sides
+      .map { case (t, df) =>
+        df.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("_bc"))
+          .filter(col("_bc") > maxBucketRows)
+          .select(lit(t).as("_side"), col("band"), col("bucket"), col("_bc"))
+      }
       .reduce(_ unionByName _)
-    val oversized = tagged.groupBy(col("_side"), col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_bc"))
-      .filter(col("_bc") > maxBucketRows)
       .orderBy(col("_bc").desc)
       .limit(3)
       .collect()

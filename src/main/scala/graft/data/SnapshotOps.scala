@@ -357,21 +357,26 @@ object SnapshotOps {
       checkCoverage: Boolean = false
   ): DataFrame = {
     // delta × corpus collisions → candidate (did, cid); delta × delta
-    // collisions → candidate (i, j) — ONE join pass off the SAME banded
-    // frames (guide §2.3/§2.4: the delta side was previously shuffled into
-    // TWO separate candidate joins, each with its own distinct exchange and
-    // eager checkpoint; the corpus and delta bands now union under a side
-    // tag, the join runs once, and the tag splits the one checkpointed
-    // candidate frame back into the two views). Candidate sets are
-    // unchanged: same join keys, same `i < j` delta-pair orientation, and
-    // distinct at (side, did, oid) grain ≡ the two per-side distincts.
-    val rhs = cB.select(col("band"), col("bucket"), col("sid").as("oid"), lit("c").as("side"))
-      .unionByName(
-        dB.select(col("band"), col("bucket"), col("sid").as("oid"), lit("d").as("side")))
-    val cand = dB.select(col("band"), col("bucket"), col("sid").as("did"))
-      .join(rhs, Seq("band", "bucket"))
-      .filter(col("side") === "c" || col("did") < col("oid"))
-      .select(col("side"), col("did"), col("oid"))
+    // collisions → candidate (i, j) — both join arms keep their OWN scan
+    // shape, and only their candidate-sized OUTPUTS union under a side tag
+    // into ONE distinct + ONE eager checkpoint (guide §1.2/§2.4: the two
+    // per-side distinct exchanges and checkpoints were two driver
+    // round-trips where one suffices). Unioning the raw band frames before
+    // one shared join was measured SLOWER when the corpus side is a
+    // bucketed table — the raw union blocks the unnecessary-bucketed-scan
+    // rewrite, leaving one open-cost task per bucket file — while the
+    // result-grain union is candidate-sized and scan-shape-neutral.
+    // Candidate sets are unchanged: same join keys, same `i < j`
+    // delta-pair orientation, distinct at (side, did, oid) grain ≡ the two
+    // per-side distincts.
+    val dcRaw = dB.select(col("band"), col("bucket"), col("sid").as("did"))
+      .join(cB.select(col("band"), col("bucket"), col("sid").as("oid")), Seq("band", "bucket"))
+      .select(lit("c").as("side"), col("did"), col("oid"))
+    val ddRaw = dB.select(col("band"), col("bucket"), col("sid").as("did"))
+      .join(dB.select(col("band"), col("bucket"), col("sid").as("oid")), Seq("band", "bucket"))
+      .filter(col("did") < col("oid"))
+      .select(lit("d").as("side"), col("did"), col("oid"))
+    val cand = dcRaw.unionByName(ddRaw)
       .distinct()
       .localCheckpoint()
     val candDC = cand.filter(col("side") === "c").select(col("did"), col("oid").as("cid"))
