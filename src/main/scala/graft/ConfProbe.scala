@@ -12,7 +12,12 @@ import org.apache.spark.sql.SparkSession
 object ConfProbe {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ConfProbe <conf=valA|valB> <reps> <query...>")
-    val Array(conf, vals) = args(0).split("=", 2)
+    // validate the split shapes up front: a malformed first arg must print
+    // the usage contract, not throw MatchError out of the destructure
+    val confVals = args(0).split("=", 2)
+    require(confVals.length == 2 && confVals(1).contains("|"),
+      s"ConfProbe: first arg '${args(0)}' must be <conf=valA|valB>")
+    val Array(conf, vals) = confVals
     val Array(valA, valB) = vals.split("\\|", 2)
     val reps = args(1).toInt
     val sfDir = "/root/testdata/sf0.1"
@@ -34,8 +39,13 @@ object ConfProbe {
       // one throwaway rep to absorb codegen, then alternate A/B
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       val times = scala.collection.mutable.Map("A" -> List.empty[Double], "B" -> List.empty[Double])
-      (1 to reps).foreach { _ =>
-        Seq("A" -> valA, "B" -> valB).foreach { case (tag, v) =>
+      (1 to reps).foreach { rep =>
+        // alternate the A/B ORDER per rep: a fixed A-then-B order lets B
+        // systematically ride A's immediately-preceding warm-up of the
+        // same query (JIT/page-cache ordering bias)
+        val order = if (rep % 2 == 1) Seq("A" -> valA, "B" -> valB)
+                    else Seq("B" -> valB, "A" -> valA)
+        order.foreach { case (tag, v) =>
           spark.conf.set(conf, v)
           val t0 = System.nanoTime()
           fn(spark, sfDir).write.mode("overwrite").format("noop").save()

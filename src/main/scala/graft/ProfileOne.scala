@@ -37,7 +37,10 @@ object ProfileOne {
     graft.jobs.JobFixtures.warm(spark, sfDir)
     graft.queries.SourceQueries.warm(spark, sfDir)
     val jobs = mutable.ArrayBuffer[J]()
-    var record = false
+    // @volatile: written by the main thread, read on the listener-bus
+    // thread — without it the last-rep recording can miss early jobs to
+    // visibility lag, skewing the gap/job split this tool measures
+    @volatile var record = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         if (record) {

@@ -191,6 +191,43 @@ object Bucketing {
       .linesIterator.find(_.startsWith("stamp=")).map(_.stripPrefix("stamp="))
   }
 
+  /** The FULL marker content at `path` (all four spec lines), or None when
+    * absent — the snapshot-consistency token for [[MultiWriterIndex]]'s
+    * pinned base read: a maintainer mutating the directory always removes
+    * or rewrites the marker, so marker-equal before AND after a file
+    * listing proves the listing saw one coherent fold generation (modulo
+    * the documented foreign-compactor residual, whose swap window the
+    * in-JVM path monitor already serializes).
+    */
+  private[connectors] def readMarkerContent(path: String): Option[String] = {
+    val marker = markerPath(path)
+    val fs = markerFs(marker, hadoopConf())
+    if (!fs.exists(marker)) None else Some(readFully(fs, marker))
+  }
+
+  /** The `schema=` DDL line of a marker CONTENT string. */
+  private[connectors] def schemaDdlOf(markerContent: String): Option[String] =
+    markerContent.linesIterator.find(_.startsWith("schema="))
+      .map(_.stripPrefix("schema=")).filter(_.nonEmpty)
+
+  /** Current data-file listing (absolute path strings) of a managed table
+    * directory — marker and hidden files excluded, same filter as the
+    * compaction manifest check.
+    */
+  private[connectors] def listDataFiles(path: String): Seq[String] = {
+    val root = new Path(path)
+    dataFiles(fsOf(root, hadoopConf()), root).map(_.getPath.toString)
+  }
+
+  /** Run `f` holding the same per-qualified-path monitor every mutating
+    * maintenance entry point serializes on — lets a reader exclude in-JVM
+    * folds/compactions around a capture window.
+    */
+  private[connectors] def withPathLock[T](path: String)(f: => T): T = {
+    val conf = hadoopConf()
+    lockFor(path, conf).synchronized(f)
+  }
+
   /** Register (materializing if needed) a bucketed copy of `df` as
     * `tableName` at `path`, clustered and sorted by `keyCol` into
     * `nBuckets`. Returns the bucketed table as a DataFrame.

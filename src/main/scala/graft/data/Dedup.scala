@@ -237,6 +237,8 @@ object Dedup {
   private[data] def assertNoBucketFloodAll(
       sides: Seq[(String, DataFrame)],
       maxBucketRows: Int, face: String, remedy: String): Unit = {
+    require(sides.nonEmpty,
+      s"assertNoBucketFloodAll($face): no sides to guard — caller bug")
     val oversized = sides
       .map { case (t, df) =>
         df.groupBy(col("band"), col("bucket"))
@@ -574,7 +576,11 @@ object Dedup {
       .select(
         col(idCol).as("doc_id"),
         col("_i").cast("long").as("pos"),
-        md5(concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(k)))).as("_h"))
+        // unhex: the window identity shuffles as 16 BINARY bytes instead of
+        // the 32-char hex string (guide §2.3 — narrower types; exact 1:1
+        // recoding of md5, so first-occurrence grouping is unchanged). _h
+        // is grouping-only and never ordered or exposed.
+        unhex(md5(concat_ws(" ", slice(col("_toks"), col("_i") + 1, lit(k))))).as("_h"))
     val firstW = Window.partitionBy(col("_h")).orderBy(col("doc_id"), col("pos"))
     val docW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     wins
@@ -676,10 +682,37 @@ object Dedup {
     // any evicted cached partition — cascades recomputation through the full
     // upstream plan. localCheckpoint is eager; the edge list is 2×|pairs|
     // rows of two longs, trivially resident.
-    val edges = pairs
+    val edgesCk = pairs
       .select(col("i").as("src"), col("j").as("dst"))
       .unionByName(pairs.select(col("j").as("src"), col("i").as("dst")))
       .localCheckpoint()
+    // Pin the STATIC edge list's partitioning across iterations (guide
+    // §2.4 — two operations keyed the same way share one exchange): the
+    // checkpoint leaf reports UnknownPartitioning (Spark 4.1.2 captures no
+    // partitioner on localCheckpoint), so every iteration's candidate join
+    // would re-shuffle the same unchanged edge rows by `dst`. One
+    // repartition + persist layered ON TOP of the flat checkpoint leaf
+    // gives the loop joins a hash-partitioned InMemoryRelation: the edge
+    // side of each round's join plans with NO Exchange (the labels side —
+    // the only data that changes — still shuffles). The checkpoint under
+    // it keeps per-iteration plans leaf-shallow; eviction of a cached
+    // partition recomputes from the checkpoint, never from the LSH
+    // pipeline. The pin count is derived from the edge list's SIZE, not a
+    // core-count constant (guide §2.2/§2.5): a cached partitioning is
+    // exempt from AQE coalescing, so pinning at numShufflePartitions would
+    // force every loop stage to that many near-empty tasks on a small
+    // graph (measured: 32 ~5 ms tasks per iteration at sf0.1), while one
+    // advisory-sized partition per ~32 B edge row keeps small graphs at a
+    // task or two and large ones at full shuffle parallelism.
+    val sconf = pairs.sparkSession.sessionState.conf
+    val advisoryBytes = sconf.getConf(
+      org.apache.spark.sql.internal.SQLConf.ADVISORY_PARTITION_SIZE_IN_BYTES)
+    val edgeParts = math.max(1L, math.min(
+      sconf.numShufflePartitions.toLong,
+      edgesCk.count() * 32L / math.max(1L, advisoryBytes) + 1L)).toInt
+    val edges = edgesCk
+      .repartition(edgeParts, col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
@@ -691,24 +724,17 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nlabel")).as("nmin"))
       // ONE Spark job per iteration: the noop write both fills the persisted
       // label cache (iteration N+1's join reads InMemoryTableScan, and the
       // cached subtree is a leaf to the optimizer, so plans stay shallow) and
       // carries the convergence count out through an observed metric — no
       // second count() job rescanning the materialized labels.
       val obs = org.apache.spark.sql.Observation()
-      val next = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
-          (col("label") =!= least(col("label"), coalesce(col("nmin"), col("label")))).as("_chg"))
+      val next = minLabelNext(edges, labels, edgeParts, sconf.numShufflePartitions)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       next
-        .observe(obs, coalesce(sum(when(col("_chg"), 1L).otherwise(0L)), lit(0L)).as("changed"))
+        .observe(obs, coalesce(
+          sum(when(col("label") =!= col("_old"), 1L).otherwise(0L)), lit(0L)).as("changed"))
         .write.mode("overwrite").format("noop").save()
       changed = obs.get("changed").asInstanceOf[Long]
       prevCache.foreach(_.unpersist())
@@ -733,7 +759,8 @@ object Dedup {
     if (changed > 0) {
       prevCache.foreach(_.unpersist())
       graft.core.Checkpoints.release(liveCk)
-      graft.core.Checkpoints.release(edges)
+      edges.unpersist()
+      graft.core.Checkpoints.release(edgesCk)
       throw new IllegalStateException(
         s"duplicateClusters: min-label propagation did not converge in $maxIter " +
           s"iterations ($changed labels still changing) — the pair graph has a " +
@@ -745,8 +772,49 @@ object Dedup {
     val result = out.localCheckpoint()
     prevCache.foreach(_.unpersist())
     graft.core.Checkpoints.release(liveCk)
-    graft.core.Checkpoints.release(edges)
+    edges.unpersist()
+    graft.core.Checkpoints.release(edgesCk)
     result
+  }
+
+  /** One min-label iteration's UNEXECUTED frame — label(u) <- min(label(u),
+    * min over neighbors' labels), computed as ONE join + ONE aggregation:
+    * each node's own labeled row unions with the neighbor contributions and
+    * a single groupBy takes the min — where the r21 shape paid a second
+    * shuffle-join of `labels` against the aggregated neighbor minima (guide
+    * §2.4: that left-join's exchange carried exactly the rows the
+    * aggregation already grouped). The old label rides along as
+    * min(label where _own) — `labels` holds one row per id, so that min IS
+    * the old label — and the convergence count compares the two aggregates
+    * (`label != _old`), observed on the caller's save. Shared by the
+    * [[duplicateClusters]] loop and the `CcLoopPlanDump` plan receipt so
+    * the committed plan evidence cannot drift from the shipped loop body.
+    *
+    * `coalesceTo` < `shuffleParts`: cached plans are exempt from AQE
+    * coalescing, so the aggregate's exchange would pin the label cache at
+    * numShufflePartitions — on a small graph every later scan of it is a
+    * stage of near-empty tasks. Shrinking the CACHED frame to the same
+    * size-derived count as the edge pin is a zero-shuffle coalesce; when
+    * the graph is large the two counts agree and the aggregate's hash(id)
+    * partitioning is kept so the next round's join stays exchange-aligned.
+    */
+  private[graft] def minLabelNext(
+      edges: DataFrame,
+      labels: DataFrame,
+      coalesceTo: Int,
+      shuffleParts: Int
+  ): DataFrame = {
+    val contrib = edges
+      .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nlabel"), Seq("dst"))
+      .select(col("src").as("id"), col("nlabel").as("label"), lit(false).as("_own"))
+    val agged = labels
+      .withColumn("_own", lit(true))
+      .unionByName(contrib)
+      .groupBy(col("id"))
+      .agg(
+        min(col("label")).as("label"),
+        min(when(col("_own"), col("label"))).as("_old"))
+    if (coalesceTo < shuffleParts) agged.coalesce(coalesceTo) else agged
   }
 
   /** One large-star round (Kiveris et al., "Connected Components in
@@ -755,12 +823,16 @@ object Dedup {
     * min(Γ(u) ∪ {u}). Output edges are canonically oriented (src > dst),
     * self-loops dropped, deduped.
     */
-  private def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
     val nbrs = e.select(col("src"), col("dst"))
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = nbrs.groupBy("src").agg(min(col("dst")).as("_mn"))
-      .select(col("src"), least(col("src"), col("_mn")).as("_m"))
-    nbrs.join(mins, Seq("src"))
+    // min(Γ(u) ∪ {u}) as a window over the SAME key the old groupBy+join
+    // pair shuffled twice (guide §2.4: a window partitioned like the
+    // preceding aggregation needs no second exchange) — one hash exchange
+    // on src instead of an aggregate exchange plus a join-side exchange.
+    val m = least(col("src"),
+      min(col("dst")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    nbrs.withColumn("_m", m)
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("_m").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -771,16 +843,24 @@ object Dedup {
     * larger endpoint; each node u links its smaller neighbors AND itself
     * to min(Γ(u) ∪ {u}). Keeps the src > dst canonical orientation.
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
     val oriented = e.select(
         greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
-    // every dst < src here, so the closed-neighborhood min is just min(dst)
-    val mins = oriented.groupBy("src").agg(min(col("dst")).as("_m"))
-    oriented.join(mins, Seq("src"))
-      .select(col("dst").as("v"), col("_m").as("m"))
-      .unionByName(mins.select(col("src").as("v"), col("_m").as("m")))
+    // every dst < src here, so the closed-neighborhood min is just min(dst),
+    // computed as a window over src (one exchange — guide §2.4, same move
+    // as largeStar) with both output rows of each edge (smaller neighbor →
+    // min, node itself → min) emitted from the ONE windowed pass; the
+    // node-itself rows repeat per edge instead of once per src, and the
+    // trailing distinct — already load-bearing for the join shape — folds
+    // them to the identical canonical edge set.
+    val m = min(col("dst")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("src")))
+    oriented.withColumn("_m", m)
+      .select(explode(array(
+        struct(col("dst").as("v"), col("_m").as("m")),
+        struct(col("src").as("v"), col("_m").as("m")))).as("_vm"))
+      .select(col("_vm.v").as("v"), col("_vm.m").as("m"))
       .where(col("v") =!= col("m"))
       .select(col("v").as("src"), col("m").as("dst"))
       .distinct()

@@ -283,6 +283,13 @@ object Multimodal {
     // halves probe rows (avg bandBits/2 + 1 values instead of bandBits + 1)
     // and candidate volume (guide §2.3 — shuffle fewer bytes; output pairs
     // are canonicalized to (min id, max id) below, so answers are identical).
+    // PRECONDITION (do not reuse asymmetrically): upward-only is sound
+    // ONLY because this is a symmetric SELF-join — every row appears on
+    // both the probe and stored sides, so each hamming-1 pair's 0-bit
+    // endpoint is guaranteed to be probing. An asymmetric reuse (a delta
+    // probing a stored index that does not probe back) would silently
+    // MISS every pair whose probing side holds the 1-bit — re-add the
+    // downward flips (or probe both orientations) there.
     val probed = withBands(fp, bv =>
       bv +: (if (probeRadius == 0) Seq.empty
              else (0 until bandBits).map(i =>

@@ -1736,27 +1736,33 @@ object Similarity {
     // only: executor-local disk stays corpus-metadata-sized)
     val cellsCk = cells.localCheckpoint()
     val hist = cellsCk.groupBy(col("n_bk")).agg(count(lit(1)).as("_cnt"))
+    // ONE top-code pass at the DEEPEST swept depth, checkpointed, and every
+    // pSub arm derived by slicing its arrays (guide §1.2 — don't recompute
+    // what a prefix already holds): topPFromCosines is a deterministic
+    // total order (ties → lowest index), so the top-p lists are exact
+    // prefixes of the top-pMax lists, and element 1 is the imiAssign cell
+    // by the probe contract — the p=1 arm included. The heavyweight
+    // codebook-literal LUT/argmax expression trees are therefore planned
+    // and executed ONCE instead of once per swept depth (measured r21:
+    // the per-(kSub, p) re-planning was ~1 s of driver gaps on the
+    // probe-plan face); the per-p arms are q-sized selects over a
+    // checkpoint leaf.
+    val pMax = pSubs.max
+    val qTop = queries
+      .withColumn(
+        "_ilut",
+        graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
+      .withColumn("_t0", graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pMax, 0)))
+      .withColumn("_t1", graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, pMax, 1)))
+      .select(col(idCol).as("q_id"), col("_t0"), col("_t1"))
+      .localCheckpoint()
     val probesByP = pSubs.map { p =>
-      val base =
-        if (p == 1)
-          queries.select(
-            col(idCol).as("q_id"),
-            imiAssign(col(vecCol), imiCodebooks).as("q_bk"))
-        else
-          queries
-            .withColumn(
-              "_ilut",
-              graft.functions.ComputeOnce(graft.functions.Pq.lut(col(vecCol), imiCodebooks)))
-            .withColumn(
-              "_t0",
-              graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, p, 0)))
-            .withColumn(
-              "_t1",
-              graft.functions.ComputeOnce(imiTopCodes(col("_ilut"), kSub, p, 1)))
-            .select(
-              col(idCol).as("q_id"),
-              explode(imiProbeCells(col("_t0"), col("_t1"), kSub, p)).as("q_bk"))
-      base.withColumn("p_sub", lit(p))
+      qTop
+        .select(
+          col("q_id"),
+          explode(imiProbeCells(
+            slice(col("_t0"), 1, p), slice(col("_t1"), 1, p), kSub, p)).as("q_bk"))
+        .withColumn("p_sub", lit(p))
     }
     val probes = probesByP.reduce(_ unionByName _)
     val gross = probes
@@ -1777,6 +1783,7 @@ object Similarity {
       // checkpoint can release before the caller consumes the frame
       .localCheckpoint()
     graft.core.Checkpoints.release(cellsCk)
+    graft.core.Checkpoints.release(qTop)
     out
   }
 

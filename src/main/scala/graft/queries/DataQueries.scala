@@ -534,16 +534,17 @@ object DataQueries {
     */
   private val pairsMemo =
     new java.util.IdentityHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = pairsMemo.synchronized {
+  private def sessionMemo(
+      spark: SparkSession): scala.collection.concurrent.TrieMap[String, DataFrame] =
+    pairsMemo.synchronized {
       val it = pairsMemo.entrySet().iterator()
       while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       pairsMemo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
     }
-    perSession.getOrElseUpdate(
+  private def minhashPairsShared(spark: SparkSession, dir: String): DataFrame =
+    sessionMemo(spark).getOrElseUpdate(
       dir,
       Dedup.minhashPairs(Tables.documents(spark, dir), "doc_id", "text").localCheckpoint())
-  }
 
   /** The connectivity-preserving pair subset for the CLUSTER consumers
     * (`d_dup_clusters`, `d_dup_cluster_stats`, `d_clean_corpus`):
@@ -552,17 +553,11 @@ object DataQueries {
     * full pair list, so the recursive-CTE oracles replay unchanged, but
     * candidate work scales with distinct texts instead of duplicity²).
     */
-  private def clusterPairsShared(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = pairsMemo.synchronized {
-      val it = pairsMemo.entrySet().iterator()
-      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      pairsMemo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    }
-    perSession.getOrElseUpdate(
+  private def clusterPairsShared(spark: SparkSession, dir: String): DataFrame =
+    sessionMemo(spark).getOrElseUpdate(
       s"$dir#clusters",
       Dedup.minhashPairsForClustering(Tables.documents(spark, dir), "doc_id", "text")
         .localCheckpoint())
-  }
 
   def dMinhashPairs(spark: SparkSession, dir: String): DataFrame =
     minhashPairsShared(spark, dir)
@@ -593,16 +588,26 @@ object DataQueries {
     * per consumer. `d_dup_clusters` itself stays un-memoized — it IS the
     * operator face and must keep paying (and measuring) the CC rounds.
     */
-  private def clustersShared(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = pairsMemo.synchronized {
-      val it = pairsMemo.entrySet().iterator()
-      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
-      pairsMemo.computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
-    }
+  private def clustersShared(spark: SparkSession, dir: String): DataFrame =
     // duplicateClusters already returns a checkpoint-backed frame
-    perSession.getOrElseUpdate(
+    sessionMemo(spark).getOrElseUpdate(
       s"$dir#clustermap", Dedup.duplicateClusters(clusterPairsShared(spark, dir)))
-  }
+
+  /** The scored importance-weights frame, materialized once per
+    * (session, sfDir) for its CONSUMER faces (`d_importance_select`,
+    * `d_importance_resample`) — the [[minhashPairsShared]] production
+    * argument (VERDICT r1 #3) applied to DSIR: a selection pipeline runs
+    * the model-train + scoring scan ONCE and feeds every selection/
+    * resampling decision from the materialized weights, instead of
+    * re-training and re-scoring per consumer. `d_importance_weights`
+    * itself stays un-memoized — it IS the operator face and must keep
+    * paying (and measuring) the train + scoring passes, exactly like
+    * `d_dup_clusters` vs [[clustersShared]]. Checkpoint payload is
+    * (id, 3 longs) per doc — corpus-metadata-sized, the pair-list class.
+    */
+  private def importanceWeightsShared(spark: SparkSession, dir: String): DataFrame =
+    sessionMemo(spark).getOrElseUpdate(
+      s"$dir#impweights", dImportanceWeights(spark, dir).localCheckpoint())
 
   /** Recursive-CTE connected components over the (oracle-replayed) LSH
     * pair list: cluster id = min reachable doc id.
@@ -2410,7 +2415,7 @@ object DataQueries {
     * doc_id) — the deterministic budget cut of importance resampling.
     */
   def dImportanceSelect(spark: SparkSession, dir: String): DataFrame =
-    dImportanceWeights(spark, dir)
+    importanceWeightsShared(spark, dir)
       .orderBy(col("imp_mean_e6").desc, col("doc_id"))
       .limit(100)
 
@@ -2436,7 +2441,7 @@ object DataQueries {
 
   def dImportanceResample(spark: SparkSession, dir: String): DataFrame =
     CorpusOps.importanceResample(
-      dImportanceWeights(spark, dir).select(col("doc_id"), col("imp_e6")),
+      importanceWeightsShared(spark, dir).select(col("doc_id"), col("imp_e6")),
       "doc_id", "imp_e6", n = ImpResampleN, seed = ImpResampleSeed)
 
   val dImportanceResampleSql: String = {
